@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join family (SURVEY.md §2 I1–I7). Not present in the reference (it has
+  * zero joins — README.md grep), declared as inventory for a complete
+  * engine over the star schema.
+  *
+  * Scale notes: dimension tables (region 5, nation 25, supplier small) are
+  * explicitly `broadcast()` so the fact-table side never shuffles for
+  * them; fact⋈fact joins (lineitem⋈orders) are left to Catalyst+AQE which
+  * plans a sort-merge join with both sides hash-partitioned on the key —
+  * the only shuffle that is genuinely necessary. Semi/anti joins keep the
+  * probe side unchanged and never duplicate rows, so they are safe on
+  * skewed inputs.
+  */
+object Joins {
+
+  /** I1 inner equi-join, fact⋈dim, aggregated. */
+  def innerJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("c_mktsegment"))
+
+  /** I2 left outer join: customers keep rows with zero orders;
+    * count(col) skips nulls so they report 0. */
+  def leftJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      .orderBy(col("c_custkey"))
+
+  /** I2 full outer join with unmatched rows on both sides. */
+  def fullJoin(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.customer(s, d)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("lk"), col("c_acctbal"))
+    val right = Tables.orders(s, d)
+      .filter(col("o_custkey") % 5 === 0)
+      .groupBy(col("o_custkey").as("rk"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    left.join(right, col("lk") === col("rk"), "full_outer")
+      .select(
+        coalesce(col("lk"), col("rk")).as("custkey"),
+        col("c_acctbal"), col("spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** I3 left semi join = EXISTS. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** I3 left anti join = NOT EXISTS. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** I4+I6 multi-way star join with broadcast dims — the flagship.
+    * lineitem⋈orders shuffles on the shared key; nation/region (and the
+    * customer dim when AQE sizes it under the threshold) broadcast. */
+  def starJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** I5 non-equi (range/theta) join: events banded by value against a tiny
+    * broadcast band table — a broadcast-nested-loop that never blows up. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("b0_low", 0.0, 50.0), ("b1_mid", 50.0, 100.0),
+      ("b2_high", 100.0, 150.0), ("b3_top", 150.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  /** I7 UNION ALL then aggregate. */
+  def unionAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nk"))
+
+  /** I7 INTERSECT (distinct semantics in both engines). */
+  def intersectKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .intersect(
+        Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  /** I7 EXCEPT: customers that never ordered. */
+  def exceptKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  /** Skew-resilient join via key salting: replicate the (small) build side
+    * SALT ways, scatter the probe side across salts, join on (key, salt).
+    * Result is identical to the plain join — the oracle proves it — but no
+    * single reducer ever owns a hot key's full row set. At 100 TB this is
+    * the manual fallback when AQE skew-split isn't enough. */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val SALT = 8
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_linenumber"), col("l_partkey")), lit(SALT)))
+    val ords = Tables.orders(s, d)
+      .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
+    li.join(ords, col("l_orderkey") === col("o_orderkey") && li("salt") === ords("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"  -> innerJoin,
+    "q_join_left"   -> leftJoin,
+    "q_join_full"   -> fullJoin,
+    "q_join_semi"   -> semiJoin,
+    "q_join_anti"   -> antiJoin,
+    "q_star_join"   -> starJoin,
+    "q_range_join"  -> rangeJoin,
+    "q_union_all"   -> unionAll,
+    "q_intersect"   -> intersectKeys,
+    "q_except"      -> exceptKeys,
+    "q_salted_join" -> saltedJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0), 2) AS spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_full" ->
+      """SELECT coalesce(lk, rk) AS custkey, c_acctbal, spend FROM
+         (SELECT c_custkey AS lk, c_acctbal FROM customer WHERE c_custkey % 7 = 0) l
+         FULL OUTER JOIN
+         (SELECT o_custkey AS rk, round(sum(o_totalprice), 2) AS spend
+          FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey) r
+         ON lk = rk ORDER BY custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_star_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events
+         JOIN (VALUES ('b0_low', 0.0, 50.0), ('b1_mid', 50.0, 100.0),
+                      ('b2_high', 100.0, 150.0), ('b3_top', 150.0, 1e9))
+              b(band, lo, hi)
+           ON value >= lo AND value < hi
+         GROUP BY band ORDER BY band""",
+    "q_union_all" ->
+      """SELECT nk, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY custkey""",
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT SELECT o_custkey FROM orders
+         ORDER BY custkey""",
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS total
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+}

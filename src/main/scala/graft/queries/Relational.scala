@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's own relational surface (SURVEY.md §2 B/C/E/F/G),
+  * transposed onto the driver test data, plus the standard aggregate
+  * family a credible engine needs.
+  *
+  * Reference evidence: filters/projections/casts README.md:199-208,231;
+  * group-count README.md:238; LIMIT README.md:216; CSV scan
+  * README.md:186-193.
+  *
+  * Scale notes: every query is a declarative DataFrame plan — filters and
+  * projections reach the parquet scan (PushedFilters/ReadSchema), group-bys
+  * plan as partial+final HashAggregate so the shuffle carries only group
+  * keys + partial states, and the final orderBy is a bounded sort on
+  * already-reduced data.
+  */
+object Relational {
+
+  /** F1 README.md:238 — GROUP BY + count over the fact table. */
+  def ordersByStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** E2+E4 README.md:231 — equality filter + narrow projection (both are
+    * pushed into the parquet scan). */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "FURNITURE")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** E3 README.md:203-207 — the CAST battery (decimal/int/date/string). */
+  def castTypes(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qty_int"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        col("l_orderkey").cast(StringType).as("okey_str"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** G1 README.md:216 — ordered top-k; Spark plans TakeOrderedAndProject,
+    * which takes k rows per partition then merges on the driver — no full
+    * sort, no full shuffle, scale-safe. */
+  def topOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+
+  /** C1 README.md:186-193 — gzipped `;`-delimited header CSV scan with
+    * cast-on-ingest, exactly the reference's ingestion path. We round-trip
+    * the orders table through csv.gz in a temp dir; content is preserved,
+    * so the oracle is the orders table itself. */
+  def csvScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_csv").toString + "/orders_csv"
+    Tables.orders(s, d)
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", ";")
+      .option("compression", "gzip")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(tmp)
+    s.read
+      .option("header", "true").option("sep", ";")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(tmp) // all columns arrive as string, like the reference's raw view
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        col("o_custkey").cast(LongType).as("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** I13 string functions. */
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 10, 9).as("cnum"),
+        concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast(StringType)).as("seg_nat"),
+        col("c_name").like("%42%").as("has42"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
+        length(col("c_name")).as("name_len"))
+      .orderBy(col("c_custkey"))
+
+  /** I13 date functions. */
+  def scalarDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("MONTH", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** I13 math functions. */
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        // Per-row double arithmetic is IEEE-deterministic in any engine —
+        // no rounding needed (and round() half-up on a shortest-repr
+        // double diverges from DuckDB exactly at .xx5 products).
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_quantity") / 7.0).as("qty_ceil"),
+        floor(col("l_quantity") / 7.0).as("qty_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** I13 conditional: CASE WHEN / coalesce / nullif. */
+  def scalarConditional(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(when(col("o_orderstatus") =!= "F", col("o_orderstatus")), lit("FINISHED")).as("st"))
+      .orderBy(col("o_orderkey"))
+
+  /** F-family battery (TPC-H Q1 shape): sum/avg/min/max/count/
+    * count-distinct/stddev in one partial-aggregatable pass. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        // exact decimal sum ÷ count in double: order-independent and
+        // bit-identical to the oracle (avg(double) can land on a .xx5
+        // rounding boundary where engines disagree)
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1))).as("avg_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** HyperLogLog approximate distinct — sketch-based, constant memory per
+    * group at any scale. Algorithm differs from DuckDB's, so no SQL
+    * oracle; driver records a rows-only check, exactness asserted in
+    * AggSpec against the exact count (rsd bound). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** I12 rollup. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** I12 cube. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1))).as("avg_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_by_status"   -> ordersByStatus,
+    "q_filter_project"     -> filterProject,
+    "q_cast_types"         -> castTypes,
+    "q_top_orders"         -> topOrders,
+    "q_csv_scan"           -> csvScan,
+    "q_scalar_string"      -> scalarString,
+    "q_scalar_date"        -> scalarDate,
+    "q_scalar_math"        -> scalarMath,
+    "q_scalar_conditional" -> scalarConditional,
+    "q_agg_stats"          -> aggStats,
+    "q_approx_distinct"    -> approxDistinct,
+    "q_rollup"             -> rollupAgg,
+    "q_cube"               -> cubeAgg)
+
+  val oracle: Map[String, String] = Map(
+    "q_orders_by_status" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_filter_project" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'FURNITURE' ORDER BY c_custkey""",
+    "q_cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS INT) AS qty_int,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(l_orderkey AS VARCHAR) AS okey_str
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+    "q_csv_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    "q_scalar_string" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+         substring(c_name, 10, 9) AS cnum,
+         concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+         c_name LIKE '%42%' AS has42,
+         regexp_extract(c_name, '[0-9]+') AS digits,
+         CAST(length(c_name) AS INT) AS name_len
+         FROM customer ORDER BY c_custkey""",
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(day(o_orderdate) AS INT) AS dom,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS net_price,
+         abs(l_discount - 0.05) AS disc_dev,
+         CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+         CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+         sqrt(l_quantity) AS qty_sqrt,
+         greatest(l_tax, l_discount) AS max_rate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_scalar_conditional" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 300000 THEN 'big'
+              WHEN o_totalprice > 150000 THEN 'mid'
+              ELSE 'small' END AS bucket,
+         coalesce(nullif(o_orderstatus, 'F'), 'FINISHED') AS st
+         FROM orders ORDER BY o_orderkey""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         round(min(l_extendedprice), 2) AS min_price,
+         round(max(l_extendedprice), 2) AS max_price,
+         count(*) AS n_rows,
+         count(DISTINCT l_orderkey) AS n_orders,
+         round(stddev_samp(l_discount), 6) AS sd_disc
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_cube" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+         FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+         ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")
+}

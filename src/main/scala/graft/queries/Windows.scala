@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function family (SURVEY.md §2 I8–I11). Not in the reference;
+  * part of the complete-engine inventory.
+  *
+  * Scale notes: a window partitioned by a key plans as one hash-shuffle on
+  * that key followed by an in-partition sort — same cost envelope as a
+  * groupBy. Per-customer partitions are tiny, so no single partition can
+  * exceed executor memory even at 1000× data. Frames are deterministic:
+  * every ORDER BY includes a unique tiebreak column.
+  */
+object Windows {
+
+  private def byCustomerPrice =
+    Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  private def byCustomerDate =
+    Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  /** I8+I11 ranking trio + top-k per group. row_number/rank/dense_rank are
+    * INT in Spark; the oracle casts DuckDB's BIGINT to match. */
+  def rankTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byCustomerPrice).as("rn"),
+        rank().over(byCustomerPrice).as("rk"),
+        dense_rank().over(byCustomerPrice).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+
+  /** I9 analytic functions: lag/lead/first_value over event-time order. */
+  def lagLead(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byCustomerDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byCustomerDate).as("next_price"),
+        first(col("o_totalprice")).over(byCustomerDate).as("first_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+
+  /** I10 frame specs: running sum (rows unbounded-preceding), sliding
+    * 3-row average, and a numeric RANGE frame. */
+  def frames(s: SparkSession, d: String): DataFrame = {
+    val running = byCustomerDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = byCustomerDate.rowsBetween(-2, Window.currentRow)
+    // Double-typed RANGE bounds aren't expressible via the Scala
+    // rangeBetween(Long, Long) API — use the SQL window form instead.
+    val priceRange = expr(
+      """count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""")
+    // Exact decimal sums: order-independent at any parallelism, and no
+    // rounding boundary where engines could disagree. avg = exact sum ÷
+    // count in double (bit-identical IEEE division in both engines).
+    val priceDec = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(priceDec).over(running).as("running_spend"),
+        (sum(priceDec).over(sliding).cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1)).over(sliding)).as("avg3"),
+        priceRange.as("n_similar"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank"   -> rankTopK,
+    "q_window_lag"    -> lagLead,
+    "q_window_frames" -> frames)
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM
+         (SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER w AS INT) AS rn,
+            CAST(rank() OVER w AS INT) AS rk,
+            CAST(dense_rank() OVER w AS INT) AS drk
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_totalprice) OVER w AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(*) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3,
+         count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_similar
+         FROM orders ORDER BY o_custkey, o_orderkey""")
+}
