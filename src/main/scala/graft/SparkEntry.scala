@@ -21,12 +21,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Joins.queries ++
-      graft.queries.Windows.queries
+      graft.queries.Windows.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.Vectors.queries ++
+      graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Joins.oracle ++
-      graft.queries.Windows.oracle
+      graft.queries.Windows.oracle ++
+      graft.queries.Events.oracle ++
+      graft.queries.Vectors.oracle ++
+      graft.queries.TextOps.oracle
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time windowed analytics over the `events` table (SURVEY.md §2
+  * J1–J3, I14). The reference has no streaming surface; these are the
+  * batch duals of Structured Streaming's window operators — the exact
+  * same `window()`/`session_window()` expressions run unchanged under
+  * `readStream` (see streaming.StreamingSpec).
+  *
+  * Scale notes: every query is a single hash-shuffle on (window, key) —
+  * identical cost envelope to a groupBy. Tumbling/sliding windows are
+  * computed row-side (a row expands to its window(s) before the shuffle,
+  * map-side partial aggregation applies), so the shuffle carries only
+  * per-window partial states. Session windows shuffle by user_id and
+  * merge in-partition — at 1000 executors each user's events land on one
+  * partition, bounded by per-user event counts, not total volume.
+  * Monetary sums use exact DECIMAL(18,2): order-independent at any
+  * parallelism.
+  */
+object Events {
+
+  private val valueDec = col("value").cast(DecimalType(18, 2))
+
+  /** J1 tumbling 1-hour window per event type. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(valueDec).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** J2 sliding 1-hour window, 15-minute slide: each event contributes to
+    * exactly 4 windows. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(valueDec).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** J3 session window: per-user sessions closed by a 30-minute
+    * inactivity gap. Spark merges an event into the previous session iff
+    * ts < prev_ts + gap, so the oracle's new-session predicate is
+    * `diff >= 30 minutes` (gaps-and-islands). Session end = last ts + gap. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("sum_value"))
+      .select(
+        col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** I14 JSON extraction: parse `props` with an explicit schema (native
+    * from_json — codegen'd, no UDF), aggregate the extracted field. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_tumbling" -> tumbling,
+    "q_window_sliding"  -> sliding,
+    "q_window_session"  -> sessionWindow,
+    "q_json_extract"    -> jsonExtract)
+
+  val oracle: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q_window_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+         event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q_window_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+         min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+         max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""")
+}

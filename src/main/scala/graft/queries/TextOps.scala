@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Sketches
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-data-pipeline surface (SURVEY.md §2 J5/J6/J8).
+  *
+  * Scale notes: everything tokenizes row-side with codegen'd built-ins
+  * (`split`/`filter`/`array_distinct`), so per-document work never
+  * shuffles raw text. The exact Jaccard pair search uses an
+  * inverted-index join (token → postings, join on token, count common)
+  * instead of a cross join — candidate generation cost is Σ posting²
+  * per token, the classic scalable formulation. MinHash/SimHash reduce
+  * each document to a constant-size signature via typed Aggregators
+  * (partial-aggregatable), then find candidates with band equi-joins;
+  * at 100 TB no step is quadratic in the corpus.
+  */
+object TextOps {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** J8 per-document stats + quality score: token count, char count,
+    * distinct-token ratio, stopword ratio, mean word length — all pure
+    * built-ins, all ANSI-expressible for the oracle. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val stop = size(filter(t, x => x.isin("a", "the"))).cast(DoubleType)
+    val uniq = size(array_distinct(t)).cast(DoubleType)
+    val nChar = length(col("text")).cast(DoubleType)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        nTok.cast(IntegerType).as("n_tokens"),
+        nChar.cast(IntegerType).as("n_chars"),
+        (uniq / nTok).as("uniq_ratio"),
+        (stop / nTok).as("stop_ratio"),
+        ((nChar - nTok + lit(1.0)) / nTok).as("avg_word_len"),
+        // simple composable quality heuristic: unique-token diversity
+        // damped by stopword share — identical arithmetic in the oracle
+        (uniq / nTok * (lit(1.0) - stop / nTok)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J8 corpus term frequencies: top-3 terms per language (explode →
+    * count → ranked window, deterministic tiebreak on term). */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("term"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** J8 document fingerprint: md5 over whitespace-normalized lowercase
+    * text (md5 is identical in Spark and DuckDB, unlike xxhash). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** J5 exact dedup, distinct flavor. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** J5 exact dedup, keep-first flavor: one deterministic survivor per
+    * (lang, source) — the scalable form of dropDuplicates (which keeps
+    * an arbitrary row; a ranked window keeps a *defined* one). */
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** J6 exact n-gram (unigram-shingle) Jaccard top-50 pairs via an
+    * inverted-index join — never a cross join. common(a,b) counted by
+    * joining postings on token; |A∪B| = |A|+|B|−common. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+    val sizes = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = docTok.select(col("doc_id").as("ia"), col("tok"))
+    val b = docTok.select(col("doc_id").as("ib"), col("tok"))
+    a.join(b, Seq("tok")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
+      .select(
+        col("ia"), col("ib"),
+        (col("common").cast(DoubleType) /
+          (col("sa") + col("sb") - col("common")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("ia"), col("ib"))
+      .limit(50)
+  }
+
+  /** J6 MinHash near-dup: constant-size signatures (typed Aggregator),
+    * banded candidate join (8 bands × 8 rows), signature-match estimate.
+    * Approximate → no SQL oracle; TextOpsSpec asserts estimate accuracy
+    * and candidate recall against exact Jaccard. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val mh = udaf(Sketches.MinHashAgg)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(mh(col("tok")).as("sig"))
+    val BANDS = 8
+    val ROWS = Sketches.NUM_PERM / BANDS
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until BANDS).map { bnd =>
+        struct(
+          lit(bnd).as("band"),
+          hash((0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col("doc_id").as("ia"), col("sig").as("sa"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("ib"), col("sig").as("sb"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("sa"), col("sb")).distinct()
+      .select(
+        col("ia"), col("ib"),
+        (aggregate(
+          zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast(IntegerType)),
+          lit(0), (acc, x) => acc + x).cast(DoubleType) / Sketches.NUM_PERM).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("est_jaccard").desc, col("ia"), col("ib"))
+      .limit(50)
+  }
+
+  /** J6 SimHash near-dup: 64-bit signatures, candidates from 4×16-bit
+    * band join, Hamming distance ≤ 8 filter. Approximate → rows-only. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = udaf(Sketches.SimHashAgg)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sh(col("tok")).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { bnd =>
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(col("sig"), bnd * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col("doc_id").as("ia"), col("sig").as("sa"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("ib"), col("sig").as("sb"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("sa"), col("sb")).distinct()
+      .select(col("ia"), col("ib"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("hamming"), col("ia"), col("ib"))
+      .limit(100)
+  }
+
+  /** J8 language-ID: marker-token n-gram heuristic (argmax over per-
+    * language marker hit counts; deterministic 'en' fallback). The
+    * synthetic corpus shares one vocabulary across langs, so this is
+    * judged as an operator shape (determinism, coverage), not accuracy —
+    * rows-only + TextOpsSpec. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val markers = Seq(
+      "en" -> Seq("the", "a", "row"), "de" -> Seq("der", "und", "batch"),
+      "fr" -> Seq("le", "et", "merge"), "es" -> Seq("el", "y", "scan"),
+      "zh" -> Seq("de", "shi", "stream"))
+    val scored = markers.map { case (lang, ms) =>
+      struct(
+        size(filter(t, x => x.isin(ms: _*))).cast(DoubleType).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        // array_max on (score, lang) structs: ties break on the lang
+        // string ordering — deterministic
+        array_max(array(scored: _*)).getField("lang").as("lang_pred"),
+        array_max(array(scored: _*)).getField("score").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"       -> textStats,
+    "q_top_terms"        -> topTerms,
+    "q_fingerprint"      -> fingerprint,
+    "q_dedup_exact"      -> dedupExact,
+    "q_dedup_keep_first" -> dedupKeepFirst,
+    "q_jaccard_pairs"    -> jaccardPairs,
+    "q_minhash_pairs"    -> minhashPairs,
+    "q_simhash_pairs"    -> simhashPairs,
+    "q_lang_id"          -> langId)
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1.0)
+           / len(string_split(text, ' ')) AS avg_word_len,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) AS DOUBLE)
+             / len(string_split(text, ' '))) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q_top_terms" ->
+      """SELECT lang, term, n, rk FROM (
+           SELECT lang, term, count(*) AS n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS INT) AS rk
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY lang, term)
+         WHERE rk <= 3 ORDER BY lang, rk""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_dedup_keep_first" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY lang, source""",
+    "q_jaccard_pairs" ->
+      """SELECT a.doc_id AS ia, b.doc_id AS ib,
+           CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                   list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+           / (len(list_distinct(string_split(a.text, ' ')))
+              + len(list_distinct(string_split(b.text, ' ')))
+              - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                   list_distinct(string_split(b.text, ' '))))) AS jaccard
+         FROM documents a, documents b WHERE a.doc_id < b.doc_id
+         ORDER BY jaccard DESC, ia, ib LIMIT 50""")
+}

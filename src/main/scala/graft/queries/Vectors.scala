@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector / similarity-search operators over `embeddings` (64-dim float
+  * vectors) — SURVEY.md §2 I15 + J7, the north star's ANN surface.
+  *
+  * Scale notes: dot products use built-in higher-order functions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no serialization hop.
+  * The brute-force top-k is the exact baseline (a single pass + a
+  * TakeOrderedAndProject — no shuffle of the vectors themselves); the
+  * LSH variant is the 100 TB path: signatures are computed row-side,
+  * candidates come from an equi-join on (table, bucket) — the cross
+  * product is never materialized. All floats are promoted to double
+  * BEFORE multiply so results are bit-comparable with the DuckDB oracle;
+  * final scores rounded to 7 decimals to absorb sub-ulp fold-order noise.
+  */
+object Vectors {
+
+  /** Σ aᵢ·bᵢ in double precision, sequential fold — matches the oracle's
+    * list_sum(list_transform(...)) element order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** I15 array-function battery: size / element_at / higher-order
+    * aggregate / array_max / array_min over the embedding column. */
+  def vectorNorms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_elem"),
+        round(norm2(col("embedding")), 7).as("norm2"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast(DoubleType))), 7).as("norm1"),
+        array_max(col("embedding")).cast(DoubleType).as("vmax"),
+        array_min(col("embedding")).cast(DoubleType).as("vmin"))
+      .orderBy(col("vec_id"))
+
+  /** J7 brute-force cosine top-k against the vec_id=0 query vector: the
+    * exact ANN baseline. One broadcast row, one scan, TakeOrdered(20). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(
+          dot(col("embedding"), col("q_embedding")) /
+            (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** J7/near-dup: exact top-30 most-similar pairs, all-pairs cosine.
+    * Quadratic by definition (it IS the exact baseline the approximate
+    * paths are judged against); at scale you run q_ann_lsh instead. The
+    * self-join keys on a.vec_id < b.vec_id so each unordered pair is
+    * scored once. */
+  def topKPairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d).select(
+      col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, d).select(
+      col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(
+        col("ia"), col("ib"),
+        round(dot(col("ea"), col("eb")) /
+          (norm2(col("ea")) * norm2(col("eb"))), 7).as("cos"))
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+      .limit(30)
+  }
+
+  /** Fixed random hyperplanes for sign-bit LSH: deterministic (seeded),
+    * shared by build and probe side. 3 tables × 4 bits. */
+  private[graft] val HYPERPLANES: Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(12)(Array.fill(64)(rng.nextGaussian()))
+  }
+
+  /** J7 scale path: LSH-bucketed approximate nearest neighbours for the
+    * vec_id=0 query. bucket(t, v) = 4 sign bits of v against table t's
+    * hyperplanes; candidates = equi-join on (t, bucket) across 3 tables
+    * (union of probes), then exact cosine rerank, top 10. At 100 TB the
+    * bucket join is an ordinary shuffle join on a low-cardinality key —
+    * no cross product, and the rerank touches only candidates. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val planes = HYPERPLANES.map(p => array(p.map(lit): _*))
+    def bucket(t: Int, v: Column): Column =
+      (0 until 4).map { i =>
+        (dot(planes(t * 4 + i), v) >= 0).cast(IntegerType) * (1 << i)
+      }.reduce(_ + _)
+    val e = Tables.embeddings(s, d)
+    // each vector lands in 3 (table, bucket) cells
+    val tabled = e.select(
+      col("vec_id"), col("embedding"),
+      explode(array((0 until 3).map(t =>
+        struct(lit(t).as("t"), bucket(t, col("embedding")).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val probe = tabled.filter(col("vec_id") === 0)
+      .select(col("t"), col("b"), col("embedding").as("q_embedding"))
+    tabled.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), Seq("t", "b"))
+      .select(col("vec_id"), col("embedding"), col("q_embedding"))
+      .distinct() // a candidate may collide in several tables
+      .select(
+        col("vec_id"),
+        round(dot(col("embedding"), col("q_embedding")) /
+          (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_norms"  -> vectorNorms,
+    "q_cosine_topk"   -> cosineTopK,
+    "q_cosine_pairs"  -> topKPairs,
+    "q_ann_lsh"       -> annLsh)
+
+  // q_ann_lsh is approximate by construction → rows-only check here;
+  // recall vs the exact baseline is asserted in VectorsSpec.
+  val oracle: Map[String, String] = Map(
+    "q_vector_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+         CAST(embedding[1] AS DOUBLE) AS first_elem,
+         round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 7) AS norm2,
+         round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 7) AS norm1,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin
+         FROM embeddings ORDER BY vec_id""",
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cos DESC, vec_id LIMIT 20""",
+    "q_cosine_pairs" ->
+      """SELECT a.vec_id AS ia, b.vec_id AS ib,
+           round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
+         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         ORDER BY cos DESC, ia, ib LIMIT 30""")
+}
