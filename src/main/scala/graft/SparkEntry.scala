@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.Events.queries ++
       graft.queries.Vectors.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.TextOps.queries ++
+      graft.queries.TableQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Windows.oracle ++
       graft.queries.Events.oracle ++
       graft.queries.Vectors.oracle ++
-      graft.queries.TextOps.oracle
+      graft.queries.TextOps.oracle ++
+      graft.queries.TableQueries.oracle
 }

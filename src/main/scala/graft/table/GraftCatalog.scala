@@ -1,0 +1,59 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.types.StructType
+
+/** Filesystem catalog: `warehouse/<schema>/<table>/` (SURVEY.md §2 A1/B1).
+  * Replaces the reference's REST catalog + MinIO object store
+  * (README.md:59-81) with direct metadata-file access — resolution cost is
+  * one directory path, no HTTP hop; the same layout works on any Hadoop
+  * FileSystem URI at cluster scale.
+  */
+final class GraftCatalog(val warehouse: Path) {
+
+  /** B1 `CREATE SCHEMA IF NOT EXISTS` (README.md:159) — idempotent. */
+  def createSchema(name: String): Unit =
+    Files.createDirectories(warehouse.resolve(name))
+
+  /** B2 `CREATE TABLE ... USING iceberg TBLPROPERTIES('format-version'='2')`
+    * (README.md:167-177): assign stable column ids (the indirection that
+    * makes rename metadata-only), write metadata v1 with no snapshot. */
+  def createTable(
+      qualified: String,
+      schema: StructType,
+      partitionDays: Option[String] = None): GraftTable = {
+    val dir = tableDir(qualified)
+    if (Files.exists(dir.resolve("meta")))
+      throw new IllegalStateException(s"table $qualified already exists")
+    Files.createDirectories(dir.resolve("meta"))
+    Files.createDirectories(dir.resolve("data"))
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      ColumnDef(i + 1, f.name, f.dataType.json)
+    }.toSeq
+    val pf = partitionDays.toSeq.map { colName =>
+      val src = cols.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(s"no column $colName to partition by"))
+      PartitionField(src.id, "days", s"${colName}_day")
+    }
+    val meta = TableMeta(
+      formatVersion = 2, name = qualified,
+      schemas = Map("1" -> cols), currentSchemaId = 1,
+      lastColumnId = cols.size,
+      partitionFields = pf, snapshots = Nil, currentSnapshotId = None)
+    TableMeta.write(meta, dir.resolve("meta").resolve("v1.json"))
+    Files.write(dir.resolve("meta").resolve("version-hint.text"), "1".getBytes)
+    new GraftTable(dir)
+  }
+
+  def load(qualified: String): GraftTable = new GraftTable(tableDir(qualified))
+
+  def tableExists(qualified: String): Boolean =
+    Files.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
+
+  private def tableDir(qualified: String): Path = {
+    val parts = qualified.split('.')
+    require(parts.length == 2, s"expected schema.table, got $qualified")
+    warehouse.resolve(parts(0)).resolve(parts(1))
+  }
+}

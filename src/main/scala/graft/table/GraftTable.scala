@@ -1,0 +1,282 @@
+package graft.table
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A Graft-format table: versioned parquet + JSON metadata giving the
+  * reference's Iceberg v2 capabilities (SURVEY.md §2 B–D, H) on stock
+  * Spark. All relational execution stays in Catalyst/Tungsten — this
+  * layer only decides WHICH files a scan sees and how their columns map
+  * to the current schema.
+  *
+  * Scale notes: appends cluster by the hidden partition transform
+  * (one `partitionBy` write — no per-partition jobs); deletes are
+  * copy-on-write but rewrite ONLY the files that contain matching rows
+  * (found with one pruned scan over `input_file_name`); planning touches
+  * metadata, never data. Snapshot isolation is structural: manifests are
+  * immutable per snapshot.
+  */
+final class GraftTable(val dir: Path) {
+
+  def meta: TableMeta = TableMeta.load(dir)._2
+
+  // ---------------------------------------------------------------- read
+
+  /** C2 current-snapshot read (README.md:216). */
+  def read(spark: SparkSession): DataFrame = readSnapshot(spark, meta.currentSnapshot)
+
+  /** C3 time travel — `VERSION AS OF <snapshot_id>` (README.md:255-258). */
+  def readVersion(spark: SparkSession, snapshotId: Long): DataFrame =
+    readSnapshot(spark, Some(meta.snapshot(snapshotId)))
+
+  /** Hidden-partition pruned read (README.md:304-307): files are selected
+    * by their recorded `days()` partition value BEFORE Spark plans the
+    * scan, then the residual predicate still applies (pruning is an
+    * optimization, never a semantic change). [fromDay, toDay] inclusive,
+    * ISO dates. */
+  def readDayRange(spark: SparkSession, sourceCol: String, fromDay: String, toDay: String): DataFrame = {
+    val m = meta
+    val files = planDayRange(m, sourceCol, fromDay, toDay)
+    val df = readFiles(spark, m, files)
+    df.filter(
+      to_date(col(sourceCol)) >= lit(fromDay).cast(DateType) &&
+        to_date(col(sourceCol)) <= lit(toDay).cast(DateType))
+  }
+
+  /** File-pruning planner, exposed for tests/explain: which files survive
+    * a [fromDay, toDay] filter on `sourceCol`. Files with no recorded
+    * value for the field (written before ADD PARTITION FIELD) are kept —
+    * correctness first, pruning only where stats exist. */
+  def planDayRange(m: TableMeta, sourceCol: String, fromDay: String, toDay: String): Seq[DataFile] = {
+    val fieldName = m.partitionFields
+      .find(pf => pf.transform == "days" &&
+        m.currentSchema.exists(c => c.id == pf.sourceId && c.name == sourceCol))
+      .map(_.name)
+    val files = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    fieldName match {
+      case None => files
+      case Some(f) =>
+        files.filter(_.partitionValues.get(f) match {
+          case Some(day) => day >= fromDay && day <= toDay // ISO order = date order
+          case None      => true
+        })
+    }
+  }
+
+  /** C4 `SELECT * FROM t.history` (README.md:245-248). */
+  def history(spark: SparkSession): DataFrame = {
+    val m = meta
+    val rows = m.snapshots.map(s =>
+      (new Timestamp(s.timestampMs), s.snapshotId, s.parentId,
+        s.operation, s.manifest.size.toLong, s.manifest.map(_.rows).sum,
+        m.currentSnapshotId.contains(s.snapshotId)))
+    spark.createDataFrame(rows).toDF(
+      "made_current_at", "snapshot_id", "parent_id", "operation",
+      "n_files", "n_rows", "is_current")
+  }
+
+  private def readSnapshot(spark: SparkSession, snap: Option[Snapshot]): DataFrame = {
+    val m = meta
+    val current = m.currentSchema
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), m.sparkSchema(m.currentSchemaId))
+    snap.map(_.manifest).filter(_.nonEmpty).fold(empty) { manifest =>
+      readFiles(spark, m, manifest)
+    }
+  }
+
+  /** Read a set of data files, resolving each file's columns to the
+    * CURRENT schema by column id: renamed columns pick up their new name
+    * (README.md:282-292), columns added after the file was written read
+    * as NULL (README.md:269-276). Files are grouped by the schema they
+    * were written under; one scan per schema epoch, then unionByName. */
+  private def readFiles(spark: SparkSession, m: TableMeta, files: Seq[DataFile]): DataFrame = {
+    val current = m.currentSchema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), m.sparkSchema(m.currentSchemaId))
+    val groups = files.groupBy(_.schemaId)
+    groups.map { case (sid, fs) =>
+      val writeSchema = m.schemaAt(sid)
+      val byId = writeSchema.map(c => c.id -> c).toMap
+      val projection = current.map { c =>
+        byId.get(c.id) match {
+          case Some(w) => col(w.name).cast(c.sparkType).as(c.name)
+          case None    => lit(null).cast(c.sparkType).as(c.name)
+        }
+      }
+      spark.read
+        .schema(m.sparkSchema(sid))
+        .parquet(fs.map(f => dir.resolve(f.path).toString): _*)
+        .select(projection: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** D1 `INSERT INTO ... SELECT` (README.md:199-208): align the incoming
+    * frame to the table schema by name (cast like the reference's ingest
+    * CASTs), cluster by the partition transform if one is declared, write
+    * parquet, commit an `append` snapshot. */
+  def append(df: DataFrame): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newFiles = writeFiles(m, aligned, snapId)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles
+    commitSnapshot(v, m, snapId, "append", manifest)
+  }
+
+  /** D2 row-level `DELETE WHERE` (README.md:231), copy-on-write: one scan
+    * finds the files that actually contain matching rows; only those are
+    * rewritten without the matching rows. Old snapshots keep the original
+    * files — the README.md:258 time-travel "magic" is structural. */
+  def delete(pred: Column): Unit = {
+    val spark = SparkSession.active
+    val (v, m) = TableMeta.load(dir)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) return
+    val withFile = readFiles(spark, m, manifest)
+      .withColumn("_graft_file", input_file_name())
+    val affectedPaths = withFile.filter(pred)
+      .select(col("_graft_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = manifest.filter(f =>
+      affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
+    if (affected.isEmpty) return
+    val snapId = m.snapshots.map(_.snapshotId).max + 1
+    // DELETE WHERE pred removes rows where pred IS TRUE; null-pred rows
+    // are kept — hence not(coalesce(pred, false)), not plain !pred.
+    val kept = readFiles(spark, m, affected).filter(!coalesce(pred, lit(false)))
+    val newFiles = writeFiles(m, kept, snapId)
+    val newManifest = manifest.diff(affected) ++ newFiles
+    commitSnapshot(v, m, snapId, "delete", newManifest)
+  }
+
+  /** H2 `CALL system.rewrite_data_files` (README.md:328): compact the
+    * current snapshot's files into `targetFiles` per partition; logical
+    * content is unchanged (replace snapshot). */
+  def rewriteDataFiles(targetFiles: Int = 1): Unit = {
+    val spark = SparkSession.active
+    val (v, m) = TableMeta.load(dir)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) return
+    val snapId = m.snapshots.map(_.snapshotId).max + 1
+    val df = readFiles(spark, m, manifest).repartition(targetFiles)
+    val newFiles = writeFiles(m, df, snapId)
+    commitSnapshot(v, m, snapId, "replace", newFiles)
+  }
+
+  /** H1 `CALL system.expire_snapshots(older_than, retain_last)`
+    * (README.md:319-322): drop expired snapshots from metadata, then
+    * physically delete data files no surviving snapshot references. */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val byIdDesc = m.snapshots.sortBy(-_.snapshotId)
+    val keep = (byIdDesc.take(retainLast) ++
+      m.snapshots.filter(s => s.timestampMs >= olderThanMs) ++
+      m.currentSnapshot.toSeq).distinct
+    val dropped = m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
+    if (dropped.isEmpty) return
+    val liveFiles = keep.flatMap(_.manifest.map(_.path)).toSet
+    val orphans = dropped.flatMap(_.manifest.map(_.path)).toSet -- liveFiles
+    TableMeta.commit(dir, v, m.copy(snapshots = keep.sortBy(_.snapshotId)))
+    orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
+  }
+
+  // ----------------------------------------------------------------- DDL
+
+  /** B3 `ALTER TABLE ... ADD COLUMN` (README.md:269) — metadata only; old
+    * files read the new column as NULL. */
+  def addColumn(name: String, dataType: DataType): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    require(!m.currentSchema.exists(_.name == name), s"column $name exists")
+    val nid = m.lastColumnId + 1
+    val nextSchema = m.currentSchema :+ ColumnDef(nid, name, dataType.json)
+    val nextSchemaId = m.currentSchemaId + 1
+    TableMeta.commit(dir, v, m.copy(
+      schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+      currentSchemaId = nextSchemaId, lastColumnId = nid))
+  }
+
+  /** B5 `ALTER TABLE ... RENAME COLUMN` (README.md:282) — metadata only,
+    * no file rewrite (README.md:292); reads map by column id. */
+  def renameColumn(from: String, to: String): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    require(m.currentSchema.exists(_.name == from), s"no column $from")
+    require(!m.currentSchema.exists(_.name == to), s"column $to exists")
+    val nextSchema = m.currentSchema.map(c => if (c.name == from) c.copy(name = to) else c)
+    val nextSchemaId = m.currentSchemaId + 1
+    TableMeta.commit(dir, v, m.copy(
+      schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+      currentSchemaId = nextSchemaId))
+  }
+
+  /** B6 `ALTER TABLE ... ADD PARTITION FIELD days(col)` (README.md:304) —
+    * metadata only; FUTURE writes cluster and record the transform value,
+    * existing files stay unpruned (kept by planDayRange). */
+  def addPartitionField(sourceCol: String): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val src = m.currentSchema.find(_.name == sourceCol)
+      .getOrElse(throw new IllegalArgumentException(s"no column $sourceCol"))
+    require(!m.partitionFields.exists(_.sourceId == src.id), "already partitioned")
+    TableMeta.commit(dir, v, m.copy(
+      partitionFields = m.partitionFields :+ PartitionField(src.id, "days", s"${sourceCol}_day")))
+  }
+
+  // ------------------------------------------------------------ internals
+
+  /** Write `df` as this snapshot's new data files under
+    * `data/snap-<id>/`, clustered by the partition transform when one is
+    * declared (`partitionBy` — a single job; partition values come back
+    * from the directory layout). Returns the new DataFile entries. */
+  private def writeFiles(m: TableMeta, df: DataFrame, snapId: Long): Seq[DataFile] = {
+    val outDir = dir.resolve("data").resolve(s"snap-$snapId")
+    val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
+    val parts = m.partitionFields.flatMap(pf => idToName.get(pf.sourceId).map(pf -> _))
+    val out = outDir.toString
+    if (parts.isEmpty) df.write.parquet(out)
+    else {
+      val withCols = parts.foldLeft(df) { case (acc, (pf, srcName)) =>
+        acc.withColumn(pf.name, to_date(col(srcName)))
+      }
+      withCols.write.partitionBy(parts.map(_._1.name): _*).parquet(out)
+    }
+    // walk the written directory; parse partition values from dir names
+    val walk = Files.walk(outDir)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
+    // per-file row counts in ONE job (metadata-only parquet count)
+    val spark = SparkSession.active
+    val counts = spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    files.map { p =>
+      val rel = dir.relativize(p).toString
+      val pvals = rel.split('/').filter(_.contains('='))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      val rows = counts.collectFirst { case (uri, n) if uri.endsWith(p.getFileName.toString) => n }.getOrElse(0L)
+      DataFile(rel, rows, m.currentSchemaId, pvals)
+    }
+  }
+
+  private def commitSnapshot(
+      v: Int, m: TableMeta, snapId: Long, op: String, manifest: Seq[DataFile]): Unit = {
+    val snap = Snapshot(
+      snapshotId = snapId,
+      parentId = m.currentSnapshotId,
+      timestampMs = System.currentTimeMillis(),
+      operation = op,
+      manifest = manifest)
+    TableMeta.commit(dir, v, m.copy(
+      snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId)))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.table
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's manual walkthrough (README.md sessions 3–7) replayed as
+  * assertions — SURVEY.md §5.2. The `pedidos` fixture mirrors the
+  * reference schema (README.md:167-174) including DECIMAL(10,2). */
+class TableSpec extends SparkTestBase {
+
+  private def newCatalog(): GraftCatalog =
+    new GraftCatalog(Files.createTempDirectory("graft_wh"))
+
+  private val pedidosSchema = StructType(Seq(
+    StructField("id_pedido", StringType),
+    StructField("produto", StringType),
+    StructField("valor", DecimalType(10, 2)),
+    StructField("quantidade", IntegerType),
+    StructField("data_criacao", TimestampType),
+    StructField("uf", StringType)))
+
+  private def pedidosDf: DataFrame = {
+    val rows = Seq(
+      ("p1", "teclado", BigDecimal("199.90"), 1, Timestamp.valueOf("2024-05-10 10:00:00"), "SP"),
+      ("p2", "mouse", BigDecimal("89.90"), 2, Timestamp.valueOf("2024-05-10 11:00:00"), "RJ"),
+      ("p3", "monitor", BigDecimal("899.00"), 1, Timestamp.valueOf("2024-05-11 09:30:00"), "SP"),
+      ("p4", "cabo", BigDecimal("19.90"), 3, Timestamp.valueOf("2024-05-12 14:00:00"), "MG"),
+      ("p5", "hub", BigDecimal("59.90"), 1, Timestamp.valueOf("2024-05-13 16:45:00"), "BA"))
+    spark.createDataFrame(rows.map(r =>
+      Row(r._1, r._2, r._3.bigDecimal, r._4, r._5, r._6)).asJava(), pedidosSchema)
+  }
+
+  private implicit class SeqRowOps[A](s: Seq[A]) {
+    def asJava(): java.util.List[A] = {
+      val l = new java.util.ArrayList[A](); s.foreach(l.add); l
+    }
+  }
+
+  private def contentHash(df: DataFrame): Long =
+    df.selectExpr("xxhash64(to_json(struct(*))) AS h")
+      .agg(sum("h")).head().getLong(0)
+
+  test("create → insert → delete(SP) → history → time travel (the README 'magic')") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.pedidos", pedidosSchema)
+
+    t.append(pedidosDf) // snapshot 1 (README.md:199-208)
+    assert(t.read(spark).count() === 5)
+
+    t.delete(col("uf") === "SP") // snapshot 2 (README.md:231)
+    val after = t.read(spark)
+    assert(after.count() === 3)
+    assert(after.filter(col("uf") === "SP").count() === 0)
+
+    // history shows both snapshots (README.md:245-248)
+    val hist = t.history(spark).orderBy("snapshot_id").collect()
+    assert(hist.map(_.getAs[String]("operation")).toSeq === Seq("append", "delete"))
+
+    // time travel: SP rows visible again at snapshot 1 (README.md:258)
+    val v1 = t.readVersion(spark, 1)
+    assert(v1.count() === 5)
+    assert(v1.filter(col("uf") === "SP").count() === 2)
+  }
+
+  test("delete keeps rows where the predicate is NULL") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.nulls", pedidosSchema)
+    t.append(pedidosDf.withColumn("uf",
+      when(col("id_pedido") === "p4", lit(null).cast(StringType)).otherwise(col("uf"))))
+    t.delete(col("uf") === "SP")
+    val remaining = t.read(spark).select("id_pedido").collect().map(_.getString(0)).toSet
+    assert(remaining === Set("p2", "p4", "p5")) // p4 (null uf) survives
+  }
+
+  test("add column reads NULL for old rows; rename is metadata-only (column ids)") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.evolve", pedidosSchema)
+    t.append(pedidosDf)
+
+    t.addColumn("status", StringType) // README.md:269
+    val withStatus = t.read(spark)
+    assert(withStatus.columns.contains("status"))
+    assert(withStatus.filter(col("status").isNull).count() === 5) // README.md:273-276
+
+    t.renameColumn("uf", "estado") // README.md:282
+    val renamed = t.read(spark)
+    assert(renamed.columns.contains("estado") && !renamed.columns.contains("uf"))
+    // data survives rename — resolved by column id, not name (README.md:289)
+    assert(renamed.filter(col("estado") === "SP").count() === 2)
+
+    // new writes under the evolved schema coexist with old files
+    val extra = pedidosDf
+      .withColumn("status", lit("NOVO"))
+      .withColumnRenamed("uf", "estado")
+      .filter(col("id_pedido") === "p1")
+    t.append(extra)
+    val all = t.read(spark)
+    assert(all.count() === 6)
+    assert(all.filter(col("status") === "NOVO").count() === 1)
+  }
+
+  test("hidden partitioning: writes cluster by days(), reads prune files (README.md:304-307)") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.part", pedidosSchema, partitionDays = Some("data_criacao"))
+    t.append(pedidosDf)
+
+    val m = t.meta
+    val manifest = m.currentSnapshot.get.manifest
+    // 4 distinct days → at least 4 files, each with a recorded day value
+    assert(manifest.forall(_.partitionValues.contains("data_criacao_day")))
+    assert(manifest.map(_.partitionValues("data_criacao_day")).distinct.size === 4)
+
+    val pruned = t.planDayRange(m, "data_criacao", "2024-05-10", "2024-05-10")
+    assert(pruned.size < manifest.size)
+    assert(pruned.forall(_.partitionValues("data_criacao_day") == "2024-05-10"))
+
+    val day = t.readDayRange(spark, "data_criacao", "2024-05-10", "2024-05-10")
+    assert(day.count() === 2)
+    // pruning is only an optimization: result equals a plain filter
+    val plain = t.read(spark).filter(to_date(col("data_criacao")) === "2024-05-10")
+    assert(day.collect().toSet === plain.collect().toSet)
+  }
+
+  test("partition field added later: old files stay readable and unpruned") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.latepart", pedidosSchema)
+    t.append(pedidosDf) // unpartitioned files
+    t.addPartitionField("data_criacao") // README.md:304
+    t.append(pedidosDf.filter(col("id_pedido") === "p1")) // partitioned file
+
+    val m = t.meta
+    val pruned = t.planDayRange(m, "data_criacao", "2024-05-10", "2024-05-10")
+    // old (no-stats) files kept; new file for 05-10 kept
+    assert(pruned.size === m.currentSnapshot.get.manifest.size)
+    assert(t.readDayRange(spark, "data_criacao", "2024-05-10", "2024-05-10").count() === 3)
+  }
+
+  test("expire_snapshots GCs orphaned files; rewrite_data_files compacts losslessly") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.maint", pedidosSchema)
+    t.append(pedidosDf)
+    t.append(pedidosDf) // 2 snapshots, 10 rows
+    t.delete(col("uf") === "MG") // snapshot 3, 8 rows
+
+    val before = contentHash(t.read(spark))
+    val filesBefore = t.meta.currentSnapshot.get.manifest.size
+
+    t.rewriteDataFiles(targetFiles = 1) // README.md:328
+    assert(t.meta.currentSnapshot.get.manifest.size === 1)
+    assert(t.meta.currentSnapshot.get.manifest.size < filesBefore)
+    assert(contentHash(t.read(spark)) === before) // logical content unchanged
+
+    // expire everything but the latest; old versions become unreadable and
+    // their exclusive files are deleted from disk (README.md:319-322)
+    val dataDir = t.dir.resolve("data")
+    def parquetCount: Long = {
+      val w = Files.walk(dataDir)
+      try w.filter(p => p.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    val nFilesDisk = parquetCount
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t.meta.snapshots.size === 1)
+    assert(parquetCount < nFilesDisk)
+    assert(contentHash(t.read(spark)) === before) // current still intact
+    intercept[IllegalArgumentException](t.readVersion(spark, 1))
+  }
+
+  test("concurrent commit is detected (optimistic version check)") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.cc", pedidosSchema)
+    val (v, m) = TableMeta.load(t.dir)
+    TableMeta.commit(t.dir, v, m) // simulate another writer landing v2
+    intercept[IllegalStateException](TableMeta.commit(t.dir, v, m))
+  }
+}
