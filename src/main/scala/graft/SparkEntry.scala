@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Vectors.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.TableQueries.queries
+      graft.queries.TableQueries.queries ++
+      graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Events.oracle ++
       graft.queries.Vectors.oracle ++
       graft.queries.TextOps.oracle ++
-      graft.queries.TableQueries.oracle
+      graft.queries.TableQueries.oracle ++
+      graft.multimodal.Media.oracle
 }

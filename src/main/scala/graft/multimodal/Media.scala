@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north-star requirement): image/audio/video
+  * as opaque `binary` payloads with typed metadata, processed in
+  * per-partition batches.
+  *
+  * The container has no codec libraries, so `decodeStub` is a clearly
+  * marked DETERMINISTIC FAKE — but everything Spark-side is real and
+  * tested: the schema (binary + struct metadata), the
+  * `mapPartitions`-batched operator shape (the Scala dual of
+  * `mapInPandas`: one iterator per partition, so per-batch setup such as
+  * loading a codec happens once per partition, not per row), partition
+  * preservation, and the feature-vector output contract.
+  *
+  * Scale notes: payloads never shuffle — decode/feature-extract are
+  * narrow per-partition transforms; only the small extracted features
+  * flow into downstream joins/ANN. That is the only viable topology at
+  * 100 TB of media.
+  */
+object Media {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, sampleRateHz: Int, nFrames: Int)
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Int, checksum: Long,
+      embedding: Array[Float])
+
+  /** Deterministic media fixture derived from the documents table: the
+    * text bytes stand in for an encoded payload; metadata is synthesized
+    * from stable per-row facts. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        MediaRow(id, MediaMeta(kind,
+          width = 64 + (id % 8).toInt * 16,
+          height = 64 + (id % 5).toInt * 16,
+          sampleRateHz = if (kind == "audio") 16000 else 0,
+          nFrames = if (kind == "video") 1 + (payload.length % 120) else 1), payload)
+      }
+  }
+
+  /** STUB — the real implementation would call an image/audio codec here.
+    * Deterministic fake "decode": a rolling checksum plus a 16-dim pseudo
+    * feature vector derived from payload bytes. Shape and determinism are
+    * what downstream code depends on; the values are placeholders. */
+  def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
+    var h = 1469598103934665603L
+    val feat = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ payload(i)) * 1099511628211L
+      feat(i % 16) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { feat(j) = feat(j) / math.max(1, payload.length / 16); j += 1 }
+    (h, feat)
+  }
+
+  /** Batched per-partition feature extraction — the `mapInPandas` shape:
+    * the iterator is consumed lazily per partition, per-partition setup
+    * happens once (where a codec handle would be opened). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup happens HERE (codec init in a real impl)
+      rows.map { r =>
+        val (checksum, feat) = decodeStub(r.payload)
+        MediaFeature(r.media_id, r.meta.kind, r.payload.length, checksum, feat)
+      }
+    }
+  }
+
+  /** Metadata-only resize plan: pure column arithmetic — no payload
+    * touch, no shuffle (the real decode+rescale would slot into the same
+    * mapPartitions shape as extractFeatures). */
+  def planResize(media: Dataset[MediaRow], maxSide: Int): DataFrame =
+    media.toDF().select(
+      col("media_id"), col("meta.kind").as("kind"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      least(lit(1.0),
+        lit(maxSide) / greatest(col("meta.width"), col("meta.height")).cast("double")).as("scale"))
+
+  /** Driver-judged query: the multimodal ingest path (binary payload +
+    * typed metadata) with oracle-checkable facts — byte length and md5 of
+    * the payload, media kind from the metadata struct. Proves the binary
+    * column plumbing end-to-end (payload bytes == source text bytes). */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .select(
+        col("media_id"), col("meta.kind").as("kind"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_meta" -> mediaMeta)
+
+  val oracle: Map[String, String] = Map(
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(length(text) AS INT) AS n_bytes,
+         md5(text) AS payload_md5
+         FROM documents ORDER BY media_id""")
+
+  /** Frame sampling plan for video rows: every k-th frame index, computed
+    * with sequence() — row-side, codegen'd, no UDF. */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int): DataFrame =
+    media.toDF()
+      .filter(col("meta.kind") === "video")
+      .select(
+        col("media_id"), col("meta.nFrames").as("n_frames"),
+        sequence(lit(0), col("meta.nFrames") - 1, lit(everyK)).as("frame_ids"))
+}

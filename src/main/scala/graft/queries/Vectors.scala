@@ -21,11 +21,12 @@ import org.apache.spark.sql.types._
 object Vectors {
 
   /** Σ aᵢ·bᵢ in double precision, sequential fold — matches the oracle's
-    * list_sum(list_transform(...)) element order. */
+    * list_sum(list_transform(...)) element order. Native codegen'd
+    * expression (functions.DotProductF): identical numerics to the
+    * `aggregate(zip_with(...))` composition, but one tight loop with no
+    * per-row intermediate array. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductF.dot(a, b)
 
   private def norm2(a: Column): Column = sqrt(dot(a, a))
 

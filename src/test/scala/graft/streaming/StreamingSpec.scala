@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics = batch semantics: the streaming tumbling window
+  * over a MemoryStream must produce exactly the batch window result, and
+  * flatMapGroupsWithState sessionization must equal session_window. */
+class StreamingSpec extends SparkTestBase {
+
+  private def eventsDs = {
+    import spark.implicits._
+    Tables.events(spark, sfDir).as[Event]
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsDs.collect().toSeq
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("ws", "event_type").collect().toSeq
+      val batch = graft.queries.Events.tumbling(spark, sfDir)
+        .collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization == session_window") {
+    val sessions = EventStreams.sessionize(eventsDs).toDF()
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().toSeq
+    val oracle = graft.queries.Events.sessionWindow(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().toSeq
+    assert(sessions === oracle)
+  }
+
+  test("late events beyond the watermark are dropped (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, t: String) = Event(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+      stream.addData(ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:50:00"))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      stream.addData(ev(3, "2024-01-01 03:00:00"))
+      q.processAllAvailable()
+      // this event is hours behind the watermark — must be dropped
+      stream.addData(ev(4, "2024-01-01 00:10:00"))
+      q.processAllAvailable()
+      stream.addData(ev(5, "2024-01-01 06:00:00"))
+      q.processAllAvailable()
+      val out = spark.table("late_out").orderBy("ws")
+        .select(col("ws").cast("string"), col("n")).collect()
+      val first = out.find(_.getString(0).startsWith("2024-01-01 00:00"))
+      assert(first.exists(_.getLong(1) === 2L)) // event 4 did NOT land
+    } finally q.stop()
+  }
+}
