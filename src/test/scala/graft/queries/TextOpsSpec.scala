@@ -5,15 +5,21 @@ import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkTestBase {
 
-  test("MinHash estimates track exact Jaccard on its candidate pairs (|err| <= 0.2)") {
-    val exact = TextOps.jaccardPairs(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val est = TextOps.minhashPairs(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-    val overlapping = est.collect { case (k, e) if exact.contains(k) => math.abs(exact(k) - e) }
-    assert(overlapping.nonEmpty)
+  private def unigramSets = graft.Tables.documents(spark, sfDir)
+    .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokset"))
+    .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+
+  test("MinHash estimates track exact unigram Jaccard on its candidate pairs (|err| <= 0.2)") {
+    val docs = unigramSets
+    val errs = TextOps.minhashPairs(spark, sfDir)
+      .collect().map { r =>
+        val (sa, sb) = (docs(r.getLong(0)), docs(r.getLong(1)))
+        val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        math.abs(exact - r.getDouble(2))
+      }
+    assert(errs.nonEmpty)
     // 64 permutations → s.e. ~ sqrt(j(1-j)/64) ≈ 0.06; 0.2 is ~3σ slack
-    assert(overlapping.forall(_ <= 0.2), s"max err ${overlapping.max}")
+    assert(errs.forall(_ <= 0.2), s"max err ${errs.max}")
   }
 
   test("MinHash est=1.0 pairs are genuine identical-token-set pairs (precision)") {
@@ -25,9 +31,7 @@ class TextOpsSpec extends SparkTestBase {
       .filter(col("est_jaccard") === 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(mh.nonEmpty)
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("tokset"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val docs = unigramSets
     // est=1.0 can arise from j<1 (P = j^64, non-negligible above ~0.95),
     // so assert true similarity is high rather than exact identity
     val worst = mh.map { case (a, b) =>
