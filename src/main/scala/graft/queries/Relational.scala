@@ -86,6 +86,27 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** C-family source breadth: ORC round-trip (columnar alternative to
+    * parquet — same vectorized read path). Content-preserving, so the
+    * oracle is the source table itself. */
+  def orcScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString + "/orders_orc"
+    Tables.orders(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy(col("o_orderkey"))
+  }
+
+  /** C-family source breadth: JSON-lines round-trip with an explicit
+    * schema (schema-on-read, no inference pass — at scale inference is a
+    * full extra scan). */
+  def jsonScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_json").toString + "/orders_json"
+    val src = Tables.orders(s, d)
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp).orderBy(col("o_orderkey"))
+  }
+
   /** I13 string functions. */
   def scalarString(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -188,7 +209,22 @@ object Relational {
           count(lit(1))).as("avg_bal"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
 
+  /** F-family: exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation on sorted data —
+    * an exact, order-independent aggregate). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_scan"           -> orcScan,
+    "q_json_scan"          -> jsonScan,
+    "q_percentiles"        -> percentiles,
     "q_orders_by_status"   -> ordersByStatus,
     "q_filter_project"     -> filterProject,
     "q_cast_types"         -> castTypes,
@@ -204,6 +240,18 @@ object Relational {
     "q_cube"               -> cubeAgg)
 
   val oracle: Map[String, String] = Map(
+    "q_orc_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    "q_json_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS p25,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_orders_by_status" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS total_price

@@ -43,7 +43,7 @@ object TableQueries {
     cat.createSchema("db")
     val t = cat.createTable("db.orders", ordersSchema)
     t.append(Tables.orders(s, d))
-    t.delete(col("o_orderstatus") === "F")
+    t.delete(s, col("o_orderstatus") === "F")
     t
   }
 
@@ -89,7 +89,7 @@ object TableQueries {
   /** H2 compaction: rewrite_data_files must not change logical content. */
   def tableCompact(s: SparkSession, d: String): DataFrame = {
     val t = ordersFixture(s, d)
-    t.rewriteDataFiles(targetFiles = 1)
+    t.rewriteDataFiles(s, targetFiles = 1)
     ordered(t.read(s))
   }
 
@@ -98,7 +98,7 @@ object TableQueries {
     * expire(retain_last=2) exactly the delete+replace snapshots remain. */
   def tableHistory(s: SparkSession, d: String): DataFrame = {
     val t = ordersFixture(s, d)
-    t.rewriteDataFiles(targetFiles = 1)
+    t.rewriteDataFiles(s, targetFiles = 1)
     t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 2)
     t.history(s)
       .select(col("snapshot_id"), col("operation"), col("n_rows"), col("is_current"))

@@ -70,12 +70,26 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** I8 ntile bucketing (deterministic: full tiebreak in the order). */
+  def ntileBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(byCustomerPrice).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank"   -> rankTopK,
     "q_window_lag"    -> lagLead,
-    "q_window_frames" -> frames)
+    "q_window_frames" -> frames,
+    "q_window_ntile"  -> ntileBuckets)
 
   val oracle: Map[String, String] = Map(
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(ntile(4) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM
          (SELECT o_custkey, o_orderkey, o_totalprice,

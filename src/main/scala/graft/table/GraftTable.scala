@@ -127,7 +127,7 @@ final class GraftTable(val dir: Path) {
     val (v, m) = TableMeta.load(dir)
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val newFiles = writeFiles(m, aligned, snapId)
+    val newFiles = writeFiles(df.sparkSession, m, aligned, snapId)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles
     commitSnapshot(v, m, snapId, "append", manifest)
   }
@@ -136,8 +136,7 @@ final class GraftTable(val dir: Path) {
     * finds the files that actually contain matching rows; only those are
     * rewritten without the matching rows. Old snapshots keep the original
     * files — the README.md:258 time-travel "magic" is structural. */
-  def delete(pred: Column): Unit = {
-    val spark = SparkSession.active
+  def delete(spark: SparkSession, pred: Column): Unit = {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
@@ -153,7 +152,7 @@ final class GraftTable(val dir: Path) {
     // DELETE WHERE pred removes rows where pred IS TRUE; null-pred rows
     // are kept — hence not(coalesce(pred, false)), not plain !pred.
     val kept = readFiles(spark, m, affected).filter(!coalesce(pred, lit(false)))
-    val newFiles = writeFiles(m, kept, snapId)
+    val newFiles = writeFiles(spark, m, kept, snapId)
     val newManifest = manifest.diff(affected) ++ newFiles
     commitSnapshot(v, m, snapId, "delete", newManifest)
   }
@@ -161,14 +160,13 @@ final class GraftTable(val dir: Path) {
   /** H2 `CALL system.rewrite_data_files` (README.md:328): compact the
     * current snapshot's files into `targetFiles` per partition; logical
     * content is unchanged (replace snapshot). */
-  def rewriteDataFiles(targetFiles: Int = 1): Unit = {
-    val spark = SparkSession.active
+  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1): Unit = {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
     val snapId = m.snapshots.map(_.snapshotId).max + 1
     val df = readFiles(spark, m, manifest).repartition(targetFiles)
-    val newFiles = writeFiles(m, df, snapId)
+    val newFiles = writeFiles(spark, m, df, snapId)
     commitSnapshot(v, m, snapId, "replace", newFiles)
   }
 
@@ -235,7 +233,7 @@ final class GraftTable(val dir: Path) {
     * `data/snap-<id>/`, clustered by the partition transform when one is
     * declared (`partitionBy` — a single job; partition values come back
     * from the directory layout). Returns the new DataFile entries. */
-  private def writeFiles(m: TableMeta, df: DataFrame, snapId: Long): Seq[DataFile] = {
+  private def writeFiles(spark: SparkSession, m: TableMeta, df: DataFrame, snapId: Long): Seq[DataFile] = {
     val outDir = dir.resolve("data").resolve(s"snap-$snapId")
     val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
     val parts = m.partitionFields.flatMap(pf => idToName.get(pf.sourceId).map(pf -> _))
@@ -254,17 +252,19 @@ final class GraftTable(val dir: Path) {
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toVector.sortBy(_.toString)
       finally walk.close()
+    if (files.isEmpty) return Nil // e.g. a delete that emptied every affected file
     // per-file row counts in ONE job (metadata-only parquet count)
-    val spark = SparkSession.active
     val counts = spark.read.parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    files.map { p =>
+    files.flatMap { p =>
       val rel = dir.relativize(p).toString
       val pvals = rel.split('/').filter(_.contains('='))
         .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
       val rows = counts.collectFirst { case (uri, n) if uri.endsWith(p.getFileName.toString) => n }.getOrElse(0L)
-      DataFile(rel, rows, m.currentSchemaId, pvals)
+      // zero-row files (empty write partitions) carry no data: keep the
+      // manifest tight, they'd only bloat planning
+      if (rows == 0) None else Some(DataFile(rel, rows, m.currentSchemaId, pvals))
     }
   }
 

@@ -1,0 +1,75 @@
+package graft.table
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5.3): for random operation
+  * sequences, the table is always equivalent to the in-memory fold of
+  * the same operations, and old snapshots never change. */
+class TablePropertySpec extends SparkTestBase {
+
+  private def check(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  sealed trait Op
+  case class Append(rows: Seq[(Long, String)]) extends Op
+  case class Delete(mod: Long) extends Op // delete where k % mod == 0
+
+  private val genAppend: Gen[Op] = for {
+    n <- Gen.choose(1, 8)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 50L); v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v))
+  } yield Append(rows)
+
+  private val genDelete: Gen[Op] = Gen.choose(2L, 5L).map(Delete(_))
+
+  private val genOps: Gen[List[Op]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.frequency(3 -> genAppend, 1 -> genDelete)))
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("∀ op sequences: table content == in-memory fold; snapshots are immutable") {
+    check(Prop.forAll(genOps) { ops =>
+      val cat = new GraftCatalog(Files.createTempDirectory("graft_prop"))
+      cat.createSchema("p")
+      val t = cat.createTable("p.t", schema)
+      var model = Vector.empty[(Long, String)]
+      val snapshotsAfterFirstAppend = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String)]]
+      var firstSnapshotContent: Option[Set[(Long, String)]] = None
+
+      ops.foreach {
+        case Append(rows) =>
+          t.append(df(rows))
+          model = model ++ rows
+          if (firstSnapshotContent.isEmpty)
+            firstSnapshotContent = Some(model.toSet)
+        case Delete(mod) =>
+          t.delete(spark, col("k") % mod === 0)
+          model = model.filterNot(_._1 % mod == 0)
+      }
+
+      val table = t.read(spark).collect().map(r => (r.getLong(0), r.getString(1)))
+      val contentOk = table.sorted.toSeq == model.sorted.toSeq
+      // snapshot 1 (if any write happened) still returns its original content
+      val travelOk = firstSnapshotContent.forall { expect =>
+        t.readVersion(spark, 1).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet == expect
+      }
+      contentOk && travelOk
+    }, minTests = 15)
+  }
+}

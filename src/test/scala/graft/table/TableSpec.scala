@@ -53,7 +53,7 @@ class TableSpec extends SparkTestBase {
     t.append(pedidosDf) // snapshot 1 (README.md:199-208)
     assert(t.read(spark).count() === 5)
 
-    t.delete(col("uf") === "SP") // snapshot 2 (README.md:231)
+    t.delete(spark, col("uf") === "SP") // snapshot 2 (README.md:231)
     val after = t.read(spark)
     assert(after.count() === 3)
     assert(after.filter(col("uf") === "SP").count() === 0)
@@ -74,7 +74,7 @@ class TableSpec extends SparkTestBase {
     val t = cat.createTable("db.nulls", pedidosSchema)
     t.append(pedidosDf.withColumn("uf",
       when(col("id_pedido") === "p4", lit(null).cast(StringType)).otherwise(col("uf"))))
-    t.delete(col("uf") === "SP")
+    t.delete(spark, col("uf") === "SP")
     val remaining = t.read(spark).select("id_pedido").collect().map(_.getString(0)).toSet
     assert(remaining === Set("p2", "p4", "p5")) // p4 (null uf) survives
   }
@@ -151,12 +151,12 @@ class TableSpec extends SparkTestBase {
     val t = cat.createTable("db.maint", pedidosSchema)
     t.append(pedidosDf)
     t.append(pedidosDf) // 2 snapshots, 10 rows
-    t.delete(col("uf") === "MG") // snapshot 3, 8 rows
+    t.delete(spark, col("uf") === "MG") // snapshot 3, 8 rows
 
     val before = contentHash(t.read(spark))
     val filesBefore = t.meta.currentSnapshot.get.manifest.size
 
-    t.rewriteDataFiles(targetFiles = 1) // README.md:328
+    t.rewriteDataFiles(spark, targetFiles = 1) // README.md:328
     assert(t.meta.currentSnapshot.get.manifest.size === 1)
     assert(t.meta.currentSnapshot.get.manifest.size < filesBefore)
     assert(contentHash(t.read(spark)) === before) // logical content unchanged
