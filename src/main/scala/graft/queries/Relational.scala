@@ -221,7 +221,46 @@ object Relational {
         expr("percentile(l_extendedprice, 0.75)").as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: status columns per priority (fixed pivot values keep the
+    * output schema static — at scale an unbounded pivot would need a
+    * values-discovery pass first). Missing combos coalesce to 0 to match
+    * SQL's FILTER semantics. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Array aggregation: sorted collect_set (deterministic by sorting). */
+  def collectAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Correlated scalar subquery (SQL surface): customers above their
+    * nation's average balance — Catalyst decorrelates into an aggregate
+    * + join; written as SQL to exercise exactly that rewrite. */
+  def subqueryScalar(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT c.c_custkey, c.c_acctbal FROM graft_customer c
+         WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM graft_customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c.c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"              -> pivotStatus,
+    "q_collect_agg"        -> collectAgg,
+    "q_subquery_scalar"    -> subqueryScalar,
     "q_orc_scan"           -> orcScan,
     "q_json_scan"          -> jsonScan,
     "q_percentiles"        -> percentiles,
@@ -240,6 +279,22 @@ object Relational {
     "q_cube"               -> cubeAgg)
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_collect_agg" ->
+      """SELECT o_orderstatus,
+         list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+         count(DISTINCT o_orderpriority) AS n_prio
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_subquery_scalar" ->
+      """SELECT c.c_custkey, c.c_acctbal FROM customer c
+         WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c.c_custkey""",
     "q_orc_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey""",

@@ -45,10 +45,14 @@ object TextOps {
         size(t).cast(DoubleType).as("n_tok_d"),
         size(filter(t, x => x.isin("a", "the"))).cast(DoubleType).as("stop_d"),
         size(array_distinct(t)).cast(DoubleType).as("uniq_d"),
-        length(col("text")).cast(DoubleType).as("nchar_d"))
+        length(col("text")).cast(DoubleType).as("nchar_d"),
+        // BPE-ish tokenizer proxy: letter runs | single digits | punct runs
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"), lit(0))).as("n_tokens_bpe"))
       .select(
         col("doc_id"), col("lang"),
         nTok.cast(IntegerType).as("n_tokens"),
+        col("n_tokens_bpe"),
         nChar.cast(IntegerType).as("n_chars"),
         (uniq / nTok).as("uniq_ratio"),
         (stop / nTok).as("stop_ratio"),
@@ -268,6 +272,7 @@ object TextOps {
     "q_text_stats" ->
       """SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INT) AS n_tokens_bpe,
          CAST(length(text) AS INT) AS n_chars,
          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
            / len(string_split(text, ' ')) AS uniq_ratio,

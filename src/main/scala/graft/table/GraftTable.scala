@@ -132,6 +132,16 @@ final class GraftTable(val dir: Path) {
     commitSnapshot(v, m, snapId, "append", manifest)
   }
 
+  /** INSERT OVERWRITE semantics: replace the table's visible content with
+    * `df` in one snapshot; prior snapshots remain time-travelable. */
+  def overwrite(df: DataFrame): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newFiles = writeFiles(df.sparkSession, m, aligned, snapId)
+    commitSnapshot(v, m, snapId, "overwrite", newFiles)
+  }
+
   /** D2 row-level `DELETE WHERE` (README.md:231), copy-on-write: one scan
     * finds the files that actually contain matching rows; only those are
     * rewritten without the matching rows. Old snapshots keep the original

@@ -46,6 +46,27 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions === oracle)
   }
 
+  test("file-source readStream (parquet dir) == batch aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    eventsDs.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(eventsDs.schema)
+      .parquet(dir)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_src_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("file_src_out")
+        .orderBy("ws", "event_type").collect().toSeq
+      val batch = graft.queries.Events.tumbling(spark, sfDir).collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -177,6 +177,17 @@ class TableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.readVersion(spark, 1))
   }
 
+  test("overwrite replaces visible content; prior snapshots still travel") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.ow", pedidosSchema)
+    t.append(pedidosDf)
+    t.overwrite(pedidosDf.filter(col("uf") === "SP"))
+    assert(t.read(spark).count() === 2)
+    assert(t.readVersion(spark, 1).count() === 5)
+    assert(t.history(spark).filter(col("operation") === "overwrite").count() === 1)
+  }
+
   test("concurrent commit is detected (optimistic version check)") {
     val cat = newCatalog()
     cat.createSchema("db")
