@@ -147,8 +147,11 @@ object TextOps {
     a.join(b, Seq("tok")).filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(sizes.select(col("doc_id").as("ia"), col("sz").as("sa"))), Seq("ia"))
-      .join(broadcast(sizes.select(col("doc_id").as("ib"), col("sz").as("sb"))), Seq("ib"))
+      // no broadcast hint: `sizes` is one row per document — tiny here,
+      // but corpus-proportional; AQE broadcasts while it fits and falls
+      // back to a shuffle join at scale
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
       .select(
         col("ia"), col("ib"),
         (col("common").cast(DoubleType) /
@@ -191,10 +194,13 @@ object TextOps {
     val candidates = a.join(b, Seq("source", "band", "bh"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
+    // no broadcast hint: signatures are corpus-proportional (N × 520 B);
+    // AQE broadcasts while small, shuffle-joins at scale — either way the
+    // wide arrays only move for CANDIDATE ids, never for all pairs
     val sigOnly = sigs.select(col("doc_id"), col("sig"))
     candidates
-      .join(broadcast(sigOnly.select(col("doc_id").as("ia"), col("sig").as("sa"))), Seq("ia"))
-      .join(broadcast(sigOnly.select(col("doc_id").as("ib"), col("sig").as("sb"))), Seq("ib"))
+      .join(sigOnly.select(col("doc_id").as("ia"), col("sig").as("sa")), Seq("ia"))
+      .join(sigOnly.select(col("doc_id").as("ib"), col("sig").as("sb")), Seq("ib"))
       .select(
         col("ia"), col("ib"),
         (aggregate(
