@@ -137,7 +137,40 @@ object Joins {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): selective dim filter first, two
+    * fact joins, decimal revenue, top-10. Filters push to the scans, the
+    * small filtered customer side broadcasts under AQE. */
+  def tpchQ3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5 shape (local supplier volume): 6-way star join with the
+    * region/nation dims broadcast, grouped decimal revenue per nation. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3"     -> tpchQ3,
+    "q_tpch_q5"     -> tpchQ5,
     "q_join_inner"  -> innerJoin,
     "q_join_left"   -> leftJoin,
     "q_join_full"   -> fullJoin,
@@ -151,6 +184,28 @@ object Joins {
     "q_salted_join" -> saltedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1996-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -117,7 +117,8 @@ object Relational {
         concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast(StringType)).as("seg_nat"),
         col("c_name").like("%42%").as("has42"),
         regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
-        length(col("c_name")).as("name_len"))
+        length(col("c_name")).as("name_len"),
+        levenshtein(col("c_name"), lit("Customer#000000042")).as("lev42"))
       .orderBy(col("c_custkey"))
 
   /** I13 date functions. */
@@ -333,7 +334,8 @@ object Relational {
          concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nat,
          c_name LIKE '%42%' AS has42,
          regexp_extract(c_name, '[0-9]+') AS digits,
-         CAST(length(c_name) AS INT) AS name_len
+         CAST(length(c_name) AS INT) AS name_len,
+         CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS lev42
          FROM customer ORDER BY c_custkey""",
     "q_scalar_date" ->
       """SELECT o_orderkey,

@@ -107,8 +107,13 @@ object Vectors {
       explode(array((0 until 3).map(t =>
         struct(lit(t).as("t"), bucket(t, col("embedding")).as("b"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // multi-probe: also scan the 4 single-bit-flip neighbor buckets per
+    // table — the standard recall boost that costs probes, not memory
     val probe = tabled.filter(col("vec_id") === 0)
-      .select(col("t"), col("b"), col("embedding").as("q_embedding"))
+      .select(col("t"),
+        explode(array(col("b") +: (0 until 4).map(i =>
+          col("b").bitwiseXOR(lit(1 << i))): _*)).as("b"),
+        col("embedding").as("q_embedding"))
     tabled.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), Seq("t", "b"))
       .select(col("vec_id"), col("embedding"), col("q_embedding"))
@@ -121,11 +126,47 @@ object Vectors {
       .limit(10)
   }
 
+  /** J7 scale path #2: IVF — a KMeans coarse quantizer (MLlib, seeded)
+    * buckets the corpus; the query probes its nprobe nearest centroids'
+    * buckets, then exact-reranks. Centroid selection is driver-side over
+    * k×dim floats (tiny by construction); candidate filtering is a
+    * partition-pruned scan at scale. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val e = Tables.embeddings(s, d)
+      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(e)
+    val assigned = model.transform(e)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val nearestClusters = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        val dot = arr.indices.map(j => arr(j) * qVec(j)).sum
+        (i, dot / (math.sqrt(arr.map(x => x * x).sum) *
+          math.sqrt(qVec.map(x => x.toDouble * x).sum)))
+      }
+      .sortBy(-_._2).take(4).map(_._1)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    assigned.filter(col("cluster").isin(nearestClusters.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(dot(col("embedding"), col("q_embedding")) /
+          (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_norms"  -> vectorNorms,
     "q_cosine_topk"   -> cosineTopK,
     "q_cosine_pairs"  -> topKPairs,
-    "q_ann_lsh"       -> annLsh)
+    "q_ann_lsh"       -> annLsh,
+    "q_ann_ivf"       -> annIvf)
 
   // q_ann_lsh is approximate by construction → rows-only check here;
   // recall vs the exact baseline is asserted in VectorsSpec.

@@ -35,17 +35,18 @@ class VectorsSpec extends SparkTestBase {
     assert(n > 0)
   }
 
-  test("LSH ANN recall@10 against the exact brute-force baseline") {
+  test("ANN recall@10 (LSH multi-probe and IVF) against the exact baseline") {
     val exact = Vectors.cosineTopK(spark, sfDir).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val ann = Vectors.annLsh(spark, sfDir)
+    val lsh = Vectors.annLsh(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = exact.intersect(ann).size / 10.0
-    // 3 tables x 4 sign bits on near-orthogonal vectors: modest but real
-    assert(recall >= 0.2, s"recall=$recall")
-    // every ANN hit must carry the EXACT cosine (rerank is exact)
-    assert(ann.subsetOf(
-      Vectors.topKPairs(spark, sfDir).collect().map(r => r.getLong(1)).toSet
-        ++ exact ++ ann)) // sanity: ids come from the corpus
+    val ivf = Vectors.annIvf(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lshRecall = exact.intersect(lsh).size / 10.0
+    val ivfRecall = exact.intersect(ivf).size / 10.0
+    // near-orthogonal corpus (max cosine 0.51) is ANN's worst case;
+    // modest-but-real thresholds
+    assert(lshRecall >= 0.3, s"lsh recall=$lshRecall")
+    assert(ivfRecall >= 0.2, s"ivf recall=$ivfRecall")
   }
 }
