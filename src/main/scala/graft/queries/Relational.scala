@@ -258,7 +258,20 @@ object Relational {
          ORDER BY c.c_custkey""")
   }
 
+  /** Sketch family: approximate percentiles (GK sketch — bounded memory
+    * per group at any scale, like HLL for distincts). Algorithm differs
+    * from DuckDB's → rows-only check; AggSpec bounds the error vs the
+    * exact percentile. */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_percentile"  -> approxPercentiles,
     "q_pivot"              -> pivotStatus,
     "q_collect_agg"        -> collectAgg,
     "q_subquery_scalar"    -> subqueryScalar,

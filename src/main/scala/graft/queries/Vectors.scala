@@ -161,7 +161,15 @@ object Vectors {
       .limit(10)
   }
 
+  /** I15 positional explode: first 3 vector components as rows. */
+  def posExplode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 3)))
+      .select(col("vec_id"), col("pos"), col("col").cast(DoubleType).as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pos_explode"   -> posExplode,
     "q_vector_norms"  -> vectorNorms,
     "q_cosine_topk"   -> cosineTopK,
     "q_cosine_pairs"  -> topKPairs,
@@ -171,6 +179,10 @@ object Vectors {
   // q_ann_lsh is approximate by construction → rows-only check here;
   // recall vs the exact baseline is asserted in VectorsSpec.
   val oracle: Map[String, String] = Map(
+    "q_pos_explode" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+         FROM embeddings CROSS JOIN (VALUES (1), (2), (3)) t(i)
+         ORDER BY vec_id, pos""",
     "q_vector_norms" ->
       """SELECT vec_id, len(embedding) AS dim,
          CAST(embedding[1] AS DOUBLE) AS first_elem,

@@ -22,6 +22,17 @@ class AggSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile stays within 2% of the exact percentile") {
+    val approx = Relational.approxPercentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(1))).toMap // p50, p25 (p75 unused)
+    approx.foreach { case (k, (a50, _)) =>
+      val e50 = exact(k)._1
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$k p50: $a50 vs $e50")
+    }
+  }
+
   test("decimal money sums are order-independent (repartition invariance)") {
     val base = Tables.lineitem(spark, sfDir)
     def total(parts: Int) = base.repartition(parts)
