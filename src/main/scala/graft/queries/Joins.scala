@@ -168,7 +168,50 @@ object Joins {
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q7 shape (volume shipping): two roles of the same dim table
+    * (nation n1/n2) with a disjunctive pair filter, per-year decimal
+    * volume. */
+  def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("yr"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
+  /** TPC-H Q18 shape (large-quantity orders): semi-join against a HAVING
+    * aggregate subquery, then re-aggregate — exact decimal quantities. */
+  def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val qtyDec = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(qtyDec).as("qty"))
+      .filter(col("qty") > 150)
+      .select(col("l_orderkey").as("big_okey"))
+    Tables.lineitem(s, d)
+      .join(big, col("l_orderkey") === col("big_okey"), "left_semi")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(qtyDec).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7"     -> tpchQ7,
+    "q_tpch_q18"    -> tpchQ18,
     "q_tpch_q3"     -> tpchQ3,
     "q_tpch_q5"     -> tpchQ5,
     "q_join_inner"  -> innerJoin,
@@ -184,6 +227,31 @@ object Joins {
     "q_salted_join" -> saltedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS yr,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS volume
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY supp_nation, cust_nation, yr
+         ORDER BY supp_nation, cust_nation, yr""",
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue

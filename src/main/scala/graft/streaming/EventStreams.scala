@@ -33,6 +33,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases within 30 minutes AFTER a
+    * click by the same user. Both sides watermarked so Spark can bound
+    * the join state (a side's buffered rows are dropped once the other
+    * side's watermark passes the interval). Works identically in batch. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** Gap-based sessionization core: split one user's time-ordered events
     * at >= 30-minute gaps (the session_window merge rule). */
   private val GapMs = 30L * 60 * 1000

@@ -168,14 +168,21 @@ final class GraftTable(val dir: Path) {
   }
 
   /** H2 `CALL system.rewrite_data_files` (README.md:328): compact the
-    * current snapshot's files into `targetFiles` per partition; logical
-    * content is unchanged (replace snapshot). */
-  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1): Unit = {
+    * current snapshot's files into `targetFiles`; logical content is
+    * unchanged (replace snapshot). With `sortBy`, files are
+    * range-partitioned and sorted on those columns — disjoint per-file
+    * key ranges, so parquet row-group stats (and any future manifest
+    * min/max) skip files on point/range lookups. */
+  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1, sortBy: Seq[String] = Nil): Unit = {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
     val snapId = m.snapshots.map(_.snapshotId).max + 1
-    val df = readFiles(spark, m, manifest).repartition(targetFiles)
+    val base = readFiles(spark, m, manifest)
+    val df =
+      if (sortBy.isEmpty) base.repartition(targetFiles)
+      else base.repartitionByRange(targetFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
     val newFiles = writeFiles(spark, m, df, snapId)
     commitSnapshot(v, m, snapId, "replace", newFiles)
   }

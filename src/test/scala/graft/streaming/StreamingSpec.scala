@@ -67,6 +67,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventsDs.collect().toSeq
+    val clicks = all.filter(_.event_type == "click")
+    val purchases = all.filter(_.event_type == "purchase")
+
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = EventStreams.clickToPurchase(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      cs.addData(clicks); ps.addData(purchases)
+      q.processAllAvailable()
+      // force watermark forward so buffered matches flush
+      cs.addData(Event(-1, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1, "click", 0.0))
+      ps.addData(Event(-2, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -2, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .filter(col("c_user") >= 0)
+        .orderBy("c_user", "click_ts", "purchase_ts").collect().toSeq
+      val batch = EventStreams.clickToPurchase(
+          clicks.toDF(), purchases.toDF())
+        .orderBy("c_user", "click_ts", "purchase_ts").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -177,6 +177,27 @@ class TableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.readVersion(spark, 1))
   }
 
+  test("sorted compaction produces disjoint per-file key ranges") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.sorted", pedidosSchema)
+    t.append(pedidosDf)
+    t.append(pedidosDf.withColumn("valor", col("valor") + 1000))
+    t.rewriteDataFiles(spark, targetFiles = 2, sortBy = Seq("valor"))
+    val files = t.meta.currentSnapshot.get.manifest
+    assert(files.size === 2)
+    val ranges = files.map { f =>
+      val df = spark.read.parquet(t.dir.resolve(f.path).toString)
+      val r = df.agg(min("valor"), max("valor")).head()
+      (r.getDecimal(0), r.getDecimal(1))
+    }.sortBy(_._1)
+    // clustering: max of file i < min of file i+1
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi.compareTo(lo) < 0, s"$hi !< $lo")
+      case _ =>
+    }
+  }
+
   test("overwrite replaces visible content; prior snapshots still travel") {
     val cat = newCatalog()
     cat.createSchema("db")
