@@ -68,6 +68,38 @@ final class GraftTable(val dir: Path) {
     }
   }
 
+  /** Stats-based file pruning (data skipping): keep only files whose
+    * recorded [min, max] for `colName` intersects [lo, hi]. Comparison is
+    * typed (numeric → BigDecimal, else string — correct for ISO
+    * timestamps/dates in UTC). Files without stats are kept. Most
+    * effective after a sorted compaction (disjoint ranges). */
+  def planColRange(m: TableMeta, colName: String, lo: String, hi: String): Seq[DataFile] = {
+    val numeric = m.currentSchema.find(_.name == colName).exists(_.sparkType match {
+      case _: NumericType => true
+      case _ => false
+    })
+    def lte(a: String, b: String): Boolean =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    m.currentSnapshot.map(_.manifest).getOrElse(Nil).filter { f =>
+      f.stats.flatMap(_.get(colName)) match {
+        case Some(ColRange(mn, mx)) => lte(mn, hi) && lte(lo, mx)
+        case None                   => true // no stats: cannot skip safely
+      }
+    }
+  }
+
+  /** Pruned range read on any stats-tracked column; semantics identical
+    * to read().filter(col between lo and hi) — pruning only skips files
+    * that cannot contain matches. */
+  def readColRange(spark: SparkSession, colName: String, lo: String, hi: String): DataFrame = {
+    val m = meta
+    val files = planColRange(m, colName, lo, hi)
+    val dt = m.currentSchema.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName")).sparkType
+    readFiles(spark, m, files)
+      .filter(col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt))
+  }
+
   /** C4 `SELECT * FROM t.history` (README.md:245-248). */
   def history(spark: SparkSession): DataFrame = {
     val m = meta
@@ -255,12 +287,23 @@ final class GraftTable(val dir: Path) {
     val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
     val parts = m.partitionFields.flatMap(pf => idToName.get(pf.sourceId).map(pf -> _))
     val out = outDir.toString
-    if (parts.isEmpty) df.write.parquet(out)
-    else {
-      val withCols = parts.foldLeft(df) { case (acc, (pf, srcName)) =>
-        acc.withColumn(pf.name, to_date(col(srcName)))
+    // INT96 timestamps carry no usable footer statistics; micros do.
+    // Scoped save/restore: leaking this into the shared session would
+    // flip OTHER parquet writes to timestamptz semantics downstream.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      if (parts.isEmpty) df.write.parquet(out)
+      else {
+        val withCols = parts.foldLeft(df) { case (acc, (pf, srcName)) =>
+          acc.withColumn(pf.name, to_date(col(srcName)))
+        }
+        withCols.write.partitionBy(parts.map(_._1.name): _*).parquet(out)
       }
-      withCols.write.partitionBy(parts.map(_._1.name): _*).parquet(out)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None    => spark.conf.unset(tsKey)
     }
     // walk the written directory; parse partition values from dir names
     val walk = Files.walk(outDir)
@@ -270,18 +313,20 @@ final class GraftTable(val dir: Path) {
         .toVector.sortBy(_.toString)
       finally walk.close()
     if (files.isEmpty) return Nil // e.g. a delete that emptied every affected file
-    // per-file row counts in ONE job (metadata-only parquet count)
-    val counts = spark.read.parquet(files.map(_.toString): _*)
-      .groupBy(input_file_name().as("f")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Row counts and per-column min/max come from the PARQUET FOOTERS —
+    // O(files) metadata reads, no data re-scan (re-aggregating what was
+    // just written would double write IO; footers already hold the
+    // answer, which is exactly how Iceberg writers collect stats).
     files.flatMap { p =>
       val rel = dir.relativize(p).toString
       val pvals = rel.split('/').filter(_.contains('='))
         .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
-      val rows = counts.collectFirst { case (uri, n) if uri.endsWith(p.getFileName.toString) => n }.getOrElse(0L)
+      val (rows, stats) = FooterStats.read(p, m.currentSchema)
       // zero-row files (empty write partitions) carry no data: keep the
       // manifest tight, they'd only bloat planning
-      if (rows == 0) None else Some(DataFile(rel, rows, m.currentSchemaId, pvals))
+      if (rows == 0) None
+      else Some(DataFile(rel, rows, m.currentSchemaId, pvals,
+        if (stats.isEmpty) None else Some(stats)))
     }
   }
 

@@ -29,15 +29,21 @@ final case class ColumnDef(id: Int, name: String, dataType: String) {
   * write under `name`, invisible in the logical schema (README.md:304-307). */
 final case class PartitionField(sourceId: Int, transform: String, name: String)
 
+/** Per-file, per-column [min, max] (stringified; compared typed by the
+  * planner). */
+final case class ColRange(min: String, max: String)
+
 /** One immutable parquet data file. `schemaId` pins the schema the file was
   * written under — the read path maps its columns to the current schema by
-  * column id (rename-safe, README.md:282-292). `partitionValues` drive
-  * file pruning before Spark ever sees a path. */
+  * column id (rename-safe, README.md:282-292). `partitionValues` and
+  * `stats` drive file pruning before Spark ever sees a path; `stats` is
+  * Optional so metadata written before the field existed still parses. */
 final case class DataFile(
     path: String,
     rows: Long,
     schemaId: Int,
-    partitionValues: Map[String, String])
+    partitionValues: Map[String, String],
+    stats: Option[Map[String, ColRange]] = None)
 
 final case class Snapshot(
     snapshotId: Long,

@@ -198,6 +198,25 @@ class TableSpec extends SparkTestBase {
     }
   }
 
+  test("min/max stats skip files after sorted compaction; result equals plain filter") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.skip", pedidosSchema)
+    t.append(pedidosDf)
+    t.append(pedidosDf.withColumn("valor", col("valor") + 1000))
+    t.rewriteDataFiles(spark, targetFiles = 2, sortBy = Seq("valor"))
+
+    val m = t.meta
+    assert(m.currentSnapshot.get.manifest.forall(_.stats.exists(_.contains("valor"))))
+    val pruned = t.planColRange(m, "valor", "1000", "2000")
+    assert(pruned.size === 1, s"expected 1 of 2 files, got ${pruned.size}")
+
+    val viaStats = t.readColRange(spark, "valor", "1000", "2000")
+    val plain = t.read(spark).filter(col("valor") >= 1000 && col("valor") <= 2000)
+    assert(viaStats.collect().toSet === plain.collect().toSet)
+    assert(viaStats.count() === 5)
+  }
+
   test("overwrite replaces visible content; prior snapshots still travel") {
     val cat = newCatalog()
     cat.createSchema("db")
