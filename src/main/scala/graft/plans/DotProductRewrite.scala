@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.functions.DotProductF
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule (SURVEY.md §4, J9): rewrites the declarative
+  * dot-product composition
+  *
+  *   aggregate(zip_with(a, b, (x, y) => CAST(x) * CAST(y)), 0.0, (acc, e) => acc + e)
+  *
+  * into the native codegen'd [[DotProductF]] — same numerics (double
+  * accumulation, element order), but one fused loop instead of two
+  * interpreted higher-order functions materializing an intermediate
+  * array per row. Users writing idiomatic Spark get the fast path
+  * automatically once the rule is registered:
+  *
+  *   spark.experimental.extraOptimizations ++= Seq(DotProductRewrite)
+  *
+  * The match is deliberately strict (exact multiply-of-casts and
+  * add-accumulate lambdas, double zero literal) — anything else keeps
+  * Spark's own semantics untouched.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case x: NamedLambdaVariable => x.exprId == v.exprId
+    case Cast(x: NamedLambdaVariable, DoubleType, _, _) => x.exprId == v.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+            ZipWith(left, right,
+              LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            zero,
+            LambdaFunction(Add(aa, ae, _), Seq(acc: NamedLambdaVariable, e: NamedLambdaVariable), _),
+            finish)
+          if zero.foldable && zero.eval() == 0.0 &&
+            ((isVar(mx, x) && isVar(my, y)) || (isVar(mx, y) && isVar(my, x))) &&
+            ((isVar(aa, acc) && isVar(ae, e)) || (isVar(aa, e) && isVar(ae, acc))) &&
+            isIdentityFinish(finish) =>
+        DotProductF(left, right)
+    }
+
+  private def isIdentityFinish(finish: Expression): Boolean = finish match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+
+  /** Convenience: register on a session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(DotProductRewrite))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ DotProductRewrite
+  }
+}
