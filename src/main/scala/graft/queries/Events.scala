@@ -68,13 +68,49 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** As-of join (an operator Spark lacks natively): each click picks up
+    * the most recent purchase at-or-before it by the same user. Composed
+    * Spark-first — union both sides tagged, one shuffle+sort per user,
+    * `last(..., ignoreNulls)` over a running frame — instead of a
+    * per-row lookup join. This is the scalable formulation: cost is one
+    * window pass over the union, never a range probe per click, and it
+    * parallelizes by user exactly like any windowed aggregate. Oracle:
+    * DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+    val tagged = ev.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(col("event_type") === "purchase", col("value")).as("p_value"),
+      when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_purchase_ts"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"       -> asofJoin,
     "q_window_tumbling" -> tumbling,
     "q_window_sliding"  -> sliding,
     "q_window_session"  -> sessionWindow,
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+            p AS (SELECT * FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS last_purchase_ts, p.value AS last_purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
          count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value

@@ -270,7 +270,21 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q6 shape (forecast revenue change): pure scan+filter+agg —
+    * every predicate pushes into the parquet reader, the aggregate is a
+    * single partial+final pass. */
+  def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(18, 6))).as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q6"            -> tpchQ6,
     "q_approx_percentile"  -> approxPercentiles,
     "q_pivot"              -> pivotStatus,
     "q_collect_agg"        -> collectAgg,
@@ -293,6 +307,13 @@ object Relational {
     "q_cube"               -> cubeAgg)
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q6" ->
+      """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
     "q_pivot" ->
       """SELECT o_orderpriority,
          count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
