@@ -23,7 +23,13 @@ object Tables {
   /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
     * rejects. Read nanos as long (legacy conf), then truncate to micros —
     * the same truncation DuckDB applies when handing ns timestamps to
-    * clients, so oracles agree. */
+    * clients, so oracles agree.
+    *
+    * The conf is deliberately NOT save/restored here: the returned frame
+    * is lazy, so the flag must still be set when the scan executes.
+    * Session-wide effect: ns-timestamp parquet columns read as BIGINT
+    * instead of erroring — benign for every other table (none carry ns
+    * timestamps). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")

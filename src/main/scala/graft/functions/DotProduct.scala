@@ -1,22 +1,28 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native Catalyst expression (SURVEY.md §2 J9): Σ aᵢ·bᵢ over two numeric
-  * arrays, accumulated in double, sequential index order — numerically
-  * identical to the `zip_with`+`aggregate` composition in queries.Vectors
-  * but with a tight generated loop instead of two HigherOrderFunctions
-  * allocating an intermediate array per row.
+/** Native Catalyst expression (SURVEY.md §2 J9): Σ aᵢ·bᵢ over two
+  * float/double arrays, accumulated in double, sequential index order —
+  * numerically identical to the `zip_with`+`aggregate` composition in
+  * queries.Vectors but with a tight generated loop instead of two
+  * HigherOrderFunctions allocating an intermediate array per row.
+  *
+  * Null semantics mirror that composition exactly (so the optimizer
+  * rewrite in plans.DotProductRewrite is a pure performance change):
+  * zip_with pads unequal lengths with null and `null * x` poisons the
+  * aggregate to NULL — therefore unequal lengths or any null element
+  * return NULL here too.
   *
   * Codegen matters here: the brute-force similarity scan is
   * O(rows × dim) multiplications; keeping it inside WholeStageCodegen
   * with no per-row allocation is the difference between compute-bound
-  * and GC-bound at 100 TB. Falls back to a null result if either side is
-  * null or lengths differ (defensive, mirrors zip_with's null handling).
+  * and GC-bound at 100 TB.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,17 +33,30 @@ case class DotProductF(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    val lt = elemType(left)
-    val rt = elemType(right)
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (lt == FloatType) xs.getFloat(i).toDouble else xs.getDouble(i)
-      val y = if (rt == FloatType) ys.getFloat(i).toDouble else ys.getDouble(i)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
       acc += x * y
       i += 1
     }
@@ -52,12 +71,17 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

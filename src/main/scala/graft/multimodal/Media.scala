@@ -32,23 +32,27 @@ object Media {
 
   /** Deterministic media fixture derived from the documents table: the
     * text bytes stand in for an encoded payload; metadata is synthesized
-    * from stable per-row facts. */
+    * from stable per-row facts. Pure column expressions (no typed map),
+    * so the fixture build stays inside WholeStageCodegen; the typed
+    * Dataset[MediaRow] view is just an encoder binding on top. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    val payload = col("text").cast("binary")
+    val kind = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio")
+      .otherwise("video")
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("source"))
-      .as[(Long, String, String)]
-      .map { case (id, text, source) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
-        }
-        val payload = text.getBytes(StandardCharsets.UTF_8)
-        MediaRow(id, MediaMeta(kind,
-          width = 64 + (id % 8).toInt * 16,
-          height = 64 + (id % 5).toInt * 16,
-          sampleRateHz = if (kind == "audio") 16000 else 0,
-          nFrames = if (kind == "video") 1 + (payload.length % 120) else 1), payload)
-      }
+      .select(
+        col("doc_id").as("media_id"),
+        struct(
+          kind.as("kind"),
+          (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+          (lit(64) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+          when(kind === "audio", 16000).otherwise(0).as("sampleRateHz"),
+          when(kind === "video", lit(1) + pmod(length(payload), lit(120)))
+            .otherwise(1).cast("int").as("nFrames")).as("meta"),
+        payload.as("payload"))
+      .as[MediaRow]
   }
 
   /** STUB — the real implementation would call an image/audio codec here.
@@ -112,7 +116,7 @@ object Media {
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(length(text) AS INT) AS n_bytes,
+         CAST(strlen(text) AS INT) AS n_bytes,
          md5(text) AS payload_md5
          FROM documents ORDER BY media_id""")
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Optimizer rule (SURVEY.md §4, J9): rewrites the declarative
   * dot-product composition
@@ -32,6 +32,23 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Only float/double arrays: DotProductF reads array slots via
+    * getFloat/getDouble — matching an int/long array would read garbage.
+    * (Null elements and length mismatches are safe: DotProductF returns
+    * NULL for both, mirroring the zip_with composition.) */
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  /** A strict double 0.0 literal — NOT `eval() == 0.0`, which is true for
+    * a boxed Integer 0 under Scala's numeric-coercing equals and would
+    * rewrite an integer-typed aggregate whose semantics we don't model. */
+  private def isDoubleZero(zero: Expression): Boolean = zero match {
+    case Literal(0.0, DoubleType) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case agg @ ArrayAggregate(
@@ -40,7 +57,8 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             zero,
             LambdaFunction(Add(aa, ae, _), Seq(acc: NamedLambdaVariable, e: NamedLambdaVariable), _),
             finish)
-          if zero.foldable && zero.eval() == 0.0 &&
+          if isFloating(left.dataType) && isFloating(right.dataType) &&
+            isDoubleZero(zero) &&
             ((isVar(mx, x) && isVar(my, y)) || (isVar(mx, y) && isVar(my, x))) &&
             ((isVar(aa, acc) && isVar(ae, e)) || (isVar(aa, e) && isVar(ae, acc))) &&
             isIdentityFinish(finish) =>

@@ -24,12 +24,15 @@ import org.apache.spark.sql.types._
 object Events {
 
   private val valueDec = col("value").cast(DecimalType(18, 2))
+  // Exact decimal sum internally (order-independent), DOUBLE in the final
+  // projection so the driver's pandas dtype hash matches DuckDB.
+  private val sumValue = sum(valueDec).cast(DoubleType).as("sum_value")
 
   /** J1 tumbling 1-hour window per event type. */
   def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(valueDec).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumValue)
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
 
@@ -38,7 +41,7 @@ object Events {
   def sliding(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(valueDec).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumValue)
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
 
@@ -49,7 +52,7 @@ object Events {
   def sessionWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
       .select(
         col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
@@ -83,8 +86,12 @@ object Events {
       col("event_id"), col("user_id"), col("ts"), col("event_type"),
       when(col("event_type") === "purchase", col("value")).as("p_value"),
       when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+    // At equal ts a purchase must sort BEFORE the click so the running
+    // frame sees it — ASOF semantics are p.ts <= c.ts, ties included.
+    // "purchase" > "click" lexically, so event_type desc orders purchases
+    // first; event_id keeps the order total/deterministic.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_type").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
@@ -113,11 +120,11 @@ object Events {
          ORDER BY c.event_id""",
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
-         count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q_window_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
-         event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
          GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q_window_session" ->
@@ -133,11 +140,11 @@ object Events {
            FROM marked)
          SELECT user_id, min(ts) AS session_start,
            max(ts) + INTERVAL '30 minutes' AS session_end,
-           count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+         CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
          min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
          max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""")

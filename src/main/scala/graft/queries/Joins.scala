@@ -147,8 +147,11 @@ object Joins {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      // Exact decimal sum internally; DOUBLE in the final projection so the
+      // driver's pandas dtype hash matches DuckDB (values are identical).
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("revenue"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -165,7 +168,8 @@ object Joins {
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("revenue"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** TPC-H Q7 shape (volume shipping): two roles of the same dim table
@@ -185,7 +189,8 @@ object Joins {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("yr"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("volume"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("volume"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
   }
 
@@ -204,7 +209,7 @@ object Joins {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(qtyDec).as("total_qty"))
+      .agg(sum(qtyDec).cast(org.apache.spark.sql.types.DoubleType).as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
@@ -222,7 +227,8 @@ object Joins {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("revenue"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
@@ -247,7 +253,7 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -260,7 +266,7 @@ object Joins {
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS yr,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS volume
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -273,7 +279,7 @@ object Joins {
          ORDER BY supp_nation, cust_nation, yr""",
     "q_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -284,7 +290,7 @@ object Joins {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -295,7 +301,7 @@ object Joins {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_tpch_q5" ->
       """SELECT n_name,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

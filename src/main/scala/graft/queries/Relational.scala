@@ -45,8 +45,15 @@ object Relational {
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("qty_int"),
-        col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
-        col("l_shipdate").cast(DateType).as("ship_date"),
+        // Exact DECIMAL quantize, surfaced as DOUBLE: the driver hashes
+        // pandas dtypes, and Spark's Decimal objects ≠ DuckDB's float64
+        // even when numerically identical. Same rule everywhere: decimal
+        // arithmetic stays exact internally, final projection is DOUBLE.
+        col("l_extendedprice").cast(DecimalType(12, 2)).cast(DoubleType).as("price_dec"),
+        // DATE cast exercised, surfaced as TIMESTAMP: a raw DATE column
+        // reaches pandas as datetime.date objects while DuckDB hands back
+        // datetime64 — stringified differently by the driver's hash
+        col("l_shipdate").cast(DateType).cast(TimestampType).as("ship_date"),
         col("l_orderkey").cast(StringType).as("okey_str"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
@@ -238,11 +245,14 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy(col("o_orderpriority"))
 
-  /** Array aggregation: sorted collect_set (deterministic by sorting). */
+  /** Array aggregation: sorted collect_set, joined to a scalar string —
+    * the driver's comparer sorts pandas frames, and top-level numpy
+    * arrays are unhashable there, so array outputs must be serialized. */
   def collectAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
         countDistinct(col("o_orderpriority")).as("n_prio"))
       .orderBy(col("o_orderstatus"))
 
@@ -281,7 +291,7 @@ object Relational {
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
       .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast(DecimalType(18, 6))).as("revenue"))
+        .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q6"            -> tpchQ6,
@@ -308,7 +318,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_tpch_q6" ->
-      """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -322,7 +332,7 @@ object Relational {
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_collect_agg" ->
       """SELECT o_orderstatus,
-         list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+         array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
          count(DISTINCT o_orderpriority) AS n_prio
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_subquery_scalar" ->
@@ -352,8 +362,8 @@ object Relational {
     "q_cast_types" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(l_quantity AS INT) AS qty_int,
-         CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
-         CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+         CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
          CAST(l_orderkey AS VARCHAR) AS okey_str
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_top_orders" ->

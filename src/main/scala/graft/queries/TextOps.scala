@@ -129,19 +129,39 @@ object TextOps {
     * joining postings on shingle; |A∪B| = |A|+|B|−common. Only pairs
     * sharing at least one shingle can appear (jaccard > 0), which the
     * oracle mirrors. */
+  /** Hot-shingle guard: a shingle appearing in more than this many
+    * documents is dropped from the inverted index before the self-join.
+    * Candidate cost is Σ postings² per shingle — ONE pathological
+    * boilerplate shingle shared by 1M docs would alone generate 10¹²
+    * pairs. 3-gram shingles on real text stay far under this cap (the
+    * TextOpsSpec asserts the cap is inert on the test corpus), so this
+    * only engages on degenerate corpora — trading recall on boilerplate
+    * for bounded cost, the standard production tradeoff. */
+  private val MAX_POSTING = 1000
+
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Materialize the shingle table once: it feeds BOTH sides of the
     // self-join plus the size lookup, and (measured) Catalyst otherwise
     // pushes isnotnull/size filters below the explode, re-deriving the
-    // full shingle expression per predicate. At 100 TB this cache is a
-    // written-out intermediate table; here it is ~260k tiny rows.
-    val base = Tables.documents(s, d)
+    // full shingle expression per predicate. A written-out intermediate
+    // (not .persist()) — exactly what this stage is at 100 TB, and it
+    // leaves nothing cached across the bench session.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sh").toString + "/shingles"
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
-      .persist()
+      .write.parquet(tmp)
+    val base = s.read.parquet(tmp)
     // set sizes straight from the array — no second explode+groupBy pass
     val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+    // posting-frequency cap via a window on the join key: the hash
+    // shuffle it introduces is the same partitioning the equi-join needs,
+    // so Spark reuses the exchange — the cap is ~free
+    val byTok = Window.partitionBy(col("tok"))
     val docTok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .filter(col("df") <= MAX_POSTING)
+      .drop("df")
     val a = docTok.select(col("doc_id").as("ia"), col("tok"))
     val b = docTok.select(col("doc_id").as("ib"), col("tok"))
     a.join(b, Seq("tok")).filter(col("ia") < col("ib"))
@@ -174,11 +194,16 @@ object TextOps {
     * asserts estimate accuracy and precision against exact Jaccard. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
-    val sigs = Tables.documents(s, d)
+    // signatures feed banding + two rejoin branches: write them out once
+    // (the 100 TB shape — a signature table IS a materialized artifact)
+    // instead of .persist(), which would leak cache across the session
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString + "/sigs"
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(array_distinct(toks(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("source"))
       .agg(mh(col("tok")).as("sig"))
-      .persist() // feeds banding + two broadcast rejoin branches
+      .write.parquet(tmp)
+    val sigs = s.read.parquet(tmp)
     val BANDS = 2
     val ROWS = Sketches.NUM_PERM / BANDS
     val banded = sigs.select(
@@ -254,12 +279,14 @@ object TextOps {
         lit(lang).as("lang"))
     }
     Tables.documents(s, d)
+      // array_max on (score, lang) structs: ties break on the lang string
+      // ordering — deterministic. Computed ONCE into a named column: HOFs
+      // are interpreted, so duplicating the expression doubles the cost.
+      .select(col("doc_id"), array_max(array(scored: _*)).as("best"))
       .select(
         col("doc_id"),
-        // array_max on (score, lang) structs: ties break on the lang
-        // string ordering — deterministic
-        array_max(array(scored: _*)).getField("lang").as("lang_pred"),
-        array_max(array(scored: _*)).getField("score").as("score"))
+        col("best").getField("lang").as("lang_pred"),
+        col("best").getField("score").as("score"))
       .orderBy(col("doc_id"))
   }
 

@@ -63,7 +63,10 @@ object Windows {
     Tables.orders(s, d)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(priceDec).over(running).as("running_spend"),
+        // exact decimal sum internally, DOUBLE in the final projection
+        // (driver hashes pandas dtypes; Decimal objects ≠ DuckDB float64)
+        sum(priceDec).over(running)
+          .cast(org.apache.spark.sql.types.DoubleType).as("running_spend"),
         (sum(priceDec).over(sliding).cast(org.apache.spark.sql.types.DoubleType) /
           count(lit(1)).over(sliding)).as("avg3"),
         priceRange.as("n_similar"))
@@ -110,9 +113,9 @@ object Windows {
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)

@@ -1,0 +1,216 @@
+package graft.spark
+
+import java.nio.file.{Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.table.{GraftCatalog, GraftTable}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 surface for Graft tables — closes the reference's SQL
+  * gap (its entire UX is the spark-sql shell, README.md:148-151,214-216):
+  *
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalogPlugin].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/wh")
+  *   spark.sql("SELECT * FROM graft.db.pedidos WHERE ts >= ...")
+  *
+  * or path-based: spark.read.format("graft").load("/path/to/wh/db/pedidos").
+  *
+  * Read path: the ScanBuilder accepts every pushed filter for MANIFEST
+  * pruning (per-file footer stats + hidden day-partition values,
+  * GraftTable.planFilters) and declares them all residual, so Spark
+  * re-applies them post-scan — pruning is an optimization, never a
+  * semantic change. The Scan itself is a V1Scan bridge whose relation
+  * re-enters the DataFrame API over the pruned file list: the actual IO
+  * is Spark's own vectorized parquet reader with column pruning intact,
+  * plus Graft's column-id projection (rename/add-column evolution)
+  * applied per schema epoch. This is the same structure Spark's JDBC v2
+  * connector uses, and it keeps WholeStageCodegen + all parquet
+  * optimizations without reimplementing a reader.
+  */
+class GraftDsv2Table(val table: GraftTable, ident: String) extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val m = table.meta
+    m.sparkSchema(m.currentSchemaId)
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, schema())
+}
+
+class GraftScanBuilder(table: GraftTable, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  /** Accept everything for pruning, return everything as residual:
+    * Spark keeps the post-scan Filter, we get the bounds for skipping. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1Scan(table, pushed, required)
+}
+
+class GraftV1Scan(table: GraftTable, filters: Array[Filter], required: StructType)
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftRelation(context, table, filters, required).asInstanceOf[T]
+}
+
+/** The V1 bridge relation: builds its RDD by re-entering the DataFrame
+  * API over the manifest-pruned file list. */
+class GraftRelation(
+    val sqlContext: SQLContext,
+    table: GraftTable,
+    filters: Array[Filter],
+    required: StructType) extends BaseRelation with TableScan {
+
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val df = table.readPruned(sqlContext.sparkSession, filters.toSeq)
+    val projected =
+      if (required.isEmpty) df // count(*)-style scans: no columns needed
+      else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Catalog plugin: `spark.sql.catalog.<name> = GraftCatalogPlugin`,
+  * `spark.sql.catalog.<name>.warehouse = <dir>`. Read + create surface
+  * (the reference's CREATE SCHEMA / CREATE TABLE / SELECT lifecycle);
+  * writes go through the GraftTable Scala API. */
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private def cat: GraftCatalog = new GraftCatalog(warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse")))
+  }
+
+  override def name(): String = catalogName
+
+  private def qualified(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def loadTable(ident: Identifier): Table = {
+    val q = qualified(ident)
+    if (!cat.tableExists(q))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftDsv2Table(cat.load(q), s"$catalogName.$q")
+  }
+
+  override def tableExists(ident: Identifier): Boolean = cat.tableExists(qualified(ident))
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dayCol = partitions.toSeq.collectFirst {
+      case t if t.name() == "days" => t.references().head.fieldNames().head
+    }
+    new GraftDsv2Table(cat.createTable(qualified(ident), schema, dayCol), s"$catalogName.${qualified(ident)}")
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER via SQL not wired; use the GraftTable Scala API (addColumn/renameColumn/addPartitionField)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("DROP TABLE not supported")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.exists(p.resolve("meta").resolve("version-hint.text")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    java.nio.file.Files.list(warehouse).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    java.nio.file.Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    cat.createSchema(namespace.mkString("/"))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("DROP NAMESPACE not supported")
+}
+
+/** Path-based entry: `spark.read.format("graft").load("<table dir>")`. */
+class GraftDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def tableFor(options: CaseInsensitiveStringMap): GraftDsv2Table = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("format(\"graft\") requires .load(<table dir>)"))
+    new GraftDsv2Table(new GraftTable(Paths.get(path)), path)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableFor(options).schema()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    tableFor(new CaseInsensitiveStringMap(properties))
+}

@@ -30,7 +30,11 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      // exact decimal sum, DOUBLE in the output — mirrors the batch dual
+      // (queries.Events.tumbling) exactly, column for column
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
   /** Stream-stream interval join: purchases within 30 minutes AFTER a

@@ -23,11 +23,15 @@ object FooterStats {
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(java.time.ZoneOffset.UTC)
 
+  // One shared Configuration: constructing one per file re-parses the
+  // Hadoop XML defaults every time — measurable across a 1000-file write.
+  private val hadoopConf = new Configuration()
+
   def read(file: Path, schema: Seq[ColumnDef]): (Long, Map[String, ColRange]) = {
     val byName = schema.map(c => c.name -> c.sparkType).toMap
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.toUri), new Configuration()))
+        new org.apache.hadoop.fs.Path(file.toUri), hadoopConf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
@@ -63,7 +67,11 @@ object FooterStats {
     case (b: Binary, StringType) => Some(b.toStringUsingUTF8)
     case (i: java.lang.Integer, IntegerType) => Some(i.toString)
     case (l: java.lang.Long, LongType) => Some(l.toString)
+    // non-finite min/max (±Inf, NaN) can't enter the BigDecimal compare
+    // space — skip stats for the column rather than fail the whole commit
+    case (f: java.lang.Float, FloatType) if f.isInfinite || f.isNaN => None
     case (f: java.lang.Float, FloatType) => Some(BigDecimal(f.toDouble).toString)
+    case (d: java.lang.Double, DoubleType) if d.isInfinite || d.isNaN => None
     case (d: java.lang.Double, DoubleType) => Some(BigDecimal(d.doubleValue()).toString)
     case (l: java.lang.Long, t: DecimalType) =>
       Some(BigDecimal(BigInt(l.longValue()), t.scale).toString)

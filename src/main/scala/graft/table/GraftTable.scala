@@ -100,6 +100,49 @@ final class GraftTable(val dir: Path) {
       .filter(col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt))
   }
 
+  /** DSv2 pushdown entry point: prune the manifest with DataSource
+    * `Filter`s (the predicates Spark pushes through
+    * SupportsPushDownFilters), combining per-file column stats and hidden
+    * day-partition values. Conservative: only conjunctive range/equality
+    * bounds prune; anything else keeps the file. Spark re-applies every
+    * filter post-scan, so pruning is an optimization, never semantics. */
+  def planFilters(m: TableMeta, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
+    val all = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    val bounds = FilterBounds.collect(filters)
+    if (bounds.isEmpty) return all
+    // day-partition source column name -> partition field name
+    val dayFields = m.partitionFields.filter(_.transform == "days").flatMap(pf =>
+      m.currentSchema.find(_.id == pf.sourceId).map(c => c.name -> pf.name)).toMap
+    all.filter { f =>
+      bounds.forall { case (cname, b) =>
+        val numeric = m.currentSchema.find(_.name == cname).exists(_.sparkType match {
+          case _: NumericType => true
+          case _ => false
+        })
+        def lte(a: String, bb: String): Boolean =
+          if (numeric) BigDecimal(a) <= BigDecimal(bb) else a <= bb
+        val statsOk = f.stats.flatMap(_.get(cname)) match {
+          case Some(ColRange(mn, mx)) =>
+            b.lo.forall(lo => lte(lo, mx)) && b.hi.forall(hi => lte(mn, hi))
+          case None => true
+        }
+        val dayOk = dayFields.get(cname).flatMap(f.partitionValues.get) match {
+          case Some(day) =>
+            // bound strings open with 'yyyy-MM-dd...'; ISO order = date order
+            b.lo.forall(lo => day >= lo.take(10)) && b.hi.forall(hi => day <= hi.take(10))
+          case None => true
+        }
+        statsOk && dayOk
+      }
+    }
+  }
+
+  /** Filter-pruned current-snapshot read (the DSv2 scan body). */
+  def readPruned(spark: SparkSession, filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val m = meta
+    readFiles(spark, m, planFilters(m, filters))
+  }
+
   /** C4 `SELECT * FROM t.history` (README.md:245-248). */
   def history(spark: SparkSession): DataFrame = {
     val m = meta
@@ -156,22 +199,25 @@ final class GraftTable(val dir: Path) {
     * CASTs), cluster by the partition transform if one is declared, write
     * parquet, commit an `append` snapshot. */
   def append(df: DataFrame): Unit = {
-    val (v, m) = TableMeta.load(dir)
+    val (_, m) = TableMeta.load(dir)
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
-    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val newFiles = writeFiles(df.sparkSession, m, aligned, snapId)
-    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles
-    commitSnapshot(v, m, snapId, "append", manifest)
+    val newFiles = writeFiles(df.sparkSession, m, aligned)
+    // An append is reapplicable on fresh metadata (data files are already
+    // on disk; the commit only merges manifests), so it retries through
+    // concurrent commits — the reference's REST-catalog behavior.
+    TableMeta.commitRetry(dir) { fresh =>
+      appendSnapshot(fresh, "append",
+        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles)
+    }
   }
 
   /** INSERT OVERWRITE semantics: replace the table's visible content with
     * `df` in one snapshot; prior snapshots remain time-travelable. */
   def overwrite(df: DataFrame): Unit = {
-    val (v, m) = TableMeta.load(dir)
+    val (_, m) = TableMeta.load(dir)
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
-    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val newFiles = writeFiles(df.sparkSession, m, aligned, snapId)
-    commitSnapshot(v, m, snapId, "overwrite", newFiles)
+    val newFiles = writeFiles(df.sparkSession, m, aligned)
+    TableMeta.commitRetry(dir)(fresh => appendSnapshot(fresh, "overwrite", newFiles))
   }
 
   /** D2 row-level `DELETE WHERE` (README.md:231), copy-on-write: one scan
@@ -190,13 +236,81 @@ final class GraftTable(val dir: Path) {
     val affected = manifest.filter(f =>
       affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
     if (affected.isEmpty) return
-    val snapId = m.snapshots.map(_.snapshotId).max + 1
     // DELETE WHERE pred removes rows where pred IS TRUE; null-pred rows
     // are kept — hence not(coalesce(pred, false)), not plain !pred.
     val kept = readFiles(spark, m, affected).filter(!coalesce(pred, lit(false)))
-    val newFiles = writeFiles(spark, m, kept, snapId)
+    val newFiles = writeFiles(spark, m, kept)
     val newManifest = manifest.diff(affected) ++ newFiles
-    commitSnapshot(v, m, snapId, "delete", newManifest)
+    // single-shot commit: a CoW delete validated against THIS manifest —
+    // a concurrent change must surface, not be silently reapplied
+    TableMeta.commit(dir, v, appendSnapshot(m, "delete", newManifest))
+  }
+
+  /** Row-level `UPDATE ... SET ... WHERE` — the other half of the v2
+    * "updates e deletes" promise (README.md:180), copy-on-write like
+    * delete: one scan finds the files containing matching rows, only
+    * those are rewritten with the assignments applied where the
+    * predicate holds. Old snapshots keep the pre-update files. */
+  def update(spark: SparkSession, pred: Column, assignments: Map[String, Column]): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    assignments.keys.foreach(k =>
+      require(m.currentSchema.exists(_.name == k), s"no column $k"))
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) return
+    val withFile = readFiles(spark, m, manifest)
+      .withColumn("_graft_file", input_file_name())
+    val affectedPaths = withFile.filter(pred)
+      .select(col("_graft_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = manifest.filter(f =>
+      affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
+    if (affected.isEmpty) return
+    // null-pred rows are NOT updated (same rule as delete's keep side)
+    val hit = coalesce(pred, lit(false))
+    val rewritten = readFiles(spark, m, affected).select(m.currentSchema.map { c =>
+      assignments.get(c.name) match {
+        case Some(e) => when(hit, e.cast(c.sparkType)).otherwise(col(c.name)).as(c.name)
+        case None    => col(c.name)
+      }
+    }: _*)
+    val newFiles = writeFiles(spark, m, rewritten)
+    TableMeta.commit(dir, v, appendSnapshot(m, "update", manifest.diff(affected) ++ newFiles))
+  }
+
+  /** MERGE-shaped upsert: rows of `source` whose `keyCol` matches an
+    * existing row REPLACE it (update-all-columns), the rest are inserted —
+    * `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *`. Copy-on-write on the files that
+    * contain matched keys only; files without matches are untouched.
+    * Scale shape: the key probe is a semi/anti join on the key column
+    * (broadcast when the source is small, shuffle otherwise — AQE's
+    * call), never a row-at-a-time lookup. */
+  def merge(spark: SparkSession, source: DataFrame, keyCol: String): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    require(m.currentSchema.exists(_.name == keyCol), s"no column $keyCol")
+    val aligned = source.select(
+      m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) {
+      val newFiles = writeFiles(spark, m, aligned)
+      TableMeta.commit(dir, v, appendSnapshot(m, "merge", newFiles))
+      return
+    }
+    val keys = aligned.select(col(keyCol)).distinct()
+    val withFile = readFiles(spark, m, manifest)
+      .withColumn("_graft_file", input_file_name())
+    val affectedPaths = withFile
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("_graft_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = manifest.filter(f =>
+      affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
+    // affected files: keep only unmatched rows; matched rows come back
+    // (updated) from `aligned`, which also carries the pure inserts
+    val kept = readFiles(spark, m, affected).join(keys, Seq(keyCol), "left_anti")
+      .select(m.currentSchema.map(c => col(c.name)): _*)
+    val newFiles = writeFiles(spark, m, kept.unionByName(aligned))
+    TableMeta.commit(dir, v, appendSnapshot(m, "merge", manifest.diff(affected) ++ newFiles))
   }
 
   /** H2 `CALL system.rewrite_data_files` (README.md:328): compact the
@@ -209,81 +323,90 @@ final class GraftTable(val dir: Path) {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
-    val snapId = m.snapshots.map(_.snapshotId).max + 1
     val base = readFiles(spark, m, manifest)
     val df =
       if (sortBy.isEmpty) base.repartition(targetFiles)
       else base.repartitionByRange(targetFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
-    val newFiles = writeFiles(spark, m, df, snapId)
-    commitSnapshot(v, m, snapId, "replace", newFiles)
+    val newFiles = writeFiles(spark, m, df)
+    TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles))
   }
 
   /** H1 `CALL system.expire_snapshots(older_than, retain_last)`
     * (README.md:319-322): drop expired snapshots from metadata, then
     * physically delete data files no surviving snapshot references. */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
-    val (v, m) = TableMeta.load(dir)
-    val byIdDesc = m.snapshots.sortBy(-_.snapshotId)
-    val keep = (byIdDesc.take(retainLast) ++
-      m.snapshots.filter(s => s.timestampMs >= olderThanMs) ++
-      m.currentSnapshot.toSeq).distinct
-    val dropped = m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
-    if (dropped.isEmpty) return
-    val liveFiles = keep.flatMap(_.manifest.map(_.path)).toSet
-    val orphans = dropped.flatMap(_.manifest.map(_.path)).toSet -- liveFiles
-    TableMeta.commit(dir, v, m.copy(snapshots = keep.sortBy(_.snapshotId)))
-    orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
+    var orphans = Set.empty[String]
+    var changed = false
+    TableMeta.commitRetry(dir) { m =>
+      val byIdDesc = m.snapshots.sortBy(-_.snapshotId)
+      val keep = (byIdDesc.take(retainLast) ++
+        m.snapshots.filter(s => s.timestampMs >= olderThanMs) ++
+        m.currentSnapshot.toSeq).distinct
+      val dropped = m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
+      changed = dropped.nonEmpty
+      if (!changed) m
+      else {
+        val liveFiles = keep.flatMap(_.manifest.map(_.path)).toSet
+        orphans = dropped.flatMap(_.manifest.map(_.path)).toSet -- liveFiles
+        m.copy(snapshots = keep.sortBy(_.snapshotId))
+      }
+    }
+    // physical GC only after the metadata commit landed: a failed commit
+    // must never leave a surviving snapshot pointing at deleted files
+    if (changed) orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
   }
 
   // ----------------------------------------------------------------- DDL
 
   /** B3 `ALTER TABLE ... ADD COLUMN` (README.md:269) — metadata only; old
     * files read the new column as NULL. */
-  def addColumn(name: String, dataType: DataType): Unit = {
-    val (v, m) = TableMeta.load(dir)
-    require(!m.currentSchema.exists(_.name == name), s"column $name exists")
-    val nid = m.lastColumnId + 1
-    val nextSchema = m.currentSchema :+ ColumnDef(nid, name, dataType.json)
-    val nextSchemaId = m.currentSchemaId + 1
-    TableMeta.commit(dir, v, m.copy(
-      schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
-      currentSchemaId = nextSchemaId, lastColumnId = nid))
-  }
+  def addColumn(name: String, dataType: DataType): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      require(!m.currentSchema.exists(_.name == name), s"column $name exists")
+      val nid = m.lastColumnId + 1
+      val nextSchema = m.currentSchema :+ ColumnDef(nid, name, dataType.json)
+      val nextSchemaId = m.currentSchemaId + 1
+      m.copy(
+        schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+        currentSchemaId = nextSchemaId, lastColumnId = nid)
+    }
 
   /** B5 `ALTER TABLE ... RENAME COLUMN` (README.md:282) — metadata only,
     * no file rewrite (README.md:292); reads map by column id. */
-  def renameColumn(from: String, to: String): Unit = {
-    val (v, m) = TableMeta.load(dir)
-    require(m.currentSchema.exists(_.name == from), s"no column $from")
-    require(!m.currentSchema.exists(_.name == to), s"column $to exists")
-    val nextSchema = m.currentSchema.map(c => if (c.name == from) c.copy(name = to) else c)
-    val nextSchemaId = m.currentSchemaId + 1
-    TableMeta.commit(dir, v, m.copy(
-      schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
-      currentSchemaId = nextSchemaId))
-  }
+  def renameColumn(from: String, to: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      require(m.currentSchema.exists(_.name == from), s"no column $from")
+      require(!m.currentSchema.exists(_.name == to), s"column $to exists")
+      val nextSchema = m.currentSchema.map(c => if (c.name == from) c.copy(name = to) else c)
+      val nextSchemaId = m.currentSchemaId + 1
+      m.copy(
+        schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+        currentSchemaId = nextSchemaId)
+    }
 
   /** B6 `ALTER TABLE ... ADD PARTITION FIELD days(col)` (README.md:304) —
     * metadata only; FUTURE writes cluster and record the transform value,
     * existing files stay unpruned (kept by planDayRange). */
-  def addPartitionField(sourceCol: String): Unit = {
-    val (v, m) = TableMeta.load(dir)
-    val src = m.currentSchema.find(_.name == sourceCol)
-      .getOrElse(throw new IllegalArgumentException(s"no column $sourceCol"))
-    require(!m.partitionFields.exists(_.sourceId == src.id), "already partitioned")
-    TableMeta.commit(dir, v, m.copy(
-      partitionFields = m.partitionFields :+ PartitionField(src.id, "days", s"${sourceCol}_day")))
-  }
+  def addPartitionField(sourceCol: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val src = m.currentSchema.find(_.name == sourceCol)
+        .getOrElse(throw new IllegalArgumentException(s"no column $sourceCol"))
+      require(!m.partitionFields.exists(_.sourceId == src.id), "already partitioned")
+      m.copy(
+        partitionFields = m.partitionFields :+ PartitionField(src.id, "days", s"${sourceCol}_day"))
+    }
 
   // ------------------------------------------------------------ internals
 
-  /** Write `df` as this snapshot's new data files under
-    * `data/snap-<id>/`, clustered by the partition transform when one is
-    * declared (`partitionBy` — a single job; partition values come back
-    * from the directory layout). Returns the new DataFile entries. */
-  private def writeFiles(spark: SparkSession, m: TableMeta, df: DataFrame, snapId: Long): Seq[DataFile] = {
-    val outDir = dir.resolve("data").resolve(s"snap-$snapId")
+  /** Write `df` as new data files under a write-unique `data/w-<uuid>/`
+    * dir (two concurrent writers can never collide on paths), clustered
+    * by the partition transform when one is declared (`partitionBy` — a
+    * single job; partition values come back from the directory layout).
+    * Returns the new DataFile entries. */
+  private def writeFiles(spark: SparkSession, m: TableMeta, df: DataFrame): Seq[DataFile] = {
+    val outDir = dir.resolve("data")
+      .resolve(s"w-${java.util.UUID.randomUUID().toString.take(12)}")
     val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
     val parts = m.partitionFields.flatMap(pf => idToName.get(pf.sourceId).map(pf -> _))
     val out = outDir.toString
@@ -299,7 +422,13 @@ final class GraftTable(val dir: Path) {
         val withCols = parts.foldLeft(df) { case (acc, (pf, srcName)) =>
           acc.withColumn(pf.name, to_date(col(srcName)))
         }
-        withCols.write.partitionBy(parts.map(_._1.name): _*).parquet(out)
+        // Cluster rows by the partition value BEFORE partitionBy: without
+        // this, every shuffle partition writes a file into every day dir
+        // (shuffle.partitions × n_days tiny files — the classic
+        // small-files anti-pattern; at 100 TB it also drowns the manifest
+        // and every footer-stats pass). One shuffle, ~one file per day.
+        withCols.repartition(parts.map(p => col(p._1.name)): _*)
+          .write.partitionBy(parts.map(_._1.name): _*).parquet(out)
       }
     } finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
@@ -330,15 +459,16 @@ final class GraftTable(val dir: Path) {
     }
   }
 
-  private def commitSnapshot(
-      v: Int, m: TableMeta, snapId: Long, op: String, manifest: Seq[DataFile]): Unit = {
+  /** Pure metadata transition: append a new snapshot (id = max+1 of the
+    * GIVEN metadata, so a commitRetry reapply numbers correctly). */
+  private def appendSnapshot(m: TableMeta, op: String, manifest: Seq[DataFile]): TableMeta = {
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = m.currentSnapshotId,
       timestampMs = System.currentTimeMillis(),
       operation = op,
       manifest = manifest)
-    TableMeta.commit(dir, v, m.copy(
-      snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId)))
+    m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId))
   }
 }

@@ -1,7 +1,7 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
@@ -77,6 +77,11 @@ final case class TableMeta(
         org.apache.spark.sql.types.StructField(c.name, c.sparkType, nullable = true)))
 }
 
+/** A racing writer won the version we tried to create. Retryable for
+  * reapplicable updates (see TableMeta.commitRetry). */
+final class ConcurrentCommitException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
 object TableMeta {
   implicit val formats: Formats = DefaultFormats
 
@@ -87,30 +92,68 @@ object TableMeta {
     Serialization.read[TableMeta](
       new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
 
-  /** Current metadata version of a table dir, via the version hint. */
-  def currentVersion(tableDir: Path): Int =
-    new String(Files.readAllBytes(tableDir.resolve("meta").resolve("version-hint.text")),
+  /** Current metadata version of a table dir. The hint file is exactly
+    * that — a HINT: a concurrent committer may have landed v<N+1> before
+    * its hint swap, so we probe forward from the hint until the newest
+    * existing version file. This guarantees retry progress under races
+    * (a stale hint can never make two committers fight over the same
+    * version number forever). */
+  def currentVersion(tableDir: Path): Int = {
+    val metaDir = tableDir.resolve("meta")
+    var v = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")),
       StandardCharsets.UTF_8).trim.toInt
+    while (Files.exists(metaDir.resolve(s"v${v + 1}.json"))) v += 1
+    v
+  }
 
   def load(tableDir: Path): (Int, TableMeta) = {
     val v = currentVersion(tableDir)
     (v, read(tableDir.resolve("meta").resolve(s"v$v.json")))
   }
 
-  /** Atomic commit: v<N+1>.json must not exist (optimistic single-writer
-    * check), then the hint pointer is swapped by atomic rename. */
+  /** Atomic commit: creating v<N+1>.json with CREATE_NEW *is* the
+    * conflict check — the filesystem guarantees exactly one creator, so
+    * two racing committers can never both land the same version (an
+    * exists-then-write sequence would have a TOCTOU window). The hint
+    * pointer then swaps by atomic rename; readers that see a stale hint
+    * probe forward in `currentVersion`. */
   def commit(tableDir: Path, expectedVersion: Int, meta: TableMeta): Int = {
     val metaDir = tableDir.resolve("meta")
     val next = expectedVersion + 1
     val target = metaDir.resolve(s"v$next.json")
-    if (Files.exists(target))
-      throw new IllegalStateException(
-        s"concurrent commit detected: $target already exists")
-    write(meta, target)
+    try Files.write(target,
+      Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    catch {
+      case e: FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"concurrent commit detected: $target already exists", e)
+    }
     val tmp = Files.createTempFile(metaDir, "hint", ".tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaDir.resolve("version-hint.text"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  /** Optimistic retry commit (the reference's REST catalog behavior,
+    * README.md:59-61: losers reload and reapply): load fresh metadata,
+    * apply `update`, attempt the atomic commit; on conflict, reload and
+    * reapply. `update` must be safe to reapply on fresh metadata — true
+    * for appends (manifest merge) and metadata-only DDL; operations that
+    * validated against a specific base state (delete/replace) should use
+    * single-shot `commit` and surface the conflict instead. */
+  def commitRetry(tableDir: Path, maxAttempts: Int = 10)(update: TableMeta => TableMeta): Int = {
+    var attempt = 1
+    while (true) {
+      val (v, m) = load(tableDir)
+      try return commit(tableDir, v, update(m))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
   }
 }

@@ -53,6 +53,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(pairs.count() > 0) // the corpus contains such pairs
   }
 
+  test("jaccard posting-frequency cap is inert on the test corpus (no hot shingle)") {
+    // the cap (df > 1000) must drop nothing here: max 3-gram shingle
+    // document-frequency stays far below it, so jaccardPairs' result is
+    // identical to the uncapped exact computation the oracle runs
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(explode(when(size(col("t")) >= 3,
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+      .groupBy("sh").count()
+      .agg(max("count")).head().getLong(0)
+    assert(df < 1000, s"hot shingle df=$df would engage the cap and change results")
+  }
+
   test("language-ID emits only known languages, deterministically") {
     val a = TextOps.langId(spark, sfDir).collect()
     val langs = Set("en", "de", "fr", "es", "zh")

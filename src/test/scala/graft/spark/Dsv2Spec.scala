@@ -1,0 +1,105 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import graft.{SparkTestBase, Tables}
+import graft.table.GraftCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+
+/** DSv2 surface: SQL-by-name reads through the catalog plugin,
+  * path-based format("graft") reads, filter pushdown → manifest pruning,
+  * and schema evolution visible through SQL. */
+class Dsv2Spec extends SparkTestBase {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def partitionedEvents() = {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.events", eventsSchema, partitionDays = Some("ts"))
+    t.append(Tables.events(spark, sfDir))
+    (wh, t)
+  }
+
+  private var n = 0
+  private def freshCatalog(wh: java.nio.file.Path): String = {
+    n += 1
+    val cname = s"graft_spec_$n"
+    spark.conf.set(s"spark.sql.catalog.$cname", classOf[GraftCatalogPlugin].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", wh.toString)
+    cname
+  }
+
+  test("SQL read by name == DataFrame filter read") {
+    val (wh, t) = partitionedEvents()
+    val c = freshCatalog(wh)
+    val viaSql = spark.sql(
+      s"""SELECT event_id, value FROM $c.db.events
+          WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+            AND ts < TIMESTAMP '2024-01-08 00:00:00'
+          ORDER BY event_id""").collect()
+    val viaApi = t.read(spark)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast(TimestampType) &&
+        col("ts") < lit("2024-01-08 00:00:00").cast(TimestampType))
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id")).collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaApi)
+  }
+
+  test("pushed filters prune the manifest (day partitions + footer stats)") {
+    val (_, t) = partitionedEvents()
+    val m = t.meta
+    val all = m.currentSnapshot.get.manifest
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val te = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val pruned = t.planFilters(m, Seq(GreaterThanOrEqual("ts", ts), LessThan("ts", te)))
+    assert(pruned.size < all.size, s"expected pruning: ${pruned.size} of ${all.size}")
+    assert(pruned.nonEmpty)
+    // pruning never loses rows: pruned read + residual == full filter
+    val fromPruned = t.readPruned(spark, Seq(GreaterThanOrEqual("ts", ts), LessThan("ts", te)))
+      .filter(col("ts") >= lit(ts) && col("ts") < lit(te)).count()
+    val full = t.read(spark).filter(col("ts") >= lit(ts) && col("ts") < lit(te)).count()
+    assert(fromPruned === full)
+  }
+
+  test("format(\"graft\").load(path) reads the current snapshot") {
+    val (_, t) = partitionedEvents()
+    val viaFormat = spark.read.format("graft").load(t.dir.toString)
+    assert(viaFormat.count() === t.read(spark).count())
+    assert(viaFormat.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
+  test("schema evolution is visible through SQL (rename + added column)") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.evolve", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(100))
+    t.renameColumn("event_type", "kind")
+    t.addColumn("note", StringType)
+    val c = freshCatalog(wh)
+    val rows = spark.sql(s"SELECT event_id, kind, note FROM $c.db.evolve").collect()
+    assert(rows.length === 100)
+    assert(rows.forall(_.isNullAt(2))) // added column reads NULL for old files
+  }
+
+  test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
+    val (wh, _) = partitionedEvents()
+    val c = freshCatalog(wh)
+    assert(spark.sql(s"SHOW NAMESPACES IN $c").collect().map(_.getString(0)).contains("db"))
+    assert(spark.sql(s"SHOW TABLES IN $c.db").collect().map(_.getString(1)).contains("events"))
+    spark.sql(s"CREATE TABLE $c.db.fresh (id BIGINT, name STRING)")
+    val t2 = new GraftCatalog(wh).load("db.fresh")
+    assert(t2.meta.currentSchema.map(_.name) === Seq("id", "name"))
+  }
+}

@@ -228,12 +228,97 @@ class TableSpec extends SparkTestBase {
     assert(t.history(spark).filter(col("operation") === "overwrite").count() === 1)
   }
 
-  test("concurrent commit is detected (optimistic version check)") {
+  test("row-level UPDATE (CoW): assignment applies, old snapshot untouched") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.upd", pedidosSchema)
+    t.append(pedidosDf) // snapshot 1
+    t.update(spark, col("uf") === "SP", Map("quantidade" -> lit(99))) // snapshot 2
+    val cur = t.read(spark)
+    assert(cur.count() === 5)
+    assert(cur.filter(col("quantidade") === 99).count() === 2) // exactly the SP rows
+    assert(cur.filter(col("uf") === "SP" && col("quantidade") =!= 99).count() === 0)
+    // non-matching rows byte-identical
+    assert(cur.filter(col("uf") =!= "SP").orderBy("id_pedido").collect() ===
+      pedidosDf.filter(col("uf") =!= "SP").orderBy("id_pedido").collect())
+    // time travel: the pre-update snapshot still shows original values
+    assert(t.readVersion(spark, 1).filter(col("quantidade") === 99).count() === 0)
+    assert(t.meta.snapshot(2).operation === "update")
+  }
+
+  test("MERGE upsert: matched keys replaced, new keys inserted, rest untouched") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.mrg", pedidosSchema)
+    t.append(pedidosDf) // snapshot 1
+    val src = spark.createDataFrame(Seq(
+      Row("p1", "teclado-v2", BigDecimal("150.00").bigDecimal, 5,
+        Timestamp.valueOf("2024-06-01 08:00:00"), "SP"),
+      Row("p9", "webcam", BigDecimal("250.00").bigDecimal, 1,
+        Timestamp.valueOf("2024-06-01 09:00:00"), "PR")).asJava(), pedidosSchema)
+    t.merge(spark, src, "id_pedido") // snapshot 2
+    val cur = t.read(spark)
+    assert(cur.count() === 6)
+    val p1 = cur.filter(col("id_pedido") === "p1").head()
+    assert(p1.getString(1) === "teclado-v2")
+    assert(p1.getInt(3) === 5)
+    assert(cur.filter(col("id_pedido") === "p9").count() === 1)
+    assert(cur.filter(col("id_pedido") === "p2").head().getString(1) === "mouse")
+    // pre-merge snapshot intact (time travel)
+    assert(t.readVersion(spark, 1).count() === 5)
+    assert(t.readVersion(spark, 1).filter(col("id_pedido") === "p9").count() === 0)
+  }
+
+  test("MERGE into an empty table is a plain insert") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.mrg0", pedidosSchema)
+    t.merge(spark, pedidosDf, "id_pedido")
+    assert(t.read(spark).count() === 5)
+  }
+
+  test("concurrent commit is detected (atomic CREATE_NEW version file)") {
     val cat = newCatalog()
     cat.createSchema("db")
     val t = cat.createTable("db.cc", pedidosSchema)
     val (v, m) = TableMeta.load(t.dir)
     TableMeta.commit(t.dir, v, m) // simulate another writer landing v2
-    intercept[IllegalStateException](TableMeta.commit(t.dir, v, m))
+    intercept[ConcurrentCommitException](TableMeta.commit(t.dir, v, m))
+  }
+
+  test("commitRetry: a loser reloads and reapplies — no lost update") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.retry", pedidosSchema)
+    // both writers race from the SAME base version; commitRetry must land
+    // both updates (the reference REST catalog's optimistic retry)
+    var firstAttempt = true
+    TableMeta.commitRetry(t.dir) { m =>
+      if (firstAttempt) {
+        firstAttempt = false
+        // interleave: another writer lands a commit mid-flight
+        val (v2, m2) = TableMeta.load(t.dir)
+        TableMeta.commit(t.dir, v2, m2.copy(lastColumnId = m2.lastColumnId + 100))
+      }
+      m.copy(lastColumnId = m.lastColumnId + 1)
+    }
+    val (_, finalMeta) = TableMeta.load(t.dir)
+    // base lastColumnId is schema size; both the +100 and the +1 landed
+    assert(finalMeta.lastColumnId == pedidosSchema.size + 101)
+  }
+
+  test("concurrent appends both land via retry (no lost snapshot)") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.app2", pedidosSchema)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val df1 = pedidosDf.limit(3)
+    val df2 = pedidosDf.limit(2)
+    val fs = Seq(Future(t.append(df1)), Future(t.append(df2)))
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.meta.snapshots.size == 2)
+    assert(t.read(spark).count() == 5)
   }
 }
