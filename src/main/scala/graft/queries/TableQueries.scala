@@ -154,6 +154,16 @@ object TableQueries {
           ORDER BY event_id""")
   }
 
+  /** D2, merge-on-read flavor: positional delete files instead of CoW
+    * rewrite — visible semantics identical to q_table_read's CoW delete
+    * (same oracle), but no data file is rewritten (asserted in
+    * TableSpec). */
+  def tableMorDelete(s: SparkSession, d: String): DataFrame = {
+    val t = plainFixture(s, d)
+    t.deleteMoR(s, col("o_orderstatus") === "F")
+    ordered(t.read(s))
+  }
+
   /** H2 compaction: rewrite_data_files must not change logical content. */
   def tableCompact(s: SparkSession, d: String): DataFrame = {
     val t = ordersFixture(s, d)
@@ -182,7 +192,8 @@ object TableQueries {
     "q_table_history"         -> tableHistory,
     "q_table_update"          -> tableUpdate,
     "q_table_merge"           -> tableMerge,
-    "q_table_sql_read"        -> tableSqlRead)
+    "q_table_sql_read"        -> tableSqlRead,
+    "q_table_mor_delete"      -> tableMorDelete)
 
   private val orderedOrdersSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -192,6 +203,7 @@ object TableQueries {
 
   val oracle: Map[String, String] = Map(
     "q_table_read" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),
     "q_table_evolution" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

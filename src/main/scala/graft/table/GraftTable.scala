@@ -42,7 +42,9 @@ final class GraftTable(val dir: Path) {
   def readDayRange(spark: SparkSession, sourceCol: String, fromDay: String, toDay: String): DataFrame = {
     val m = meta
     val files = planDayRange(m, sourceCol, fromDay, toDay)
-    val df = readFiles(spark, m, files)
+    val df =
+      if (files.isEmpty) readFiles(spark, m, Nil)
+      else readLive(spark, m, files).drop("_graft_fp", "_graft_pos")
     df.filter(
       to_date(col(sourceCol)) >= lit(fromDay).cast(DateType) &&
         to_date(col(sourceCol)) <= lit(toDay).cast(DateType))
@@ -96,8 +98,10 @@ final class GraftTable(val dir: Path) {
     val files = planColRange(m, colName, lo, hi)
     val dt = m.currentSchema.find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"no column $colName")).sparkType
-    readFiles(spark, m, files)
-      .filter(col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt))
+    val df =
+      if (files.isEmpty) readFiles(spark, m, Nil)
+      else readLive(spark, m, files).drop("_graft_fp", "_graft_pos")
+    df.filter(col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt))
   }
 
   /** DSv2 pushdown entry point: prune the manifest with DataSource
@@ -137,10 +141,13 @@ final class GraftTable(val dir: Path) {
     }
   }
 
-  /** Filter-pruned current-snapshot read (the DSv2 scan body). */
+  /** Filter-pruned current-snapshot read (the DSv2 scan body), MoR
+    * deletes applied. */
   def readPruned(spark: SparkSession, filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     val m = meta
-    readFiles(spark, m, planFilters(m, filters))
+    val files = planFilters(m, filters)
+    if (files.isEmpty) readFiles(spark, m, Nil)
+    else readLive(spark, m, files).drop("_graft_fp", "_graft_pos")
   }
 
   /** C4 `SELECT * FROM t.history` (README.md:245-248). */
@@ -157,12 +164,39 @@ final class GraftTable(val dir: Path) {
 
   private def readSnapshot(spark: SparkSession, snap: Option[Snapshot]): DataFrame = {
     val m = meta
-    val current = m.currentSchema
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), m.sparkSchema(m.currentSchemaId))
-    snap.map(_.manifest).filter(_.nonEmpty).fold(empty) { manifest =>
-      readFiles(spark, m, manifest)
+    snap.filter(_.manifest.nonEmpty).fold(empty) { s =>
+      deleteEntries(spark, s) match {
+        case None    => readFiles(spark, m, s.manifest)
+        case Some(d) =>
+          readFiles(spark, m, s.manifest, withPos = true)
+            .join(d, Seq("_graft_fp", "_graft_pos"), "left_anti")
+            .drop("_graft_fp", "_graft_pos")
+      }
     }
+  }
+
+  /** The snapshot's merge-on-read delete entries as (_graft_fp,
+    * _graft_pos), or None when it has no delete files. File paths were
+    * recorded from `_metadata.file_path` at delete time, so they join
+    * exactly against the same expression at read time. */
+  private def deleteEntries(spark: SparkSession, snap: Snapshot): Option[DataFrame] = {
+    val dels = snap.allDeleteFiles
+    if (dels.isEmpty) None
+    else Some(
+      spark.read.parquet(dels.map(f => dir.resolve(f.path).toString): _*)
+        .select(col("file_path").as("_graft_fp"), col("pos").as("_graft_pos")))
+  }
+
+  /** MoR-merged live rows of `files` under the current snapshot, KEEPING
+    * the _graft_fp/_graft_pos helper columns (CoW ops use _graft_fp for
+    * affected-file detection; callers must drop/project them away). */
+  private def readLive(spark: SparkSession, m: TableMeta, files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty) return readFiles(spark, m, Nil)
+    val base = readFiles(spark, m, files, withPos = true)
+    m.currentSnapshot.flatMap(deleteEntries(spark, _))
+      .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
   }
 
   /** Read a set of data files, resolving each file's columns to the
@@ -170,7 +204,9 @@ final class GraftTable(val dir: Path) {
     * (README.md:282-292), columns added after the file was written read
     * as NULL (README.md:269-276). Files are grouped by the schema they
     * were written under; one scan per schema epoch, then unionByName. */
-  private def readFiles(spark: SparkSession, m: TableMeta, files: Seq[DataFile]): DataFrame = {
+  private def readFiles(
+      spark: SparkSession, m: TableMeta, files: Seq[DataFile],
+      withPos: Boolean = false): DataFrame = {
     val current = m.currentSchema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -184,7 +220,12 @@ final class GraftTable(val dir: Path) {
           case Some(w) => col(w.name).cast(c.sparkType).as(c.name)
           case None    => lit(null).cast(c.sparkType).as(c.name)
         }
-      }
+      } ++ (if (withPos)
+        // hidden parquet metadata columns: exact file + row position —
+        // the merge-on-read join key (Iceberg's positional deletes)
+        Seq(col("_metadata.file_path").as("_graft_fp"),
+          col("_metadata.row_index").as("_graft_pos"))
+      else Nil)
       spark.read
         .schema(m.sparkSchema(sid))
         .parquet(fs.map(f => dir.resolve(f.path).toString): _*)
@@ -207,7 +248,8 @@ final class GraftTable(val dir: Path) {
     // concurrent commits — the reference's REST-catalog behavior.
     TableMeta.commitRetry(dir) { fresh =>
       appendSnapshot(fresh, "append",
-        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles)
+        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
+        carryDeletes(fresh)) // prior MoR deletes still apply to old files
     }
   }
 
@@ -217,7 +259,8 @@ final class GraftTable(val dir: Path) {
     val (_, m) = TableMeta.load(dir)
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val newFiles = writeFiles(df.sparkSession, m, aligned)
-    TableMeta.commitRetry(dir)(fresh => appendSnapshot(fresh, "overwrite", newFiles))
+    // full content replacement: no prior delete files survive
+    TableMeta.commitRetry(dir)(fresh => appendSnapshot(fresh, "overwrite", newFiles, Nil))
   }
 
   /** D2 row-level `DELETE WHERE` (README.md:231), copy-on-write: one scan
@@ -228,22 +271,58 @@ final class GraftTable(val dir: Path) {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
-    val withFile = readFiles(spark, m, manifest)
-      .withColumn("_graft_file", input_file_name())
-    val affectedPaths = withFile.filter(pred)
-      .select(col("_graft_file")).distinct()
+    // readLive: earlier MoR-deleted rows must not resurrect in the rewrite
+    val live = readLive(spark, m, manifest)
+    val affectedPaths = live.filter(pred)
+      .select(col("_graft_fp")).distinct()
       .collect().map(_.getString(0)).toSet
     val affected = manifest.filter(f =>
       affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
     if (affected.isEmpty) return
     // DELETE WHERE pred removes rows where pred IS TRUE; null-pred rows
     // are kept — hence not(coalesce(pred, false)), not plain !pred.
-    val kept = readFiles(spark, m, affected).filter(!coalesce(pred, lit(false)))
+    val kept = readLive(spark, m, affected)
+      .filter(!coalesce(pred, lit(false)))
+      .select(m.currentSchema.map(c => col(c.name)): _*)
     val newFiles = writeFiles(spark, m, kept)
     val newManifest = manifest.diff(affected) ++ newFiles
     // single-shot commit: a CoW delete validated against THIS manifest —
     // a concurrent change must surface, not be silently reapplied
-    TableMeta.commit(dir, v, appendSnapshot(m, "delete", newManifest))
+    TableMeta.commit(dir, v, appendSnapshot(m, "delete", newManifest, carryDeletes(m)))
+  }
+
+  /** D2 merge-on-read flavor (Iceberg v2's actual default): instead of
+    * rewriting files, record the (file, position) of each matching row in
+    * a positional DELETE FILE; reads anti-join those positions away. A
+    * 1-row delete costs one tiny parquet write — no data-file rewrite
+    * (CoW write-amplifies: 1 matching row rewrites its whole file, a real
+    * cost at 100 TB). Compaction (rewriteDataFiles) folds the deletes in
+    * and clears them. */
+  def deleteMoR(spark: SparkSession, pred: Column): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) return
+    val outRel = s"data/d-${java.util.UUID.randomUUID().toString.take(12)}"
+    val outDir = dir.resolve(outRel)
+    readLive(spark, m, manifest)
+      .filter(coalesce(pred, lit(false)))
+      .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
+      .coalesce(1) // positional deletes are tiny; one file per commit
+      .write.parquet(outDir.toString)
+    val walk = Files.walk(outDir)
+    val parts =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
+    val entries = parts.flatMap { p =>
+      val (rows, _) = FooterStats.read(p, Nil)
+      if (rows == 0) None
+      else Some(DataFile(dir.relativize(p).toString, rows, m.currentSchemaId, Map.empty))
+    }
+    if (entries.isEmpty) return // nothing matched; stray empty dir is inert
+    TableMeta.commit(dir, v,
+      appendSnapshot(m, "delete", manifest, carryDeletes(m) ++ entries))
   }
 
   /** Row-level `UPDATE ... SET ... WHERE` — the other half of the v2
@@ -257,24 +336,23 @@ final class GraftTable(val dir: Path) {
       require(m.currentSchema.exists(_.name == k), s"no column $k"))
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
-    val withFile = readFiles(spark, m, manifest)
-      .withColumn("_graft_file", input_file_name())
-    val affectedPaths = withFile.filter(pred)
-      .select(col("_graft_file")).distinct()
+    val affectedPaths = readLive(spark, m, manifest).filter(pred)
+      .select(col("_graft_fp")).distinct()
       .collect().map(_.getString(0)).toSet
     val affected = manifest.filter(f =>
       affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
     if (affected.isEmpty) return
     // null-pred rows are NOT updated (same rule as delete's keep side)
     val hit = coalesce(pred, lit(false))
-    val rewritten = readFiles(spark, m, affected).select(m.currentSchema.map { c =>
+    val rewritten = readLive(spark, m, affected).select(m.currentSchema.map { c =>
       assignments.get(c.name) match {
         case Some(e) => when(hit, e.cast(c.sparkType)).otherwise(col(c.name)).as(c.name)
         case None    => col(c.name)
       }
     }: _*)
     val newFiles = writeFiles(spark, m, rewritten)
-    TableMeta.commit(dir, v, appendSnapshot(m, "update", manifest.diff(affected) ++ newFiles))
+    TableMeta.commit(dir, v,
+      appendSnapshot(m, "update", manifest.diff(affected) ++ newFiles, carryDeletes(m)))
   }
 
   /** MERGE-shaped upsert: rows of `source` whose `keyCol` matches an
@@ -293,24 +371,23 @@ final class GraftTable(val dir: Path) {
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) {
       val newFiles = writeFiles(spark, m, aligned)
-      TableMeta.commit(dir, v, appendSnapshot(m, "merge", newFiles))
+      TableMeta.commit(dir, v, appendSnapshot(m, "merge", newFiles, Nil))
       return
     }
     val keys = aligned.select(col(keyCol)).distinct()
-    val withFile = readFiles(spark, m, manifest)
-      .withColumn("_graft_file", input_file_name())
-    val affectedPaths = withFile
+    val affectedPaths = readLive(spark, m, manifest)
       .join(keys, Seq(keyCol), "left_semi")
-      .select(col("_graft_file")).distinct()
+      .select(col("_graft_fp")).distinct()
       .collect().map(_.getString(0)).toSet
     val affected = manifest.filter(f =>
       affectedPaths.exists(p => p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
     // affected files: keep only unmatched rows; matched rows come back
     // (updated) from `aligned`, which also carries the pure inserts
-    val kept = readFiles(spark, m, affected).join(keys, Seq(keyCol), "left_anti")
+    val kept = readLive(spark, m, affected).join(keys, Seq(keyCol), "left_anti")
       .select(m.currentSchema.map(c => col(c.name)): _*)
     val newFiles = writeFiles(spark, m, kept.unionByName(aligned))
-    TableMeta.commit(dir, v, appendSnapshot(m, "merge", manifest.diff(affected) ++ newFiles))
+    TableMeta.commit(dir, v,
+      appendSnapshot(m, "merge", manifest.diff(affected) ++ newFiles, carryDeletes(m)))
   }
 
   /** H2 `CALL system.rewrite_data_files` (README.md:328): compact the
@@ -323,13 +400,16 @@ final class GraftTable(val dir: Path) {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
-    val base = readFiles(spark, m, manifest)
+    // compaction folds MoR deletes into the rewrite and clears them —
+    // the new snapshot is pure data files again
+    val base = readLive(spark, m, manifest)
+      .select(m.currentSchema.map(c => col(c.name)): _*)
     val df =
       if (sortBy.isEmpty) base.repartition(targetFiles)
       else base.repartitionByRange(targetFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     val newFiles = writeFiles(spark, m, df)
-    TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles))
+    TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles, Nil))
   }
 
   /** H1 `CALL system.expire_snapshots(older_than, retain_last)`
@@ -347,8 +427,9 @@ final class GraftTable(val dir: Path) {
       changed = dropped.nonEmpty
       if (!changed) m
       else {
-        val liveFiles = keep.flatMap(_.manifest.map(_.path)).toSet
-        orphans = dropped.flatMap(_.manifest.map(_.path)).toSet -- liveFiles
+        def paths(s: Snapshot) = s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path)
+        val liveFiles = keep.flatMap(paths).toSet
+        orphans = dropped.flatMap(paths).toSet -- liveFiles
         m.copy(snapshots = keep.sortBy(_.snapshotId))
       }
     }
@@ -459,16 +540,25 @@ final class GraftTable(val dir: Path) {
     }
   }
 
+  /** The current snapshot's MoR delete files, for ops that keep prior
+    * data files in place (append, CoW delete/update/merge — stale entries
+    * pointing at rewritten files are inert in the anti-join). */
+  private def carryDeletes(m: TableMeta): Seq[DataFile] =
+    m.currentSnapshot.map(_.allDeleteFiles).getOrElse(Nil)
+
   /** Pure metadata transition: append a new snapshot (id = max+1 of the
     * GIVEN metadata, so a commitRetry reapply numbers correctly). */
-  private def appendSnapshot(m: TableMeta, op: String, manifest: Seq[DataFile]): TableMeta = {
+  private def appendSnapshot(
+      m: TableMeta, op: String, manifest: Seq[DataFile],
+      deletes: Seq[DataFile]): TableMeta = {
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = m.currentSnapshotId,
       timestampMs = System.currentTimeMillis(),
       operation = op,
-      manifest = manifest)
+      manifest = manifest,
+      deleteFiles = if (deletes.isEmpty) None else Some(deletes))
     m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId))
   }
 }

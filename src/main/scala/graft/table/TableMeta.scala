@@ -45,12 +45,21 @@ final case class DataFile(
     partitionValues: Map[String, String],
     stats: Option[Map[String, ColRange]] = None)
 
+/** `deleteFiles` (Iceberg v2 merge-on-read): parquet files of
+  * (file_path, pos) rows marking deleted positions in data files; the
+  * read path anti-joins them away. Option so metadata written before the
+  * field existed still parses; entries pointing at data files that were
+  * later rewritten are inert (the anti-join simply never matches) and are
+  * cleared entirely by compaction. */
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | delete | replace
-    manifest: Seq[DataFile])
+    operation: String, // append | delete | update | merge | replace | overwrite
+    manifest: Seq[DataFile],
+    deleteFiles: Option[Seq[DataFile]] = None) {
+  def allDeleteFiles: Seq[DataFile] = deleteFiles.getOrElse(Nil)
+}
 
 final case class TableMeta(
     formatVersion: Int,

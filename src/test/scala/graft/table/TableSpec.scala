@@ -277,6 +277,72 @@ class TableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 5)
   }
 
+  test("MoR delete: row disappears WITHOUT rewriting any data file") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.mor", pedidosSchema)
+    t.append(pedidosDf) // snapshot 1
+    val filesBefore = t.meta.currentSnapshot.get.manifest.map(_.path).toSet
+    t.deleteMoR(spark, col("id_pedido") === "p3") // snapshot 2
+    val snap2 = t.meta.currentSnapshot.get
+    // the defining MoR property: data files untouched, one delete file
+    assert(snap2.manifest.map(_.path).toSet === filesBefore)
+    assert(snap2.allDeleteFiles.nonEmpty)
+    val cur = t.read(spark)
+    assert(cur.count() === 4)
+    assert(cur.filter(col("id_pedido") === "p3").count() === 0)
+    // time travel: snapshot 1 still sees the row
+    assert(t.readVersion(spark, 1).filter(col("id_pedido") === "p3").count() === 1)
+  }
+
+  test("MoR deletes survive appends and never resurrect through CoW rewrites") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.mor2", pedidosSchema)
+    t.append(pedidosDf)
+    t.deleteMoR(spark, col("id_pedido") === "p1")
+    // append keeps the delete applicable to old files
+    val extra = pedidosDf.filter(col("id_pedido") === "p5")
+      .withColumn("id_pedido", lit("p6"))
+    t.append(extra)
+    assert(t.read(spark).count() === 5) // 5 - 1 + 1
+    assert(t.read(spark).filter(col("id_pedido") === "p1").count() === 0)
+    // a CoW delete touching p1's file must NOT bring p1 back
+    t.delete(spark, col("uf") === "RJ") // p2 shares the original file
+    val cur = t.read(spark)
+    assert(cur.filter(col("id_pedido") === "p1").count() === 0)
+    assert(cur.filter(col("id_pedido") === "p2").count() === 0)
+    assert(cur.count() === 4)
+  }
+
+  test("compaction folds MoR deletes in and clears the delete files") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.mor3", pedidosSchema)
+    t.append(pedidosDf)
+    t.deleteMoR(spark, col("valor") < 60) // p4 (19.90), p5 (59.90)
+    assert(t.read(spark).count() === 3)
+    t.rewriteDataFiles(spark, targetFiles = 1)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.allDeleteFiles.isEmpty)
+    assert(t.read(spark).count() === 3)
+    assert(t.read(spark).filter(col("valor") < 60).count() === 0)
+  }
+
+  test("expire GC deletes orphaned MoR delete files") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.mor4", pedidosSchema)
+    t.append(pedidosDf)
+    t.deleteMoR(spark, col("id_pedido") === "p2")
+    val delPath = t.dir.resolve(t.meta.currentSnapshot.get.allDeleteFiles.head.path)
+    assert(Files.exists(delPath))
+    t.rewriteDataFiles(spark, targetFiles = 1) // snapshot 3: no delete files
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(!Files.exists(delPath)) // orphaned delete file GC'd
+    assert(t.read(spark).count() === 4)
+  }
+
   test("concurrent commit is detected (atomic CREATE_NEW version file)") {
     val cat = newCatalog()
     cat.createSchema("db")
