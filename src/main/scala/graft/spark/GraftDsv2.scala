@@ -7,11 +7,14 @@ import scala.jdk.CollectionConverters._
 
 import graft.table.{GraftCatalog, GraftTable}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector uses, and it keeps WholeStageCodegen + all parquet
   * optimizations without reimplementing a reader.
   */
-class GraftDsv2Table(val table: GraftTable, ident: String) extends Table with SupportsRead {
+class GraftDsv2Table(val table: GraftTable, ident: String)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
 
@@ -46,10 +50,91 @@ class GraftDsv2Table(val table: GraftTable, ident: String) extends Table with Su
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, // INSERT INTO (V1 InsertableRelation bridge)
+      TableCapability.TRUNCATE)       // INSERT OVERWRITE
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, schema())
+
+  /** INSERT INTO / INSERT OVERWRITE via the V1 write bridge: the incoming
+    * frame goes straight through GraftTable.append/overwrite — snapshot
+    * commit, partition clustering, footer stats, retry, all identical to
+    * the Scala API path. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite) table.overwrite(data) else table.append(data)
+          }
+      }
+    }
+
+  /** `DELETE FROM t WHERE ...` — only for predicates expressible as a
+    * Column (canDeleteWhere gates); executes the CoW delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val pred = filters.flatMap(FilterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
+    table.delete(spark, pred)
+  }
+}
+
+/** sources.Filter → Column for the SQL DELETE path. None = inexpressible
+  * (canDeleteWhere then rejects and Spark reports the unsupported DELETE
+  * instead of silently deleting the wrong rows). */
+object FilterToColumn {
+  def apply(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sources.EqualTo(c, v)            => Some(col(c) === lit(v))
+    case sources.EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+    case sources.GreaterThan(c, v)        => Some(col(c) > lit(v))
+    case sources.GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case sources.LessThan(c, v)           => Some(col(c) < lit(v))
+    case sources.LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+    case sources.In(c, vs)                => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(c)                => Some(col(c).isNull)
+    case sources.IsNotNull(c)             => Some(col(c).isNotNull)
+    case sources.StringStartsWith(c, v)   => Some(col(c).startsWith(v))
+    case sources.StringEndsWith(c, v)     => Some(col(c).endsWith(v))
+    case sources.StringContains(c, v)     => Some(col(c).contains(v))
+    case sources.And(l, r)  => for (a <- apply(l); b <- apply(r)) yield a && b
+    case sources.Or(l, r)   => for (a <- apply(l); b <- apply(r)) yield a || b
+    case sources.Not(child) => apply(child).map(!_)
+    case _ => None
+  }
+}
+
+/** Read-only metadata table (`SELECT * FROM graft.db.t.history` — the
+  * README.md:245 surface; also .snapshots / .files). */
+class GraftMetaTable(table: GraftTable, kind: String, ident: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    table.metaTable(SparkSession.active, kind).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftMetaTable.this.schema()
+          override def buildScan(): RDD[Row] =
+            table.metaTable(context.sparkSession, kind).rdd
+        }.asInstanceOf[T]
+    }
 }
 
 class GraftScanBuilder(table: GraftTable, full: StructType)
@@ -123,12 +208,22 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   private def qualified(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
+  private val metaKinds = Set("history", "snapshots", "files")
+
   override def loadTable(ident: Identifier): Table = {
     val q = qualified(ident)
-    if (!cat.tableExists(q))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        (ident.namespace() :+ ident.name()).toSeq)
-    new GraftDsv2Table(cat.load(q), s"$catalogName.$q")
+    if (cat.tableExists(q))
+      new GraftDsv2Table(cat.load(q), s"$catalogName.$q")
+    else {
+      // Iceberg-style metadata tables: db.table.history resolves here as
+      // namespace=[db, table], name=history
+      val baseQ = ident.namespace().mkString(".")
+      if (ident.namespace().length == 2 && metaKinds(ident.name()) && cat.tableExists(baseQ))
+        new GraftMetaTable(cat.load(baseQ), ident.name(), s"$catalogName.$q")
+      else
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(qualified(ident))

@@ -162,6 +162,35 @@ final class GraftTable(val dir: Path) {
       "n_files", "n_rows", "is_current")
   }
 
+  /** Iceberg-style metadata tables (`SELECT * FROM t.history` etc.,
+    * README.md:245-248): pure driver-side derivations from TableMeta —
+    * metadata-sized, never a data scan. */
+  def metaTable(spark: SparkSession, kind: String): DataFrame = kind match {
+    case "history" => history(spark)
+    case "snapshots" =>
+      val m = meta
+      val rows = m.snapshots.map(s =>
+        (new Timestamp(s.timestampMs), s.snapshotId, s.parentId, s.operation,
+          s.manifest.size.toLong, s.manifest.map(_.rows).sum,
+          s.allDeleteFiles.size.toLong))
+      spark.createDataFrame(rows).toDF(
+        "committed_at", "snapshot_id", "parent_id", "operation",
+        "n_files", "n_rows", "n_delete_files")
+    case "files" =>
+      val m = meta
+      val snap = m.currentSnapshot
+      val rows =
+        snap.map(_.manifest).getOrElse(Nil).map(f =>
+          ("data", f.path, f.rows, f.schemaId, f.partitionValues)) ++
+        snap.map(_.allDeleteFiles).getOrElse(Nil).map(f =>
+          ("position_deletes", f.path, f.rows, f.schemaId, f.partitionValues))
+      spark.createDataFrame(rows).toDF(
+        "content", "file_path", "n_rows", "schema_id", "partition_values")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown metadata table $other (history | snapshots | files)")
+  }
+
   private def readSnapshot(spark: SparkSession, snap: Option[Snapshot]): DataFrame = {
     val m = meta
     def empty = spark.createDataFrame(
