@@ -29,8 +29,7 @@ object Bench {
     // reader all class-load/JIT on first use — without this the first
     // timed q_table_* query pays the entire cold start
     try {
-      val cat = new graft.table.GraftCatalog(
-        java.nio.file.Files.createTempDirectory("graft_warm"))
+      val cat = new graft.table.GraftCatalog(Scratch.fresh("graft_warm"))
       cat.createSchema("warm")
       val t = cat.createTable("warm.t", StructType(Seq(
         StructField("id", LongType), StructField("ts", TimestampType))),

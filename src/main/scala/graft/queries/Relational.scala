@@ -71,8 +71,7 @@ object Relational {
     * the orders table through csv.gz in a temp dir; content is preserved,
     * so the oracle is the orders table itself. */
   def csvScan(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_csv").toString + "/orders_csv"
+    val tmp = graft.Scratch.overwritable("orders_csv", d)
     Tables.orders(s, d)
       .write.mode("overwrite")
       .option("header", "true").option("sep", ";")
@@ -97,8 +96,7 @@ object Relational {
     * parquet — same vectorized read path). Content-preserving, so the
     * oracle is the source table itself. */
   def orcScan(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_orc").toString + "/orders_orc"
+    val tmp = graft.Scratch.overwritable("orders_orc", d)
     Tables.orders(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp).orderBy(col("o_orderkey"))
   }
@@ -107,8 +105,7 @@ object Relational {
     * schema (schema-on-read, no inference pass — at scale inference is a
     * full extra scan). */
   def jsonScan(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_json").toString + "/orders_json"
+    val tmp = graft.Scratch.overwritable("orders_json", d)
     val src = Tables.orders(s, d)
     src.write.mode("overwrite").json(tmp)
     s.read.schema(src.schema).json(tmp).orderBy(col("o_orderkey"))

@@ -145,12 +145,13 @@ object TextOps {
     // pushes isnotnull/size filters below the explode, re-deriving the
     // full shingle expression per predicate. A written-out intermediate
     // (not .persist()) — exactly what this stage is at 100 TB, and it
-    // leaves nothing cached across the bench session.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sh").toString + "/shingles"
+    // leaves nothing cached across the bench session. Scratch-managed
+    // path + overwrite: repeat runs reuse one location, JVM exit cleans.
+    val tmp = graft.Scratch.overwritable("shingles", d)
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
-      .write.parquet(tmp)
+      .write.mode("overwrite").parquet(tmp)
     val base = s.read.parquet(tmp)
     // set sizes straight from the array — no second explode+groupBy pass
     val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
@@ -196,13 +197,14 @@ object TextOps {
     val mh = udaf(Sketches.MinHashAgg)
     // signatures feed banding + two rejoin branches: write them out once
     // (the 100 TB shape — a signature table IS a materialized artifact)
-    // instead of .persist(), which would leak cache across the session
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString + "/sigs"
+    // instead of .persist(), which would leak cache across the session;
+    // scratch-managed + overwrite bounds disk growth across repeat runs
+    val tmp = graft.Scratch.overwritable("minhash_sigs", d)
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(array_distinct(toks(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("source"))
       .agg(mh(col("tok")).as("sig"))
-      .write.parquet(tmp)
+      .write.mode("overwrite").parquet(tmp)
     val sigs = s.read.parquet(tmp)
     val BANDS = 2
     val ROWS = Sketches.NUM_PERM / BANDS

@@ -70,18 +70,29 @@ final class GraftTable(val dir: Path) {
     }
   }
 
+  /** Non-numeric bound comparison in UNSIGNED UTF-8 BYTE order: parquet
+    * footer min/max for strings are ordered by unsigned UTF-8 bytes,
+    * while Java String.compareTo orders UTF-16 code units — the two
+    * disagree on supplementary (non-BMP) characters, and pruning under
+    * the wrong order can skip a file that contains matches. ISO
+    * timestamp/date renderings are ASCII, where both orders coincide. */
+  private def utf8Lte(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
+
   /** Stats-based file pruning (data skipping): keep only files whose
     * recorded [min, max] for `colName` intersects [lo, hi]. Comparison is
-    * typed (numeric → BigDecimal, else string — correct for ISO
-    * timestamps/dates in UTC). Files without stats are kept. Most
-    * effective after a sorted compaction (disjoint ranges). */
+    * typed (numeric → BigDecimal, else unsigned UTF-8 bytes — the footer
+    * stats order). Files without stats are kept. Most effective after a
+    * sorted compaction (disjoint ranges). */
   def planColRange(m: TableMeta, colName: String, lo: String, hi: String): Seq[DataFile] = {
     val numeric = m.currentSchema.find(_.name == colName).exists(_.sparkType match {
       case _: NumericType => true
       case _ => false
     })
     def lte(a: String, b: String): Boolean =
-      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else utf8Lte(a, b)
     m.currentSnapshot.map(_.manifest).getOrElse(Nil).filter { f =>
       f.stats.flatMap(_.get(colName)) match {
         case Some(ColRange(mn, mx)) => lte(mn, hi) && lte(lo, mx)
@@ -124,7 +135,7 @@ final class GraftTable(val dir: Path) {
           case _ => false
         })
         def lte(a: String, bb: String): Boolean =
-          if (numeric) BigDecimal(a) <= BigDecimal(bb) else a <= bb
+          if (numeric) BigDecimal(a) <= BigDecimal(bb) else utf8Lte(a, bb)
         val statsOk = f.stats.flatMap(_.get(cname)) match {
           case Some(ColRange(mn, mx)) =>
             b.lo.forall(lo => lte(lo, mx)) && b.hi.forall(hi => lte(mn, hi))
@@ -132,8 +143,20 @@ final class GraftTable(val dir: Path) {
         }
         val dayOk = dayFields.get(cname).flatMap(f.partitionValues.get) match {
           case Some(day) =>
-            // bound strings open with 'yyyy-MM-dd...'; ISO order = date order
-            b.lo.forall(lo => day >= lo.take(10)) && b.hi.forall(hi => day <= hi.take(10))
+            // Timeline guard: partition values were computed by to_date()
+            // in the WRITE session's timezone, while these bound strings
+            // render in UTC (FilterBounds). Any zone offset is under 24 h,
+            // so widening the window by one day each side covers every
+            // session-timezone mismatch; Spark re-applies the exact
+            // predicate post-scan, so widening only costs ≤2 extra files,
+            // never wrong rows. Unparsable bounds keep the file.
+            def dayMinus1(s: String): String =
+              try java.time.LocalDate.parse(s.take(10)).minusDays(1).toString
+              catch { case _: java.time.format.DateTimeParseException => day }
+            def dayPlus1(s: String): String =
+              try java.time.LocalDate.parse(s.take(10)).plusDays(1).toString
+              catch { case _: java.time.format.DateTimeParseException => day }
+            b.lo.forall(lo => day >= dayMinus1(lo)) && b.hi.forall(hi => day <= dayPlus1(hi))
           case None => true
         }
         statsOk && dayOk
@@ -433,11 +456,19 @@ final class GraftTable(val dir: Path) {
     // the new snapshot is pure data files again
     val base = readLive(spark, m, manifest)
       .select(m.currentSchema.map(c => col(c.name)): _*)
-    val df =
-      if (sortBy.isEmpty) base.repartition(targetFiles)
-      else base.repartitionByRange(targetFiles, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    val newFiles = writeFiles(spark, m, df)
+    // preClustered: this method owns the row clustering — writeFiles must
+    // NOT re-repartition by the partition column afterwards (that would
+    // discard targetFiles and destroy the within-partition sort order the
+    // disjoint-range stats pruning depends on). For an unsorted compaction
+    // of a partitioned table, clustering by partition value IS the right
+    // layout, so writeFiles' default clustering handles it.
+    val (df, preClustered) =
+      if (sortBy.nonEmpty)
+        (base.repartitionByRange(targetFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*), true)
+      else if (m.partitionFields.nonEmpty) (base, false)
+      else (base.repartition(targetFiles), true)
+    val newFiles = writeFiles(spark, m, df, preClustered)
     TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles, Nil))
   }
 
@@ -445,14 +476,21 @@ final class GraftTable(val dir: Path) {
     * (README.md:319-322): drop expired snapshots from metadata, then
     * physically delete data files no surviving snapshot references. */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
-    var orphans = Set.empty[String]
-    var changed = false
-    TableMeta.commitRetry(dir) { m =>
+    def plan(m: TableMeta): (Seq[Snapshot], Seq[Snapshot]) = {
       val byIdDesc = m.snapshots.sortBy(-_.snapshotId)
       val keep = (byIdDesc.take(retainLast) ++
         m.snapshots.filter(s => s.timestampMs >= olderThanMs) ++
         m.currentSnapshot.toSeq).distinct
-      val dropped = m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
+      (keep, m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId)))
+    }
+    // nothing expires → no metadata commit at all (an unconditional
+    // commitRetry would publish a byte-identical new version per call —
+    // pure metadata churn)
+    if (plan(TableMeta.load(dir)._2)._2.isEmpty) return
+    var orphans = Set.empty[String]
+    var changed = false
+    TableMeta.commitRetry(dir) { m =>
+      val (keep, dropped) = plan(m)
       changed = dropped.nonEmpty
       if (!changed) m
       else {
@@ -514,7 +552,9 @@ final class GraftTable(val dir: Path) {
     * by the partition transform when one is declared (`partitionBy` — a
     * single job; partition values come back from the directory layout).
     * Returns the new DataFile entries. */
-  private def writeFiles(spark: SparkSession, m: TableMeta, df: DataFrame): Seq[DataFile] = {
+  private def writeFiles(
+      spark: SparkSession, m: TableMeta, df: DataFrame,
+      preClustered: Boolean = false): Seq[DataFile] = {
     val outDir = dir.resolve("data")
       .resolve(s"w-${java.util.UUID.randomUUID().toString.take(12)}")
     val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
@@ -537,8 +577,12 @@ final class GraftTable(val dir: Path) {
         // (shuffle.partitions × n_days tiny files — the classic
         // small-files anti-pattern; at 100 TB it also drowns the manifest
         // and every footer-stats pass). One shuffle, ~one file per day.
-        withCols.repartition(parts.map(p => col(p._1.name)): _*)
-          .write.partitionBy(parts.map(_._1.name): _*).parquet(out)
+        // Skipped when the caller already clustered (sorted compaction):
+        // re-shuffling would undo its layout.
+        val clustered =
+          if (preClustered) withCols
+          else withCols.repartition(parts.map(p => col(p._1.name)): _*)
+        clustered.write.partitionBy(parts.map(_._1.name): _*).parquet(out)
       }
     } finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)

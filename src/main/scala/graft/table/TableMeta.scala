@@ -1,7 +1,7 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, StandardCopyOption}
 
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
@@ -120,9 +120,15 @@ object TableMeta {
     (v, read(tableDir.resolve("meta").resolve(s"v$v.json")))
   }
 
-  /** Atomic commit: creating v<N+1>.json with CREATE_NEW *is* the
-    * conflict check — the filesystem guarantees exactly one creator, so
-    * two racing committers can never both land the same version (an
+  /** Atomic commit. Publication must be atomic AND exclusive: readers
+    * probe forward past the hint (`currentVersion`), so an in-flight
+    * v<N+1>.json is VISIBLE — writing it in place would expose partial
+    * JSON, and a committer crash would leave a truncated newest file that
+    * permanently breaks load(). Instead the full document goes to a temp
+    * file first and materializes at the target path via hard link:
+    * link creation is a single atomic metadata op that fails with
+    * FileAlreadyExistsException if the target exists — which *is* the
+    * conflict check (exactly one committer can land each version; an
     * exists-then-write sequence would have a TOCTOU window). The hint
     * pointer then swaps by atomic rename; readers that see a stale hint
     * probe forward in `currentVersion`. */
@@ -130,14 +136,17 @@ object TableMeta {
     val metaDir = tableDir.resolve("meta")
     val next = expectedVersion + 1
     val target = metaDir.resolve(s"v$next.json")
-    try Files.write(target,
-      Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    catch {
-      case e: FileAlreadyExistsException =>
-        throw new ConcurrentCommitException(
-          s"concurrent commit detected: $target already exists", e)
-    }
+    val staged = Files.createTempFile(metaDir, s"v$next-", ".json.tmp")
+    try {
+      Files.write(staged,
+        Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(target, staged)
+      catch {
+        case e: FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(
+            s"concurrent commit detected: $target already exists", e)
+      }
+    } finally Files.deleteIfExists(staged)
     val tmp = Files.createTempFile(metaDir, "hint", ".tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaDir.resolve("version-hint.text"),

@@ -352,6 +352,30 @@ class TableSpec extends SparkTestBase {
     intercept[ConcurrentCommitException](TableMeta.commit(t.dir, v, m))
   }
 
+  test("commit publishes atomically: only complete v*.json files visible, no staging debris") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.atomic", pedidosSchema)
+    val (v, m) = TableMeta.load(t.dir)
+    TableMeta.commit(t.dir, v, m)
+    intercept[ConcurrentCommitException](TableMeta.commit(t.dir, v, m)) // loser
+    val metaDir = t.dir.resolve("meta")
+    val listing = java.nio.file.Files.list(metaDir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally listing.close()
+    // winner AND loser both staged through temp files; neither may leave
+    // one behind (readers probe forward past the hint, so any v-prefixed
+    // leftover in meta/ would be load()-visible forever)
+    assert(names.forall(n => n.matches("v\\d+\\.json") || n == "version-hint.text"),
+      s"unexpected staging debris in meta/: $names")
+    // every version file present must parse — publication is all-or-nothing
+    names.filter(_.matches("v\\d+\\.json")).foreach { n =>
+      TableMeta.read(metaDir.resolve(n))
+    }
+  }
+
   test("commitRetry: a loser reloads and reapplies — no lost update") {
     val cat = newCatalog()
     cat.createSchema("db")
