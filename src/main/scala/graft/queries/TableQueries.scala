@@ -165,6 +165,68 @@ object TableQueries {
           ORDER BY event_id""")
   }
 
+  /** One MUTABLE SQL warehouse per JVM for the DDL/DML lifecycle queries:
+    * unlike the read fixture, these queries DROP + recreate their tables
+    * per invocation, so state never leaks between runs — only the catalog
+    * registration (which Spark caches forever) is shared. */
+  private val mutCatalog = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def mutableCatalog(s: SparkSession): String =
+    mutCatalog.getOrElseUpdate("mut", {
+      val wh = graft.Scratch.fresh("graft_wh_mut")
+      new GraftCatalog(wh).createSchema("db")
+      val name = "graft_mut"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.spark.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+      name
+    })
+
+  /** Full SQL DML lifecycle through the DSv2 catalog — the reference's
+    * actual UX (README.md:151-239 is a spark-sql session): CREATE TABLE,
+    * INSERT INTO ... SELECT (V1 write bridge → snapshot append), DELETE
+    * FROM ... WHERE (SupportsDelete → CoW delete commit), then a SQL read
+    * back. DROP TABLE IF EXISTS first makes the query idempotent across
+    * bench repeats (and exercises dropTable). */
+  def tableSqlWrite(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.orders_sql")
+    s.sql(
+      s"""CREATE TABLE $c.db.orders_sql (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.orders_sql
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE), o_orderdate, o_orderpriority
+          FROM graft_src_orders""")
+    s.sql(s"DELETE FROM $c.db.orders_sql WHERE o_orderstatus = 'F'")
+    s.sql(s"SELECT * FROM $c.db.orders_sql ORDER BY o_orderkey")
+  }
+
+  /** SQL DDL lifecycle: ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP
+    * COLUMN are each a metadata-only schema commit (README.md:268-292 —
+    * the reference renames a populated column and re-reads instantly);
+    * the final SELECT reads pre-DDL data files through the id-resolved
+    * projection: renamed column keeps its values, added column reads
+    * NULL, dropped column disappears without any file rewrite. */
+  def tableSqlDdl(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.ddl_t")
+    s.sql(
+      s"""CREATE TABLE $c.db.ddl_t (
+            o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.ddl_t
+          SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+          FROM graft_src_orders""")
+    s.sql(s"ALTER TABLE $c.db.ddl_t ADD COLUMNS (channel STRING)")
+    s.sql(s"ALTER TABLE $c.db.ddl_t RENAME COLUMN o_orderstatus TO status")
+    s.sql(s"ALTER TABLE $c.db.ddl_t DROP COLUMN o_totalprice")
+    s.sql(s"SELECT o_orderkey, status, channel FROM $c.db.ddl_t ORDER BY o_orderkey")
+  }
+
   /** D2, merge-on-read flavor: positional delete files instead of CoW
     * rewrite — visible semantics identical to q_table_read's CoW delete
     * (same oracle), but no data file is rewritten (asserted in
@@ -204,6 +266,8 @@ object TableQueries {
     "q_table_update"          -> tableUpdate,
     "q_table_merge"           -> tableMerge,
     "q_table_sql_read"        -> tableSqlRead,
+    "q_table_sql_write"       -> tableSqlWrite,
+    "q_table_sql_ddl"         -> tableSqlDdl,
     "q_table_mor_delete"      -> tableMorDelete)
 
   private val orderedOrdersSql =
@@ -263,5 +327,13 @@ object TableQueries {
       """SELECT event_id, ts, user_id, event_type, value FROM events
          WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
            AND ts < TIMESTAMP '2024-01-10 00:00:00'
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "q_table_sql_write" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
+    "q_table_sql_ddl" ->
+      """SELECT o_orderkey, o_orderstatus AS status, CAST(NULL AS VARCHAR) AS channel
+         FROM orders ORDER BY o_orderkey""")
 }

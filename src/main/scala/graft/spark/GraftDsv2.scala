@@ -239,15 +239,31 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     new GraftDsv2Table(cat.createTable(qualified(ident), schema, dayCol), s"$catalogName.${qualified(ident)}")
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER via SQL not wired; use the GraftTable Scala API (addColumn/renameColumn/addPartitionField)")
+  /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN` — each
+    * change maps 1:1 onto a GraftTable metadata-only schema commit (no
+    * file rewrite; reads resolve by column id). Nested-field changes are
+    * rejected explicitly rather than silently mis-applied. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = cat.load(qualified(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        t.dropColumn(del.fieldNames()(0))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other (top-level add/rename/drop column only)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("DROP TABLE not supported")
+    cat.dropTable(qualified(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE not supported")
+    cat.renameTable(qualified(oldIdent), qualified(newIdent))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))

@@ -48,6 +48,34 @@ final class GraftCatalog(val warehouse: Path) {
 
   def load(qualified: String): GraftTable = new GraftTable(tableDir(qualified))
 
+  /** `DROP TABLE` — removes data + metadata (the filesystem catalog's
+    * purge; there is no shared object store to orphan into). Returns
+    * whether the table existed. */
+  def dropTable(qualified: String): Boolean = {
+    val dir = tableDir(qualified)
+    if (!Files.exists(dir.resolve("meta").resolve("version-hint.text"))) false
+    else {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      true
+    }
+  }
+
+  /** `ALTER TABLE ... RENAME TO` — a directory move plus a metadata
+    * commit recording the new qualified name. The move is atomic on a
+    * single filesystem (same warehouse root by construction). */
+  def renameTable(from: String, to: String): Unit = {
+    val src = tableDir(from)
+    val dst = tableDir(to)
+    require(Files.exists(src.resolve("meta").resolve("version-hint.text")), s"no table $from")
+    require(!Files.exists(dst), s"table $to already exists")
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    TableMeta.commitRetry(dst)(m => m.copy(name = to))
+  }
+
   def tableExists(qualified: String): Boolean =
     Files.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
 

@@ -533,6 +533,23 @@ final class GraftTable(val dir: Path) {
         currentSchemaId = nextSchemaId)
     }
 
+  /** `ALTER TABLE ... DROP COLUMN` — metadata only, like add/rename: the
+    * column id simply leaves the current schema, so the read projection
+    * (id-resolved) stops selecting it; data files keep the bytes until a
+    * compaction rewrites them. */
+  def dropColumn(name: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      require(m.currentSchema.exists(_.name == name), s"no column $name")
+      require(!m.partitionFields.exists(pf =>
+        m.currentSchema.find(_.id == pf.sourceId).exists(_.name == name)),
+        s"column $name is a partition source")
+      val nextSchema = m.currentSchema.filterNot(_.name == name)
+      val nextSchemaId = m.currentSchemaId + 1
+      m.copy(
+        schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+        currentSchemaId = nextSchemaId)
+    }
+
   /** B6 `ALTER TABLE ... ADD PARTITION FIELD days(col)` (README.md:304) —
     * metadata only; FUTURE writes cluster and record the transform value,
     * existing files stay unpruned (kept by planDayRange). */
