@@ -227,6 +227,33 @@ object TableQueries {
     s.sql(s"SELECT o_orderkey, status, channel FROM $c.db.ddl_t ORDER BY o_orderkey")
   }
 
+  /** `CALL <cat>.system.*` maintenance from SQL — the reference's
+    * README.md:317-328 closing act: expire_snapshots + rewrite_data_files
+    * run as CALL statements through Spark 4's native ProcedureCatalog.
+    * Lifecycle: insert → delete → compact(CALL) → expire(CALL) → read;
+    * maintenance must never change logical content, so the oracle is the
+    * post-delete filter over the source. rollback_to_snapshot is spec-
+    * tested (Dsv2Spec) — rolling back here would just undo the delete. */
+  def tableSqlCall(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.call_t")
+    s.sql(
+      s"""CREATE TABLE $c.db.call_t (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.call_t
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE), o_orderdate, o_orderpriority
+          FROM graft_src_orders""")
+    s.sql(s"DELETE FROM $c.db.call_t WHERE o_orderstatus = 'F'")
+    s.sql(s"CALL $c.system.rewrite_data_files(table => 'db.call_t', target_files => 2)")
+    s.sql(s"CALL $c.system.expire_snapshots(table => 'db.call_t', " +
+      s"older_than_ms => ${Long.MaxValue}L, retain_last => 1)")
+    s.sql(s"SELECT * FROM $c.db.call_t ORDER BY o_orderkey")
+  }
+
   /** D2, merge-on-read flavor: positional delete files instead of CoW
     * rewrite — visible semantics identical to q_table_read's CoW delete
     * (same oracle), but no data file is rewritten (asserted in
@@ -268,6 +295,7 @@ object TableQueries {
     "q_table_sql_read"        -> tableSqlRead,
     "q_table_sql_write"       -> tableSqlWrite,
     "q_table_sql_ddl"         -> tableSqlDdl,
+    "q_table_sql_call"        -> tableSqlCall,
     "q_table_mor_delete"      -> tableMorDelete)
 
   private val orderedOrdersSql =
@@ -335,5 +363,10 @@ object TableQueries {
          FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
     "q_table_sql_ddl" ->
       """SELECT o_orderkey, o_orderstatus AS status, CAST(NULL AS VARCHAR) AS channel
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+    "q_table_sql_call" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""")
 }

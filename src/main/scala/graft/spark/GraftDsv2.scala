@@ -190,7 +190,7 @@ class GraftRelation(
   * `spark.sql.catalog.<name>.warehouse = <dir>`. Read + create surface
   * (the reference's CREATE SCHEMA / CREATE TABLE / SELECT lifecycle);
   * writes go through the GraftTable Scala API. */
-class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -262,8 +262,15 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     cat.dropTable(qualified(ident))
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    cat.renameTable(qualified(oldIdent), qualified(newIdent))
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // `RENAME TO a.b.c` arrives with the catalog name still in the
+    // namespace when the user catalog-qualifies the target — strip it
+    val ns = newIdent.namespace() match {
+      case arr if arr.length > 1 && arr.head == catalogName => arr.tail
+      case arr => arr
+    }
+    cat.renameTable(qualified(oldIdent), (ns :+ newIdent.name()).mkString("."))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
@@ -273,6 +280,22 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
   }
+
+  // -------------------------------------------------------- procedures
+
+  /** `CALL <catalog>.system.<proc>(...)` — README.md:317-328 surface. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system"))))
+      throw new IllegalArgumentException(
+        s"no such procedure: ${(ident.namespace() :+ ident.name()).mkString(".")} " +
+          s"(procedures live under $catalogName.system)")
+    GraftProcedures.load(cat, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // -------------------------------------------------------- namespaces
 

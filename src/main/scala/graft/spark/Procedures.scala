@@ -1,0 +1,107 @@
+package graft.spark
+
+import java.util
+
+import graft.table.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `CALL <catalog>.system.<proc>(...)` — the reference's maintenance UX
+  * (README.md:317-328 runs `CALL system.expire_snapshots` and
+  * `CALL system.rewrite_data_files` from spark-sql). Spark 4's native
+  * ProcedureCatalog API routes the statement here; each procedure runs
+  * its table-layer operation and returns a one-row summary via a
+  * driver-side LocalScan (results are metadata-sized by construction —
+  * the heavy lifting inside e.g. rewrite_data_files is a distributed
+  * Spark job, not driver work).
+  */
+object GraftProcedures {
+
+  /** One-row driver-side result relation. */
+  private final class SummaryScan(schema: StructType, row: InternalRow) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = Array(row)
+  }
+
+  private def result(schema: StructType, values: Any*): util.Iterator[Scan] =
+    util.Collections.singletonList[Scan](
+      new SummaryScan(schema, new GenericInternalRow(values.toArray))).iterator()
+
+  private abstract class GraftProc(
+      val name0: String,
+      params: Array[ProcedureParameter]) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name0
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // side-effecting maintenance
+  }
+
+  private def p(name: String, t: DataType) = ProcedureParameter.in(name, t).build()
+  private def pDefault(name: String, t: DataType, dflt: String) =
+    ProcedureParameter.in(name, t).defaultValue(dflt).build()
+
+  def load(cat: GraftCatalog, procName: String): UnboundProcedure = procName match {
+
+    case "expire_snapshots" =>
+      new GraftProc("expire_snapshots", Array(
+        p("table", StringType),
+        p("older_than_ms", LongType),
+        pDefault("retain_last", IntegerType, "1"))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          t.expireSnapshots(input.getLong(1), input.getInt(2))
+          result(
+            StructType(Seq(StructField("remaining_snapshots", LongType))),
+            t.meta.snapshots.size.toLong)
+        }
+      }
+
+    case "rewrite_data_files" =>
+      new GraftProc("rewrite_data_files", Array(
+        p("table", StringType),
+        pDefault("target_files", IntegerType, "1"))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val before = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
+          t.rewriteDataFiles(SparkSession.active, input.getInt(1))
+          val after = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
+          result(
+            StructType(Seq(
+              StructField("rewritten_data_files", LongType),
+              StructField("added_data_files", LongType))),
+            before.toLong, after.toLong)
+        }
+      }
+
+    case "rollback_to_snapshot" =>
+      new GraftProc("rollback_to_snapshot", Array(
+        p("table", StringType),
+        p("snapshot_id", LongType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val prev = t.meta.currentSnapshotId.getOrElse(-1L)
+          t.rollbackTo(input.getLong(1))
+          result(
+            StructType(Seq(
+              StructField("previous_snapshot_id", LongType),
+              StructField("current_snapshot_id", LongType))),
+            prev, input.getLong(1))
+        }
+      }
+
+    case other =>
+      throw new IllegalArgumentException(
+        s"no such procedure: system.$other (have: ${names.mkString(", ")})")
+  }
+
+  val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files", "rollback_to_snapshot")
+
+  /** String results must be UTF8String inside InternalRow — helper for
+    * future procedures that return text columns. */
+  def utf8(s: String): UTF8String = UTF8String.fromString(s)
+}

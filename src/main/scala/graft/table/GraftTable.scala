@@ -505,6 +505,15 @@ final class GraftTable(val dir: Path) {
     if (changed) orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
   }
 
+  /** `CALL system.rollback_to_snapshot` — point the table back at an
+    * older snapshot (metadata-only; the abandoned snapshots stay readable
+    * via time travel until expired). */
+  def rollbackTo(snapshotId: Long): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      m.snapshot(snapshotId) // throws if unknown
+      m.copy(currentSnapshotId = Some(snapshotId))
+    }
+
   // ----------------------------------------------------------------- DDL
 
   /** B3 `ALTER TABLE ... ADD COLUMN` (README.md:269) — metadata only; old

@@ -93,6 +93,50 @@ class Dsv2Spec extends SparkTestBase {
     assert(rows.forall(_.isNullAt(2))) // added column reads NULL for old files
   }
 
+  test("CALL system.rollback_to_snapshot undoes a delete; procedures return summary rows") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.rb", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(200))
+    val full = t.read(spark).count()
+    t.delete(spark, col("event_type") === "click")
+    assert(t.read(spark).count() < full)
+    val c = freshCatalog(wh)
+    val res = spark.sql(s"CALL $c.system.rollback_to_snapshot(table => 'db.rb', snapshot_id => 1)")
+      .collect()
+    assert(res.length === 1 && res(0).getLong(1) === 1L) // summary row: now at snapshot 1
+    assert(t.read(spark).count() === full) // delete undone
+    // compaction via CALL: content invariant, file count bounded
+    spark.sql(s"CALL $c.system.rewrite_data_files(table => 'db.rb', target_files => 1)")
+    assert(t.read(spark).count() === full)
+    assert(t.meta.currentSnapshot.get.manifest.size === 1)
+    // expire via CALL: returns remaining count, metadata shrinks
+    val rem = spark.sql(s"CALL $c.system.expire_snapshots(table => 'db.rb', " +
+      s"older_than_ms => ${Long.MaxValue}L, retain_last => 1)").collect()
+    assert(rem(0).getLong(0) === 1L)
+    assert(t.meta.snapshots.size === 1)
+  }
+
+  test("SQL DDL: ALTER ADD/RENAME/DROP COLUMN and DROP/RENAME TABLE") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.ddl", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(50))
+    val c = freshCatalog(wh)
+    spark.sql(s"ALTER TABLE $c.db.ddl ADD COLUMNS (tag STRING)")
+    spark.sql(s"ALTER TABLE $c.db.ddl RENAME COLUMN event_type TO kind")
+    spark.sql(s"ALTER TABLE $c.db.ddl DROP COLUMN value")
+    val df = spark.sql(s"SELECT * FROM $c.db.ddl")
+    assert(df.schema.fieldNames.toSeq === Seq("event_id", "ts", "user_id", "kind", "tag"))
+    assert(df.count() === 50)
+    spark.sql(s"ALTER TABLE $c.db.ddl RENAME TO db.ddl2")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.ddl2").collect()(0).getLong(0) === 50)
+    spark.sql(s"DROP TABLE $c.db.ddl2")
+    assert(!new GraftCatalog(wh).tableExists("db.ddl2"))
+  }
+
   test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)
