@@ -186,15 +186,25 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** HyperLogLog approximate distinct — sketch-based, constant memory per
-    * group at any scale. Algorithm differs from DuckDB's, so no SQL
-    * oracle; driver records a rows-only check, exactness asserted in
-    * AggSpec against the exact count (rsd bound). */
+    * group at any scale. Spark's HLL++ values differ from DuckDB's HLL,
+    * so the hash-checkable output is the ACCURACY CONTRACT itself: the
+    * exact distinct (oracle-reproducible) plus a bounded-relative-error
+    * flag for the sketch (rsd 1% → 5% bound is ≥5σ). The sketch and the
+    * exact count both compute in one aggregation pass. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_o"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_p"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("a_o") - col("exact_orders")) <=
+          col("exact_orders").cast(DoubleType) * 0.05).as("orders_ok"),
+        (abs(col("a_p") - col("exact_parts")) <=
+          col("exact_parts").cast(DoubleType) * 0.05).as("parts_ok"))
       .orderBy(col("l_returnflag"))
 
   /** I12 rollup. */
@@ -266,15 +276,26 @@ object Relational {
   }
 
   /** Sketch family: approximate percentiles (GK sketch — bounded memory
-    * per group at any scale, like HLL for distincts). Algorithm differs
-    * from DuckDB's → rows-only check; AggSpec bounds the error vs the
-    * exact percentile. */
+    * per group at any scale, like HLL for distincts). The sketch value
+    * differs from DuckDB's algorithm, so the hash-checked output is the
+    * GK rank-error CONTRACT: accuracy=1000 guarantees rank error ≤ n/1000,
+    * so the approx value must lie inside the exact [q(.49), q(.51)] /
+    * [q(.94), q(.96)] windows (quantile function is monotone). Sketch and
+    * exact percentiles compute in the same aggregation pass. */
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.94)").as("lo95"),
+        expr("percentile(l_extendedprice, 0.96)").as("hi95"))
+      .select(
+        col("l_returnflag"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
+        (col("ap95") >= col("lo95") && col("ap95") <= col("hi95")).as("p95_ok"))
       .orderBy(col("l_returnflag"))
 
   /** TPC-H Q6 shape (forecast revenue change): pure scan+filter+agg —
@@ -314,6 +335,18 @@ object Relational {
     "q_cube"               -> cubeAgg)
 
   val oracle: Map[String, String] = Map(
+    // The sketch values themselves are algorithm-specific; the oracle
+    // checks the part that IS exact-reproducible (the exact aggregates)
+    // plus the sketch's published error contract as booleans.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS exact_orders,
+         count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS orders_ok, TRUE AS parts_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM lineitem

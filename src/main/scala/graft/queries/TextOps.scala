@@ -304,6 +304,21 @@ object TextOps {
     "q_lang_id"          -> langId)
 
   val oracle: Map[String, String] = Map(
+    // The langId heuristic is fully deterministic (marker-token counts,
+    // argmax over (score, lang) structs with lexicographic tie-break) —
+    // DuckDB's list_aggregate(.., 'max') over struct_pack lists has
+    // identical comparison semantics to Spark's array_max over structs.
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           [struct_pack(score := CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','row'))) AS DOUBLE), lang := 'en'),
+            struct_pack(score := CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','und','batch'))) AS DOUBLE), lang := 'de'),
+            struct_pack(score := CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','et','merge'))) AS DOUBLE), lang := 'fr'),
+            struct_pack(score := CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','y','scan'))) AS DOUBLE), lang := 'es'),
+            struct_pack(score := CAST(len(list_filter(string_split(text, ' '), x -> x IN ('de','shi','stream'))) AS DOUBLE), lang := 'zh')] AS cands
+           FROM documents),
+         b AS (SELECT doc_id, list_aggregate(cands, 'max') AS best FROM s)
+         SELECT doc_id, best.lang AS lang_pred, best.score AS score
+         FROM b ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
