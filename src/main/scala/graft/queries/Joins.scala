@@ -232,8 +232,91 @@ object Joins {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q4 shape (order priority checking): EXISTS-correlated
+    * semi-join from orders into lineitem with a both-sides join
+    * predicate, count per priority. ADAPTED: the driver lineitem has no
+    * l_commitdate/l_receiptdate, so "late line" is proxied by
+    * `l_shipdate > o_orderdate + 90 days` — same plan shape (semi-join
+    * with non-equi conjunct + partial-agg count). */
+  def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): month-sliced fact scan joined
+    * to the broadcast part dim, conditional decimal revenue ratio.
+    * ADAPTED: driver p_type is a single word, so the PROMO test is
+    * equality rather than prefix. */
+  def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec6)
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0).cast(dec6)))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+          sum(discPrice).cast(org.apache.spark.sql.types.DoubleType)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): a JOIN whose condition is a
+    * disjunction of conjunctive brand/size/quantity bands — the classic
+    * OR-of-ANDs predicate that must evaluate INSIDE the join (equi-key
+    * extracted, residual disjunction post-join), never as a cross
+    * product. ADAPTED: no p_container/l_shipmode in the driver data; the
+    * brand/size/quantity bands carry the same plan shape. */
+  def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40))))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec6))
+        .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): scalar subquery
+    * threshold + NOT EXISTS anti-join, written as SQL to exercise
+    * Catalyst's decorrelation of both. ADAPTED: no c_phone in the driver
+    * data — nationkey plays the country-code role and the balance
+    * threshold is the global positive average. */
+  def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM graft_customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM graft_orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q10"    -> tpchQ10,
+    "q_tpch_q4"     -> tpchQ4,
+    "q_tpch_q14"    -> tpchQ14,
+    "q_tpch_q19"    -> tpchQ19,
+    "q_tpch_q22"    -> tpchQ22,
     "q_tpch_q7"     -> tpchQ7,
     "q_tpch_q18"    -> tpchQ18,
     "q_tpch_q3"     -> tpchQ3,
@@ -251,6 +334,38 @@ object Joins {
     "q_salted_join" -> saltedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q14" ->
+      """SELECT 100.0 *
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""",
+    "q_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue

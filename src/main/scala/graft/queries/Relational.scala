@@ -298,6 +298,31 @@ object Relational {
         (col("ap95") >= col("lo95") && col("ap95") <= col("hi95")).as("p95_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q1 (pricing summary report): THE scan-heavy aggregation
+    * benchmark — one pass, partial aggregation map-side, 4 exact decimal
+    * sums + 3 averages + count per (returnflag, linestatus). Decimal
+    * internally (order-independent at any parallelism), DOUBLE in the
+    * final projection for the driver's dtype hash. */
+  def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val dec6 = DecimalType(18, 6)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec2)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec2)).cast(DoubleType).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec6))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(dec6)).cast(DoubleType).as("sum_charge"),
+        (sum(col("l_quantity").cast(dec2)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(dec2)).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(dec6)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** TPC-H Q6 shape (forecast revenue change): pure scan+filter+agg —
     * every predicate pushes into the parquet reader, the aggregate is a
     * single partial+final pass. */
@@ -312,6 +337,7 @@ object Relational {
         .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1"            -> tpchQ1,
     "q_tpch_q6"            -> tpchQ6,
     "q_approx_percentile"  -> approxPercentiles,
     "q_pivot"              -> pivotStatus,
@@ -347,6 +373,19 @@ object Relational {
     "q_approx_percentile" ->
       """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM lineitem
