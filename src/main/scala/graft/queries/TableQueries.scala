@@ -227,6 +227,22 @@ object TableQueries {
     s.sql(s"SELECT o_orderkey, status, channel FROM $c.db.ddl_t ORDER BY o_orderkey")
   }
 
+  /** `.partitions` metadata table over a day-partitioned events table,
+    * read through SQL (`SELECT * FROM cat.db.events.partitions`). Fully
+    * deterministic: the clustered write produces exactly one file per
+    * day (all rows of a day hash to one shuffle partition), and per-day
+    * row counts derive from the source — so this is a hash-green check
+    * that partition-level metadata matches the data. Reuses the SQL-read
+    * fixture (same warehouse + catalog). */
+  def tablePartitions(s: SparkSession, d: String): DataFrame = {
+    tableSqlRead(s, d).count() // ensure the fixture + catalog exist
+    val cname = sqlFixtures(d)
+    s.sql(
+      s"""SELECT partition_value, n_files, n_rows
+          FROM $cname.db.events.partitions
+          ORDER BY partition_value""")
+  }
+
   /** `CALL <cat>.system.*` maintenance from SQL — the reference's
     * README.md:317-328 closing act: expire_snapshots + rewrite_data_files
     * run as CALL statements through Spark 4's native ProcedureCatalog.
@@ -296,6 +312,7 @@ object TableQueries {
     "q_table_sql_write"       -> tableSqlWrite,
     "q_table_sql_ddl"         -> tableSqlDdl,
     "q_table_sql_call"        -> tableSqlCall,
+    "q_table_partitions"      -> tablePartitions,
     "q_table_mor_delete"      -> tableMorDelete)
 
   private val orderedOrdersSql =
@@ -368,5 +385,9 @@ object TableQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
          o_orderdate, o_orderpriority
-         FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""")
+         FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
+    "q_table_partitions" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_value,
+         CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows
+         FROM events GROUP BY 1 ORDER BY partition_value""")
 }

@@ -208,7 +208,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
   private def qualified(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  private val metaKinds = Set("history", "snapshots", "files")
+  private val metaKinds = Set("history", "snapshots", "files", "partitions")
 
   override def loadTable(ident: Identifier): Table = {
     val q = qualified(ident)

@@ -77,7 +77,8 @@ final class GraftCatalog(val warehouse: Path) {
   }
 
   def tableExists(qualified: String): Boolean =
-    Files.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
+    qualified.split('.').length == 2 && // e.g. db.t.partitions is a metadata table, not a table
+      Files.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
 
   private def tableDir(qualified: String): Path = {
     val parts = qualified.split('.')

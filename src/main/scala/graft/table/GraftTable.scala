@@ -209,9 +209,23 @@ final class GraftTable(val dir: Path) {
           ("position_deletes", f.path, f.rows, f.schemaId, f.partitionValues))
       spark.createDataFrame(rows).toDF(
         "content", "file_path", "n_rows", "schema_id", "partition_values")
+    case "partitions" =>
+      // per-partition summary of the current snapshot (Iceberg's
+      // `.partitions`): one row per partition value, file + row counts.
+      // Unpartitioned tables collapse to a single "" row. No .manifests
+      // equivalent: Graft inlines the manifest in the metadata document,
+      // so .files IS the manifest listing.
+      val m = meta
+      val pfNames = m.partitionFields.map(_.name)
+      val rows = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+        .groupBy(f => pfNames.map(n => f.partitionValues.getOrElse(n, "")).mkString("/"))
+        .toSeq.map { case (pv, fs) =>
+          (pv, fs.size.toLong, fs.map(_.rows).sum) }
+        .sortBy(_._1)
+      spark.createDataFrame(rows).toDF("partition_value", "n_files", "n_rows")
     case other =>
       throw new IllegalArgumentException(
-        s"unknown metadata table $other (history | snapshots | files)")
+        s"unknown metadata table $other (history | snapshots | files | partitions)")
   }
 
   private def readSnapshot(spark: SparkSession, snap: Option[Snapshot]): DataFrame = {
