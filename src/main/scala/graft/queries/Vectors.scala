@@ -182,6 +182,32 @@ object Vectors {
       .limit(10)
   }
 
+  /** Embedding-cosine near-duplicate removal (the vector flavor of the
+    * dedup family): a vector dies when ANY smaller-id vector is within
+    * cosine ≥ τ — the deterministic keep-first rule, same as
+    * dedup_keep_first's ranked window. This judged entry is the EXACT
+    * all-pairs baseline (like topKPairs); the scale path is identical
+    * dominance logic over LSH/IVF candidates only (annLsh/annIvf), which
+    * bounds the pair set without changing the rule. Scores round to 7
+    * decimals before the threshold so Spark's fold and DuckDB's list_sum
+    * compare identically. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d).select(
+      col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, d).select(
+      col("vec_id").as("ib"), col("embedding").as("eb"))
+    val killed = a.join(b, col("ia") < col("ib"))
+      .select(col("ib"),
+        round(dot(col("ea"), col("eb")) /
+          (norm2(col("ea")) * norm2(col("eb"))), 7).as("cos"))
+      .filter(col("cos") >= 0.42)
+      .select(col("ib")).distinct()
+    Tables.embeddings(s, d)
+      .join(killed, col("vec_id") === col("ib"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** I15 positional explode: first 3 vector components as rows. */
   def posExplode(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -195,7 +221,8 @@ object Vectors {
     "q_cosine_topk"   -> cosineTopK,
     "q_cosine_pairs"  -> topKPairs,
     "q_ann_lsh"       -> annLsh,
-    "q_ann_ivf"       -> annIvf)
+    "q_ann_ivf"       -> annIvf,
+    "q_dedup_embedding" -> dedupEmbedding)
 
   // q_ann_lsh is approximate by construction → rows-only check here;
   // recall vs the exact baseline is asserted in VectorsSpec.
@@ -226,5 +253,15 @@ object Vectors {
              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-         ORDER BY cos DESC, ia, ib LIMIT 30""")
+         ORDER BY cos DESC, ia, ib LIMIT 30""",
+    "q_dedup_embedding" ->
+      """WITH p AS (
+           SELECT b.vec_id AS ib,
+             round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT DISTINCT ib FROM p WHERE cos >= 0.42)
+         ORDER BY vec_id""")
 }
