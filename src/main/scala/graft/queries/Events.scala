@@ -102,7 +102,54 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** J1 as an ACTUAL Structured Streaming run, not a batch dual: the
+    * events parquet plays a file-source stream (Trigger.AvailableNow
+    * drains it and terminates), the SAME windowed aggregation as the
+    * batch `tumbling` runs over it with a watermark, and the memory sink
+    * collects complete-mode results. Deterministic, so it shares the
+    * batch query's oracle — proving stream/batch unification, not just
+    * claiming it. At scale the only change is the trigger (continuous
+    * micro-batches) and a real sink. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // ns-timestamp parquet: same legacy-conf + micros truncation as the
+    // batch reader (Tables.events), but the schema must be declared
+    // up-front (streaming file sources never infer)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // file-source streams take a DIRECTORY; glob-filter to the events file
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val qname = "graft_stream_tumbling"
+    try s.catalog.dropTempView(qname) catch { case _: Exception => () }
+    val q = graft.streaming.EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).orderBy(col("ws"), col("event_type"))
+  }
+
+  /** J4 custom stateful operator, judged: flatMapGroupsWithState
+    * sessionization (streaming.EventStreams.sessionize) run in batch mode
+    * — output must equal the session_window query row for row (same
+    * oracle). The operator itself is the streaming one; batch execution
+    * feeds each key's full history through the same state function. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    graft.streaming.EventStreams.sessionize(ev)
+      .toDF()
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> streamTumbling,
+    "q_sessionize"      -> sessionize,
     "q_asof_join"       -> asofJoin,
     "q_window_tumbling" -> tumbling,
     "q_window_sliding"  -> sliding,
@@ -110,6 +157,27 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    // the streaming run must produce exactly the batch result
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    // the custom stateful operator must produce exactly session_window's result
+    "q_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_asof_join" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
             p AS (SELECT * FROM events WHERE event_type = 'purchase')

@@ -65,17 +65,23 @@ object EventStreams {
       var start = sorted.head.ts
       var last = sorted.head.ts
       var n = 0L
-      var sum = 0.0
+      // exact decimal accumulation with Spark's cast-to-DECIMAL(18,2)
+      // rounding (HALF_UP): order-independent, and bit-identical to the
+      // session_window query's `sum(value.cast(decimal)).cast(double)` —
+      // a plain double += would drift in the last ulp per addition order
+      var sum = BigDecimal(0)
+      def quant(v: Double): BigDecimal =
+        BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
       def close(): Unit = {
         // Timestamp.getTime is ms-precision; sub-ms digits live in the
         // nanos field and must be carried over explicitly.
         val end = new Timestamp(last.getTime + GapMs)
         end.setNanos(last.getNanos)
-        out += Session(userId, start, end, n, sum)
+        out += Session(userId, start, end, n, sum.toDouble)
       }
       sorted.foreach { e =>
-        if (e.ts.getTime - last.getTime >= GapMs) { close(); start = e.ts; n = 0; sum = 0.0 }
-        n += 1; sum += e.value; last = e.ts
+        if (e.ts.getTime - last.getTime >= GapMs) { close(); start = e.ts; n = 0; sum = BigDecimal(0) }
+        n += 1; sum += quant(e.value); last = e.ts
       }
       close()
       out.result().iterator
