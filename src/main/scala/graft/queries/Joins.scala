@@ -311,7 +311,34 @@ object Joins {
          ORDER BY c_nationkey""")
   }
 
+  /** Co-located bucketed join, judged: both sides bucketed 8 ways on the
+    * join key at WRITE time (one-off clustering cost, amortized across
+    * every subsequent join), so the join itself plans with no shuffle on
+    * either side — asserted in BucketingSpec; here the driver checks the
+    * result against a plain-join oracle. The fixture writes once per
+    * corpus per JVM (bucketed tables ARE persistent artifacts). */
+  private val bucketFixture = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    bucketFixture.getOrElseUpdate(d, {
+      Tables.orders(s, d).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("graft_bkt_orders")
+      Tables.customer(s, d).write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("graft_bkt_customer")
+    })
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> bucketedJoin,
     "q_tpch_q10"    -> tpchQ10,
     "q_tpch_q4"     -> tpchQ4,
     "q_tpch_q14"    -> tpchQ14,
@@ -334,6 +361,11 @@ object Joins {
     "q_salted_join" -> saltedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

@@ -47,6 +47,27 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, p)
   }
 
+  test("Q19's OR-of-ANDs join predicate stays an equi-join (no nested-loop/cartesian)") {
+    val p = plan(Joins.tpchQ19(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q4's EXISTS plans as a left semi join with the non-equi conjunct inside") {
+    val p = plan(Joins.tpchQ4(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q1 aggregates partial+final over a single scan (no extra exchanges)") {
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — count
+    // exchanges only in the section that actually ran
+    val p = plan(Relational.tpchQ1(spark, sfDir)).split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // one exchange for the agg, one for the final orderBy — never more
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val p = plan(Relational.filterProject(spark, sfDir))
     assert(p.contains("*(1)"), p) // codegen stage marker
