@@ -321,11 +321,19 @@ object Joins {
 
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     bucketFixture.getOrElseUpdate(d, {
+      // EXTERNAL tables at Scratch-managed paths: a managed saveAsTable
+      // leaves its spark-warehouse dir behind at JVM exit while the
+      // in-memory catalog forgets the table, so the next session's
+      // overwrite dies on LOCATION_ALREADY_EXISTS
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
       Tables.orders(s, d).write
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", graft.Scratch.overwritable("bkt_orders", d))
         .mode("overwrite").saveAsTable("graft_bkt_orders")
       Tables.customer(s, d).write
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", graft.Scratch.overwritable("bkt_customer", d))
         .mode("overwrite").saveAsTable("graft_bkt_customer")
     })
     s.table("graft_bkt_orders")

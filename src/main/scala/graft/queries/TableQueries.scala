@@ -270,6 +270,28 @@ object TableQueries {
     s.sql(s"SELECT * FROM $c.db.call_t ORDER BY o_orderkey")
   }
 
+  /** SQL time travel (`VERSION AS OF`, README.md:252-258): after an
+    * insert (snapshot 1) and a delete (snapshot 2), reading snapshot 1 by
+    * SQL must reproduce the FULL source — the reference's time-travel
+    * "magic" through the pure SQL surface. TIMESTAMP AS OF resolution is
+    * spec-tested (wall-clock-dependent, so not oracle-expressible). */
+  def tableSqlTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.tt_t")
+    s.sql(
+      s"""CREATE TABLE $c.db.tt_t (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.tt_t
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE), o_orderdate, o_orderpriority
+          FROM graft_src_orders""")
+    s.sql(s"DELETE FROM $c.db.tt_t WHERE o_orderstatus = 'F'")
+    s.sql(s"SELECT * FROM $c.db.tt_t VERSION AS OF 1 ORDER BY o_orderkey")
+  }
+
   /** D2, merge-on-read flavor: positional delete files instead of CoW
     * rewrite — visible semantics identical to q_table_read's CoW delete
     * (same oracle), but no data file is rewritten (asserted in
@@ -313,6 +335,7 @@ object TableQueries {
     "q_table_sql_ddl"         -> tableSqlDdl,
     "q_table_sql_call"        -> tableSqlCall,
     "q_table_partitions"      -> tablePartitions,
+    "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete)
 
   private val orderedOrdersSql =
@@ -389,5 +412,10 @@ object TableQueries {
     "q_table_partitions" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_value,
          CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows
-         FROM events GROUP BY 1 ORDER BY partition_value""")
+         FROM events GROUP BY 1 ORDER BY partition_value""",
+    "q_table_sql_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""")
 }

@@ -111,6 +111,37 @@ object FilterToColumn {
   }
 }
 
+/** Snapshot-pinned read-only table — the SQL time-travel surface
+  * (`SELECT * FROM t VERSION AS OF 1` / `TIMESTAMP AS OF ...`,
+  * README.md:252-258). The scan reads exactly the pinned snapshot's
+  * manifest (with its MoR deletes applied); no filter pruning — time
+  * travel is an audit/repair path, correctness over scan speed. */
+class GraftSnapshotTable(table: GraftTable, snapshotId: Long, ident: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"$ident@v$snapshotId"
+
+  override def schema(): StructType = {
+    val m = table.meta
+    m.sparkSchema(m.currentSchemaId)
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftSnapshotTable.this.schema()
+          override def buildScan(): RDD[Row] =
+            table.readVersion(context.sparkSession, snapshotId).rdd
+        }.asInstanceOf[T]
+    }
+}
+
 /** Read-only metadata table (`SELECT * FROM graft.db.t.history` — the
   * README.md:245 surface; also .snapshots / .files). */
 class GraftMetaTable(table: GraftTable, kind: String, ident: String)
@@ -224,6 +255,25 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           (ident.namespace() :+ ident.name()).toSeq)
     }
+  }
+
+  /** `VERSION AS OF <snapshot_id>` routes here (DSv2 time travel). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val q = qualified(ident)
+    if (!cat.tableExists(q))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftSnapshotTable(cat.load(q), version.toLong, s"$catalogName.$q")
+  }
+
+  /** `TIMESTAMP AS OF <ts>` routes here; Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val q = qualified(ident)
+    if (!cat.tableExists(q))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val t = cat.load(q)
+    new GraftSnapshotTable(t, t.snapshotIdAsOf(timestamp / 1000L), s"$catalogName.$q")
   }
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(qualified(ident))

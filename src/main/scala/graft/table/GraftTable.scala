@@ -34,6 +34,26 @@ final class GraftTable(val dir: Path) {
   def readVersion(spark: SparkSession, snapshotId: Long): DataFrame =
     readSnapshot(spark, Some(meta.snapshot(snapshotId)))
 
+  /** C3 time travel — `TIMESTAMP AS OF`: the latest snapshot committed at
+    * or before the given epoch-millis instant. */
+  def readAsOf(spark: SparkSession, tsMillis: Long): DataFrame = {
+    val m = meta
+    val snap = m.snapshots.filter(_.timestampMs <= tsMillis)
+      .sortBy(_.snapshotId).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of ${m.name} at or before $tsMillis"))
+    readSnapshot(spark, Some(snap))
+  }
+
+  /** The snapshot id TIMESTAMP AS OF would resolve to (for SQL wiring). */
+  def snapshotIdAsOf(tsMillis: Long): Long = {
+    val m = meta
+    m.snapshots.filter(_.timestampMs <= tsMillis)
+      .sortBy(_.snapshotId).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of ${m.name} at or before $tsMillis")).snapshotId
+  }
+
   /** Hidden-partition pruned read (README.md:304-307): files are selected
     * by their recorded `days()` partition value BEFORE Spark plans the
     * scan, then the residual predicate still applies (pruning is an

@@ -137,6 +137,26 @@ class Dsv2Spec extends SparkTestBase {
     assert(!new GraftCatalog(wh).tableExists("db.ddl2"))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest snapshot at-or-before the instant") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.tt", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(100))
+    val afterInsert = t.meta.snapshots.head.timestampMs
+    Thread.sleep(5) // ensure the delete lands at a strictly later ms
+    t.delete(spark, col("event_type") === "click")
+    val c = freshCatalog(wh)
+    // a timestamp between the two commits sees the pre-delete state
+    val tsLit = new java.sql.Timestamp(afterInsert).toString
+    val n = spark.sql(
+      s"SELECT count(*) FROM $c.db.tt TIMESTAMP AS OF '$tsLit'").collect()(0).getLong(0)
+    assert(n === 100)
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.tt").collect()(0).getLong(0) < 100)
+    // VERSION AS OF agrees
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.tt VERSION AS OF 1").collect()(0).getLong(0) === 100)
+  }
+
   test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)
