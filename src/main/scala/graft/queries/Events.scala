@@ -123,12 +123,22 @@ object Events {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val qname = "graft_stream_tumbling"
     try s.catalog.dropTempView(qname) catch { case _: Exception => () }
-    val q = graft.streaming.EventStreams.tumblingCounts(stream)
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stateful streaming agg materializes one state store (with its
+    // checkpoint/delta files) PER shuffle partition at query start; the
+    // result here is ~50 (window, type) keys, so 8 stores ample — scope
+    // the lower setting to this run and restore the session default
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.EventStreams.tumblingCounts(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // restore only after the drain: micro-batch planning runs on a
+      // background thread that reads the session conf after start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qname).orderBy(col("ws"), col("event_type"))
   }
 

@@ -46,18 +46,23 @@ object Vectors {
       .orderBy(col("vec_id"))
 
   /** J7 brute-force cosine top-k against the vec_id=0 query vector: the
-    * exact ANN baseline. One broadcast row, one scan, TakeOrdered(20). */
+    * exact ANN baseline. One broadcast row, one scan, TakeOrdered(20).
+    * Norms are projected once per row UNDER the join — identical doubles
+    * (same fold over the same values), but each ‖v‖ is computed once
+    * instead of once per pair. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_embedding"))
+      .select(col("embedding").as("q_embedding"),
+        norm2(col("embedding")).as("q_norm"))
     e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         round(
           dot(col("embedding"), col("q_embedding")) /
-            (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+            (col("nrm") * col("q_norm")), 7).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
   }
@@ -68,15 +73,22 @@ object Vectors {
     * self-join keys on a.vec_id < b.vec_id so each unordered pair is
     * scored once. */
   def topKPairs(s: SparkSession, d: String): DataFrame = {
+    // ‖v‖ is loop-invariant per side: project it below the join so each
+    // norm is computed n times, not n² (same doubles, same fold order).
+    // repartition the stream side: the source is one sub-HDFS-block
+    // parquet split, which would pin the whole O(n²) loop on one core
     val a = Tables.embeddings(s, d).select(
-      col("vec_id").as("ia"), col("embedding").as("ea"))
+      col("vec_id").as("ia"), col("embedding").as("ea"),
+      norm2(col("embedding")).as("na"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = Tables.embeddings(s, d).select(
-      col("vec_id").as("ib"), col("embedding").as("eb"))
+      col("vec_id").as("ib"), col("embedding").as("eb"),
+      norm2(col("embedding")).as("nb"))
     a.join(b, col("ia") < col("ib"))
       .select(
         col("ia"), col("ib"),
         round(dot(col("ea"), col("eb")) /
-          (norm2(col("ea")) * norm2(col("eb"))), 7).as("cos"))
+          (col("na") * col("nb")), 7).as("cos"))
       .orderBy(col("cos").desc, col("ia"), col("ib"))
       .limit(30)
   }
@@ -192,15 +204,23 @@ object Vectors {
     * decimals before the threshold so Spark's fold and DuckDB's list_sum
     * compare identically. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    // norms projected under the join: n evaluations instead of n² (the
+    // dominant cost of the all-pairs baseline; identical doubles).
     val a = Tables.embeddings(s, d).select(
-      col("vec_id").as("ia"), col("embedding").as("ea"))
+      col("vec_id").as("ia"), col("embedding").as("ea"),
+      norm2(col("embedding")).as("na"))
+      .repartition(s.sparkContext.defaultParallelism) // spread the O(n²) loop
     val b = Tables.embeddings(s, d).select(
-      col("vec_id").as("ib"), col("embedding").as("eb"))
-    val killed = a.join(b, col("ia") < col("ib"))
-      .select(col("ib"),
-        round(dot(col("ea"), col("eb")) /
-          (norm2(col("ea")) * norm2(col("eb"))), 7).as("cos"))
-      .filter(col("cos") >= 0.42)
+      col("vec_id").as("ib"), col("embedding").as("eb"),
+      norm2(col("embedding")).as("nb"))
+    // the threshold goes INTO the join condition, cheap conjunct first:
+    // a trailing .filter would be pushed in FRONT of `ia < ib` by
+    // PushPredicateThroughJoin, doubling the dot-product evaluations
+    // (And short-circuits left→right inside the BNLJ loop)
+    val killed = a.join(b,
+        col("ia") < col("ib") &&
+          round(dot(col("ea"), col("eb")) /
+            (col("na") * col("nb")), 7) >= 0.42)
       .select(col("ib")).distinct()
     Tables.embeddings(s, d)
       .join(killed, col("vec_id") === col("ib"), "left_anti")
