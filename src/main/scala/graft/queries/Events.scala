@@ -110,17 +110,21 @@ object Events {
     * batch query's oracle — proving stream/batch unification, not just
     * claiming it. At scale the only change is the trigger (continuous
     * micro-batches) and a real sink. */
-  def streamTumbling(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
     // ns-timestamp parquet: same legacy-conf + micros truncation as the
     // batch reader (Tables.events), but the schema must be declared
     // up-front (streaming file sources never infer)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     // file-source streams take a DIRECTORY; glob-filter to the events file
-    val stream = s.readStream.schema(rawSchema)
+    s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = eventStream(s, d)
     val qname = "graft_stream_tumbling"
     try s.catalog.dropTempView(qname) catch { case _: Exception => () }
     // a stateful streaming agg materializes one state store (with its
@@ -142,6 +146,29 @@ object Events {
     s.table(qname).orderBy(col("ws"), col("event_type"))
   }
 
+  /** J5 streaming exact dedup, judged: dropDuplicates over (user_id,
+    * event_type, day-window) with a watermark — the bounded-state
+    * streaming dedup (EventStreams.dedupDaily). Drained AvailableNow,
+    * the append-mode output is exactly the batch DISTINCT, so it shares a
+    * plain SQL oracle. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = eventStream(s, d)
+    val qname = "graft_stream_dedup"
+    try s.catalog.dropTempView(qname) catch { case _: Exception => () }
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8") // 8 state stores ample
+      val q = graft.streaming.EventStreams.dedupDaily(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qname).orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
   /** J4 custom stateful operator, judged: flatMapGroupsWithState
     * sessionization (streaming.EventStreams.sessionize) run in batch mode
     * — output must equal the session_window query row for row (same
@@ -159,6 +186,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
+    "q_stream_dedup"    -> streamDedup,
     "q_sessionize"      -> sessionize,
     "q_asof_join"       -> asofJoin,
     "q_window_tumbling" -> tumbling,
@@ -172,6 +200,11 @@ object Events {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    // append-mode streaming dedup must equal the batch DISTINCT
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+         time_bucket(INTERVAL '1 day', ts) AS day
+         FROM events ORDER BY user_id, event_type, day""",
     // the custom stateful operator must produce exactly session_window's result
     "q_sessionize" ->
       """WITH marked AS (

@@ -309,6 +309,18 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** H2 zorder strategy: multi-dimension clustering (Morton interleave of
+    * o_orderkey, o_custkey) + a stats-PRUNED range read on the
+    * non-leading dimension — content must equal a plain SQL range filter
+    * (pruning effectiveness itself is asserted in ZOrderSpec; here the
+    * judge checks the layout never changes results). */
+  def tableZorder(s: SparkSession, d: String): DataFrame = {
+    val t = plainFixture(s, d)
+    t.rewriteDataFiles(s, targetFiles = 8,
+      zorderBy = Seq("o_orderkey", "o_custkey"))
+    ordered(t.readColRange(s, "o_custkey", "100", "500"))
+  }
+
   /** H1+C4: full lifecycle then history — deterministic columns only
     * (snapshot ids, operations, row counts; timestamps excluded). After
     * expire(retain_last=2) exactly the delete+replace snapshots remain. */
@@ -336,7 +348,8 @@ object TableQueries {
     "q_table_sql_call"        -> tableSqlCall,
     "q_table_partitions"      -> tablePartitions,
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
-    "q_table_mor_delete"      -> tableMorDelete)
+    "q_table_mor_delete"      -> tableMorDelete,
+    "q_table_zorder"          -> tableZorder)
 
   private val orderedOrdersSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -359,6 +372,7 @@ object TableQueries {
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
          ORDER BY event_id""",
     "q_table_compact" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_zorder" -> orderedOrdersSql.format("WHERE o_custkey BETWEEN 100 AND 500"),
     // The history rows are fully deterministic (snapshot ids are dense
     // from 1; append=1, delete=2, replace=3; expire keeps the last 2;
     // row counts derive from the source table), so the oracle is a

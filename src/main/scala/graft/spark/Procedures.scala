@@ -62,13 +62,21 @@ object GraftProcedures {
       }
 
     case "rewrite_data_files" =>
+      // sort_by / zorder_by: comma-separated column lists (exclusive),
+      // mirroring Iceberg's strategy => 'sort' sort_order / zorder(...)
       new GraftProc("rewrite_data_files", Array(
         p("table", StringType),
-        pDefault("target_files", IntegerType, "1"))) {
+        pDefault("target_files", IntegerType, "1"),
+        pDefault("sort_by", StringType, "''"),
+        pDefault("zorder_by", StringType, "''"))) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val t = cat.load(input.getUTF8String(0).toString)
+          def cols(i: Int): Seq[String] =
+            if (input.isNullAt(i)) Nil
+            else input.getUTF8String(i).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val before = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
-          t.rewriteDataFiles(SparkSession.active, input.getInt(1))
+          t.rewriteDataFiles(SparkSession.active, input.getInt(1),
+            sortBy = cols(2), zorderBy = cols(3))
           val after = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
           result(
             StructType(Seq(

@@ -37,6 +37,20 @@ object EventStreams {
           .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** J5 streaming exact dedup with BOUNDED state: dropDuplicates keyed on
+    * (user_id, event_type, 1-day event-time window). Because the key
+    * contains the event-time window, Spark evicts a day's dedup state
+    * once the watermark passes the window end — state is O(distinct keys
+    * per recent day), never O(all keys ever), which is what survives an
+    * unbounded stream at 100 TB/day. Drained with AvailableNow the result
+    * is exactly SELECT DISTINCT user_id, event_type, day(ts). */
+  def dedupDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), window(col("ts"), "1 day").as("w"))
+      .dropDuplicates("user_id", "event_type", "w")
+      .select(col("user_id"), col("event_type"), col("w.start").as("day"))
+
   /** Stream-stream interval join: purchases within 30 minutes AFTER a
     * click by the same user. Both sides watermarked so Spark can bound
     * the join state (a side's buffered rows are dropped once the other

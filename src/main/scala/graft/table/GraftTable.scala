@@ -481,8 +481,15 @@ final class GraftTable(val dir: Path) {
     * unchanged (replace snapshot). With `sortBy`, files are
     * range-partitioned and sorted on those columns — disjoint per-file
     * key ranges, so parquet row-group stats (and any future manifest
-    * min/max) skip files on point/range lookups. */
-  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1, sortBy: Seq[String] = Nil): Unit = {
+    * min/max) skip files on point/range lookups. With `zorderBy`, rows
+    * are sorted by a Morton interleave of the named numeric columns
+    * instead: min/max stats stay tight on EVERY listed column, so
+    * planColRange/planFilters prune on any of them — the multi-dimension
+    * layout a single-column sort can't give (Delta/Iceberg's OPTIMIZE
+    * ZORDER). */
+  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1,
+      sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Unit = {
+    require(sortBy.isEmpty || zorderBy.isEmpty, "sortBy and zorderBy are exclusive")
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
@@ -496,8 +503,40 @@ final class GraftTable(val dir: Path) {
     // disjoint-range stats pruning depends on). For an unsorted compaction
     // of a partitioned table, clustering by partition value IS the right
     // layout, so writeFiles' default clustering handles it.
+    def zorderCluster(): DataFrame = {
+      zorderBy.foreach { c =>
+        require(m.currentSchema.find(_.name == c).exists(_.sparkType.isInstanceOf[NumericType]),
+          s"zorder column $c must be numeric") }
+      // one distributed pass for per-column bounds (a 2N-value driver
+      // fetch — metadata-sized, like a centroid probe, NOT a data pull);
+      // at 100 TB these could equally come from the manifest stats
+      val aggs = zorderBy.flatMap(c =>
+        Seq(min(col(c)).cast(DoubleType), max(col(c)).cast(DoubleType)))
+      val bounds = base.agg(aggs.head, aggs.tail: _*).head()
+      val lohi = zorderBy.zipWithIndex.map { case (c, idx) =>
+        val lo = if (bounds.isNullAt(idx * 2)) 0.0 else bounds.getDouble(idx * 2)
+        val hi = if (bounds.isNullAt(idx * 2 + 1)) 0.0 else bounds.getDouble(idx * 2 + 1)
+        (c, lo, hi)
+      }
+      // min-max scale each column to 16 bits, interleave natively, then
+      // range-partition + sort on the curve position. NULL→0 and a
+      // degenerate (min==max) column→0 are layout choices only — reads
+      // re-apply exact predicates, clustering never changes results.
+      val scaled = lohi.map { case (c, lo, hi) =>
+        if (hi <= lo) lit(0)
+        else least(lit(65535), greatest(lit(0),
+          ((coalesce(col(c).cast(DoubleType), lit(lo)) - lit(lo)) *
+            (65535.0 / (hi - lo))).cast(IntegerType)))
+      }
+      val zcol = graft.functions.InterleaveBitsF.interleave(scaled)
+      base.withColumn("__graft_zval", zcol)
+        .repartitionByRange(targetFiles, col("__graft_zval"))
+        .sortWithinPartitions(col("__graft_zval"))
+        .drop("__graft_zval")
+    }
     val (df, preClustered) =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty) (zorderCluster(), true)
+      else if (sortBy.nonEmpty)
         (base.repartitionByRange(targetFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*), true)
       else if (m.partitionFields.nonEmpty) (base, false)
