@@ -51,6 +51,18 @@ object EventStreams {
       .dropDuplicates("user_id", "event_type", "w")
       .select(col("user_id"), col("event_type"), col("w.start").as("day"))
 
+  /** Streaming sink into a Graft table: each micro-batch appends one
+    * snapshot via the exactly-once batch-keyed commit
+    * (GraftTable.appendStreamBatch) — a crash-replayed batch is a no-op,
+    * so the table never double-counts. foreachBatch is the right seam:
+    * the append is a normal distributed write, the snapshot commit is
+    * a metadata-sized CAS. */
+  def sinkToTable(stream: DataFrame, table: graft.table.GraftTable): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        table.appendStreamBatch(batch.toDF(), "graft-sink", batchId)
+    }
+
   /** Stream-stream interval join: purchases within 30 minutes AFTER a
     * click by the same user. Both sides watermarked so Spark can bound
     * the join state (a side's buffered rows are dropped once the other

@@ -339,6 +339,30 @@ final class GraftTable(val dir: Path) {
     }
   }
 
+  /** Streaming-sink micro-batch append (use from `foreachBatch`):
+    * exactly-once per (queryId, batchId). Structured Streaming replays a
+    * micro-batch after a crash between sink write and checkpoint commit;
+    * recording the batch key in the snapshot makes the replay a no-op —
+    * the same idempotence contract Iceberg's streaming writer keeps via
+    * snapshot summary properties. A skipped replay's freshly written
+    * files are unreferenced; they are deleted best-effort here. */
+  def appendStreamBatch(df: DataFrame, queryId: String, batchId: Long): Unit = {
+    val key = s"$queryId#$batchId"
+    def committed(m: TableMeta): Boolean = m.snapshots.exists(_.streamBatch.contains(key))
+    val (_, m) = TableMeta.load(dir)
+    if (committed(m)) return // replay of an already-committed batch
+    val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val newFiles = writeFiles(df.sparkSession, m, aligned)
+    var replayed = false
+    TableMeta.commitRetry(dir) { fresh =>
+      if (committed(fresh)) { replayed = true; fresh }
+      else appendSnapshot(fresh, "append",
+        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
+        carryDeletes(fresh), streamBatch = Some(key))
+    }
+    if (replayed) newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f.path)))
+  }
+
   /** INSERT OVERWRITE semantics: replace the table's visible content with
     * `df` in one snapshot; prior snapshots remain time-travelable. */
   def overwrite(df: DataFrame): Unit = {
@@ -722,7 +746,7 @@ final class GraftTable(val dir: Path) {
     * GIVEN metadata, so a commitRetry reapply numbers correctly). */
   private def appendSnapshot(
       m: TableMeta, op: String, manifest: Seq[DataFile],
-      deletes: Seq[DataFile]): TableMeta = {
+      deletes: Seq[DataFile], streamBatch: Option[String] = None): TableMeta = {
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val snap = Snapshot(
       snapshotId = snapId,
@@ -730,7 +754,8 @@ final class GraftTable(val dir: Path) {
       timestampMs = System.currentTimeMillis(),
       operation = op,
       manifest = manifest,
-      deleteFiles = if (deletes.isEmpty) None else Some(deletes))
+      deleteFiles = if (deletes.isEmpty) None else Some(deletes),
+      streamBatch = streamBatch)
     m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId))
   }
 }

@@ -57,7 +57,10 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String, // append | delete | update | merge | replace | overwrite
     manifest: Seq[DataFile],
-    deleteFiles: Option[Seq[DataFile]] = None) {
+    deleteFiles: Option[Seq[DataFile]] = None,
+    // streaming-sink provenance "queryId#batchId": makes micro-batch
+    // appends idempotent across retries (GraftTable.appendStreamBatch)
+    streamBatch: Option[String] = None) {
   def allDeleteFiles: Seq[DataFile] = deleteFiles.getOrElse(Nil)
 }
 
