@@ -311,6 +311,44 @@ object Joins {
          ORDER BY c_nationkey""")
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join customer→orders with a join-side filter, per-customer count
+    * (null-skipping, so no-order customers count 0), then a second
+    * aggregation over the counts — the classic two-level histogram.
+    * Scale: both aggs partial-aggregate map-side; the outer join
+    * shuffles once on custkey and the histogram's key space is tiny. */
+  def tpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips the null-extended rows
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q16 shape (parts/supplier relationship): join part→lineitem
+    * with negative predicates (<> and NOT LIKE), a NOT IN subquery on the
+    * supplier side (plans as an anti-join — null-aware not needed since
+    * s_suppkey is non-null), and count(DISTINCT supplier) per part group.
+    * ADAPTED: the driver data has no partsupp, so lineitem supplies the
+    * (part, supplier) pairs — identical plan shape. */
+  def tpchQ16(s: SparkSession, d: String): DataFrame = {
+    val badSuppliers = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(badSuppliers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(
+        Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("a%") &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** Co-located bucketed join, judged: both sides bucketed 8 ways on the
     * join key at WRITE time (one-off clustering cost, amortized across
     * every subsequent join), so the join itself plans with no shuffle on
@@ -352,6 +390,8 @@ object Joins {
     "q_tpch_q14"    -> tpchQ14,
     "q_tpch_q19"    -> tpchQ19,
     "q_tpch_q22"    -> tpchQ22,
+    "q_tpch_q13"    -> tpchQ13,
+    "q_tpch_q16"    -> tpchQ16,
     "q_tpch_q7"     -> tpchQ7,
     "q_tpch_q18"    -> tpchQ18,
     "q_tpch_q3"     -> tpchQ3,
@@ -399,6 +439,25 @@ object Joins {
          WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""",
+    "q_tpch_q13" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM per_cust GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'a%'
+           AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q_tpch_q22" ->
       """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

@@ -72,4 +72,21 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Relational.filterProject(spark, sfDir))
     assert(p.contains("*(1)"), p) // codegen stage marker
   }
+
+  test("Q13's left join keeps outer semantics and both aggs partial+final") {
+    val p = plan(Joins.tpchQ13(spark, sfDir)).split("== Initial Plan ==")(0)
+    assert(p.contains("LeftOuter") || p.contains("BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two aggregation levels, each map-side combined
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("Q16's NOT IN plans as an anti join; distinct agg expands, never explodes") {
+    // assert over the FULL AQE output: with an empty build side at this
+    // sf, AQE legitimately eliminates the anti join from the final plan
+    // (empty-relation propagation) — the initial plan still must show it
+    val p = plan(Joins.tpchQ16(spark, sfDir))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
