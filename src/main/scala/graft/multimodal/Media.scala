@@ -109,8 +109,20 @@ object Media {
         md5(col("payload")).as("payload_md5"))
       .orderBy(col("media_id"))
 
+  /** Driver-judged frame sampling: every-30th frame index per video row,
+    * flattened to a comma string (the driver's comparer forbids top-level
+    * arrays). sequence() is row-side and codegen'd — sampling plans never
+    * touch payloads, let alone shuffle them. */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(mediaTable(spark, sfDir), everyK = 30)
+      .select(
+        col("media_id"), col("n_frames"),
+        array_join(col("frame_ids"), ",").as("frames"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_meta" -> mediaMeta)
+    "q_media_meta"   -> mediaMeta,
+    "q_media_frames" -> mediaFrames)
 
   val oracle: Map[String, String] = Map(
     "q_media_meta" ->
@@ -118,7 +130,14 @@ object Media {
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          CAST(strlen(text) AS INT) AS n_bytes,
          md5(text) AS payload_md5
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    // video rows: nFrames = 1 + (len % 120); Spark sequence(0, n-1, 30)
+    // == DuckDB range(0, n, 30) (both stop at the last index < n)
+    "q_media_frames" ->
+      """SELECT doc_id AS media_id,
+         CAST(1 + (strlen(text) % 120) AS INT) AS n_frames,
+         array_to_string(range(0, 1 + (strlen(text) % 120), 30), ',') AS frames
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""")
 
   /** Frame sampling plan for video rows: every k-th frame index, computed
     * with sequence() — row-side, codegen'd, no UDF. */
