@@ -553,9 +553,17 @@ final class GraftTable(val dir: Path) {
             (65535.0 / (hi - lo))).cast(IntegerType)))
       }
       val zcol = graft.functions.InterleaveBitsF.interleave(scaled)
+      // partitioned tables cluster by (partition value, curve position):
+      // each output file then lands in ~one partition dir (no small-files
+      // fan-out from partitionBy) and is curve-sorted within it — the
+      // same "z-order within partitions" layout Iceberg's zorder keeps
+      val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
+      val partCols = m.partitionFields.flatMap(pf => idToName.get(pf.sourceId))
+        .map(src => to_date(col(src)))
+      val keys = partCols :+ col("__graft_zval")
       base.withColumn("__graft_zval", zcol)
-        .repartitionByRange(targetFiles, col("__graft_zval"))
-        .sortWithinPartitions(col("__graft_zval"))
+        .repartitionByRange(targetFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
         .drop("__graft_zval")
     }
     val (df, preClustered) =

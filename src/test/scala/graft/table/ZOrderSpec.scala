@@ -88,6 +88,32 @@ class ZOrderSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("zorder on a PARTITIONED table: content kept, files stay within one day dir") {
+    import spark.implicits._
+    val cat = new GraftCatalog(Files.createTempDirectory("graft_zpart"))
+    cat.createSchema("db")
+    val pschema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("ts", TimestampType)))
+    val t = cat.createTable("db.grid_p", pschema, partitionDays = Some("ts"))
+    val rows = spark.range(2048).select(
+      col("id").as("a"),
+      ((col("id") * 2654435761L) % 2048).as("b"),
+      expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 4 AS INT),0,0,0)").as("ts"))
+    t.append(rows)
+    t.rewriteDataFiles(spark, targetFiles = 8, zorderBy = Seq("a", "b"))
+    // content identical
+    val got = t.read(spark).orderBy("a").select("a", "b").collect().toSeq
+    val want = rows.orderBy("a").select("a", "b").collect().toSeq
+    assert(got == want)
+    // every compacted file belongs to exactly one day partition (the
+    // (partition, curve) clustering prevents partitionBy fan-out), and
+    // stats pruning still bites on the zorder columns
+    val files = t.meta.currentSnapshot.get.manifest
+    assert(files.forall(_.partitionValues.size == 1), files.map(_.partitionValues))
+    assert(filesFor(t, "b", 0, 127) < files.size)
+  }
+
   test("CALL system.rewrite_data_files(zorder_by) routes through the procedure") {
     val wh = Files.createTempDirectory("graft_zproc")
     val cat = new GraftCatalog(wh)
