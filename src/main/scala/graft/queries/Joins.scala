@@ -358,24 +358,31 @@ object Joins {
   private val bucketFixture = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // table names carry the corpus-dir hash: the fixture cache is keyed
+    // by dir, so corpus-independent names would let a second corpus
+    // overwrite the tables while the first corpus' cache entry still
+    // points at them (wrong data against the first corpus' oracle)
+    val suffix = math.abs(d.hashCode).toString
+    val ordersTbl = s"graft_bkt_orders_$suffix"
+    val customerTbl = s"graft_bkt_customer_$suffix"
     bucketFixture.getOrElseUpdate(d, {
       // EXTERNAL tables at Scratch-managed paths: a managed saveAsTable
       // leaves its spark-warehouse dir behind at JVM exit while the
       // in-memory catalog forgets the table, so the next session's
       // overwrite dies on LOCATION_ALREADY_EXISTS
-      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      s.sql(s"DROP TABLE IF EXISTS $customerTbl")
       Tables.orders(s, d).write
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", graft.Scratch.overwritable("bkt_orders", d))
-        .mode("overwrite").saveAsTable("graft_bkt_orders")
+        .mode("overwrite").saveAsTable(ordersTbl)
       Tables.customer(s, d).write
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", graft.Scratch.overwritable("bkt_customer", d))
-        .mode("overwrite").saveAsTable("graft_bkt_customer")
+        .mode("overwrite").saveAsTable(customerTbl)
     })
-    s.table("graft_bkt_orders")
-      .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+    s.table(ordersTbl)
+      .join(s.table(customerTbl), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))

@@ -121,23 +121,34 @@ class GraftSnapshotTable(table: GraftTable, snapshotId: Long, ident: String)
 
   override def name(): String = s"$ident@v$snapshotId"
 
-  override def schema(): StructType = {
+  // Pinned at load time: schema() is called during analysis and the scan
+  // executes later — re-reading metadata in both places would let a
+  // concurrent ALTER TABLE change the schema between them (rows not
+  // matching the analyzed relation). One load, both phases agree.
+  private val pinnedSchema: StructType = {
     val m = table.meta
     m.sparkSchema(m.currentSchemaId)
   }
+
+  override def schema(): StructType = pinnedSchema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new V1Scan {
-      override def readSchema(): StructType = schema()
+      override def readSchema(): StructType = pinnedSchema
       override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
         new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context
-          override def schema: StructType = GraftSnapshotTable.this.schema()
+          override def schema: StructType = pinnedSchema
           override def buildScan(): RDD[Row] =
-            table.readVersion(context.sparkSession, snapshotId).rdd
+            // align to the pinned schema: a DDL that landed after load
+            // fails loudly on a missing column instead of silently
+            // binding rows to the wrong analyzed columns
+            table.readVersion(context.sparkSession, snapshotId)
+              .select(pinnedSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+              .rdd
         }.asInstanceOf[T]
     }
 }
@@ -263,7 +274,11 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
     if (!cat.tableExists(q))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    new GraftSnapshotTable(cat.load(q), version.toLong, s"$catalogName.$q")
+    val snapId = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF '$version' on $catalogName.$q: Graft versions are numeric snapshot ids " +
+          "(see the .history metadata table)"))
+    new GraftSnapshotTable(cat.load(q), snapId, s"$catalogName.$q")
   }
 
   /** `TIMESTAMP AS OF <ts>` routes here; Spark hands MICROseconds. */

@@ -60,7 +60,14 @@ object EventStreams {
   def sinkToTable(stream: DataFrame, table: graft.table.GraftTable): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        table.appendStreamBatch(batch.toDF(), "graft-sink", batchId)
+        // key replays by the REAL streaming query id (stable across
+        // checkpoint restarts, fresh per new checkpoint — exactly the
+        // scope batchIds reset on): a constant here would make two
+        // different queries, or a restart with a fresh checkpoint,
+        // collide on (key, batchId) and silently drop batches
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("graft-sink")
+        table.appendStreamBatch(batch.toDF(), qid, batchId)
     }
 
   /** Stream-stream interval join: purchases within 30 minutes AFTER a

@@ -71,7 +71,11 @@ final class GraftCatalog(val warehouse: Path) {
     val dst = tableDir(to)
     require(Files.exists(src.resolve("meta").resolve("version-hint.text")), s"no table $from")
     require(!Files.exists(dst), s"table $to already exists")
-    Files.createDirectories(dst.getParent)
+    // the target NAMESPACE must already exist — fabricating it here would
+    // move the table into a schema nobody created (TableCatalog expects
+    // a missing-namespace error, not a silent mkdir)
+    require(Files.isDirectory(dst.getParent),
+      s"no such schema ${dst.getParent.getFileName} (create it before renaming into it)")
     Files.move(src, dst)
     TableMeta.commitRetry(dst)(m => m.copy(name = to))
   }

@@ -348,19 +348,29 @@ final class GraftTable(val dir: Path) {
     * files are unreferenced; they are deleted best-effort here. */
   def appendStreamBatch(df: DataFrame, queryId: String, batchId: Long): Unit = {
     val key = s"$queryId#$batchId"
-    def committed(m: TableMeta): Boolean = m.snapshots.exists(_.streamBatch.contains(key))
+    // replay keys live in the snapshots AND in the retired list —
+    // expire_snapshots moves a dropped snapshot's key there so replay
+    // detection survives maintenance
+    def committed(m: TableMeta): Boolean =
+      m.snapshots.exists(_.streamBatch.contains(key)) ||
+        m.retiredStreamBatches.exists(_.contains(key))
     val (_, m) = TableMeta.load(dir)
     if (committed(m)) return // replay of an already-committed batch
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val newFiles = writeFiles(df.sparkSession, m, aligned)
-    var replayed = false
-    TableMeta.commitRetry(dir) { fresh =>
-      if (committed(fresh)) { replayed = true; fresh }
-      else appendSnapshot(fresh, "append",
+    // racing replay detected inside the retry loop: abort WITHOUT
+    // committing (returning `fresh` unchanged would still mint a
+    // byte-identical metadata version — pure churn)
+    object Replayed extends scala.util.control.ControlThrowable
+    try TableMeta.commitRetry(dir) { fresh =>
+      if (committed(fresh)) throw Replayed
+      appendSnapshot(fresh, "append",
         fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
         carryDeletes(fresh), streamBatch = Some(key))
+    } catch {
+      case Replayed =>
+        newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f.path)))
     }
-    if (replayed) newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f.path)))
   }
 
   /** INSERT OVERWRITE semantics: replace the table's visible content with
@@ -557,20 +567,28 @@ final class GraftTable(val dir: Path) {
       // each output file then lands in ~one partition dir (no small-files
       // fan-out from partitionBy) and is curve-sorted within it — the
       // same "z-order within partitions" layout Iceberg's zorder keeps
-      val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
-      val partCols = m.partitionFields.flatMap(pf => idToName.get(pf.sourceId))
-        .map(src => to_date(col(src)))
-      val keys = partCols :+ col("__graft_zval")
+      val keys = partLeadCols :+ col("__graft_zval")
       base.withColumn("__graft_zval", zcol)
         .repartitionByRange(targetFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop("__graft_zval")
     }
+    // sorted compaction of a PARTITIONED table must lead the range keys
+    // with the partition value: otherwise each of the targetFiles range
+    // partitions spans every day and partitionBy fans out to
+    // targetFiles × n_days small files (the anti-pattern writeFiles'
+    // default clustering exists to prevent)
+    def partLeadCols: Seq[org.apache.spark.sql.Column] = {
+      val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
+      m.partitionFields.flatMap(pf => idToName.get(pf.sourceId)).map(src => to_date(col(src)))
+    }
     val (df, preClustered) =
       if (zorderBy.nonEmpty) (zorderCluster(), true)
-      else if (sortBy.nonEmpty)
-        (base.repartitionByRange(targetFiles, sortBy.map(col): _*)
-          .sortWithinPartitions(sortBy.map(col): _*), true)
+      else if (sortBy.nonEmpty) {
+        val keys = partLeadCols ++ sortBy.map(col)
+        (base.repartitionByRange(targetFiles, keys: _*)
+          .sortWithinPartitions(keys: _*), true)
+      }
       else if (m.partitionFields.nonEmpty) (base, false)
       else (base.repartition(targetFiles), true)
     val newFiles = writeFiles(spark, m, df, preClustered)
@@ -602,7 +620,12 @@ final class GraftTable(val dir: Path) {
         def paths(s: Snapshot) = s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path)
         val liveFiles = keep.flatMap(paths).toSet
         orphans = dropped.flatMap(paths).toSet -- liveFiles
-        m.copy(snapshots = keep.sortBy(_.snapshotId))
+        // keep expired snapshots' streaming replay keys: exactly-once
+        // detection must not die with the snapshot that carried the key
+        val retired = (m.retiredStreamBatches.getOrElse(Nil) ++
+          dropped.flatMap(_.streamBatch)).distinct
+        m.copy(snapshots = keep.sortBy(_.snapshotId),
+          retiredStreamBatches = if (retired.isEmpty) None else Some(retired))
       }
     }
     // physical GC only after the metadata commit landed: a failed commit

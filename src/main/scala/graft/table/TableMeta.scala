@@ -72,7 +72,11 @@ final case class TableMeta(
     lastColumnId: Int,
     partitionFields: Seq[PartitionField],
     snapshots: Seq[Snapshot],
-    currentSnapshotId: Option[Long]) {
+    currentSnapshotId: Option[Long],
+    // streamBatch keys of EXPIRED snapshots: exactly-once replay
+    // detection must survive expire_snapshots dropping the snapshot that
+    // carried the key (GraftTable.appendStreamBatch / expireSnapshots)
+    retiredStreamBatches: Option[Seq[String]] = None) {
 
   def currentSchema: Seq[ColumnDef] = schemas(currentSchemaId.toString)
   def schemaAt(id: Int): Seq[ColumnDef] = schemas(id.toString)

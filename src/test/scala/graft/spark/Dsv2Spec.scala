@@ -147,8 +147,13 @@ class Dsv2Spec extends SparkTestBase {
     Thread.sleep(5) // ensure the delete lands at a strictly later ms
     t.delete(spark, col("event_type") === "click")
     val c = freshCatalog(wh)
-    // a timestamp between the two commits sees the pre-delete state
-    val tsLit = new java.sql.Timestamp(afterInsert).toString
+    // a timestamp between the two commits sees the pre-delete state;
+    // render the instant in UTC explicitly — Timestamp.toString uses the
+    // JVM default zone while Spark parses the literal in the UTC session
+    // zone, so the bare toString only works on UTC hosts
+    val tsLit = java.time.Instant.ofEpochMilli(afterInsert)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     val n = spark.sql(
       s"SELECT count(*) FROM $c.db.tt TIMESTAMP AS OF '$tsLit'").collect()(0).getLong(0)
     assert(n === 100)

@@ -168,4 +168,21 @@ class StreamingSpec extends SparkTestBase {
     t.appendStreamBatch(batch, "q1", 1L) // next batch appends normally
     assert(t.read(spark).count() === 20)
   }
+
+  test("replay keys survive expire_snapshots (retired into metadata)") {
+    val cat = new graft.table.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft_retire"))
+    cat.createSchema("db")
+    val t = cat.createTable("db.retired", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    t.appendStreamBatch(spark.range(10).toDF(), "q1", 0L)
+    t.appendStreamBatch(spark.range(10, 20).toDF(), "q1", 1L)
+    // maintenance drops the snapshot that carried q1#0...
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(!t.meta.snapshots.exists(_.streamBatch.contains("q1#0")))
+    // ...but a crash-replay of batch 0 must STILL be a no-op
+    t.appendStreamBatch(spark.range(10).toDF(), "q1", 0L)
+    assert(t.read(spark).count() === 20)
+    assert(t.meta.retiredStreamBatches.exists(_.contains("q1#0")))
+  }
 }
