@@ -349,6 +349,82 @@ object Joins {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
+  /** TPC-H Q8 shape (national market share): an 8-way join — part,
+    * supplier, lineitem, orders, customer, nation ×2 (customer's nation
+    * restricts the market region; supplier's nation is the share being
+    * measured), region — then a conditional-fraction aggregate per year.
+    * All dims broadcast; the only shuffles are the two fact joins and the
+    * per-year agg. Share = exact decimal sums cast to double, divided
+    * once (bit-identical on both engines). */
+  def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("c_rk") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .withColumn("volume",
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_1", col("volume"))
+          .otherwise(lit(0).cast(dec))).cast(org.apache.spark.sql.types.DoubleType) /
+          sum(col("volume")).cast(org.apache.spark.sql.types.DoubleType)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): a revenue aggregate reused twice —
+    * once joined back to supplier, once reduced to its max (a 1-row
+    * broadcast) — selecting the argmax row(s) without a window over the
+    * whole table. Exact decimal revenue makes the max/equality
+    * deterministic at any parallelism. */
+  def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    Tables.supplier(s, d)
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast(org.apache.spark.sql.types.DoubleType))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated AVG
+    * subquery per part, rewritten exactly — `qty < 0.2 * avg(qty)` ⟺
+    * `5 * cnt * qty < sum(qty)` in DECIMAL arithmetic, so the threshold
+    * compare is exact on both engines (no float boundary). One per-part
+    * aggregate joined back to the fact; single-row output. */
+  def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    val qdec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(col("l_quantity").cast(qdec)).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1" && col("p_size") < 10),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(col("l_quantity").cast(qdec) * lit(5) * col("qty_cnt") < col("qty_sum"))
+      .agg((sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast(org.apache.spark.sql.types.DoubleType) / lit(7.0)).as("avg_yearly"))
+  }
+
   /** Co-located bucketed join, judged: both sides bucketed 8 ways on the
     * join key at WRITE time (one-off clustering cost, amortized across
     * every subsequent join), so the join itself plans with no shuffle on
@@ -399,6 +475,9 @@ object Joins {
     "q_tpch_q22"    -> tpchQ22,
     "q_tpch_q13"    -> tpchQ13,
     "q_tpch_q16"    -> tpchQ16,
+    "q_tpch_q8"     -> tpchQ8,
+    "q_tpch_q15"    -> tpchQ15,
+    "q_tpch_q17"    -> tpchQ17,
     "q_tpch_q7"     -> tpchQ7,
     "q_tpch_q18"    -> tpchQ18,
     "q_tpch_q3"     -> tpchQ3,
@@ -446,6 +525,47 @@ object Joins {
          WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""",
+    "q_tpch_q8" ->
+      """WITH flat AS (
+           SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume,
+             n2.n_name AS supp_nation
+           FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA')
+         SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         FROM flat GROUP BY o_year ORDER BY o_year""",
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q_tpch_q17" ->
+      """WITH per_part AS (
+           SELECT l_partkey AS pp_key,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+             count(*) AS qty_cnt
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN per_part ON l_partkey = pp_key
+         WHERE p_brand = 'Brand#1' AND p_size < 10
+           AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_cnt < qty_sum""",
     "q_tpch_q13" ->
       """WITH per_cust AS (
            SELECT c_custkey, count(o_orderkey) AS c_count
