@@ -54,6 +54,33 @@ class ZOrderSpec extends SparkTestBase {
     assert(expr.eval(null) == 39L)
   }
 
+  test("interleave properties: bijective on 16-bit pairs, monotone per axis") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val lit16 = Gen.choose(0, 0xffff)
+    def z(x: Int, y: Int): Long = {
+      val e = InterleaveBitsF(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(y)))
+      e.eval(null).asInstanceOf[Long]
+    }
+    // injective: distinct inputs -> distinct codes (the curve visits each
+    // cell once, so range-partitioning on it is a total ordering of cells)
+    val inj = Prop.forAll(lit16, lit16, lit16, lit16) { (a, b, c, d) =>
+      ((a, b) == (c, d)) == (z(a, b) == z(c, d))
+    }
+    // monotone along each axis with the other fixed: growing one
+    // coordinate never shrinks the code, so per-file [min,max] code
+    // ranges translate to bounded coordinate ranges — what stats pruning
+    // on the member columns depends on
+    val mono = Prop.forAll(lit16, lit16, lit16) { (x1, x2, y) =>
+      val (lo, hi) = (math.min(x1, x2), math.max(x1, x2))
+      z(lo, y) <= z(hi, y) && z(y, lo) <= z(y, hi)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), inj && mono)
+    assert(res.passed, res.status.toString)
+  }
+
   test("zorder compaction preserves content exactly") {
     val t = freshTable()
     t.rewriteDataFiles(spark, targetFiles = 16, zorderBy = Seq("a", "b"))
