@@ -224,6 +224,34 @@ object Relational {
           count(lit(1))).as("avg_bal"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
 
+  /** I12 arbitrary GROUPING SETS (the general form rollup/cube are sugar
+    * for): two independent single-column sets plus the grand total in one
+    * pass — Spark plans a single Expand + aggregate, NOT three scans.
+    * Grouping-null cells are labeled via coalesce so the output is plain
+    * strings (the source columns are non-null, so no ambiguity). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_gs_orders")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM graft_gs_orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""")
+  }
+
+  /** I7 EXCEPT ALL: multiset difference (each duplicate survives as many
+    * times as left-count minus right-count) — the bag semantics DISTINCT
+    * except erases. */
+  def exceptAll(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderpriority").as("priority"))
+      .exceptAll(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderpriority").as("priority")))
+      .groupBy(col("priority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("priority"))
+
   /** F-family: exact interpolated percentiles (Spark `percentile` ==
     * DuckDB `quantile_cont`, both linear interpolation on sorted data —
     * an exact, order-independent aggregate). */
@@ -358,7 +386,9 @@ object Relational {
     "q_agg_stats"          -> aggStats,
     "q_approx_distinct"    -> approxDistinct,
     "q_rollup"             -> rollupAgg,
-    "q_cube"               -> cubeAgg)
+    "q_cube"               -> cubeAgg,
+    "q_grouping_sets"      -> groupingSets,
+    "q_except_all"         -> exceptAll)
 
   val oracle: Map[String, String] = Map(
     // The sketch values themselves are algorithm-specific; the oracle
@@ -486,6 +516,21 @@ object Relational {
          round(stddev_samp(l_discount), 6) AS sd_disc
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
+    "q_except_all" ->
+      """WITH diff AS (
+           SELECT o_orderpriority AS priority FROM orders
+           EXCEPT ALL
+           SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F')
+         SELECT priority, count(*) AS n FROM diff
+         GROUP BY priority ORDER BY priority""",
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          round(sum(o_totalprice), 2) AS total
