@@ -81,13 +81,52 @@ object Windows {
         ntile(4).over(byCustomerPrice).as("quartile"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
 
+  /** I8 distribution functions: percent_rank = (rank−1)/(n−1) and
+    * cume_dist = peers/n — both exact small-integer divisions, so the
+    * doubles are bit-identical across engines; ties get identical values
+    * by definition (deterministic without a full tiebreak). */
+  def distWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Unpivot (melt): wide per-line metrics to (metric, value) rows —
+    * Spark's unpivot plans as a single Expand, one pass, no join. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank"   -> rankTopK,
     "q_window_lag"    -> lagLead,
     "q_window_frames" -> frames,
-    "q_window_ntile"  -> ntileBuckets)
+    "q_window_ntile"  -> ntileBuckets,
+    "q_window_dist"   -> distWindows,
+    "q_unpivot"       -> unpivotMetrics)
 
   val oracle: Map[String, String] = Map(
+    "q_window_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+         percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
+         cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+         FROM customer ORDER BY c_custkey""",
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         SELECT * FROM m ORDER BY l_orderkey, l_linenumber, metric""",
     "q_window_ntile" ->
       """SELECT o_custkey, o_orderkey,
          CAST(ntile(4) OVER (PARTITION BY o_custkey
