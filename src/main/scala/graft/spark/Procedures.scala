@@ -68,7 +68,8 @@ object GraftProcedures {
         p("table", StringType),
         pDefault("target_files", IntegerType, "1"),
         pDefault("sort_by", StringType, "''"),
-        pDefault("zorder_by", StringType, "''"))) {
+        pDefault("zorder_by", StringType, "''"),
+        pDefault("curve", StringType, "'morton'"))) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val t = cat.load(input.getUTF8String(0).toString)
           def cols(i: Int): Seq[String] =
@@ -76,7 +77,8 @@ object GraftProcedures {
             else input.getUTF8String(i).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val before = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
           t.rewriteDataFiles(SparkSession.active, input.getInt(1),
-            sortBy = cols(2), zorderBy = cols(3))
+            sortBy = cols(2), zorderBy = cols(3),
+            curve = if (input.isNullAt(4)) "morton" else input.getUTF8String(4).toString)
           val after = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
           result(
             StructType(Seq(

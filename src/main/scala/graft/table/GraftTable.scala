@@ -522,8 +522,11 @@ final class GraftTable(val dir: Path) {
     * layout a single-column sort can't give (Delta/Iceberg's OPTIMIZE
     * ZORDER). */
   def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1,
-      sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Unit = {
+      sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+      curve: String = "morton"): Unit = {
     require(sortBy.isEmpty || zorderBy.isEmpty, "sortBy and zorderBy are exclusive")
+    require(curve == "morton" || (curve == "hilbert" && (zorderBy.isEmpty || zorderBy.size == 2)),
+      s"curve '$curve' unsupported (morton: 1-4 columns; hilbert: exactly 2)")
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
@@ -562,7 +565,10 @@ final class GraftTable(val dir: Path) {
           ((coalesce(col(c).cast(DoubleType), lit(lo)) - lit(lo)) *
             (65535.0 / (hi - lo))).cast(IntegerType)))
       }
-      val zcol = graft.functions.InterleaveBitsF.interleave(scaled)
+      val zcol =
+        if (curve == "hilbert")
+          graft.functions.HilbertIndexF.hilbert(scaled(0), scaled(1))
+        else graft.functions.InterleaveBitsF.interleave(scaled)
       // partitioned tables cluster by (partition value, curve position):
       // each output file then lands in ~one partition dir (no small-files
       // fan-out from partitionBy) and is curve-sorted within it — the

@@ -142,6 +142,50 @@ class ZOrderSpec extends SparkTestBase {
     assert(filesFor(t, "b", 0, 127) < files.size)
   }
 
+  test("hilbert index: unit-square order, injective, codegen == interpreted") {
+    import graft.functions.HilbertIndexF
+    // the 2x2 base case visits (0,0)->(0,1)->(1,1)->(1,0); at 2^16 the
+    // first quadrant step is 2^30 cells
+    assert(HilbertIndexF.xy2d(0, 0) == 0L)
+    // injective over an exhaustive 128x128 corner + random 16-bit pairs
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    for (x <- 0 until 128; y <- 0 until 128)
+      assert(seen.add(HilbertIndexF.xy2d(x, y)), s"collision at ($x,$y)")
+    val rng = new scala.util.Random(7)
+    val pts = Seq.fill(2000)((rng.nextInt(65536), rng.nextInt(65536))).distinct
+    assert(pts.map((HilbertIndexF.xy2d _).tupled).distinct.size == pts.size)
+    // consecutive curve positions are adjacent cells on the 128-grid
+    // subset we enumerated: sort by d, check Manhattan distance 1 for
+    // pairs whose d values are consecutive integers
+    val byD = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (HilbertIndexF.xy2d(x, y), x, y)).sortBy(_._1)
+    byD.sliding(2).foreach { case Seq((d1, x1, y1), (d2, x2, y2)) =>
+      if (d2 == d1 + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"non-adjacent steps d=$d1($x1,$y1) -> d=$d2($x2,$y2)")
+      case _ => ()
+    }
+    // codegen path agrees with the interpreted transform
+    import spark.implicits._
+    val df = Seq((3, 5), (40000, 123), (0, 65535)).toDF("x", "y")
+    val got = df.select(HilbertIndexF.hilbert(col("x"), col("y")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(HilbertIndexF.xy2d(3, 5),
+      HilbertIndexF.xy2d(40000, 123), HilbertIndexF.xy2d(0, 65535)))
+  }
+
+  test("hilbert clustering prunes both dimensions at least as well as required") {
+    val t = freshTable()
+    t.rewriteDataFiles(spark, targetFiles = 16, zorderBy = Seq("a", "b"), curve = "hilbert")
+    assert(t.meta.currentSnapshot.get.manifest.size == 16)
+    // both dims prune (the property that makes the curve useful at all)
+    assert(filesFor(t, "a", 0, 255) <= 8, s"a kept ${filesFor(t, "a", 0, 255)}")
+    assert(filesFor(t, "b", 0, 255) <= 8, s"b kept ${filesFor(t, "b", 0, 255)}")
+    // content identical
+    val got = t.read(spark).orderBy("a").collect()
+    assert(got.toSeq == grid.orderBy("a").collect().toSeq)
+  }
+
   test("CALL system.rewrite_data_files(zorder_by) routes through the procedure") {
     val wh = Files.createTempDirectory("graft_zproc")
     val cat = new GraftCatalog(wh)
