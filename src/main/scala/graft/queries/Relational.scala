@@ -241,6 +241,27 @@ object Relational {
          ORDER BY status, priority""")
   }
 
+  /** I15 MapType battery: build a map row-side (map_from_arrays), then
+    * element lookup, key listing, size, and map_concat — all codegen'd
+    * column expressions; the judged output is scalar so the driver can
+    * hash it (top-level maps are not hashable). The oracle computes the
+    * same VALUES directly — it doesn't need maps to check map semantics. */
+  def mapOps(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        map_from_arrays(
+          array(lit("qty"), lit("tax")),
+          array(col("l_quantity"), col("l_tax"))).as("m"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        map_concat(col("m"), map(lit("disc"), lit(0.0))).as("m2"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m2"), "qty").as("qty"),
+        element_at(col("m2"), "tax").as("tax"),
+        array_join(map_keys(col("m2")), ",").as("keys"),
+        size(col("m2")).as("n_keys"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** I7 EXCEPT ALL: multiset difference (each duplicate survives as many
     * times as left-count minus right-count) — the bag semantics DISTINCT
     * except erases. */
@@ -388,7 +409,8 @@ object Relational {
     "q_rollup"             -> rollupAgg,
     "q_cube"               -> cubeAgg,
     "q_grouping_sets"      -> groupingSets,
-    "q_except_all"         -> exceptAll)
+    "q_except_all"         -> exceptAll,
+    "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
     // The sketch values themselves are algorithm-specific; the oracle
@@ -516,6 +538,11 @@ object Relational {
          round(stddev_samp(l_discount), 6) AS sd_disc
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_map_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_quantity AS qty, l_tax AS tax,
+         'qty,tax,disc' AS keys, 3 AS n_keys
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,

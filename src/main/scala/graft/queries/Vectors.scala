@@ -228,6 +228,22 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** I15 array-manipulation battery beyond the HOF aggregates:
+    * slice / sort / distinct / reverse / contains / position — all
+    * row-side codegen'd, mirrored by DuckDB's list_* functions. */
+  def arrayOps(s: SparkSession, d: String): DataFrame = {
+    val head8 = slice(col("embedding"), 1, 8)
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(array_distinct(head8)).as("n_uniq"),
+        element_at(array_sort(head8), 1).cast(DoubleType).as("min8"),
+        element_at(reverse(array_sort(head8)), 1).cast(DoubleType).as("max8"),
+        array_contains(head8, element_at(col("embedding"), 1)).as("has_first"),
+        array_position(array_sort(head8), array_min(head8)).cast(IntegerType).as("min_pos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** I15 positional explode: first 3 vector components as rows. */
   def posExplode(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -237,6 +253,7 @@ object Vectors {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pos_explode"   -> posExplode,
+    "q_array_ops"     -> arrayOps,
     "q_vector_norms"  -> vectorNorms,
     "q_cosine_topk"   -> cosineTopK,
     "q_cosine_pairs"  -> topKPairs,
@@ -247,6 +264,14 @@ object Vectors {
   // q_ann_lsh is approximate by construction → rows-only check here;
   // recall vs the exact baseline is asserted in VectorsSpec.
   val oracle: Map[String, String] = Map(
+    "q_array_ops" ->
+      """SELECT vec_id,
+         len(list_distinct(embedding[1:8])) AS n_uniq,
+         CAST(list_sort(embedding[1:8])[1] AS DOUBLE) AS min8,
+         CAST(list_reverse(list_sort(embedding[1:8]))[1] AS DOUBLE) AS max8,
+         list_contains(embedding[1:8], embedding[1]) AS has_first,
+         CAST(list_position(list_sort(embedding[1:8]), list_min(embedding[1:8])) AS INT) AS min_pos
+         FROM embeddings ORDER BY vec_id""",
     "q_pos_explode" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
          FROM embeddings CROSS JOIN (VALUES (1), (2), (3)) t(i)
