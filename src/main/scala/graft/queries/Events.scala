@@ -122,52 +122,44 @@ object Events {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+  /** Shared AvailableNow→memory-sink drain harness for the judged
+    * streaming queries: drop any stale temp view, scope
+    * shuffle.partitions down (a stateful streaming op materializes one
+    * state store per shuffle partition at query start — tiny key spaces
+    * need nowhere near 32), drain, restore the session default only
+    * AFTER termination (micro-batch planning reads the conf from a
+    * background thread after start()). */
+  private def drainToMemory(s: SparkSession, qname: String, outputMode: String)(
+      topology: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val stream = eventStream(s, d)
-    val qname = "graft_stream_tumbling"
     try s.catalog.dropTempView(qname) catch { case _: Exception => () }
-    // a stateful streaming agg materializes one state store (with its
-    // checkpoint/delta files) PER shuffle partition at query start; the
-    // result here is ~50 (window, type) keys, so 8 stores ample — scope
-    // the lower setting to this run and restore the session default
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.EventStreams.tumblingCounts(stream)
+      val q = topology
         .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
+        .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
-      // restore only after the drain: micro-batch planning runs on a
-      // background thread that reads the session conf after start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(qname).orderBy(col("ws"), col("event_type"))
+    s.table(qname)
   }
+
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    drainToMemory(s, "graft_stream_tumbling", "complete")(
+      graft.streaming.EventStreams.tumblingCounts(eventStream(s, d)))
+      .orderBy(col("ws"), col("event_type"))
 
   /** J5 streaming exact dedup, judged: dropDuplicates over (user_id,
     * event_type, day-window) with a watermark — the bounded-state
     * streaming dedup (EventStreams.dedupDaily). Drained AvailableNow,
     * the append-mode output is exactly the batch DISTINCT, so it shares a
     * plain SQL oracle. */
-  def streamDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val stream = eventStream(s, d)
-    val qname = "graft_stream_dedup"
-    try s.catalog.dropTempView(qname) catch { case _: Exception => () }
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8") // 8 state stores ample
-      val q = graft.streaming.EventStreams.dedupDaily(stream)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(qname).orderBy(col("user_id"), col("event_type"), col("day"))
-  }
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    drainToMemory(s, "graft_stream_dedup", "append")(
+      graft.streaming.EventStreams.dedupDaily(eventStream(s, d)))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
 
   /** Streaming sink, judged: the events stream drains (AvailableNow)
     * through EventStreams.sinkToTable into a fresh Graft table — one

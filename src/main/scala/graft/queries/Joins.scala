@@ -434,11 +434,15 @@ object Joins {
   private val bucketFixture = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    // table names carry the corpus-dir hash: the fixture cache is keyed
+    // table names carry a corpus-dir digest: the fixture cache is keyed
     // by dir, so corpus-independent names would let a second corpus
     // overwrite the tables while the first corpus' cache entry still
-    // points at them (wrong data against the first corpus' oracle)
-    val suffix = math.abs(d.hashCode).toString
+    // points at them (wrong data against the first corpus' oracle).
+    // MD5 hex, not hashCode: abs(Int.MinValue) is negative (invalid in
+    // an identifier) and 32-bit collisions would silently re-open the
+    // cross-corpus bug this suffix exists to close
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val ordersTbl = s"graft_bkt_orders_$suffix"
     val customerTbl = s"graft_bkt_customer_$suffix"
     bucketFixture.getOrElseUpdate(d, {

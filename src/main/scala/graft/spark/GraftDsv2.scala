@@ -278,7 +278,9 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
       throw new IllegalArgumentException(
         s"VERSION AS OF '$version' on $catalogName.$q: Graft versions are numeric snapshot ids " +
           "(see the .history metadata table)"))
-    new GraftSnapshotTable(cat.load(q), snapId, s"$catalogName.$q")
+    val t = cat.load(q)
+    t.meta.snapshot(snapId) // unknown id -> analysis-time error, not a mid-job task failure
+    new GraftSnapshotTable(t, snapId, s"$catalogName.$q")
   }
 
   /** `TIMESTAMP AS OF <ts>` routes here; Spark hands MICROseconds. */

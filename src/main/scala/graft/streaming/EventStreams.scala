@@ -62,11 +62,15 @@ object EventStreams {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // key replays by the REAL streaming query id (stable across
         // checkpoint restarts, fresh per new checkpoint — exactly the
-        // scope batchIds reset on): a constant here would make two
-        // different queries, or a restart with a fresh checkpoint,
-        // collide on (key, batchId) and silently drop batches
-        val qid = Option(batch.sparkSession.sparkContext
-          .getLocalProperty("sql.streaming.queryId")).getOrElse("graft-sink")
+        // scope batchIds reset on). NO constant fallback: a shared
+        // constant would make two queries (or a fresh-checkpoint
+        // restart) collide on (key, batchId) and silently DROP batches —
+        // failing loudly beats silent data loss
+        val qid = batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")
+        require(qid != null,
+          "sinkToTable must run inside a streaming query (sql.streaming.queryId unset) — " +
+            "for a batch append use GraftTable.append/appendStreamBatch directly")
         table.appendStreamBatch(batch.toDF(), qid, batchId)
     }
 

@@ -72,10 +72,12 @@ final class GraftCatalog(val warehouse: Path) {
     require(Files.exists(src.resolve("meta").resolve("version-hint.text")), s"no table $from")
     require(!Files.exists(dst), s"table $to already exists")
     // the target NAMESPACE must already exist — fabricating it here would
-    // move the table into a schema nobody created (TableCatalog expects
-    // a missing-namespace error, not a silent mkdir)
-    require(Files.isDirectory(dst.getParent),
-      s"no such schema ${dst.getParent.getFileName} (create it before renaming into it)")
+    // move the table into a schema nobody created. Throw the analysis
+    // exception Spark's rename path translates into SCHEMA_NOT_FOUND
+    // (a bare require would surface as an internal-looking stack trace)
+    if (!Files.isDirectory(dst.getParent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(dst.getParent.getFileName.toString))
     Files.move(src, dst)
     TableMeta.commitRetry(dst)(m => m.copy(name = to))
   }

@@ -348,12 +348,12 @@ final class GraftTable(val dir: Path) {
     * files are unreferenced; they are deleted best-effort here. */
   def appendStreamBatch(df: DataFrame, queryId: String, batchId: Long): Unit = {
     val key = s"$queryId#$batchId"
-    // replay keys live in the snapshots AND in the retired list —
-    // expire_snapshots moves a dropped snapshot's key there so replay
-    // detection survives maintenance
+    // replay detection: the key lives in a live snapshot, OR batchId is
+    // at-or-below the query's retired watermark (expire_snapshots folds
+    // dropped snapshots' keys into the per-query max)
     def committed(m: TableMeta): Boolean =
       m.snapshots.exists(_.streamBatch.contains(key)) ||
-        m.retiredStreamBatches.exists(_.contains(key))
+        m.retiredStreamBatches.exists(_.get(queryId).exists(batchId <= _))
     val (_, m) = TableMeta.load(dir)
     if (committed(m)) return // replay of an already-committed batch
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
@@ -369,7 +369,20 @@ final class GraftTable(val dir: Path) {
         carryDeletes(fresh), streamBatch = Some(key))
     } catch {
       case Replayed =>
-        newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f.path)))
+        // delete the aborted write's whole staging dir(s), not just the
+        // manifest-listed parquet files — zero-row files and _SUCCESS
+        // markers would otherwise leak in data/ for the table's lifetime
+        newFiles.map(f => dir.resolve(f.path).getParent).distinct.foreach { p =>
+          var d0 = p
+          // walk up to the w-<uuid> staging root (partitioned writes nest
+          // one level of day=... dirs under it)
+          while (d0 != null && !d0.getFileName.toString.startsWith("w-")) d0 = d0.getParent
+          val target = if (d0 == null) p else d0
+          val walk = Files.walk(target)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
     }
   }
 
@@ -626,10 +639,19 @@ final class GraftTable(val dir: Path) {
         def paths(s: Snapshot) = s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path)
         val liveFiles = keep.flatMap(paths).toSet
         orphans = dropped.flatMap(paths).toSet -- liveFiles
-        // keep expired snapshots' streaming replay keys: exactly-once
-        // detection must not die with the snapshot that carried the key
-        val retired = (m.retiredStreamBatches.getOrElse(Nil) ++
-          dropped.flatMap(_.streamBatch)).distinct
+        // fold expired snapshots' streaming replay keys into the
+        // per-query max-batchId watermark: exactly-once detection must
+        // not die with the snapshot that carried the key, and a bounded
+        // map (not a key list) keeps metadata O(queries) forever
+        val expiredKeys = dropped.flatMap(_.streamBatch).flatMap { k =>
+          k.lastIndexOf('#') match {
+            case i if i > 0 => k.substring(i + 1).toLongOption.map(k.substring(0, i) -> _)
+            case _          => None
+          }
+        }
+        val retired = expiredKeys.foldLeft(m.retiredStreamBatches.getOrElse(Map.empty)) {
+          case (acc, (q, b)) => acc.updated(q, math.max(b, acc.getOrElse(q, Long.MinValue)))
+        }
         m.copy(snapshots = keep.sortBy(_.snapshotId),
           retiredStreamBatches = if (retired.isEmpty) None else Some(retired))
       }

@@ -73,10 +73,14 @@ final case class TableMeta(
     partitionFields: Seq[PartitionField],
     snapshots: Seq[Snapshot],
     currentSnapshotId: Option[Long],
-    // streamBatch keys of EXPIRED snapshots: exactly-once replay
+    // Max EXPIRED streaming batchId per queryId: exactly-once replay
     // detection must survive expire_snapshots dropping the snapshot that
-    // carried the key (GraftTable.appendStreamBatch / expireSnapshots)
-    retiredStreamBatches: Option[Seq[String]] = None) {
+    // carried the key (GraftTable.appendStreamBatch / expireSnapshots).
+    // BatchIds are monotonic per query, so one watermark per queryId
+    // gives the same detection in O(queries) space — a key list would
+    // grow with every batch ever committed and be re-serialized on every
+    // commit (unbounded metadata bloat on a long-running sink).
+    retiredStreamBatches: Option[Map[String, Long]] = None) {
 
   def currentSchema: Seq[ColumnDef] = schemas(currentSchemaId.toString)
   def schemaAt(id: Int): Seq[ColumnDef] = schemas(id.toString)
