@@ -292,6 +292,79 @@ object TableQueries {
     s.sql(s"SELECT * FROM $c.db.tt_t VERSION AS OF 1 ORDER BY o_orderkey")
   }
 
+  /** SQL `UPDATE ... SET ... WHERE` through the GraftExtensions analyzer
+    * rule (the reference's v2 "updates" promise, README.md:180, on the
+    * pure SQL surface): the analyzed UpdateTable plan is routed to the
+    * CoW GraftTable.update — assignments can reference the row's own
+    * columns (price doubling), not just literals. */
+  def tableSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.upd_t")
+    s.sql(
+      s"""CREATE TABLE $c.db.upd_t (
+            o_orderkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderpriority STRING)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.upd_t
+          SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE),
+                 o_orderpriority
+          FROM graft_src_orders""")
+    s.sql(
+      s"""UPDATE $c.db.upd_t
+          SET o_orderpriority = '0-REVIEWED', o_totalprice = o_totalprice * 2
+          WHERE o_orderstatus = 'F'""")
+    s.sql(s"SELECT * FROM $c.db.upd_t ORDER BY o_orderkey")
+  }
+
+  /** SQL `MERGE INTO` exercising every clause family in one statement:
+    * conditional MATCHED DELETE, MATCHED UPDATE referencing both sides,
+    * conditional NOT MATCHED INSERT, and NOT MATCHED BY SOURCE UPDATE.
+    * First-applicable-clause semantics and the cardinality rule are what
+    * the oracle checks (DuckDB has no MERGE — the oracle states the
+    * equivalent CASE/UNION algebra explicitly). */
+  def tableSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.mrg_t")
+    s.sql(
+      s"""CREATE TABLE $c.db.mrg_t (
+            o_orderkey BIGINT, o_custkey BIGINT,
+            o_orderstatus STRING, o_totalprice DOUBLE)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.mrg_t
+          SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+          FROM graft_src_orders WHERE o_orderkey % 10 < 5""")
+    s.sql(
+      s"""MERGE INTO $c.db.mrg_t t
+          USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                 FROM graft_src_orders WHERE o_orderkey % 10 IN (0, 3, 5)) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+          WHEN NOT MATCHED AND s.o_orderstatus <> 'F' THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice)
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 4 THEN
+            UPDATE SET o_orderstatus = 'X'""")
+    s.sql(s"SELECT * FROM $c.db.mrg_t ORDER BY o_orderkey")
+  }
+
+  /** Named refs (Iceberg tags/branches): a tag created before a delete
+    * pins its snapshot against expire_snapshots — reading the tag after
+    * an aggressive expiry (retain_last=1 would otherwise drop snapshot 1)
+    * must still reproduce the FULL source. The branch surface
+    * (create/move/fast-forward, SQL VERSION AS OF '<ref>') is spec-tested
+    * in Dsv2Spec. */
+  def tableRefs(s: SparkSession, d: String): DataFrame = {
+    val t = plainFixture(s, d) // snapshot 1 = full orders
+    t.createTag("pre_delete", 1)
+    t.delete(s, col("o_orderstatus") === "F") // snapshot 2
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    ordered(t.readRef(s, "pre_delete"))
+  }
+
   /** D2, merge-on-read flavor: positional delete files instead of CoW
     * rewrite — visible semantics identical to q_table_read's CoW delete
     * (same oracle), but no data file is rewritten (asserted in
@@ -349,7 +422,10 @@ object TableQueries {
     "q_table_partitions"      -> tablePartitions,
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete,
-    "q_table_zorder"          -> tableZorder)
+    "q_table_zorder"          -> tableZorder,
+    "q_table_sql_update"      -> tableSqlUpdate,
+    "q_table_sql_merge"       -> tableSqlMerge,
+    "q_table_refs"            -> tableRefs)
 
   private val orderedOrdersSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -358,6 +434,7 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_refs" -> orderedOrdersSql.format(""),
     "q_table_read" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),
@@ -431,5 +508,29 @@ object TableQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
          o_orderdate, o_orderpriority
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+    "q_table_sql_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DOUBLE) * 2
+              ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice,
+         CASE WHEN o_orderstatus = 'F' THEN '0-REVIEWED'
+              ELSE o_orderpriority END AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    // target = keys %10<5; source = keys %10 in (0,3,5):
+    // matched (0,3): status F deleted, else price+price; unmatched source
+    // (5): inserted unless F; unmatched target (1,2,4): %10=4 → status X
+    "q_table_sql_merge" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 4 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 IN (0, 3)
+                  THEN CAST(o_totalprice AS DOUBLE) + CAST(o_totalprice AS DOUBLE)
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+           FROM orders
+           WHERE o_orderkey % 10 < 5
+             AND NOT (o_orderkey % 10 IN (0, 3) AND o_orderstatus = 'F')
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+           FROM orders WHERE o_orderkey % 10 = 5 AND o_orderstatus <> 'F')
+         ORDER BY o_orderkey""")
 }

@@ -250,7 +250,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
   private def qualified(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  private val metaKinds = Set("history", "snapshots", "files", "partitions")
+  private val metaKinds = Set("history", "snapshots", "files", "partitions", "refs")
 
   override def loadTable(ident: Identifier): Table = {
     val q = qualified(ident)
@@ -274,11 +274,14 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
     if (!cat.tableExists(q))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    val snapId = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"VERSION AS OF '$version' on $catalogName.$q: Graft versions are numeric snapshot ids " +
-          "(see the .history metadata table)"))
     val t = cat.load(q)
+    // numeric = snapshot id; otherwise a named ref (tag/branch)
+    val snapId = version.toLongOption.getOrElse {
+      t.meta.allRefs.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' on $catalogName.$q: not a snapshot id and no such " +
+            "tag/branch (see the .refs metadata table)")).snapshotId
+    }
     t.meta.snapshot(snapId) // unknown id -> analysis-time error, not a mid-job task failure
     new GraftSnapshotTable(t, snapId, s"$catalogName.$q")
   }

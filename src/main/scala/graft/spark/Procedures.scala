@@ -104,12 +104,85 @@ object GraftProcedures {
         }
       }
 
+    case "create_tag" =>
+      new GraftProc("create_tag", Array(
+        p("table", StringType),
+        p("name", StringType),
+        pDefault("snapshot_id", LongType, "-1"))) { // -1 = current snapshot
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val refName = input.getUTF8String(1).toString
+          val sid = input.getLong(2) match {
+            case -1L => t.meta.currentSnapshotId.getOrElse(
+              throw new IllegalArgumentException("table has no snapshot to tag"))
+            case s => s
+          }
+          t.createTag(refName, sid)
+          result(
+            StructType(Seq(
+              StructField("name", StringType),
+              StructField("snapshot_id", LongType))),
+            utf8(refName), sid)
+        }
+      }
+
+    case "create_branch" =>
+      new GraftProc("create_branch", Array(
+        p("table", StringType),
+        p("name", StringType),
+        pDefault("snapshot_id", LongType, "-1"))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val refName = input.getUTF8String(1).toString
+          val sid = input.getLong(2) match {
+            case -1L => None
+            case s   => Some(s)
+          }
+          t.createBranch(refName, sid)
+          result(
+            StructType(Seq(
+              StructField("name", StringType),
+              StructField("snapshot_id", LongType))),
+            utf8(refName), t.resolveRef(refName))
+        }
+      }
+
+    case "drop_ref" =>
+      new GraftProc("drop_ref", Array(
+        p("table", StringType),
+        p("name", StringType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val refName = input.getUTF8String(1).toString
+          t.dropRef(refName)
+          result(
+            StructType(Seq(StructField("dropped", StringType))), utf8(refName))
+        }
+      }
+
+    case "fast_forward" =>
+      new GraftProc("fast_forward", Array(
+        p("table", StringType),
+        p("name", StringType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val refName = input.getUTF8String(1).toString
+          t.fastForwardBranch(refName)
+          result(
+            StructType(Seq(
+              StructField("name", StringType),
+              StructField("snapshot_id", LongType))),
+            utf8(refName), t.resolveRef(refName))
+        }
+      }
+
     case other =>
       throw new IllegalArgumentException(
         s"no such procedure: system.$other (have: ${names.mkString(", ")})")
   }
 
-  val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files", "rollback_to_snapshot")
+  val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
+    "rollback_to_snapshot", "create_tag", "create_branch", "drop_ref", "fast_forward")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

@@ -8,6 +8,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One WHEN clause of a general MERGE: an optional guard condition, a
+  * delete flag (WHEN ... THEN DELETE), and the SET/VALUES assignments.
+  * Columns reference the target side as `__graft_t.<col>` and the source
+  * side as `__graft_s.<col>` (GraftTable.mergeInto aliases both sides). */
+case class RowAction(
+    condition: Option[Column],
+    delete: Boolean,
+    assigns: Seq[(String, Column)])
+
 /** A Graft-format table: versioned parquet + JSON metadata giving the
   * reference's Iceberg v2 capabilities (SURVEY.md §2 B–D, H) on stock
   * Spark. All relational execution stays in Catalyst/Tungsten — this
@@ -243,9 +252,14 @@ final class GraftTable(val dir: Path) {
           (pv, fs.size.toLong, fs.map(_.rows).sum) }
         .sortBy(_._1)
       spark.createDataFrame(rows).toDF("partition_value", "n_files", "n_rows")
+    case "refs" =>
+      val rows = meta.allRefs.toSeq
+        .map { case (n, r) => (n, if (r.branch) "branch" else "tag", r.snapshotId) }
+        .sortBy(_._1)
+      spark.createDataFrame(rows).toDF("name", "type", "snapshot_id")
     case other =>
       throw new IllegalArgumentException(
-        s"unknown metadata table $other (history | snapshots | files | partitions)")
+        s"unknown metadata table $other (history | snapshots | files | partitions | refs)")
   }
 
   private def readSnapshot(spark: SparkSession, snap: Option[Snapshot]): DataFrame = {
@@ -523,6 +537,125 @@ final class GraftTable(val dir: Path) {
       appendSnapshot(m, "merge", manifest.diff(affected) ++ newFiles, carryDeletes(m)))
   }
 
+  /** General `MERGE INTO` with full SQL clause semantics: ordered WHEN
+    * clauses, FIRST applicable action wins per row; matched /
+    * not-matched-by-source actions rewrite (CoW) only the files that
+    * contain affected rows — ALL files when notMatchedBySource is present
+    * (any unmatched target row may change); WHEN NOT MATCHED inserts are
+    * appended in the same commit. Raises on the SQL/Iceberg cardinality
+    * rule (one target row matching >1 source row would make both the
+    * update value and the join fan-out ambiguous).
+    *
+    * Scale shape: one probe join finds affected files AND checks
+    * cardinality (group by row id = parquet file/position metadata — no
+    * synthetic ids); the rewrite joins only affected-file rows against
+    * the source (broadcast when small, shuffle otherwise — AQE's call);
+    * action dispatch is a single codegen'd CASE chain, never a per-action
+    * pass. Condition/assignment Columns use the `__graft_t` / `__graft_s`
+    * qualifiers (see RowAction). */
+  def mergeInto(spark: SparkSession, source: DataFrame, cond: Column,
+      matched: Seq[RowAction], notMatched: Seq[RowAction],
+      notMatchedBySource: Seq[RowAction]): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    val schemaCols = m.currentSchema
+    // marker column: left-outer rows with no source match have it NULL —
+    // source columns alone can't tell (an all-NULL source row is legal)
+    val srcMarked = source.withColumn("__graft_m", lit(true)).alias("__graft_s")
+
+    // one probe pass: which files hold matched rows + cardinality check
+    val (affected, dupMatched) =
+      if (manifest.isEmpty || (matched.isEmpty && notMatchedBySource.isEmpty))
+        (Seq.empty[DataFile], false)
+      else {
+        val probe = readLive(spark, m, manifest).alias("__graft_t")
+          .join(srcMarked, cond, "inner")
+          .groupBy(col("_graft_fp"), col("_graft_pos"))
+          .agg(count(lit(1)).as("__graft_n"))
+          .groupBy(col("_graft_fp"))
+          .agg(max(col("__graft_n")).as("__graft_mx"))
+          .collect() // O(affected files) rows — metadata-sized
+        val paths = probe.map(_.getString(0)).toSet
+        val aff =
+          if (notMatchedBySource.nonEmpty) manifest
+          else manifest.filter(f => paths.exists(p =>
+            p.endsWith(f.path) || p == dir.resolve(f.path).toUri.toString))
+        (aff, probe.exists(_.getLong(1) > 1L))
+      }
+    if (dupMatched) throw new IllegalStateException(
+      "MERGE cardinality violation: a target row matches more than one source row")
+
+    // first-applicable-action dispatch: 1..n = matched clauses (row DID
+    // match), n+1.. = not-matched-by-source clauses (row did NOT match),
+    // 0 = no clause applies (row carried over unchanged)
+    val allActs = (matched ++ notMatchedBySource).zipWithIndex
+    def firstApplicable(cases: Seq[(Column, Int)]): Column =
+      cases.foldLeft(Option.empty[Column]) {
+        case (None, (p, n))    => Some(when(p, lit(n)))
+        case (Some(c), (p, n)) => Some(c.when(p, lit(n)))
+      }.map(_.otherwise(lit(0))).getOrElse(lit(0))
+    def assignChain(acts: Seq[(RowAction, Int)], c: ColumnDef, base: Column): Column =
+      acts.foldLeft(Option.empty[Column]) {
+        case (acc, (a, i)) if !a.delete =>
+          a.assigns.find(_._1 == c.name) match {
+            case Some((_, e)) =>
+              val v2 = e.cast(c.sparkType)
+              Some(acc.fold(when(col("__graft_act") === (i + 1), v2))(
+                _.when(col("__graft_act") === (i + 1), v2)))
+            case None => acc
+          }
+        case (acc, _) => acc
+      }.map(_.otherwise(base)).getOrElse(base).as(c.name)
+
+    val rewritten: Option[DataFrame] =
+      if (affected.isEmpty) None
+      else {
+        val isM = col("__graft_m").isNotNull
+        val act = firstApplicable(
+          matched.zipWithIndex.map { case (a, i) =>
+            (isM && a.condition.getOrElse(lit(true)), i + 1) } ++
+          notMatchedBySource.zipWithIndex.map { case (a, i) =>
+            (!isM && a.condition.getOrElse(lit(true)), matched.size + i + 1) })
+        val j = readLive(spark, m, affected).alias("__graft_t")
+          .join(srcMarked, cond, "left_outer")
+          .withColumn("__graft_act", act)
+        val deleteIdxs = allActs.collect { case (a, i) if a.delete => i + 1 }
+        val kept =
+          if (deleteIdxs.isEmpty) j
+          else j.filter(!col("__graft_act").isin(deleteIdxs: _*))
+        Some(kept.select(schemaCols.map(c =>
+          assignChain(allActs, c, col(s"__graft_t.${c.name}"))): _*))
+      }
+
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val srcOnly =
+          if (manifest.isEmpty) source.alias("__graft_s")
+          else source.alias("__graft_s")
+            .join(readLive(spark, m, manifest).alias("__graft_t"), cond, "left_anti")
+        val act = firstApplicable(notMatched.zipWithIndex.map { case (a, i) =>
+          (a.condition.getOrElse(lit(true)), i + 1) })
+        val filtered = srcOnly.withColumn("__graft_act", act)
+          .filter(col("__graft_act") > 0)
+        Some(filtered.select(schemaCols.map(c =>
+          assignChain(notMatched.zipWithIndex, c, lit(null).cast(c.sparkType))): _*))
+      }
+
+    (rewritten, inserts) match {
+      case (None, None) => // no clause can touch anything — no commit
+      case (rw, ins) =>
+        val out = (rw, ins) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (a, b)             => a.orElse(b).get
+        }
+        val newFiles = writeFiles(spark, m, out)
+        if (affected.isEmpty && newFiles.isEmpty) () // zero inserts survived
+        else TableMeta.commit(dir, v,
+          appendSnapshot(m, "merge", manifest.diff(affected) ++ newFiles, carryDeletes(m)))
+    }
+  }
+
   /** H2 `CALL system.rewrite_data_files` (README.md:328): compact the
     * current snapshot's files into `targetFiles`; logical content is
     * unchanged (replace snapshot). With `sortBy`, files are
@@ -620,8 +753,10 @@ final class GraftTable(val dir: Path) {
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
     def plan(m: TableMeta): (Seq[Snapshot], Seq[Snapshot]) = {
       val byIdDesc = m.snapshots.sortBy(-_.snapshotId)
+      val pinned = m.allRefs.values.map(_.snapshotId).toSet
       val keep = (byIdDesc.take(retainLast) ++
         m.snapshots.filter(s => s.timestampMs >= olderThanMs) ++
+        m.snapshots.filter(s => pinned(s.snapshotId)) ++ // refs pin
         m.currentSnapshot.toSeq).distinct
       (keep, m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId)))
     }
@@ -660,6 +795,72 @@ final class GraftTable(val dir: Path) {
     // must never leave a surviving snapshot pointing at deleted files
     if (changed) orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
   }
+
+  // ---------------------------------------------------------------- refs
+
+  /** Create an immutable TAG pointing at `snapshotId` (Iceberg's
+    * `ALTER TABLE t CREATE TAG`): a durable name for a table state —
+    * audit marks, "the snapshot this model trained on". Tagged snapshots
+    * survive expireSnapshots. */
+  def createTag(name: String, snapshotId: Long): Unit =
+    addRef(name, snapshotId, branch = false)
+
+  /** Create a BRANCH at `snapshotId` (default: current snapshot). Unlike
+    * a tag it may be moved later (setBranch / fastForwardBranch). */
+  def createBranch(name: String, snapshotId: Option[Long] = None): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val sid = snapshotId.orElse(m.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(s"table $dir has no snapshot to branch from"))
+      validateNewRef(m, name, sid)
+      m.copy(refs = Some(m.allRefs + (name -> SnapshotRef(sid, branch = true))))
+    }
+
+  private def addRef(name: String, snapshotId: Long, branch: Boolean): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      validateNewRef(m, name, snapshotId)
+      m.copy(refs = Some(m.allRefs + (name -> SnapshotRef(snapshotId, branch))))
+    }
+
+  private def validateNewRef(m: TableMeta, name: String, sid: Long): Unit = {
+    m.snapshot(sid) // unknown snapshot -> error
+    require(!m.allRefs.contains(name), s"ref $name already exists")
+  }
+
+  /** Move a BRANCH to `snapshotId`; tags are immutable by definition. */
+  def setBranch(name: String, snapshotId: Long): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val ref = m.allRefs.getOrElse(name,
+        throw new IllegalArgumentException(s"no ref $name"))
+      require(ref.branch, s"ref $name is a tag; tags are immutable")
+      m.snapshot(snapshotId)
+      m.copy(refs = Some(m.allRefs + (name -> ref.copy(snapshotId = snapshotId))))
+    }
+
+  /** Advance a branch to the current snapshot (Iceberg's fast_forward). */
+  def fastForwardBranch(name: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val ref = m.allRefs.getOrElse(name,
+        throw new IllegalArgumentException(s"no ref $name"))
+      require(ref.branch, s"ref $name is a tag; tags are immutable")
+      val sid = m.currentSnapshotId.getOrElse(
+        throw new IllegalStateException(s"table $dir has no current snapshot"))
+      m.copy(refs = Some(m.allRefs + (name -> ref.copy(snapshotId = sid))))
+    }
+
+  def dropRef(name: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      require(m.allRefs.contains(name), s"no ref $name")
+      val rest = m.allRefs - name
+      m.copy(refs = if (rest.isEmpty) None else Some(rest))
+    }
+
+  def resolveRef(name: String): Long =
+    meta.allRefs.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref $name in table $dir")).snapshotId
+
+  /** Read the table as of a named ref (tag or branch). */
+  def readRef(spark: SparkSession, name: String): DataFrame =
+    readVersion(spark, resolveRef(name))
 
   /** `CALL system.rollback_to_snapshot` — point the table back at an
     * older snapshot (metadata-only; the abandoned snapshots stay readable

@@ -64,6 +64,10 @@ final case class Snapshot(
   def allDeleteFiles: Seq[DataFile] = deleteFiles.getOrElse(Nil)
 }
 
+/** Iceberg-style named ref: a TAG (immutable bookmark) or BRANCH
+  * (movable pointer). Refs pin their snapshot against expireSnapshots. */
+final case class SnapshotRef(snapshotId: Long, branch: Boolean)
+
 final case class TableMeta(
     formatVersion: Int,
     name: String,
@@ -80,7 +84,11 @@ final case class TableMeta(
     // gives the same detection in O(queries) space — a key list would
     // grow with every batch ever committed and be re-serialized on every
     // commit (unbounded metadata bloat on a long-running sink).
-    retiredStreamBatches: Option[Map[String, Long]] = None) {
+    retiredStreamBatches: Option[Map[String, Long]] = None,
+    // named refs (tags/branches); Option so pre-refs metadata still parses
+    refs: Option[Map[String, SnapshotRef]] = None) {
+
+  def allRefs: Map[String, SnapshotRef] = refs.getOrElse(Map.empty)
 
   def currentSchema: Seq[ColumnDef] = schemas(currentSchemaId.toString)
   def schemaAt(id: Int): Seq[ColumnDef] = schemas(id.toString)

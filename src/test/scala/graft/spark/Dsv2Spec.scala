@@ -162,6 +162,108 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $c.db.tt VERSION AS OF 1").collect()(0).getLong(0) === 100)
   }
 
+  test("SQL UPDATE routes to CoW update; only matching rows change, old snapshot intact") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.u", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(200))
+    val c = freshCatalog(wh)
+    spark.sql(s"UPDATE $c.db.u SET value = value * 10, event_type = 'boosted' " +
+      "WHERE event_type = 'click'")
+    val after = spark.sql(s"SELECT * FROM $c.db.u").collect()
+    assert(after.length === 200)
+    assert(after.count(_.getString(3) == "click") === 0)
+    val src = Tables.events(spark, sfDir).limit(200).collect()
+    val clicks = src.count(_.getString(3) == "click")
+    assert(clicks > 0 && after.count(_.getString(3) == "boosted") === clicks)
+    // untouched rows keep their values; snapshot 1 still shows clicks
+    assert(t.readVersion(spark, 1).filter(col("event_type") === "click").count() === clicks)
+  }
+
+  test("SQL MERGE INTO: all clause families with first-applicable semantics") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.m", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType))))
+    import spark.implicits._
+    t.append(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"), (4L, 4.0, "d"))
+      .toDF("k", "v", "tag"))
+    Seq((2L, 20.0), (3L, 30.0), (5L, 50.0), (6L, 60.0))
+      .toDF("k", "nv").createOrReplaceTempView("mrg_src")
+    val c = freshCatalog(wh)
+    spark.sql(
+      s"""MERGE INTO $c.db.m t USING mrg_src s ON t.k = s.k
+          WHEN MATCHED AND s.nv > 25 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'upd'
+          WHEN NOT MATCHED AND s.nv < 55 THEN INSERT (k, v, tag) VALUES (s.k, s.nv, 'ins')
+          WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET tag = 'stale'""")
+    val rows = spark.sql(s"SELECT k, v, tag FROM $c.db.m ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // k=1: unmatched, condition hit → stale; k=2: matched, nv=20 ≤ 25 → updated;
+    // k=3: matched, nv=30 > 25 → deleted; k=4: unmatched, no clause → unchanged;
+    // k=5: not matched, 50 < 55 → inserted; k=6: not matched, 60 ≥ 55 → skipped
+    assert(rows === Seq((1L, 1.0, "stale"), (2L, 20.0, "upd"), (4L, 4.0, "d"),
+      (5L, 50.0, "ins")))
+    // time travel: snapshot 1 is the pre-merge content
+    assert(t.readVersion(spark, 1).count() === 4)
+  }
+
+  test("SQL MERGE cardinality violation raises") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.dup", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    import spark.implicits._
+    t.append(Seq((1L, 1.0)).toDF("k", "v"))
+    Seq((1L, 10.0), (1L, 11.0)).toDF("k", "nv").createOrReplaceTempView("dup_src")
+    val c = freshCatalog(wh)
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $c.db.dup t USING dup_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c2 => Option(c2.getMessage).exists(_.contains("cardinality"))))
+  }
+
+  test("refs: tags pin snapshots through expiry; branches move; SQL resolves both") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.r", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(100)) // snapshot 1
+    val c = freshCatalog(wh)
+    spark.sql(s"CALL $c.system.create_tag(table => 'db.r', name => 'v1')")
+    t.delete(spark, col("event_type") === "click")   // snapshot 2
+    spark.sql(s"CALL $c.system.create_branch(table => 'db.r', name => 'dev', snapshot_id => 1)")
+    // SQL time travel by ref name, both kinds
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.r VERSION AS OF 'v1'")
+      .collect()(0).getLong(0) === 100)
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.r VERSION AS OF 'dev'")
+      .collect()(0).getLong(0) === 100)
+    // .refs metadata table lists both
+    val refs = spark.sql(s"SELECT name, type, snapshot_id FROM $c.db.r.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs === Seq(("dev", "branch", 1L), ("v1", "tag", 1L)))
+    // branch fast-forwards to current; tag refuses to move
+    spark.sql(s"CALL $c.system.fast_forward(table => 'db.r', name => 'dev')")
+    assert(t.resolveRef("dev") === 2L)
+    intercept[Exception](t.setBranch("v1", 2L))
+    // aggressive expiry keeps the tagged snapshot (tag pins it)
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(t.readRef(spark, "v1").count() === 100)
+    // dropping the tag unpins: next expiry really drops snapshot 1
+    spark.sql(s"CALL $c.system.drop_ref(table => 'db.r', name => 'v1')")
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(t.meta.snapshots.map(_.snapshotId) === Seq(2L))
+    intercept[Exception](t.readRef(spark, "v1"))
+  }
+
   test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)
