@@ -181,6 +181,122 @@ object TextOps {
       .limit(50)
   }
 
+  /** Near-dup CLUSTERING: connected components over the jaccard ≥ 0.5
+    * pair graph, labels propagated to the component-min doc_id — the step
+    * a real dedup pipeline runs AFTER pair generation (pairs alone don't
+    * dedup {A~B, B~C}: the component {A,B,C} keeps exactly A).
+    *
+    * Scale shape: iterative min-label propagation (the MapReduce
+    * connected-components formulation) — each pass is one equi-join on
+    * the edge list + a min-aggregate; passes needed = component diameter
+    * (near-dup clusters are near-cliques, diameter 2-3). localCheckpoint
+    * per pass truncates the otherwise-exponential lineage; at 100 TB each
+    * label table would be a materialized artifact instead. Deterministic:
+    * the min-label fixpoint is unique regardless of execution order. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Scratch.overwritable("shingles_cc", d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
+      .write.mode("overwrite").parquet(tmp)
+    val base = s.read.parquet(tmp)
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+    val byTok = Window.partitionBy(col("tok"))
+    val docTok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .filter(col("df") <= MAX_POSTING)
+      .drop("df")
+    val a = docTok.select(col("doc_id").as("ia"), col("tok"))
+    val b = docTok.select(col("doc_id").as("ib"), col("tok"))
+    val pairs = a.join(b, Seq("tok")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
+      .filter(col("common").cast(DoubleType) /
+        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= 0.5)
+      .select(col("ia"), col("ib"))
+    // undirected edge list, reused every pass — checkpoint once up front
+    val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = base.select(col("doc_id"), col("doc_id").as("cl"))
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cl").as("ncl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncl")).as("nbr"))
+      val updated = labels
+        .join(nbrMin.select(col("src").as("doc_id"), col("nbr")), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cl"), coalesce(col("nbr"), col("cl"))).as("cl"),
+          (coalesce(col("nbr"), col("cl")) < col("cl")).cast(IntegerType).as("chg"))
+        .localCheckpoint() // truncate lineage; one materialization per pass
+      changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = updated.select(col("doc_id"), col("cl"))
+      iters += 1
+    }
+    labels.select(col("doc_id"), col("cl").as("cluster_id"),
+        (col("doc_id") === col("cl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark DECONTAMINATION: training docs sharing any 3-gram shingle
+    * with the benchmark set (source 'src0' plays the held-out benchmark)
+    * are flagged with their collision count — the standard pre-training
+    * hygiene pass against eval-set leakage.
+    * Scale shape: distinct benchmark shingles are a small set relative to
+    * the corpus → the equi-join broadcasts under AQE while small and
+    * degrades to a shuffle join at scale; cost is O(train postings),
+    * never pairwise. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    def withSh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), array_distinct(shinglesOf(col("t"))).as("sh"))
+    val bench = withSh.filter(col("source") === "src0")
+      .select(explode(col("sh")).as("tok")).distinct()
+    val train = withSh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+    train.join(bench, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tok")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-filter VERDICTS: ordered rules, first failing rule names the
+    * drop reason (the decision stage a pipeline runs on textStats-style
+    * metrics). CASE order IS the semantics; all arithmetic is identical
+    * in the oracle. Thresholds are calibrated to split the test corpus
+    * non-trivially. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val t = col("t")
+    Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)).cast(DoubleType) / size(t)).as("uniq_ratio"),
+        (size(filter(t, x => x.isin("a", "the"))).cast(DoubleType) / size(t)).as("stop_ratio"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "repetitive")
+          .when(col("stop_ratio") > 0.1, "stopword_heavy")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic content-hash DOWNSAMPLING, reported per source: keep
+    * the ~25% of docs whose md5 leads with nibble 0-3. Hashing the
+    * CONTENT (not rand(), not partition-dependent ids) is what makes a
+    * sample reproducible across re-runs, re-partitioning, and cluster
+    * size — the property training pipelines need for ablations. */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), substring(md5(col("text")), 1, 1).as("nib"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("nib") <= "3", lit(1))).as("n_kept"))
+      .orderBy(col("source"))
+
   /** J6 MinHash near-dup: constant-size signatures (typed Aggregator),
     * banded candidate join, signature-match estimate. Scale design:
     * (a) blocking on `source` — near-dup search at corpus scale is
@@ -301,7 +417,11 @@ object TextOps {
     "q_jaccard_pairs"    -> jaccardPairs,
     "q_minhash_pairs"    -> minhashPairs,
     "q_simhash_pairs"    -> simhashPairs,
-    "q_lang_id"          -> langId)
+    "q_lang_id"          -> langId,
+    "q_dedup_cluster"    -> dedupCluster,
+    "q_contamination"    -> contamination,
+    "q_quality_filter"   -> qualityFilter,
+    "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
     // The langId heuristic is fully deterministic (marker-token counts,
@@ -354,6 +474,67 @@ object TextOps {
              row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY lang, source""",
+    // Connected components as a recursive transitive closure: DuckDB
+    // walks every reachable node, the cluster id is the min over
+    // {self} ∪ reachable — the same unique fixpoint label propagation
+    // converges to.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat(string_split(text, ' ')[i], ' ',
+                           string_split(text, ' ')[i+1], ' ',
+                           string_split(text, ' ')[i+2]))) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s)) > 0
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                   UNION ALL SELECT ib, ia FROM pairs),
+         w(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT w.src, e.dst FROM w JOIN edges e ON w.dst = e.src)
+         SELECT d.doc_id,
+           LEAST(d.doc_id, coalesce(min(w.dst), d.doc_id)) AS cluster_id,
+           d.doc_id = LEAST(d.doc_id, coalesce(min(w.dst), d.doc_id)) AS keep
+         FROM documents d LEFT JOIN w ON w.src = d.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q_contamination" ->
+      """WITH sh AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat(string_split(text, ' ')[i], ' ',
+                           string_split(text, ' ')[i+1], ' ',
+                           string_split(text, ' ')[i+2]))) AS s
+           FROM documents),
+         bench AS (SELECT DISTINCT unnest(s) AS tok FROM sh WHERE source = 'src0'),
+         train AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE source <> 'src0')
+         SELECT t.doc_id, count(DISTINCT t.tok) AS n_shared
+         FROM train t JOIN bench b USING (tok)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_quality_filter" ->
+      """SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN uniq_ratio < 0.3 THEN 'repetitive'
+                WHEN stop_ratio > 0.1 THEN 'stopword_heavy'
+                ELSE 'keep' END AS verdict
+         FROM (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT source, count(*) AS n_docs,
+           count(CASE WHEN substr(md5(text), 1, 1) <= '3' THEN 1 END) AS n_kept
+         FROM documents GROUP BY source ORDER BY source""",
     "q_jaccard_pairs" ->
       """WITH sh AS (
            SELECT doc_id,

@@ -70,6 +70,59 @@ class TextOpsSpec extends SparkTestBase {
     assert(df < 1000, s"hot shingle df=$df would engage the cap and change results")
   }
 
+  test("dedup clustering matches a driver-side union-find over the same pair graph") {
+    // independent oracle: exact pairwise jaccard on 3-gram shingles,
+    // brute-force union-find — O(n²) but fine at sf0.001
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map { r =>
+        val t = r.getSeq[String](1)
+        val sh = if (t.size < 3) Set.empty[String]
+          else (0 until t.size - 2).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+        r.getLong(0) -> sh
+      }
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (da, sa) = docs(i); (db, sb) = docs(j)
+      common = (sa & sb).size
+      if common > 0 && common.toDouble / (sa.size + sb.size - common) >= 0.5
+    } union(da, db)
+    val expected = docs.map(d => d._1 -> find(d._1)).toMap
+    val got = TextOps.dedupCluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // at least one non-trivial cluster exists on the corpus, else the
+    // test proves nothing
+    assert(expected.exists { case (d, c) => d != c })
+  }
+
+  test("contamination flags exactly the train docs sharing a shingle with the benchmark") {
+    val got = TextOps.contamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every flagged doc is non-benchmark and has a positive count
+    assert(got.values.forall(_ > 0))
+    val src0 = graft.Tables.documents(spark, sfDir)
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet.intersect(src0).isEmpty)
+  }
+
+  test("hash sampling is reproducible and within binomial bounds") {
+    val a = TextOps.sampleHash(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = TextOps.sampleHash(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq) // content-hash => identical across runs
+    val (n, k) = (a.map(_._2).sum, a.map(_._3).sum)
+    assert(k > 0 && k < n) // 25% target, loose sanity bounds
+  }
+
   test("language-ID emits only known languages, deterministically") {
     val a = TextOps.langId(spark, sfDir).collect()
     val langs = Set("en", "de", "fr", "es", "zh")
