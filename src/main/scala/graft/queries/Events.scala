@@ -161,6 +161,21 @@ object Events {
       graft.streaming.EventStreams.dedupDaily(eventStream(s, d)))
       .orderBy(col("user_id"), col("event_type"), col("day"))
 
+  /** Stream-STREAM interval join, judged: clicks and purchases play as
+    * two watermarked streams (EventStreams.clickToPurchase — purchases
+    * within 30 minutes after a click by the same user), drained
+    * AvailableNow. Both watermarks bound the buffered join state at
+    * scale; drained to completion the result is exactly the batch
+    * interval join, which is the oracle. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    drainToMemory(s, "graft_stream_join", "append")(
+      graft.streaming.EventStreams.clickToPurchase(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")))
+      .orderBy(col("c_user"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming sink, judged: the events stream drains (AvailableNow)
     * through EventStreams.sinkToTable into a fresh Graft table — one
     * exactly-once snapshot per micro-batch — and the judged output is
@@ -201,6 +216,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_dedup"    -> streamDedup,
+    "q_stream_join"     -> streamJoin,
     "q_stream_sink"     -> streamSink,
     "q_sessionize"      -> sessionize,
     "q_asof_join"       -> asofJoin,
@@ -215,6 +231,15 @@ object Events {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    // the drained stream-stream join must equal the batch interval join
+    "q_stream_join" ->
+      """SELECT c.user_id AS c_user, c.ts AS click_ts,
+           p.user_id AS p_user, p.ts AS purchase_ts, p.value AS purchase_value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY c_user, click_ts, purchase_ts""",
     // the sink round-trip must preserve the source exactly
     "q_stream_sink" ->
       """SELECT event_id, ts, user_id, event_type, value

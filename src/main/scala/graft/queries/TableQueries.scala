@@ -365,6 +365,19 @@ object TableQueries {
     ordered(t.readRef(s, "pre_delete"))
   }
 
+  /** Incremental (CDC-style) append scan: after two appends, reading the
+    * snapshot-1→2 delta must surface EXACTLY the second batch — the
+    * "what's new since my checkpoint" pattern downstream pipelines poll
+    * with. Planning is a manifest diff (metadata-only); the oracle is the
+    * shifted second-batch select. */
+  def tableIncremental(s: SparkSession, d: String): DataFrame = {
+    val t = plainFixture(s, d) // snapshot 1: full orders
+    t.append(Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))) // snapshot 2
+    ordered(t.readIncremental(s, 1, 2))
+  }
+
   /** D2, merge-on-read flavor: positional delete files instead of CoW
     * rewrite — visible semantics identical to q_table_read's CoW delete
     * (same oracle), but no data file is rewritten (asserted in
@@ -425,7 +438,8 @@ object TableQueries {
     "q_table_zorder"          -> tableZorder,
     "q_table_sql_update"      -> tableSqlUpdate,
     "q_table_sql_merge"       -> tableSqlMerge,
-    "q_table_refs"            -> tableRefs)
+    "q_table_refs"            -> tableRefs,
+    "q_table_incremental"     -> tableIncremental)
 
   private val orderedOrdersSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -435,6 +449,11 @@ object TableQueries {
 
   val oracle: Map[String, String] = Map(
     "q_table_refs" -> orderedOrdersSql.format(""),
+    "q_table_incremental" ->
+      """SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 10 = 7 ORDER BY o_orderkey""",
     "q_table_read" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),

@@ -176,13 +176,27 @@ object GraftProcedures {
         }
       }
 
+    case "remove_orphan_files" =>
+      new GraftProc("remove_orphan_files", Array(
+        p("table", StringType),
+        p("older_than_ms", LongType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val removed = t.removeOrphanFiles(input.getLong(1))
+          result(
+            StructType(Seq(StructField("removed_files", LongType))),
+            removed.size.toLong)
+        }
+      }
+
     case other =>
       throw new IllegalArgumentException(
         s"no such procedure: system.$other (have: ${names.mkString(", ")})")
   }
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
-    "rollback_to_snapshot", "create_tag", "create_branch", "drop_ref", "fast_forward")
+    "rollback_to_snapshot", "create_tag", "create_branch", "drop_ref",
+    "fast_forward", "remove_orphan_files")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

@@ -796,6 +796,53 @@ final class GraftTable(val dir: Path) {
     if (changed) orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
   }
 
+  /** Incremental (CDC-style) scan: rows in files ADDED after `fromSnapshotId`
+    * up to and including `toSnapshotId` — "what's new since my checkpoint",
+    * the consumer pattern downstream pipelines poll a table with. Matches
+    * Iceberg's incremental APPEND scan semantics: it surfaces appended
+    * rows by manifest diff (metadata-only planning — no data diffing);
+    * rewrites (compaction) re-surface rows unless the consumer tracks
+    * operations via .history, and row-level deletes are invisible — both
+    * standard caveats of append-scan CDC. */
+  def readIncremental(spark: SparkSession, fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val m = meta
+    require(fromSnapshotId <= toSnapshotId,
+      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
+    val fromFiles = m.snapshot(fromSnapshotId).manifest.map(_.path).toSet
+    val added = m.snapshot(toSnapshotId).manifest.filterNot(f => fromFiles.contains(f.path))
+    readFiles(spark, m, added)
+  }
+
+  /** Maintenance: delete files under data/ that NO snapshot references —
+    * debris of crashed writes and aborted commits (a writeFiles that never
+    * reached its commit). `olderThanMs` guards in-flight writers: only
+    * files last modified before the cutoff are touched (Iceberg's
+    * remove_orphan_files has the same guard for the same reason — an
+    * orphan scan racing an uncommitted write must not eat its files).
+    * Returns the deleted relative paths. */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
+    val (_, m) = TableMeta.load(dir)
+    val referenced = m.snapshots
+      .flatMap(s => s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path)).toSet
+    val dataDir = dir.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val walk = Files.walk(dataDir)
+    val orphans =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && !referenced.contains(dir.relativize(p).toString)
+          && Files.getLastModifiedTime(p).toMillis < olderThanMs)
+        .toVector
+      finally walk.close()
+    orphans.foreach(Files.deleteIfExists(_))
+    // empty leftover directories are cosmetic; sweep the easy ones
+    orphans.map(_.getParent).distinct.foreach { d2 =>
+      try { if (Files.isDirectory(d2) && !Files.list(d2).iterator().hasNext) Files.delete(d2) }
+      catch { case _: Exception => () }
+    }
+    orphans.map(p => dir.relativize(p).toString)
+  }
+
   // ---------------------------------------------------------------- refs
 
   /** Create an immutable TAG pointing at `snapshotId` (Iceberg's

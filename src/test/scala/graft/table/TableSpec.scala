@@ -397,6 +397,38 @@ class TableSpec extends SparkTestBase {
     assert(finalMeta.lastColumnId == pedidosSchema.size + 101)
   }
 
+  test("incremental read surfaces exactly the second append's rows") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.inc", pedidosSchema)
+    t.append(pedidosDf.limit(3))                                   // snapshot 1
+    t.append(pedidosDf.filter(col("id_pedido") === "p4"))          // snapshot 2
+    val delta = t.readIncremental(spark, 1, 2).collect()
+    assert(delta.map(_.getString(0)).toSeq === Seq("p4"))
+    // same-snapshot delta is empty; bad range rejected
+    assert(t.readIncremental(spark, 2, 2).count() === 0)
+    intercept[IllegalArgumentException](t.readIncremental(spark, 2, 1))
+  }
+
+  test("remove_orphan_files deletes unreferenced debris, never live files") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.orph", pedidosSchema)
+    t.append(pedidosDf)
+    val before = t.read(spark).collect().toSet
+    // plant debris: a fake crashed-write file under data/
+    val stray = t.dir.resolve("data").resolve("w-deadbeef").resolve("part-0.parquet")
+    Files.createDirectories(stray.getParent)
+    Files.write(stray, Array[Byte](1, 2, 3))
+    // a too-recent cutoff protects the (possibly in-flight) stray
+    assert(t.removeOrphanFiles(olderThanMs = 0L).isEmpty)
+    assert(Files.exists(stray))
+    val removed = t.removeOrphanFiles(olderThanMs = Long.MaxValue)
+    assert(removed.exists(_.contains("w-deadbeef")))
+    assert(!Files.exists(stray))
+    assert(t.read(spark).collect().toSet === before) // live data untouched
+  }
+
   test("concurrent appends both land via retry (no lost snapshot)") {
     val cat = newCatalog()
     cat.createSchema("db")
