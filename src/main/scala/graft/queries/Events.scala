@@ -213,7 +213,36 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Time-series resample with gap fill: a dense per-user daily grid
+    * over the corpus span, zero-filled event counts, and LOCF
+    * (last-observation-carried-forward) of the daily total — the
+    * standard "regularize an irregular series" op. Scale: the grid is
+    * users × days — it never materializes the cross product of EVENTS,
+    * only of (distinct users) × (a broadcast day spine computed from a
+    * 1-row global span); the LOCF window shuffles once on user_id with
+    * per-user state bounded by the day count, not event count. */
+  def resampleDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("day_dec"))
+    val spine = ev
+      .agg(date_trunc("DAY", min(col("ts"))).as("lo"), date_trunc("DAY", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_dec"), ignoreNulls = true).over(w).cast(DoubleType).as("locf_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample"        -> resampleDaily,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_dedup"    -> streamDedup,
     "q_stream_join"     -> streamJoin,
@@ -226,6 +255,27 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_resample" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS day_dec
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT unnest(generate_series(
+             (SELECT date_trunc('day', min(ts)) FROM events),
+             (SELECT date_trunc('day', max(ts)) FROM events),
+             INTERVAL 1 DAY)) AS day),
+         grid AS (
+           SELECT u.user_id, s.day
+           FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s)
+         SELECT g.user_id, g.day,
+           coalesce(d.n_events, 0) AS n_events,
+           CAST(last_value(d.day_dec IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf_value
+         FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+         ORDER BY g.user_id, g.day""",
     // the streaming run must produce exactly the batch result
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,

@@ -408,7 +408,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction: replace emails, URLs, then phone-shaped digit runs
+    * with typed placeholders — the standard pre-training scrub pass. The
+    * synthetic corpus carries no PII, so the fixture first embeds
+    * deterministic contact strings derived from doc_id (the redactor
+    * must then remove every one of them — the oracle proves it). The
+    * three regexes are Java/RE2-portable (no backrefs/lookaround), so
+    * Spark and DuckDB rewrite identically. Scale: pure row-side
+    * projection — codegen'd regexp_replace chain, no shuffle, no UDF. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 "),
+          lpad(col("doc_id").cast("string"), 10, "5"),
+          lit(" see https://example.com/u/"), col("doc_id")).as("text"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "\\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact"       -> piiRedact,
     "q_text_stats"       -> textStats,
     "q_top_terms"        -> topTerms,
     "q_fingerprint"      -> fingerprint,
@@ -424,6 +449,21 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """WITH fixture AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1 '
+               || lpad(CAST(doc_id AS VARCHAR), 10, '5')
+               || ' see https://example.com/u/' || doc_id AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM fixture ORDER BY doc_id""",
     // The langId heuristic is fully deterministic (marker-token counts,
     // argmax over (score, lang) structs with lexicographic tie-break) —
     // DuckDB's list_aggregate(.., 'max') over struct_pack lists has

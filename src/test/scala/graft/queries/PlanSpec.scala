@@ -81,6 +81,27 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("Q21's EXISTS/NOT EXISTS pair plans as semi + anti joins, no cartesian") {
+    val p = plan(Joins.tpchQ21(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q2's argmin join-back broadcasts dims and keeps equi-joins throughout") {
+    val p = plan(Joins.tpchQ2(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q11's global-total threshold broadcasts the 1-row total, never re-aggregates") {
+    val p = plan(Joins.tpchQ11(spark, sfDir))
+    // the total side must arrive via broadcast (1 row), and the per-part
+    // aggregate must be partial+final
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("Q16's NOT IN plans as an anti join; distinct agg expands, never explodes") {
     // assert over the FULL AQE output: with an empty build side at this
     // sf, AQE legitimately eliminates the anti join from the final plan
