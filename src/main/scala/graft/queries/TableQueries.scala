@@ -419,7 +419,33 @@ object TableQueries {
       .orderBy(col("snapshot_id"))
   }
 
+  /** Streaming READ of a Graft table — the source dual of q_stream_sink
+    * (the table-format streaming-read capability, Iceberg's
+    * `spark.readStream.format("iceberg")`): two appends land as two
+    * snapshots; a readStream.format("graft") drained AvailableNow tails
+    * the snapshot log (GraftStreamSource) and must emit exactly the
+    * union of both appends. Incremental/restart semantics are proven in
+    * GraftStreamSourceSpec; the judge checks no row is lost or invented. */
+  def streamTableRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = new GraftCatalog(graft.Scratch.fresh("graft_streamsrc_wh"))
+    cat.createSchema("db")
+    val t = cat.createTable("db.orders_stream", ordersSchema)
+    val src = Tables.orders(s, d)
+    t.append(src.filter(col("o_orderkey") % 2 === 0))
+    t.append(src.filter(col("o_orderkey") % 2 =!= 0))
+    val qname = "graft_stream_table_read"
+    try s.catalog.dropTempView(qname) catch { case _: Exception => () }
+    val q = s.readStream.format("graft").load(t.dir.toString)
+      .writeStream.format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ordered(s.table(qname))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_table_read"     -> streamTableRead,
     "q_table_read"            -> tableRead,
     "q_table_time_travel"     -> tableTimeTravel,
     "q_table_evolution"       -> tableEvolution,
@@ -448,6 +474,7 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_stream_table_read" -> orderedOrdersSql.format(""),
     "q_table_refs" -> orderedOrdersSql.format(""),
     "q_table_incremental" ->
       """SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,

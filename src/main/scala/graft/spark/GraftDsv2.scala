@@ -397,9 +397,33 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
 }
 
 /** Path-based entry: `spark.read.format("graft").load("<table dir>")`. */
-class GraftDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+class GraftDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------- streaming source
+  // readStream.format("graft").load(tableDir): snapshot-log tailing —
+  // see GraftStreamSource for offset/append-only semantics.
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftStreamSource.schemaOf(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(
+      sqlContext,
+      GraftStreamSource.pathOf(parameters),
+      skipRewrites = parameters.get("skip-rewrites").exists(_.toBoolean))
 
   override def supportsExternalMetadata(): Boolean = false
 

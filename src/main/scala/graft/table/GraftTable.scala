@@ -813,6 +813,39 @@ final class GraftTable(val dir: Path) {
     readFiles(spark, m, added)
   }
 
+  /** Streaming-source planning: rows added by the snapshots at lineage
+    * positions (fromOrdinal, toOrdinal] of the snapshot list (commit
+    * order). Each snapshot contributes its manifest-diff vs its
+    * predecessor — metadata-only planning, no data scan. Non-append
+    * snapshots (delete/update/merge/replace/overwrite) REWRITE files, so
+    * their diff would re-emit old rows into the stream; by default they
+    * fail the read (Iceberg's streaming read errors the same way), or
+    * are skipped as row-sources when `skipRewrites` is set (their
+    * rewritten files are never emitted, matching "the stream carries
+    * appends only"). */
+  def readSnapshotRange(
+      spark: SparkSession, fromOrdinal: Int, toOrdinal: Int,
+      skipRewrites: Boolean = false): DataFrame = {
+    val m = meta
+    val snaps = m.snapshots
+    require(fromOrdinal >= 0 && toOrdinal <= snaps.size && fromOrdinal <= toOrdinal,
+      s"bad snapshot range ($fromOrdinal, $toOrdinal] over ${snaps.size} snapshots")
+    val added = (fromOrdinal until toOrdinal).flatMap { i =>
+      val s = snaps(i)
+      if (s.operation != "append") {
+        if (!skipRewrites) throw new IllegalStateException(
+          s"streaming read hit non-append snapshot ${s.snapshotId} (${s.operation}); " +
+            "restart the stream from latest or enable skip-rewrites")
+        Nil
+      } else {
+        val prev = if (i == 0) Set.empty[String]
+          else snaps(i - 1).manifest.map(_.path).toSet
+        s.manifest.filterNot(f => prev.contains(f.path))
+      }
+    }
+    readFiles(spark, m, added)
+  }
+
   /** Maintenance: delete files under data/ that NO snapshot references —
     * debris of crashed writes and aborted commits (a writeFiles that never
     * reached its commit). `olderThanMs` guards in-flight writers: only

@@ -14,4 +14,13 @@ object GraftSqlBridge {
     * reference held by a row-level SQL command's expressions). */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as a STREAMING one — what a V1
+    * streaming Source's getBatch must return (the micro-batch planner
+    * asserts isStreaming). Same internalCreateDataFrame route Spark's
+    * own FileStreamSource takes. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
