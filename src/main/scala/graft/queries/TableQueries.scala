@@ -444,7 +444,24 @@ object TableQueries {
     ordered(s.table(qname))
   }
 
+  /** CDC changelog (Iceberg create_changelog_view equivalent): append
+    * (snapshot 1) then a MERGE-ON-READ delete (snapshot 2), then
+    * readChanges over both — every appended row emits as 'insert' @1 and
+    * exactly the deleted rows as 'delete' @2 (MoR makes per-row deletes
+    * exact; CoW file-diff semantics are proven in ChangelogSpec). */
+  def tableChanges(s: SparkSession, d: String): DataFrame = {
+    val cat = new GraftCatalog(graft.Scratch.fresh("graft_cdc_wh"))
+    cat.createSchema("db")
+    val t = cat.createTable("db.orders_cdc", ordersSchema)
+    t.append(Tables.orders(s, d))
+    t.deleteMoR(s, col("o_orderstatus") === "F")
+    t.readChanges(s, 0, 2)
+      .withColumn("o_totalprice", col("o_totalprice").cast(DoubleType))
+      .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_changes"         -> tableChanges,
     "q_stream_table_read"     -> streamTableRead,
     "q_table_read"            -> tableRead,
     "q_table_time_travel"     -> tableTimeTravel,
@@ -474,6 +491,20 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_changes" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority,
+             'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_snapshot_id
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority,
+             'delete', CAST(2 AS BIGINT)
+           FROM orders WHERE o_orderstatus = 'F')
+         ORDER BY _commit_snapshot_id, _change_type, o_orderkey""",
     "q_stream_table_read" -> orderedOrdersSql.format(""),
     "q_table_refs" -> orderedOrdersSql.format(""),
     "q_table_incremental" ->

@@ -846,6 +846,73 @@ final class GraftTable(val dir: Path) {
     readFiles(spark, m, added)
   }
 
+  /** CDC changelog — row-level changes committed by the snapshots at
+    * lineage positions (fromOrdinal, toOrdinal], Iceberg's
+    * create_changelog_view equivalent. Each row of the result is a data
+    * row plus `_change_type` ('insert' | 'delete') and
+    * `_commit_snapshot_id`.
+    *
+    * Semantics per snapshot operation:
+    *  - append: its manifest-diff rows emit as 'insert'.
+    *  - MoR delete: exactly the deleted rows emit as 'delete' (the new
+    *    delete files' positions join back to their base files — only the
+    *    AFFECTED files are scanned, pruned via the distinct file paths in
+    *    the delete entries, a metadata-sized collect).
+    *  - CoW ops (delete/update/merge/overwrite/replace): FILE-level diff,
+    *    like Iceberg's changelog without net_changes — removed files'
+    *    rows emit as 'delete', added files' rows as 'insert', so a
+    *    rewritten-but-unchanged row appears as delete+insert. Exact
+    *    net per-row changes are the MoR path's job.
+    */
+  def readChanges(spark: SparkSession, fromOrdinal: Int, toOrdinal: Int): DataFrame = {
+    val m = meta
+    val snaps = m.snapshots
+    require(fromOrdinal >= 0 && toOrdinal <= snaps.size && fromOrdinal <= toOrdinal,
+      s"bad snapshot range ($fromOrdinal, $toOrdinal] over ${snaps.size} snapshots")
+    def tag(df: DataFrame, tpe: String, snapId: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(snapId))
+    val parts = (fromOrdinal until toOrdinal).flatMap { i =>
+      val s = snaps(i)
+      val prevManifest = if (i == 0) Nil else snaps(i - 1).manifest
+      val prevPaths = prevManifest.map(_.path).toSet
+      val curPaths = s.manifest.map(_.path).toSet
+      val added = s.manifest.filterNot(f => prevPaths.contains(f.path))
+      val removed = prevManifest.filterNot(f => curPaths.contains(f.path))
+      val prevDel =
+        if (i == 0) Set.empty[String]
+        else snaps(i - 1).allDeleteFiles.map(_.path).toSet
+      val newDeleteFiles = s.allDeleteFiles.filterNot(f => prevDel.contains(f.path))
+      val inserts =
+        if (added.isEmpty) None
+        else Some(tag(readFiles(spark, m, added), "insert", s.snapshotId))
+      val cowDeletes =
+        if (removed.isEmpty) None
+        else Some(tag(readFiles(spark, m, removed), "delete", s.snapshotId))
+      val morDeletes =
+        if (newDeleteFiles.isEmpty) None
+        else {
+          val entries = spark.read
+            .parquet(newDeleteFiles.map(f => dir.resolve(f.path).toString): _*)
+            .select(col("file_path").as("_graft_fp"), col("pos").as("_graft_pos"))
+          // scan only the AFFECTED base files: the distinct file paths in
+          // the new delete entries are metadata-sized (#files, not #rows)
+          val affectedAbs = entries.select(col("_graft_fp")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val affected = s.manifest.filter(f =>
+            affectedAbs.exists(_.endsWith(f.path)))
+          Some(tag(
+            readFiles(spark, m, affected, withPos = true)
+              .join(entries, Seq("_graft_fp", "_graft_pos"), "left_semi")
+              .drop("_graft_fp", "_graft_pos"),
+            "delete", s.snapshotId))
+        }
+      Seq(inserts, cowDeletes, morDeletes).flatten
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      tag(readFiles(spark, m, Nil), "", 0L).limit(0))
+  }
+
   /** Maintenance: delete files under data/ that NO snapshot references —
     * debris of crashed writes and aborted commits (a writeFiles that never
     * reached its commit). `olderThanMs` guards in-flight writers: only
