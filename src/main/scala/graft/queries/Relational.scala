@@ -385,7 +385,99 @@ object Relational {
       .agg(sum((col("l_extendedprice") * col("l_discount"))
         .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
 
+  /** Data-quality EXPECTATIONS (dbt-test / Deequ-style validation): each
+    * rule is a conditional count over ONE shared scan (a single
+    * aggregate pass computes every violation tally — no per-rule scans),
+    * unpivoted to (rule, violations, pass) verdict rows. The rule set
+    * covers the standard families: not-null, accepted-values, range, and
+    * uniqueness (distinct vs total on the key). */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val agg = o.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("r1"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("r2"),
+      sum(when(col("o_totalprice") <= 0.0 || col("o_totalprice").isNull, 1L).otherwise(0L)).as("r3"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("r4"))
+    agg.select(expr(
+      """stack(4,
+           'orderkey_not_null', r1,
+           'status_accepted_values', r2,
+           'totalprice_positive', r3,
+           'orderkey_unique', r4) AS (rule, violations)"""))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  /** NULL-AWARE anti join: NOT IN over a subquery column the planner
+    * cannot prove non-null — Spark must plan the null-aware variant of
+    * the anti join (a naive anti join has different three-valued-logic
+    * semantics the moment a NULL appears). The data here has no NULL
+    * custkeys, so the result is the real "customers without P orders"
+    * set; the one-NULL-empties-everything trap itself is asserted in
+    * PlanSpec with an injected NULL. */
+  def notInNulls(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_nin_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_nin_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_nin_customer
+         WHERE c_custkey NOT IN (
+           SELECT o_custkey FROM graft_nin_orders
+           WHERE o_orderstatus = 'P')
+         ORDER BY c_custkey""")
+  }
+
+  /** Table PROFILING (ANALYZE-style column summary): one aggregate pass
+    * computes per-column null counts, distinct counts, and numeric
+    * min/max; stack() unpivots to one row per column. The distinct
+    * counts are exact here (they feed a correctness gate); swap in
+    * approx_count_distinct for the 100 TB profile-only path. */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+      countDistinct(col("o_custkey")).as("nd_ck"),
+      min(col("o_custkey")).cast(DoubleType).as("mn_ck"),
+      max(col("o_custkey")).cast(DoubleType).as("mx_ck"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+      countDistinct(col("o_totalprice")).as("nd_tp"),
+      min(col("o_totalprice")).as("mn_tp"),
+      max(col("o_totalprice")).as("mx_tp"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_st"),
+      countDistinct(col("o_orderstatus")).as("nd_st"))
+    .select(col("n"), expr(
+      """stack(3,
+           'o_custkey',    nn_ck, nd_ck, mn_ck, mx_ck,
+           'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp,
+           'o_orderstatus', nn_st, nd_st, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+         AS (column_name, n_nulls, n_distinct, min_val, max_val)"""))
+    .select(col("column_name"), col("n"), col("n_nulls"), col("n_distinct"),
+      col("min_val"), col("max_val"))
+    .orderBy(col("column_name"))
+  }
+
+  /** LATERAL correlated subquery with per-group ORDER BY + LIMIT — the
+    * SQL form of top-k-per-group (the window formulation is
+    * q_window_rank; this exercises Catalyst's lateral-join
+    * decorrelation). Unique tie-break (custkey) makes the top-2
+    * deterministic. */
+  def lateralTopK(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_lat_nation")
+    Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    s.sql(
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+         FROM graft_lat_nation,
+         LATERAL (SELECT c_custkey, c_acctbal FROM graft_lat_customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expectations"       -> expectations,
+    "q_not_in_nulls"       -> notInNulls,
+    "q_profile"            -> profile,
+    "q_lateral_topk"       -> lateralTopK,
     "q_tpch_q1"            -> tpchQ1,
     "q_tpch_q6"            -> tpchQ6,
     "q_approx_percentile"  -> approxPercentiles,
@@ -413,6 +505,50 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_expectations" ->
+      """WITH agg AS (
+           SELECT
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN o_totalprice <= 0.0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS r4
+           FROM orders)
+         SELECT rule, violations, violations = 0 AS pass FROM (
+           SELECT 'orderkey_not_null' AS rule, r1 AS violations FROM agg
+           UNION ALL SELECT 'status_accepted_values', r2 FROM agg
+           UNION ALL SELECT 'totalprice_positive', r3 FROM agg
+           UNION ALL SELECT 'orderkey_unique', r4 FROM agg)
+         ORDER BY rule""",
+    "q_not_in_nulls" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q_profile" ->
+      """WITH agg AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+             CAST(min(o_custkey) AS DOUBLE) AS mn_ck, CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_tp,
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+             min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_st,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st
+           FROM orders)
+         SELECT column_name, n, n_nulls, n_distinct, min_val, max_val FROM (
+           SELECT 'o_custkey' AS column_name, n, nn_ck AS n_nulls, nd_ck AS n_distinct,
+                  mn_ck AS min_val, mx_ck AS max_val FROM agg
+           UNION ALL SELECT 'o_totalprice', n, nn_tp, nd_tp, mn_tp, mx_tp FROM agg
+           UNION ALL SELECT 'o_orderstatus', n, nn_st, nd_st, NULL, NULL FROM agg)
+         ORDER BY column_name""",
+    "q_lateral_topk" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+         FROM nation,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""",
     // The sketch values themselves are algorithm-specific; the oracle
     // checks the part that IS exact-reproducible (the exact aggregates)
     // plus the sketch's published error contract as booleans.

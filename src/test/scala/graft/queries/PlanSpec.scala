@@ -102,6 +102,30 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("NOT IN plans null-aware and one NULL in the subquery empties the result") {
+    val p = plan(Relational.notInNulls(spark, sfDir))
+    assert(p.contains("LeftAnti"), p)
+    assert(Relational.notInNulls(spark, sfDir).count() > 0)
+    // the trap: inject a NULL into the subquery side — NOT IN must go empty
+    import org.apache.spark.sql.functions._
+    graft.Tables.orders(spark, sfDir)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") === 1, lit(null).cast("bigint")).otherwise(col("o_custkey")))
+      .createOrReplaceTempView("graft_nin_orders_null")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM graft_nin_customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_nin_orders_null)""")
+      .collect().head.getLong(0)
+    assert(n == 0, s"null-aware NOT IN must yield empty, got $n rows")
+  }
+
+  test("lateral top-k decorrelates (no per-row subquery execution)") {
+    val p = plan(Relational.lateralTopK(spark, sfDir))
+    // decorrelated plans are window/join shaped; a correlated re-execution
+    // would show a CartesianProduct over the full customer table per nation
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("Q16's NOT IN plans as an anti join; distinct agg expands, never explodes") {
     // assert over the FULL AQE output: with an empty build side at this
     // sf, AQE legitimately eliminates the anti join from the final plan
