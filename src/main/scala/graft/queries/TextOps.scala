@@ -444,7 +444,60 @@ object TextOps {
           "\\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>").as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top-3 terms per document. IDF is the LOG-FREE rational form
+    * (N/df): Spark's Math.log and DuckDB's std::log can diverge in the
+    * last ulp, which would flip ranks at exact ties — N/df is IEEE
+    * division, bit-identical in both engines, and rank-equivalent to the
+    * log form (both monotone in 1/df). Scale: one shuffle per aggregate
+    * (term counts, doc frequencies), the tiny df table broadcasts back,
+    * top-k per doc is a bounded window. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // metadata-scale action: one number
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) * lit(nDocs.toDouble) / col("df").cast(DoubleType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Sequence CHUNKING for training (fixed window, fixed stride, tail
+    * ragged): every document explodes into its token windows
+    * [start, start+W), start = 1, 1+S, 1+2S, … ≤ n_tokens. Pure row-side
+    * explode+slice — no shuffle, chunk count scales with corpus tokens.
+    * chunk_id derives from the start offset ((start-1)/S), so both
+    * engines number identically without WITH ORDINALITY. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val W = 32
+    val S = 24
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / S).cast("int").as("chunk_id"),
+        slice(col("t"), col("start"), lit(W)).as("w"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("w")).as("chunk_tokens"),
+        concat_ws(" ", col("w")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf"            -> tfidf,
+    "q_chunking"         -> chunkDocs,
     "q_pii_redact"       -> piiRedact,
     "q_text_stats"       -> textStats,
     "q_top_terms"        -> topTerms,
@@ -461,6 +514,35 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         terms_f AS (SELECT * FROM terms WHERE len(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms_f GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms_f GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (SELECT CAST(n_docs AS DOUBLE) FROM n)
+               / CAST(df.df AS DOUBLE) AS tfidf
+           FROM tf JOIN df USING (term)),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn
+           FROM scored)
+         SELECT doc_id, term, tf, df, tfidf, rn FROM ranked
+         WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "q_chunking" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         starts AS (
+           SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start
+           FROM toks)
+         SELECT doc_id,
+           CAST((start - 1) / 24 AS INT) AS chunk_id,
+           CAST(len(t[start : start + 31]) AS INT) AS chunk_tokens,
+           array_to_string(t[start : start + 31], ' ') AS chunk_text
+         FROM starts ORDER BY doc_id, chunk_id""",
     "q_pii_redact" ->
       """WITH fixture AS (
            SELECT doc_id,
