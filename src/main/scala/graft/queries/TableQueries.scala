@@ -460,7 +460,24 @@ object TableQueries {
       .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
   }
 
+  /** Write-audit-publish: half the orders land on main, the other half
+    * stage onto the `audit` branch (committed + durable but INVISIBLE on
+    * main), then publish fast-forwards main — the read must equal the
+    * full source. Invisibility before publish, the lost-commit guard,
+    * and the streaming-tail stall are proven in WapSpec. */
+  def tableWap(s: SparkSession, d: String): DataFrame = {
+    val cat = new GraftCatalog(graft.Scratch.fresh("graft_wap_wh"))
+    cat.createSchema("db")
+    val t = cat.createTable("db.orders_wap", ordersSchema)
+    val src = Tables.orders(s, d)
+    t.append(src.filter(col("o_orderkey") % 2 === 0))
+    t.appendToBranch("audit", src.filter(col("o_orderkey") % 2 =!= 0))
+    t.publishBranch("audit")
+    ordered(t.read(s))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_wap"             -> tableWap,
     "q_table_changes"         -> tableChanges,
     "q_stream_table_read"     -> streamTableRead,
     "q_table_read"            -> tableRead,
@@ -491,6 +508,7 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_wap" -> orderedOrdersSql.format(""),
     "q_table_changes" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -59,7 +59,10 @@ class GraftStreamSource(
   }
 
   override def getOffset: Option[Offset] = {
-    val n = table.meta.snapshots.size
+    // publishedPrefix, not snapshots.size: a branch-staged (WAP) snapshot
+    // must not leak into the stream until its publish — the tail stalls
+    // at it and resumes, in order, once main fast-forwards
+    val n = table.meta.publishedPrefix
     if (n == 0) None else Some(LongOffset(n.toLong))
   }
 

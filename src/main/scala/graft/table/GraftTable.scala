@@ -353,6 +353,59 @@ final class GraftTable(val dir: Path) {
     }
   }
 
+  /** Write-audit-publish STAGE: append `df` to a BRANCH without touching
+    * main — the snapshot commits (files durable, time-travel readable)
+    * but currentSnapshotId stays put; only the branch ref advances.
+    * Readers of the table see nothing until a publish
+    * (`publishBranch`). This is Iceberg's WAP workflow
+    * (spark.wap.branch): write to the audit branch, run checks against
+    * `readRef`, then fast-forward main. Returns the staged snapshot id. */
+  def appendToBranch(branch: String, df: DataFrame): Long = {
+    val (_, m0) = TableMeta.load(dir)
+    val aligned = df.select(m0.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val newFiles = writeFiles(df.sparkSession, m0, aligned)
+    var staged = 0L
+    TableMeta.commitRetry(dir) { fresh =>
+      val base = fresh.allRefs.get(branch) match {
+        case Some(ref) =>
+          require(ref.branch, s"ref $branch is a tag; tags are immutable")
+          fresh.snapshot(ref.snapshotId)
+        case None => // branch from current state on first stage
+          fresh.currentSnapshot.getOrElse(
+            throw new IllegalStateException(s"table $dir has no snapshot to branch from"))
+      }
+      val snapId = fresh.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      staged = snapId
+      val snap = Snapshot(
+        snapshotId = snapId,
+        parentId = Some(base.snapshotId),
+        timestampMs = System.currentTimeMillis(),
+        operation = "append",
+        manifest = base.manifest ++ newFiles,
+        deleteFiles = base.deleteFiles)
+      fresh.copy(
+        snapshots = fresh.snapshots :+ snap, // currentSnapshotId UNCHANGED
+        refs = Some(fresh.allRefs + (branch -> SnapshotRef(snapId, branch = true))))
+    }
+    staged
+  }
+
+  /** Write-audit-publish PUBLISH: fast-forward MAIN to the branch head
+    * (Iceberg's `CALL fast_forward('main', branch)`). Metadata-only.
+    * Guarded like Iceberg's fast_forward: main's current snapshot must
+    * be an ancestor of the branch head, otherwise publishing would
+    * silently drop commits that landed on main after the stage. */
+  def publishBranch(branch: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val ref = m.allRefs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no ref $branch"))
+      require(ref.branch, s"ref $branch is a tag")
+      require(m.currentSnapshotId.forall(m.ancestorIds(ref.snapshotId).contains),
+        s"cannot fast-forward: main is not an ancestor of branch $branch " +
+          "(commits landed on main after the stage; re-stage from current)")
+      m.copy(currentSnapshotId = Some(ref.snapshotId))
+    }
+
   /** Streaming-sink micro-batch append (use from `foreachBatch`):
     * exactly-once per (queryId, batchId). Structured Streaming replays a
     * micro-batch after a crash between sink write and checkpoint commit;
@@ -830,6 +883,9 @@ final class GraftTable(val dir: Path) {
     val snaps = m.snapshots
     require(fromOrdinal >= 0 && toOrdinal <= snaps.size && fromOrdinal <= toOrdinal,
       s"bad snapshot range ($fromOrdinal, $toOrdinal] over ${snaps.size} snapshots")
+    require(toOrdinal <= m.publishedPrefix,
+      s"snapshot range ($fromOrdinal, $toOrdinal] crosses an unpublished " +
+        s"branch-staged snapshot (published prefix = ${m.publishedPrefix})")
     val added = (fromOrdinal until toOrdinal).flatMap { i =>
       val s = snaps(i)
       if (s.operation != "append") {

@@ -99,6 +99,32 @@ final case class TableMeta(
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
+  /** Snapshot ids on the parent chain from `fromId` (inclusive). */
+  def ancestorIds(fromId: Long): Set[Long] = {
+    var seen = Set.empty[Long]
+    var cur: Option[Long] = Some(fromId)
+    while (cur.isDefined && !seen.contains(cur.get)) {
+      seen += cur.get
+      cur = snapshots.find(_.snapshotId == cur.get).flatMap(_.parentId)
+    }
+    seen
+  }
+
+  /** Length of the snapshot-list prefix safe for a streaming tail to
+    * consume: stops at the first BRANCH-STAGED, NOT-YET-PUBLISHED
+    * snapshot (reachable from a branch ref but not an ancestor of
+    * current) — emitting it would leak unpublished WAP data into the
+    * stream. Once the branch publishes (or is dropped+expired) the
+    * prefix advances and the tail resumes in order. Rollback orphans
+    * (no ref) do NOT block: they are past history, not pending data. */
+  def publishedPrefix: Int = {
+    val published = currentSnapshotId.map(ancestorIds).getOrElse(Set.empty)
+    val staged = allRefs.values.filter(_.branch).map(_.snapshotId)
+      .flatMap(ancestorIds).toSet -- published
+    val idx = snapshots.indexWhere(s => staged.contains(s.snapshotId))
+    if (idx < 0) snapshots.size else idx
+  }
+
   def sparkSchema(schemaId: Int): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       schemaAt(schemaId).map(c =>
