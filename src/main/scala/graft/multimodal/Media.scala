@@ -120,11 +120,28 @@ object Media {
         array_join(col("frame_ids"), ",").as("frames"))
       .orderBy(col("media_id"))
 
+  /** Driver-judged resize planning: per-media scale factor to fit a
+    * 96-px bounding box, aspect preserved — metadata-only column
+    * arithmetic (the decode+rescale slots into extractFeatures'
+    * mapPartitions shape; the plan itself never touches payloads). */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
+    planResize(mediaTable(spark, sfDir), maxSide = 96)
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"   -> mediaMeta,
-    "q_media_frames" -> mediaFrames)
+    "q_media_frames" -> mediaFrames,
+    "q_media_resize" -> mediaResize)
 
   val oracle: Map[String, String] = Map(
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+         CAST(64 + (doc_id % 5) * 16 AS INT) AS height,
+         least(1.0, 96 / CAST(greatest(64 + (doc_id % 8) * 16,
+                                       64 + (doc_id % 5) * 16) AS DOUBLE)) AS scale
+         FROM documents ORDER BY media_id""",
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -442,7 +442,9 @@ object Joins {
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    val psEur = ps.join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
+    // psEur feeds both the per-part MIN and the join-back; materialize
+    // once (same twice-used-subplan rationale as tpchQ21's `late`)
+    val psEur = ps.join(eurSupp, col("ps_suppkey") === col("s_suppkey")).localCheckpoint()
     val minCost = psEur.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_cost")).as("mc_cost"))
     psEur
@@ -551,11 +553,17 @@ object Joins {
     * order date (no commit/receipt dates). Counts line-level waits like
     * the original. */
   def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    // `late` feeds BOTH the probe side and the anti-join build side;
+    // materialize it once (localCheckpoint) instead of re-running the
+    // lineitem⋈orders join per branch — it is a small filtered slice
+    // (late lines of F orders), and at 100 TB this intermediate would be
+    // a persisted artifact/CTE anyway. Measured 5.9 s → ~1 s at sf0.1.
     val late = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey").as("lt_okey"), col("l_suppkey").as("lt_skey"))
+      .localCheckpoint()
     val others = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("oth_okey"), col("l_suppkey").as("oth_skey"))
     val lateOthers = late.select(col("lt_okey").as("lo_okey"), col("lt_skey").as("lo_skey"))

@@ -473,7 +473,25 @@ object Relational {
          ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""")
   }
 
+  /** Safe-cast (try_cast) battery — the ingest-hardening idiom: malformed
+    * values become NULL instead of failing the job (ANSI mode) or
+    * silently corrupting (legacy CAST). Mixed valid/invalid inputs prove
+    * both directions; semantics are identical to DuckDB's TRY_CAST. */
+  def tryCasts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        expr("try_cast(o_orderstatus AS DOUBLE)").as("bad_double"),
+        // surfaced as STRING: an all-NULL DATE column hashes as NaT
+        // (datetime64) from DuckDB but None (object) from parquet
+        expr("cast(try_cast(o_orderpriority AS DATE) AS STRING)").as("bad_date"),
+        expr("try_cast(concat('200', substring(o_orderpriority, 1, 1)) AS BIGINT)").as("year_num"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_try_cast"           -> tryCasts,
     "q_expectations"       -> expectations,
     "q_not_in_nulls"       -> notInNulls,
     "q_profile"            -> profile,
@@ -505,6 +523,14 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_try_cast" ->
+      """SELECT o_orderkey,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           TRY_CAST(o_orderpriority AS INT) AS bad_int,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS bad_double,
+           CAST(TRY_CAST(o_orderpriority AS DATE) AS VARCHAR) AS bad_date,
+           TRY_CAST('200' || substring(o_orderpriority, 1, 1) AS BIGINT) AS year_num
+         FROM orders ORDER BY o_orderkey""",
     "q_expectations" ->
       """WITH agg AS (
            SELECT
