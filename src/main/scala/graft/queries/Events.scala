@@ -241,7 +241,23 @@ object Events {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** VARIANT (Spark 4's semi-structured type): parse_json into an open
+    * variant — no up-front schema, unlike from_json (q_json_extract) —
+    * then typed path extraction and a JSON round-trip. The variant
+    * encoding is binary + shredded-path-friendly at the storage layer;
+    * here the oracle pins the extraction semantics against DuckDB's
+    * JSON engine (both normalize the round-trip to compact JSON). */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("to_json(v)").as("round_trip"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant"         -> variantExtract,
     "q_resample"        -> resampleDaily,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_dedup"    -> streamDedup,
@@ -255,6 +271,11 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_variant" ->
+      """SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$') AS VARCHAR) AS round_trip
+         FROM events ORDER BY event_id""",
     "q_resample" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS day,
