@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
@@ -57,11 +59,31 @@ object Bench {
     // (a -1 sentinel in the sum would make failures look FASTER)
     val ok = results.filter(_._2 >= 0)
     val errors = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // The harness captures only the LAST ~2000 chars of output, and the
+    // sbt runner appends ~80 chars of its own after us — a JSON line
+    // longer than that is truncated mid-line and parses as nothing (this
+    // silently voided the first two rounds' bench reports). Emit the
+    // full per-query map to a file, and keep the final printed line
+    // under a hard budget by including only the slowest queries (the
+    // ones worth auditing) until the budget is spent.
+    val detail = ok.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},"errors":$errJson,"sf":"$sfDir"}"""
+    try Files.writeString(Paths.get("target/bench_detail.json"), fullJson)
+    catch { case _: Throwable => () }
+    val budget = 1500 // chars for the queries map; total line stays < 1700
+    var used = 0
+    val kept = detail.takeWhile { entry =>
+      val fits = used + entry.length + 1 <= budget
+      if (fits) used += entry.length + 1
+      fits
+    }
+    val omitted = ok.size - kept.size
+    val omittedSec = ok.toSeq.sortBy(-_._2).drop(kept.size).map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
