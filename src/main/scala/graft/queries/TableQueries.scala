@@ -531,7 +531,51 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** bucket[8] hidden partitioning on a high-NDV key (Iceberg's transform
+    * for join/probe keys where time grains don't apply): the write
+    * clusters by murmur3 bucket, and an equality probe prunes to ~1/8 of
+    * the files before Spark plans the scan. TransformSpec proves the
+    * file-count pruning and the write-side/driver-side hash agreement;
+    * the judged semantics here: pruned read == plain filter. */
+  def tableBucketPrune(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("bucket", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders_bkt", ordersSchema,
+        partitionSpec = Seq("o_custkey" -> "bucket[8]"))
+      t0.append(Tables.orders(s, d))
+      t0
+    }
+    ordered(t.readPruned(s,
+      Seq(org.apache.spark.sql.sources.EqualTo("o_custkey", 37L)))
+      .filter(col("o_custkey") === 37L))
+  }
+
+  /** months() hidden partitioning — the coarser time grain long-retention
+    * tables partition by (a days() table at 100 TB × years of history
+    * drowns in partitions; months keeps the manifest tractable). A
+    * three-month range probe prunes to the covering months ±1 (timezone
+    * widening), then the exact predicate applies post-scan. */
+  def tableMonthPrune(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val t = fixture("months", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders_mon", ordersSchema,
+        partitionSpec = Seq("o_orderdate" -> "months"))
+      t0.append(Tables.orders(s, d))
+      t0
+    }
+    val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-05-31 23:59:59")
+    ordered(t.readPruned(s,
+      Seq(GreaterThanOrEqual("o_orderdate", lo), LessThanOrEqual("o_orderdate", hi)))
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_bucket_prune"    -> tableBucketPrune,
+    "q_table_month_prune"     -> tableMonthPrune,
     "q_table_wap"             -> tableWap,
     "q_table_changes"         -> tableChanges,
     "q_stream_table_read"     -> streamTableRead,
@@ -563,6 +607,10 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_bucket_prune" -> orderedOrdersSql.format("WHERE o_custkey = 37"),
+    "q_table_month_prune" -> orderedOrdersSql.format(
+      """WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1995-05-31 23:59:59'"""),
     "q_table_wap" -> orderedOrdersSql.format(""),
     "q_table_changes" ->
       """SELECT * FROM (

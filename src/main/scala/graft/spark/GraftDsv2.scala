@@ -303,10 +303,25 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dayCol = partitions.toSeq.collectFirst {
-      case t if t.name() == "days" => t.references().head.fieldNames().head
+    // SQL `PARTITIONED BY (days(ts), bucket(8, key), truncate(4, s), ...)`
+    // → the table layer's transform specs (graft.table.Transforms).
+    val specs = partitions.toSeq.map { t =>
+      val colName = t.references().head.fieldNames().head
+      t.name() match {
+        case n @ ("days" | "months" | "years" | "hours") => colName -> n
+        case n @ ("bucket" | "truncate") =>
+          val param = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(s"$n needs a numeric argument"))
+          colName -> s"$n[$param]"
+        case other =>
+          throw new UnsupportedOperationException(s"partition transform $other")
+      }
     }
-    new GraftDsv2Table(cat.createTable(qualified(ident), schema, dayCol), s"$catalogName.${qualified(ident)}")
+    new GraftDsv2Table(
+      cat.createTable(qualified(ident), schema, None, specs),
+      s"$catalogName.${qualified(ident)}")
   }
 
   /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN` — each

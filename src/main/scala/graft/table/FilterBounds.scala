@@ -70,4 +70,19 @@ private[graft] object FilterBounds {
     filters.foreach(walk)
     acc.toMap
   }
+
+  /** Raw typed literals of conjunctive equality filters. Bucket pruning
+    * hashes the VALUE with the write side's expression — the stringified
+    * bound would hash differently, so it needs the literal itself. */
+  def collectEquals(filters: Seq[Filter]): Map[String, Any] = {
+    val acc = mutable.Map.empty[String, Any]
+    def walk(f: Filter): Unit = f match {
+      case And(l, r)                          => walk(l); walk(r)
+      case EqualTo(c, v) if v != null         => acc(c) = v
+      case EqualNullSafe(c, v) if v != null   => acc(c) = v
+      case _                                  => ()
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
 }

@@ -22,7 +22,8 @@ final class GraftCatalog(val warehouse: Path) {
   def createTable(
       qualified: String,
       schema: StructType,
-      partitionDays: Option[String] = None): GraftTable = {
+      partitionDays: Option[String] = None,
+      partitionSpec: Seq[(String, String)] = Nil): GraftTable = {
     val dir = tableDir(qualified)
     if (Files.exists(dir.resolve("meta")))
       throw new IllegalStateException(s"table $qualified already exists")
@@ -31,10 +32,15 @@ final class GraftCatalog(val warehouse: Path) {
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i + 1, f.name, f.dataType.json)
     }.toSeq
-    val pf = partitionDays.toSeq.map { colName =>
+    // partitionDays is the historical days()-only parameter; partitionSpec
+    // is (sourceCol -> transform) for the full family, e.g.
+    // ("o_custkey", "bucket[8]") — see Transforms.
+    val specs = partitionDays.map(_ -> "days").toSeq ++ partitionSpec
+    val pf = specs.map { case (colName, transform) =>
       val src = cols.find(_.name == colName).getOrElse(
         throw new IllegalArgumentException(s"no column $colName to partition by"))
-      PartitionField(src.id, "days", s"${colName}_day")
+      Transforms.validate(transform, src.sparkType)
+      PartitionField(src.id, transform, Transforms.fieldName(transform, colName))
     }
     val meta = TableMeta(
       formatVersion = 2, name = qualified,

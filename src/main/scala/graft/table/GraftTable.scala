@@ -154,9 +154,10 @@ final class GraftTable(val dir: Path) {
     val all = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     val bounds = FilterBounds.collect(filters)
     if (bounds.isEmpty) return all
-    // day-partition source column name -> partition field name
-    val dayFields = m.partitionFields.filter(_.transform == "days").flatMap(pf =>
-      m.currentSchema.find(_.id == pf.sourceId).map(c => c.name -> pf.name)).toMap
+    val eqLiterals = FilterBounds.collectEquals(filters)
+    // partition source column name -> its transform field
+    val partFields = m.partitionFields.flatMap(pf =>
+      m.currentSchema.find(_.id == pf.sourceId).map(c => c.name -> pf)).toMap
     all.filter { f =>
       bounds.forall { case (cname, b) =>
         val numeric = m.currentSchema.find(_.name == cname).exists(_.sparkType match {
@@ -170,25 +171,16 @@ final class GraftTable(val dir: Path) {
             b.lo.forall(lo => lte(lo, mx)) && b.hi.forall(hi => lte(mn, hi))
           case None => true
         }
-        val dayOk = dayFields.get(cname).flatMap(f.partitionValues.get) match {
-          case Some(day) =>
-            // Timeline guard: partition values were computed by to_date()
-            // in the WRITE session's timezone, while these bound strings
-            // render in UTC (FilterBounds). Any zone offset is under 24 h,
-            // so widening the window by one day each side covers every
-            // session-timezone mismatch; Spark re-applies the exact
-            // predicate post-scan, so widening only costs ≤2 extra files,
-            // never wrong rows. Unparsable bounds keep the file.
-            def dayMinus1(s: String): String =
-              try java.time.LocalDate.parse(s.take(10)).minusDays(1).toString
-              catch { case _: java.time.format.DateTimeParseException => day }
-            def dayPlus1(s: String): String =
-              try java.time.LocalDate.parse(s.take(10)).plusDays(1).toString
-              catch { case _: java.time.format.DateTimeParseException => day }
-            b.lo.forall(lo => day >= dayMinus1(lo)) && b.hi.forall(hi => day <= dayPlus1(hi))
+        // Hidden-partition pruning, per transform (Transforms.keepFile
+        // holds the order/equality proofs + the timezone widening guard).
+        val partOk = partFields.get(cname)
+          .flatMap(pf => f.partitionValues.get(pf.name).map(pf -> _)) match {
+          case Some((pf, pv)) =>
+            Transforms.keepFile(pf.transform, pv, b, eqLiterals.get(cname),
+              numeric, utf8Lte)
           case None => true
         }
-        statsOk && dayOk
+        statsOk && partOk
       }
     }
   }
@@ -785,7 +777,11 @@ final class GraftTable(val dir: Path) {
     // default clustering exists to prevent)
     def partLeadCols: Seq[org.apache.spark.sql.Column] = {
       val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
-      m.partitionFields.flatMap(pf => idToName.get(pf.sourceId)).map(src => to_date(col(src)))
+      val typeOf = m.currentSchema.map(c => c.name -> c.sparkType).toMap
+      m.partitionFields.flatMap { pf =>
+        idToName.get(pf.sourceId)
+          .map(src => Transforms.column(pf.transform, col(src), typeOf(src)))
+      }
     }
     val (df, preClustered) =
       if (zorderBy.nonEmpty) (zorderCluster(), true)
@@ -1119,16 +1115,34 @@ final class GraftTable(val dir: Path) {
         currentSchemaId = nextSchemaId)
     }
 
-  /** B6 `ALTER TABLE ... ADD PARTITION FIELD days(col)` (README.md:304) —
-    * metadata only; FUTURE writes cluster and record the transform value,
-    * existing files stay unpruned (kept by planDayRange). */
-  def addPartitionField(sourceCol: String): Unit =
+  /** B6 `ALTER TABLE ... ADD PARTITION FIELD <transform>(col)`
+    * (README.md:304; the reference uses days, Iceberg's family adds
+    * months/years/hours/bucket[N]/truncate[W]) — metadata only; FUTURE
+    * writes cluster and record the transform value, existing files stay
+    * unpruned (kept: no recorded value means no pruning proof). */
+  def addPartitionField(sourceCol: String, transform: String = "days"): Unit =
     TableMeta.commitRetry(dir) { m =>
       val src = m.currentSchema.find(_.name == sourceCol)
         .getOrElse(throw new IllegalArgumentException(s"no column $sourceCol"))
+      Transforms.validate(transform, src.sparkType)
       require(!m.partitionFields.exists(_.sourceId == src.id), "already partitioned")
       m.copy(
-        partitionFields = m.partitionFields :+ PartitionField(src.id, "days", s"${sourceCol}_day"))
+        partitionFields = m.partitionFields :+
+          PartitionField(src.id, transform, Transforms.fieldName(transform, sourceCol)))
+    }
+
+  /** Partition-spec evolution, the other half: `DROP PARTITION FIELD`.
+    * Metadata only — existing files keep their recorded values (harmless:
+    * pruning just stops consulting them), future writes stop clustering
+    * by the dropped transform. Iceberg semantics: spec changes never
+    * rewrite data. */
+  def dropPartitionField(sourceCol: String): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val src = m.currentSchema.find(_.name == sourceCol)
+        .getOrElse(throw new IllegalArgumentException(s"no column $sourceCol"))
+      require(m.partitionFields.exists(_.sourceId == src.id),
+        s"$sourceCol is not a partition source")
+      m.copy(partitionFields = m.partitionFields.filterNot(_.sourceId == src.id))
     }
 
   // ------------------------------------------------------------ internals
@@ -1155,8 +1169,10 @@ final class GraftTable(val dir: Path) {
     try {
       if (parts.isEmpty) df.write.parquet(out)
       else {
+        val typeOf = m.currentSchema.map(c => c.name -> c.sparkType).toMap
         val withCols = parts.foldLeft(df) { case (acc, (pf, srcName)) =>
-          acc.withColumn(pf.name, to_date(col(srcName)))
+          acc.withColumn(pf.name,
+            Transforms.column(pf.transform, col(srcName), typeOf(srcName)))
         }
         // Cluster rows by the partition value BEFORE partitionBy: without
         // this, every shuffle partition writes a file into every day dir
@@ -1189,7 +1205,10 @@ final class GraftTable(val dir: Path) {
     files.flatMap { p =>
       val rel = dir.relativize(p).toString
       val pvals = rel.split('/').filter(_.contains('='))
-        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> Transforms.unescapePathValue(v) // bounds compare unescaped
+        }.toMap
       val (rows, stats) = FooterStats.read(p, m.currentSchema)
       // zero-row files (empty write partitions) carry no data: keep the
       // manifest tight, they'd only bloat planning
