@@ -573,7 +573,31 @@ object TableQueries {
       .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi)))
   }
 
+  /** Equality-delete CDC upsert (Iceberg v2's second MoR delete flavor):
+    * delete-by-key WITHOUT reading the table (O(keys) write), then append
+    * the replacement rows — the sequence guard keeps the re-appended keys
+    * alive while the old files' rows stay deleted. The judged read proves
+    * the full upsert: F-status rows carry the replacement priority,
+    * everything else is untouched. TableSpec ×4 proves the mechanism
+    * (no data-file writes, guard both ways, compaction fold, GC). */
+  def tableEqDelete(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("eq_delete", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders_eq", ordersSchema)
+      val src = Tables.orders(s, d)
+      t0.append(src)
+      t0.deleteMoREquality(s,
+        src.filter(col("o_orderstatus") === "F").select("o_orderkey"))
+      t0.append(src.filter(col("o_orderstatus") === "F")
+        .withColumn("o_orderpriority", lit("9-REINSTATED")))
+      t0
+    }
+    ordered(t.read(s))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_eq_delete"       -> tableEqDelete,
     "q_table_bucket_prune"    -> tableBucketPrune,
     "q_table_month_prune"     -> tableMonthPrune,
     "q_table_wap"             -> tableWap,
@@ -607,6 +631,13 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_eq_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderstatus = 'F' THEN '9-REINSTATED'
+              ELSE o_orderpriority END AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     "q_table_bucket_prune" -> orderedOrdersSql.format("WHERE o_custkey = 37"),
     "q_table_month_prune" -> orderedOrdersSql.format(
       """WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'

@@ -227,7 +227,10 @@ final class GraftTable(val dir: Path) {
         snap.map(_.manifest).getOrElse(Nil).map(f =>
           ("data", f.path, f.rows, f.schemaId, f.partitionValues)) ++
         snap.map(_.allDeleteFiles).getOrElse(Nil).map(f =>
-          ("position_deletes", f.path, f.rows, f.schemaId, f.partitionValues))
+          ("position_deletes", f.path, f.rows, f.schemaId, f.partitionValues)) ++
+        snap.map(_.allEqDeleteFiles).getOrElse(Nil).map(f =>
+          ("equality_deletes", f.path, f.rows, 0,
+            Map("columns" -> f.columns.mkString(","))))
       spark.createDataFrame(rows).toDF(
         "content", "file_path", "n_rows", "schema_id", "partition_values")
     case "partitions" =>
@@ -259,14 +262,48 @@ final class GraftTable(val dir: Path) {
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), m.sparkSchema(m.currentSchemaId))
     snap.filter(_.manifest.nonEmpty).fold(empty) { s =>
-      deleteEntries(spark, s) match {
-        case None    => readFiles(spark, m, s.manifest)
-        case Some(d) =>
-          readFiles(spark, m, s.manifest, withPos = true)
-            .join(d, Seq("_graft_fp", "_graft_pos"), "left_anti")
-            .drop("_graft_fp", "_graft_pos")
+      val needPos = s.allDeleteFiles.nonEmpty || s.allEqDeleteFiles.nonEmpty
+      if (!needPos) readFiles(spark, m, s.manifest)
+      else {
+        val base = readFiles(spark, m, s.manifest, withPos = true)
+        val posApplied = deleteEntries(spark, s)
+          .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
+        applyEqDeletes(spark, s, posApplied).drop("_graft_fp", "_graft_pos")
       }
     }
+  }
+
+  /** Anti-join away equality-deleted rows: for each equality delete file,
+    * rows whose key tuple matches AND whose data file is OLDER than the
+    * delete (seq guard — later appends of the key stay live). The
+    * file→seq lookup is manifest-sized and broadcast; key files are tiny
+    * by construction (the keys of one delete commit) and broadcast too —
+    * no shuffle enters the plan. `base` must carry _graft_fp. */
+  private def applyEqDeletes(spark: SparkSession, snap: Snapshot, base: DataFrame): DataFrame = {
+    val eds = snap.allEqDeleteFiles
+    if (eds.isEmpty) return base
+    import spark.implicits._
+    // Join key = the table-relative path ("w-xxx/part-....parquet"): the
+    // manifest records relative paths while _metadata.file_path is a URI
+    // whose scheme/authority rendering varies — the suffix after this
+    // table's data/ dir is identical on both sides by construction.
+    val lookup = broadcast(
+      snap.manifest.map(f => (f.path.stripPrefix("data/"), f.seq.getOrElse(0L)))
+        .toDF("_graft_rel", "_graft_seq"))
+    val withSeq = base
+      .withColumn("_graft_rel", substring_index(col("_graft_fp"), "/data/", -1))
+      .join(lookup, Seq("_graft_rel"), "left")
+      // a row whose file misses the lookup gets seq 0 = "old" — errs
+      // toward applying the delete, matching the legacy-file rule;
+      // TableSpec pins both directions of the guard
+      .withColumn("_graft_seq", coalesce(col("_graft_seq"), lit(0L)))
+      .drop("_graft_rel")
+    eds.foldLeft(withSeq) { (acc, ed) =>
+      val keys = spark.read.parquet(dir.resolve(ed.path).toString).dropDuplicates()
+      val cond = ed.columns.map(c => acc(c) <=> keys(c)).reduce(_ && _) &&
+        acc("_graft_seq") < lit(ed.seq)
+      acc.join(broadcast(keys), cond, "left_anti")
+    }.drop("_graft_seq")
   }
 
   /** The snapshot's merge-on-read delete entries as (_graft_fp,
@@ -287,8 +324,9 @@ final class GraftTable(val dir: Path) {
   private def readLive(spark: SparkSession, m: TableMeta, files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty) return readFiles(spark, m, Nil)
     val base = readFiles(spark, m, files, withPos = true)
-    m.currentSnapshot.flatMap(deleteEntries(spark, _))
+    val posApplied = m.currentSnapshot.flatMap(deleteEntries(spark, _))
       .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
+    m.currentSnapshot.fold(posApplied)(applyEqDeletes(spark, _, posApplied))
   }
 
   /** Read a set of data files, resolving each file's columns to the
@@ -373,8 +411,12 @@ final class GraftTable(val dir: Path) {
         parentId = Some(base.snapshotId),
         timestampMs = System.currentTimeMillis(),
         operation = "append",
-        manifest = base.manifest ++ newFiles,
-        deleteFiles = base.deleteFiles)
+        // stamp the staged files' data sequence: an equality delete
+        // committed later must not reach back into this append
+        manifest = base.manifest ++ newFiles.map(f =>
+          if (f.seq.isEmpty) f.copy(seq = Some(snapId)) else f),
+        deleteFiles = base.deleteFiles,
+        eqDeleteFiles = base.eqDeleteFiles)
       fresh.copy(
         snapshots = fresh.snapshots :+ snap, // currentSnapshotId UNCHANGED
         refs = Some(fresh.allRefs + (branch -> SnapshotRef(snapId, branch = true))))
@@ -515,6 +557,48 @@ final class GraftTable(val dir: Path) {
     if (entries.isEmpty) return // nothing matched; stray empty dir is inert
     TableMeta.commit(dir, v,
       appendSnapshot(m, "delete", manifest, carryDeletes(m) ++ entries))
+  }
+
+  /** Iceberg v2 EQUALITY deletes: every row whose key tuple appears in
+    * `keys` is deleted — WITHOUT reading the table. The delete file
+    * records key VALUES, so the write cost is O(keys) regardless of
+    * table size; positional deletes (deleteMoR) need a scan to find
+    * positions first. This is the CDC-ingestion workhorse: streamed
+    * upserts delete-by-key then append. The sequence guard scopes the
+    * delete to data files present at commit time — a LATER append of
+    * the same key is a live row (proven in TableSpec). */
+  def deleteMoREquality(spark: SparkSession, keys: DataFrame): Unit = {
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    val (_, m0) = TableMeta.load(dir)
+    keyCols.foreach(k => require(m0.currentSchema.exists(_.name == k), s"no column $k"))
+    if (m0.currentSnapshot.forall(_.manifest.isEmpty)) return
+    val aligned = keys.select(keyCols.map(k =>
+      col(k).cast(m0.currentSchema.find(_.name == k).get.sparkType).as(k)): _*)
+      .dropDuplicates()
+    val outRel = s"data/e-${java.util.UUID.randomUUID().toString.take(12)}"
+    val outDir = dir.resolve(outRel)
+    aligned.coalesce(1).write.parquet(outDir.toString)
+    val walk = Files.walk(outDir)
+    val parts =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
+    val entries = parts.flatMap { p =>
+      val (rows, _) = FooterStats.read(p, Nil)
+      if (rows == 0) None
+      // seq = 0 placeholder; appendSnapshot stamps the commit's id
+      else Some(EqDeleteFile(dir.relativize(p).toString, rows, keyCols, 0L))
+    }
+    if (entries.isEmpty) return
+    // reapply-safe: the key file is already on disk and the seq guard is
+    // stamped from whatever snapshot the commit finally lands on
+    TableMeta.commitRetry(dir) { fresh =>
+      appendSnapshot(fresh, "delete",
+        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil),
+        carryDeletes(fresh), newEqDeletes = entries)
+    }
   }
 
   /** Row-level `UPDATE ... SET ... WHERE` — the other half of the v2
@@ -820,7 +904,8 @@ final class GraftTable(val dir: Path) {
       changed = dropped.nonEmpty
       if (!changed) m
       else {
-        def paths(s: Snapshot) = s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path)
+        def paths(s: Snapshot) = s.manifest.map(_.path) ++
+          s.allDeleteFiles.map(_.path) ++ s.allEqDeleteFiles.map(_.path)
         val liveFiles = keep.flatMap(paths).toSet
         orphans = dropped.flatMap(paths).toSet -- liveFiles
         // fold expired snapshots' streaming replay keys into the
@@ -959,7 +1044,30 @@ final class GraftTable(val dir: Path) {
               .drop("_graft_fp", "_graft_pos"),
             "delete", s.snapshotId))
         }
-      Seq(inserts, cowDeletes, morDeletes).flatten
+      // equality deletes: the deleted rows are the PREVIOUS live state's
+      // rows matching any new key file (all prior files pass the seq
+      // guard by construction — they predate this commit)
+      val prevEq = if (i == 0) Set.empty[String]
+        else snaps(i - 1).allEqDeleteFiles.map(_.path).toSet
+      val newEqFiles = s.allEqDeleteFiles.filterNot(f => prevEq.contains(f.path))
+      val eqDeletes =
+        if (newEqFiles.isEmpty || prevManifest.isEmpty) None
+        else {
+          val prevLive = {
+            val base = readFiles(spark, m, prevManifest, withPos = true)
+            val prevSnap = snaps(i - 1)
+            val posApplied = deleteEntries(spark, prevSnap)
+              .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
+            applyEqDeletes(spark, prevSnap, posApplied)
+          }
+          val matched = newEqFiles.map { ed =>
+            val keys = spark.read.parquet(dir.resolve(ed.path).toString).dropDuplicates()
+            prevLive.join(broadcast(keys), ed.columns, "left_semi")
+          }.reduce(_.unionByName(_)).dropDuplicates()
+            .drop("_graft_fp", "_graft_pos")
+          Some(tag(matched, "delete", s.snapshotId))
+        }
+      Seq(inserts, cowDeletes, morDeletes, eqDeletes).flatten
     }
     parts.reduceOption(_.unionByName(_)).getOrElse(
       tag(readFiles(spark, m, Nil), "", 0L).limit(0))
@@ -975,7 +1083,8 @@ final class GraftTable(val dir: Path) {
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
     val (_, m) = TableMeta.load(dir)
     val referenced = m.snapshots
-      .flatMap(s => s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path)).toSet
+      .flatMap(s => s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path) ++
+        s.allEqDeleteFiles.map(_.path)).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return Nil
     val walk = Files.walk(dataDir)
@@ -1225,19 +1334,34 @@ final class GraftTable(val dir: Path) {
     m.currentSnapshot.map(_.allDeleteFiles).getOrElse(Nil)
 
   /** Pure metadata transition: append a new snapshot (id = max+1 of the
-    * GIVEN metadata, so a commitRetry reapply numbers correctly). */
+    * GIVEN metadata, so a commitRetry reapply numbers correctly).
+    * Files NEW in this commit (not in the parent manifest) are stamped
+    * with the commit's sequence (= snapshot id); equality deletes carry
+    * forward automatically — the seq guard scopes them — except through
+    * replace/overwrite, which rewrite or discard the content they
+    * applied to (compaction reads through readLive, so the rewritten
+    * files already have them folded in). */
   private def appendSnapshot(
       m: TableMeta, op: String, manifest: Seq[DataFile],
-      deletes: Seq[DataFile], streamBatch: Option[String] = None): TableMeta = {
+      deletes: Seq[DataFile], streamBatch: Option[String] = None,
+      newEqDeletes: Seq[EqDeleteFile] = Nil): TableMeta = {
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val parentPaths = m.currentSnapshot.map(_.manifest.map(_.path).toSet).getOrElse(Set.empty)
+    val stamped = manifest.map(f =>
+      if (f.seq.isEmpty && !parentPaths.contains(f.path)) f.copy(seq = Some(snapId)) else f)
+    val carriedEq =
+      if (op == "replace" || op == "overwrite") Nil
+      else m.currentSnapshot.map(_.allEqDeleteFiles).getOrElse(Nil)
+    val eq = carriedEq ++ newEqDeletes.map(_.copy(seq = snapId))
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = m.currentSnapshotId,
       timestampMs = System.currentTimeMillis(),
       operation = op,
-      manifest = manifest,
+      manifest = stamped,
       deleteFiles = if (deletes.isEmpty) None else Some(deletes),
-      streamBatch = streamBatch)
+      streamBatch = streamBatch,
+      eqDeleteFiles = if (eq.isEmpty) None else Some(eq))
     m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId))
   }
 }

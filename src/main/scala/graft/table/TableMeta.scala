@@ -43,7 +43,19 @@ final case class DataFile(
     rows: Long,
     schemaId: Int,
     partitionValues: Map[String, String],
-    stats: Option[Map[String, ColRange]] = None)
+    stats: Option[Map[String, ColRange]] = None,
+    // Data sequence: the snapshot id whose commit first added this file
+    // (stamped in appendSnapshot). Equality deletes apply only to files
+    // with seq < the delete's seq — Iceberg v2's sequence-number rule
+    // that keeps later appends of a deleted key alive. None (legacy
+    // metadata) reads as 0: older than any equality delete.
+    seq: Option[Long] = None)
+
+/** Iceberg v2 EQUALITY delete file: parquet of key tuples (`columns`);
+  * any row in a data file with seq < this delete's `seq` whose key tuple
+  * matches is deleted. Written without reading the table (O(keys) cost —
+  * the CDC-upsert workhorse where positional deletes need a scan). */
+final case class EqDeleteFile(path: String, rows: Long, columns: Seq[String], seq: Long)
 
 /** `deleteFiles` (Iceberg v2 merge-on-read): parquet files of
   * (file_path, pos) rows marking deleted positions in data files; the
@@ -60,8 +72,11 @@ final case class Snapshot(
     deleteFiles: Option[Seq[DataFile]] = None,
     // streaming-sink provenance "queryId#batchId": makes micro-batch
     // appends idempotent across retries (GraftTable.appendStreamBatch)
-    streamBatch: Option[String] = None) {
+    streamBatch: Option[String] = None,
+    // equality delete files (see EqDeleteFile); Option for old metadata
+    eqDeleteFiles: Option[Seq[EqDeleteFile]] = None) {
   def allDeleteFiles: Seq[DataFile] = deleteFiles.getOrElse(Nil)
+  def allEqDeleteFiles: Seq[EqDeleteFile] = eqDeleteFiles.getOrElse(Nil)
 }
 
 /** Iceberg-style named ref: a TAG (immutable bookmark) or BRANCH

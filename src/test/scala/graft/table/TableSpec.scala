@@ -343,6 +343,83 @@ class TableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 4)
   }
 
+  test("equality delete: key rows disappear without reading or touching data files") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.eq", pedidosSchema)
+    t.append(pedidosDf)
+    val filesBefore = t.meta.currentSnapshot.get.manifest.map(_.path).toSet
+    import spark.implicits._
+    t.deleteMoREquality(spark, Seq("p2", "p4").toDF("id_pedido"))
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.manifest.map(_.path).toSet === filesBefore) // no data rewrite
+    assert(snap.allEqDeleteFiles.map(_.columns) === Seq(Seq("id_pedido")))
+    val cur = t.read(spark)
+    assert(cur.count() === 3)
+    assert(cur.filter(col("id_pedido").isin("p2", "p4")).count() === 0)
+    // time travel: snapshot 1 still sees both rows
+    assert(t.readVersion(spark, 1).count() === 5)
+  }
+
+  test("equality delete sequence guard: later appends of the SAME key stay live") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.eq2", pedidosSchema)
+    t.append(pedidosDf) // seq 1
+    import spark.implicits._
+    t.deleteMoREquality(spark, Seq("p1").toDF("id_pedido")) // seq 2
+    assert(t.read(spark).filter(col("id_pedido") === "p1").count() === 0)
+    // re-insert p1 AFTER the delete: the CDC-upsert pattern. The old
+    // equality delete must not reach forward into the new file.
+    t.append(pedidosDf.filter(col("id_pedido") === "p1")) // seq 3
+    val cur = t.read(spark)
+    assert(cur.filter(col("id_pedido") === "p1").count() === 1)
+    assert(cur.count() === 5)
+    // and rows in OLD files are still deleted (guard cuts one way only)
+    t.deleteMoREquality(spark, Seq("p5").toDF("id_pedido"))
+    assert(t.read(spark).filter(col("id_pedido") === "p5").count() === 0)
+  }
+
+  test("equality delete with multi-column keys; compaction folds and clears eq deletes") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.eq3", pedidosSchema)
+    t.append(pedidosDf)
+    import spark.implicits._
+    // (produto, uf) composite key: matches exactly p1 (teclado, SP)
+    t.deleteMoREquality(spark, Seq(("teclado", "SP")).toDF("produto", "uf"))
+    assert(t.read(spark).count() === 4)
+    assert(t.read(spark).filter(col("id_pedido") === "p1").count() === 0)
+    t.rewriteDataFiles(spark, targetFiles = 1)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.allEqDeleteFiles.isEmpty) // folded + cleared
+    assert(t.read(spark).count() === 4)
+    // CoW rewrites must never resurrect an eq-deleted row
+    t.delete(spark, col("uf") === "RJ")
+    assert(t.read(spark).filter(col("id_pedido") === "p1").count() === 0)
+  }
+
+  test("equality delete files are GC'd by expire and emit exact rows in the changelog") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.eq4", pedidosSchema)
+    t.append(pedidosDf) // snapshot 1
+    import spark.implicits._
+    t.deleteMoREquality(spark, Seq("p3").toDF("id_pedido")) // snapshot 2
+    val edPath = t.dir.resolve(t.meta.currentSnapshot.get.allEqDeleteFiles.head.path)
+    assert(Files.exists(edPath))
+    // changelog: snapshot 2 emits exactly the eq-deleted row as 'delete'
+    val changes = t.readChanges(spark, 1, 2)
+    assert(changes.count() === 1)
+    val r = changes.head()
+    assert(r.getAs[String]("id_pedido") === "p3")
+    assert(r.getAs[String]("_change_type") === "delete")
+    t.rewriteDataFiles(spark, targetFiles = 1) // snapshot 3, eq cleared
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(!Files.exists(edPath)) // orphaned eq delete file GC'd
+    assert(t.read(spark).count() === 4)
+  }
+
   test("concurrent commit is detected (atomic CREATE_NEW version file)") {
     val cat = newCatalog()
     cat.createSchema("db")
