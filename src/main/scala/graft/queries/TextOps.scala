@@ -77,6 +77,64 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
+    * signals): per-document top-token and top-bigram frequency fractions
+    * plus token diversity — the filters that catch boilerplate and
+    * degenerate repetition in web-scale training corpora.
+    *
+    * Scale shape: the mode (most-frequent n-gram) of a document cannot be
+    * computed row-side without O(n²) array scans, so tokens/bigrams
+    * explode into fine-grained (doc_id, gram) aggregations — one shuffle
+    * each, partial-aggregated map-side, keys never hotter than the
+    * longest single document. Bigrams materialize positionally
+    * (sequence + element_at), not via a self-join. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = col("t")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), t,
+        // sequence(1, n) DESCENDS when n < 1 — guard one-token docs
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))).as("bg"))
+    val wc = base.select(col("doc_id"), explode(t).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
+    val bc = base.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    base
+      .select(col("doc_id"),
+        size(t).cast(LongType).as("n_tokens"),
+        size(array_distinct(t)).cast(LongType).as("n_distinct"))
+      .join(wc, Seq("doc_id"))
+      .join(bc, Seq("doc_id"), "left") // one-token docs have no bigrams
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("top_token_n").cast(DoubleType) / col("n_tokens")).as("top_token_frac"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("top_bigram_n"), lit(0L)).cast(DoubleType) /
+            col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic training-order shuffle: global sort on a seeded
+    * content hash. Unlike rand()/shuffle(), the order is a pure function
+    * of (seed, doc_id) — stable across reruns, repartitions, and split
+    * changes, so a training run is reproducible and an epoch reshuffle
+    * is just a new seed. At scale the orderBy is a range-partitioned
+    * sort on a uniform key: no skew, no driver bottleneck. */
+  def trainShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("graft-epoch-0:"), col("doc_id").cast(StringType)))
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
   /** J8 document fingerprint: md5 over whitespace-normalized lowercase
     * text (md5 is identical in Spark and DuckDB, unlike xxhash). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
@@ -496,6 +554,8 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition"       -> repetition,
+    "q_train_shuffle"    -> trainShuffle,
     "q_tfidf"            -> tfidf,
     "q_chunking"         -> chunkDocs,
     "q_pii_redact"       -> piiRedact,
@@ -532,6 +592,39 @@ object TextOps {
            FROM scored)
          SELECT doc_id, term, tf, df, tfidf, rn FROM ranked
          WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "q_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         words AS (
+           SELECT doc_id, unnest(a) AS tok FROM t),
+         wc AS (
+           SELECT doc_id, max(c) AS top_token_n FROM (
+             SELECT doc_id, tok, count(*) AS c FROM words GROUP BY 1, 2)
+           GROUP BY 1),
+         bigrams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+           FROM t),
+         bc AS (
+           SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+           FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(a)) AS BIGINT) AS n_distinct,
+           wc.top_token_n,
+           coalesce(bc.top_bigram_n, 0) AS top_bigram_n,
+           coalesce(bc.n_bigrams, 0) AS n_bigrams,
+           CAST(wc.top_token_n AS DOUBLE) / len(a) AS top_token_frac,
+           CASE WHEN coalesce(bc.n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(bc.top_bigram_n AS DOUBLE) / bc.n_bigrams
+           END AS top_bigram_frac
+         FROM t JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+         ORDER BY doc_id""",
+    "q_train_shuffle" ->
+      """SELECT doc_id, source,
+           md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key, doc_id""",
     "q_chunking" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
