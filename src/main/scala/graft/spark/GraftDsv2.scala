@@ -438,7 +438,12 @@ class GraftDataSource extends TableProvider
     new GraftStreamSource(
       sqlContext,
       GraftStreamSource.pathOf(parameters),
-      skipRewrites = parameters.get("skip-rewrites").exists(_.toBoolean))
+      skipRewrites = parameters.get("skip-rewrites").exists(_.toBoolean),
+      // Kafka's maxOffsetsPerTrigger analog: bound each micro-batch to K
+      // snapshots so a backlog catch-up doesn't plan one giant batch
+      maxSnapshotsPerTrigger = parameters.get("max-snapshots-per-trigger")
+        .map(v => { val k = v.toInt; require(k > 0,
+          "max-snapshots-per-trigger must be positive"); k }))
 
   override def supportsExternalMetadata(): Boolean = false
 

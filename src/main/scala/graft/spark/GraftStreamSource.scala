@@ -42,8 +42,12 @@ import org.apache.spark.sql.types.StructType
 class GraftStreamSource(
     sqlContext: SQLContext,
     tableDir: Path,
-    skipRewrites: Boolean)
-  extends Source {
+    skipRewrites: Boolean,
+    maxSnapshotsPerTrigger: Option[Int] = None)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private val table = new GraftTable(tableDir)
 
@@ -52,16 +56,48 @@ class GraftStreamSource(
     m.sparkSchema(m.currentSchemaId)
   }
 
-  private def toOrdinal(o: Offset): Int = o match {
+  private def toOrdinal(o: OffsetV2): Int = o match {
     case LongOffset(v)       => v.toInt
     case s: SerializedOffset => s.json.trim.toInt
     case other => throw new IllegalArgumentException(s"not a graft offset: $other")
   }
 
-  override def getOffset: Option[Offset] = {
+  // Trigger.AvailableNow pins its target when the run starts: every
+  // trigger advances toward THIS prefix (rate-limited per batch), and
+  // the run ends there even if appends keep landing — the bounded-drain
+  // contract. None outside AvailableNow runs.
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.meta.publishedPrefix)
+
+  // Admission control (Kafka's maxOffsetsPerTrigger analog): each
+  // micro-batch advances at most K snapshots past its start, so a
+  // backlog catch-up is a sequence of append-rate-sized batches, never
+  // one giant batch over the accumulated history. Declared as a
+  // maxFiles read limit — the closest standard currency (a snapshot is
+  // a file group); the math below uses our own K either way.
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(ReadLimit.maxFiles(_)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     // publishedPrefix, not snapshots.size: a branch-staged (WAP) snapshot
     // must not leak into the stream until its publish — the tail stalls
     // at it and resumes, in order, once main fast-forwards
+    val n = availableNowTarget.getOrElse(table.meta.publishedPrefix)
+    val start = Option(startOffset).map(toOrdinal).getOrElse(0)
+    val capped = maxSnapshotsPerTrigger.fold(n)(k => math.min(n, start + k))
+    if (capped == 0) null else LongOffset(capped.toLong)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val n = table.meta.publishedPrefix
+    if (n == 0) null else LongOffset(n.toLong)
+  }
+
+  /** Legacy path (non-admission-control engines); the admission-control
+    * latestOffset above is what MicroBatchExecution actually drives. */
+  override def getOffset: Option[Offset] = {
     val n = table.meta.publishedPrefix
     if (n == 0) None else Some(LongOffset(n.toLong))
   }

@@ -27,25 +27,37 @@ class GraftStreamSourceSpec extends SparkTestBase {
   }
 
   /** Drain the table stream AvailableNow through foreachBatch into a
-    * buffer, with a checkpoint so a re-drain resumes, not replays. */
-  private def drain(tableDir: String, checkpoint: String,
-      skipRewrites: Boolean = false): Seq[(Long, String)] = {
+    * buffer, with a checkpoint so a re-drain resumes, not replays.
+    * Returns (rows, per-batch row counts). */
+  private def drainBatches(tableDir: String, checkpoint: String,
+      skipRewrites: Boolean = false,
+      maxSnapshotsPerTrigger: Option[Int] = None): (Seq[(Long, String)], Seq[Int]) = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    val reader = spark.readStream.format("graft")
-    val q = (if (skipRewrites) reader.option("skip-rewrites", "true") else reader)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var reader = spark.readStream.format("graft")
+    if (skipRewrites) reader = reader.option("skip-rewrites", "true")
+    maxSnapshotsPerTrigger.foreach(k =>
+      reader = reader.option("max-snapshots-per-trigger", k.toString))
+    val q = reader
       .load(tableDir)
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         buf.synchronized {
-          buf ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+          val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+          buf ++= rows
+          sizes += rows.length
         }: Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    buf.toSeq
+    (buf.toSeq, sizes.toSeq)
   }
+
+  private def drain(tableDir: String, checkpoint: String,
+      skipRewrites: Boolean = false): Seq[(Long, String)] =
+    drainBatches(tableDir, checkpoint, skipRewrites)._1
 
   test("restart from checkpoint reads only the snapshots appended since") {
     val t = mkTable("incr")
@@ -60,6 +72,26 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(second.map(_._1).sorted == (15L until 18L),
       s"restart must deliver ONLY the new snapshot, got: $second")
     assert(second.forall(_._2 == "c"))
+  }
+
+  test("max-snapshots-per-trigger bounds catch-up batches after the first") {
+    val t = mkTable("rate")
+    val ckpt = graft.Scratch.fresh("stream_src_ckpt").toString
+    t.append(rows(0 until 4, "a")) // snapshot 1
+    // prime the checkpoint: first drain consumes snapshot 1
+    val (first, _) = drainBatches(t.dir.toString, ckpt, maxSnapshotsPerTrigger = Some(1))
+    assert(first.map(_._1).sorted == (0L until 4L))
+    // build a 3-snapshot backlog, then catch up with a 1-snapshot cap —
+    // the run must split it into one batch per snapshot, in order
+    t.append(rows(4 until 6, "b"))  // snapshot 2
+    t.append(rows(6 until 9, "c"))  // snapshot 3
+    t.append(rows(9 until 10, "d")) // snapshot 4
+    val (rows2, sizes) = drainBatches(t.dir.toString, ckpt, maxSnapshotsPerTrigger = Some(1))
+    assert(rows2.map(_._1).sorted == (4L until 10L), s"got $rows2")
+    // admission control hands latestOffset the checkpointed start, so
+    // every batch (including the first after restart) advances exactly
+    // one snapshot: snapshots 2, 3, 4 → batches of 2, 3, 1 rows
+    assert(sizes == Seq(2, 3, 1), s"per-batch sizes: $sizes")
   }
 
   test("non-append snapshot fails the stream by default, skip-rewrites skips it") {
