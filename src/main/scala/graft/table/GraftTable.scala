@@ -1240,6 +1240,20 @@ final class GraftTable(val dir: Path) {
           PartitionField(src.id, transform, Transforms.fieldName(transform, sourceCol)))
     }
 
+  /** Declared write sort order — Iceberg's `ALTER TABLE ... WRITE ORDERED
+    * BY (cols)`: every subsequent append range-clusters and sorts rows by
+    * these columns before writing, so per-file min/max footer stats are
+    * disjoint from the FIRST append on — stats pruning (planColRange /
+    * planFilters) works without waiting for a sorted compaction. The cost
+    * is one range shuffle per append, the same trade Iceberg documents.
+    * Stored as column ids: renames don't break the order. Empty clears. */
+  def setSortOrder(cols: Seq[String]): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val ids = cols.map(c => m.currentSchema.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no column $c")).id)
+      m.copy(sortOrderIds = if (ids.isEmpty) None else Some(ids))
+    }
+
   /** Partition-spec evolution, the other half: `DROP PARTITION FIELD`.
     * Metadata only — existing files keep their recorded values (harmless:
     * pruning just stops consulting them), future writes stop clustering
@@ -1275,9 +1289,15 @@ final class GraftTable(val dir: Path) {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // declared write sort order (setSortOrder): resolve ids → names
+    val sortCols = m.sortOrder.flatMap(id => m.currentSchema.find(_.id == id))
+      .map(c => col(c.name))
     try {
-      if (parts.isEmpty) df.write.parquet(out)
-      else {
+      if (parts.isEmpty) {
+        if (preClustered || sortCols.isEmpty) df.write.parquet(out)
+        else df.repartitionByRange(sortCols: _*)
+          .sortWithinPartitions(sortCols: _*).write.parquet(out)
+      } else {
         val typeOf = m.currentSchema.map(c => c.name -> c.sparkType).toMap
         val withCols = parts.foldLeft(df) { case (acc, (pf, srcName)) =>
           acc.withColumn(pf.name,
@@ -1289,10 +1309,15 @@ final class GraftTable(val dir: Path) {
         // small-files anti-pattern; at 100 TB it also drowns the manifest
         // and every footer-stats pass). One shuffle, ~one file per day.
         // Skipped when the caller already clustered (sorted compaction):
-        // re-shuffling would undo its layout.
+        // re-shuffling would undo its layout. A declared sort order leads
+        // with the partition value (files stay partition-local), then the
+        // sort columns — range clustering + within-partition sort.
+        val partCols = parts.map(p => col(p._1.name))
         val clustered =
           if (preClustered) withCols
-          else withCols.repartition(parts.map(p => col(p._1.name)): _*)
+          else if (sortCols.isEmpty) withCols.repartition(partCols: _*)
+          else withCols.repartitionByRange((partCols ++ sortCols): _*)
+            .sortWithinPartitions((partCols ++ sortCols): _*)
         clustered.write.partitionBy(parts.map(_._1.name): _*).parquet(out)
       }
     } finally prevTs match {

@@ -101,7 +101,14 @@ final case class TableMeta(
     // commit (unbounded metadata bloat on a long-running sink).
     retiredStreamBatches: Option[Map[String, Long]] = None,
     // named refs (tags/branches); Option so pre-refs metadata still parses
-    refs: Option[Map[String, SnapshotRef]] = None) {
+    refs: Option[Map[String, SnapshotRef]] = None,
+    // Declared write sort order (Iceberg `WRITE ORDERED BY`): column ids
+    // every append range-clusters and sorts by — per-file min/max stats
+    // stay disjoint WITHOUT waiting for a sorted compaction, so stats
+    // pruning works from the first append. Ids, not names: rename-safe.
+    sortOrderIds: Option[Seq[Int]] = None) {
+
+  def sortOrder: Seq[Int] = sortOrderIds.getOrElse(Nil)
 
   def allRefs: Map[String, SnapshotRef] = refs.getOrElse(Map.empty)
 

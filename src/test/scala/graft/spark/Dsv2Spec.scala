@@ -264,6 +264,27 @@ class Dsv2Spec extends SparkTestBase {
     intercept[Exception](t.readRef(spark, "v1"))
   }
 
+  test("SQL PARTITIONED BY maps the full transform family (bucket/truncate/months)") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val c = freshCatalog(wh)
+    new GraftCatalog(wh).createSchema("db")
+    spark.sql(
+      s"""CREATE TABLE $c.db.pt (id BIGINT, name STRING, ts TIMESTAMP)
+          PARTITIONED BY (bucket(4, id), truncate(2, name), months(ts))""")
+    val t = new GraftCatalog(wh).load("db.pt")
+    assert(t.meta.partitionFields.map(_.transform).sorted ==
+      Seq("bucket[4]", "months", "truncate[2]"))
+    spark.sql(
+      s"""INSERT INTO $c.db.pt VALUES
+          (1, 'alpha', TIMESTAMP '2024-01-15 10:00:00'),
+          (2, 'beta',  TIMESTAMP '2024-03-02 11:00:00')""")
+    val fs = t.meta.currentSnapshot.get.manifest
+    assert(fs.nonEmpty)
+    assert(fs.forall(f => f.partitionValues.keySet ==
+      Set("id_bucket", "name_truncate", "ts_months")))
+    assert(spark.sql(s"SELECT * FROM $c.db.pt").count() == 2)
+  }
+
   test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)

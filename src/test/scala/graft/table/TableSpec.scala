@@ -343,6 +343,50 @@ class TableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 4)
   }
 
+  test("declared write sort order: appends produce disjoint per-file ranges; rename-safe") {
+    import spark.implicits._
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.sorted", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    t.setSortOrder(Seq("k"))
+    // shuffled input: without the declared order each file would span
+    // the whole key range and stats-pruning would keep everything
+    val rows = scala.util.Random.shuffle((0L until 4000L).toList)
+      .map(k => (k, s"v$k")).toDF("k", "v")
+    // AQE coalesces this test-sized range shuffle to one partition (at
+    // real scale partitions stay full) — pin it off to observe >1 file
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try t.append(rows)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val files = t.meta.currentSnapshot.get.manifest
+    assert(files.size > 1, "need several files to prove disjointness")
+    val ranges = files.flatMap(_.stats.flatMap(_.get("k")))
+      .map(r => (BigDecimal(r.min), BigDecimal(r.max))).sortBy(_._1)
+    assert(ranges.size == files.size)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $ranges")
+      case _ => ()
+    }
+    // pruning works from the first append — no compaction needed
+    val pruned = t.planColRange(t.meta, "k", "100", "200")
+    assert(pruned.size < files.size)
+    assert(t.read(spark).count() === 4000)
+    // sort order is id-resolved: a rename keeps it working
+    t.renameColumn("k", "key")
+    t.append((4000L until 4100L).map(k => (k, s"v$k")).toDF("key", "v"))
+    assert(t.read(spark).count() === 4100)
+    val newFiles = t.meta.currentSnapshot.get.manifest.filter(_.seq.contains(2L))
+    assert(newFiles.nonEmpty)
+    assert(newFiles.flatMap(_.stats.flatMap(_.get("key"))).nonEmpty,
+      "post-rename appends still record stats under the new name")
+  }
+
   test("equality delete: key rows disappear without reading or touching data files") {
     val cat = newCatalog()
     cat.createSchema("db")
