@@ -129,11 +129,22 @@ object Media {
       .orderBy(col("media_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_meta"   -> mediaMeta,
-    "q_media_frames" -> mediaFrames,
-    "q_media_resize" -> mediaResize)
+    "q_media_meta"      -> mediaMeta,
+    "q_media_frames"    -> mediaFrames,
+    "q_media_resize"    -> mediaResize,
+    "q_batch_inference" -> batchInference)
 
   val oracle: Map[String, String] = Map(
+    "q_batch_inference" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || substr(x,  1, 8)) AS BIGINT) / 4294967296.0 AS score0,
+           CAST(('0x' || substr(x,  9, 8)) AS BIGINT) / 4294967296.0 AS score1,
+           CAST(('0x' || substr(x, 17, 8)) AS BIGINT) / 4294967296.0 AS score2,
+           CAST(('0x' || substr(x, 25, 8)) AS BIGINT) / 4294967296.0 AS score3,
+           CASE WHEN CAST(('0x' || substr(x, 1, 8)) AS BIGINT) / 4294967296.0 > 0.5
+                THEN 'pos' ELSE 'neg' END AS label
+         FROM h ORDER BY doc_id""",
     "q_media_resize" ->
       """SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -155,6 +166,38 @@ object Media {
          CAST(1 + (strlen(text) % 120) AS INT) AS n_frames,
          array_to_string(range(0, 1 + (strlen(text) % 120), 30), ',') AS frames
          FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""")
+
+  case class DocScore(doc_id: Long, score0: Double, score1: Double,
+      score2: Double, score3: Double, label: String)
+
+  /** Driver-judged batch model inference — the shape every embedding /
+    * classifier / reward-model pass over training data takes: a typed
+    * mapPartitions where MODEL SETUP HAPPENS ONCE PER PARTITION and rows
+    * stream through in batches (the Scala dual of mapInPandas; at 100 TB
+    * this is the only shape that amortizes model load and keeps payloads
+    * from shuffling). The "model" is a deterministic md5-based stub (no
+    * ML runtime in this sandbox) so the output is DuckDB-oracle-checkable
+    * bit-for-bit: four [0,1) scores from md5 nibble slices + an argmax-ish
+    * label. A real encoder slots in at the marked line with zero plan
+    * changes. */
+  def batchInference(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        // once-per-partition setup — a real impl loads the model HERE
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val hex = md.digest(text.getBytes(StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          def s(i: Int): Double =
+            java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16) / 4294967296.0
+          DocScore(id, s(0), s(1), s(2), s(3), if (s(0) > 0.5) "pos" else "neg")
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 
   /** Frame sampling plan for video rows: every k-th frame index, computed
     * with sequence() — row-side, codegen'd, no UDF. */
