@@ -104,6 +104,21 @@ object GraftProcedures {
         }
       }
 
+    case "cherrypick_snapshot" =>
+      new GraftProc("cherrypick_snapshot", Array(
+        p("table", StringType),
+        p("snapshot_id", LongType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          t.cherrypick(input.getLong(1))
+          result(
+            StructType(Seq(
+              StructField("source_snapshot_id", LongType),
+              StructField("current_snapshot_id", LongType))),
+            input.getLong(1), t.meta.currentSnapshotId.getOrElse(-1L))
+        }
+      }
+
     case "create_tag" =>
       new GraftProc("create_tag", Array(
         p("table", StringType),
@@ -195,8 +210,8 @@ object GraftProcedures {
   }
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
-    "rollback_to_snapshot", "create_tag", "create_branch", "drop_ref",
-    "fast_forward", "remove_orphan_files")
+    "rollback_to_snapshot", "cherrypick_snapshot", "create_tag",
+    "create_branch", "drop_ref", "fast_forward", "remove_orphan_files")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

@@ -1179,6 +1179,34 @@ final class GraftTable(val dir: Path) {
       m.copy(currentSnapshotId = Some(snapshotId))
     }
 
+  /** `CALL system.cherrypick_snapshot` — re-apply an abandoned APPEND
+    * snapshot's added files on top of the current snapshot: the recovery
+    * move after a rollback orphaned work you want back (Iceberg
+    * restricts cherry-picks to appends/dynamic overwrites for the same
+    * reason we do — replaying a rewrite against a diverged base is not
+    * well-defined). Metadata-only: the data files already exist; they
+    * keep their original data sequence, so equality deletes committed
+    * after the original append still apply to them. */
+  def cherrypick(snapshotId: Long): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val src = m.snapshot(snapshotId)
+      require(src.operation == "append",
+        s"cherry-pick supports append snapshots, got '${src.operation}'")
+      val parentPaths = src.parentId match {
+        case None => Set.empty[String]
+        case Some(pid) => m.snapshots.find(_.snapshotId == pid)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot cherry-pick $snapshotId: its parent $pid was expired"))
+          .manifest.map(_.path).toSet
+      }
+      val added = src.manifest.filterNot(f => parentPaths.contains(f.path))
+      require(added.nonEmpty, s"snapshot $snapshotId added no files")
+      val cur = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+      require(!added.exists(f => cur.exists(_.path == f.path)),
+        s"snapshot $snapshotId is already applied (its files are in the current manifest)")
+      appendSnapshot(m, "append", cur ++ added, carryDeletes(m))
+    }
+
   // ----------------------------------------------------------------- DDL
 
   /** B3 `ALTER TABLE ... ADD COLUMN` (README.md:269) — metadata only; old

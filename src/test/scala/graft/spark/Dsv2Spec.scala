@@ -118,6 +118,31 @@ class Dsv2Spec extends SparkTestBase {
     assert(t.meta.snapshots.size === 1)
   }
 
+  test("CALL system.cherrypick_snapshot replays a rolled-back append; rewrites refuse") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.cp", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(100))          // snapshot 1
+    t.append(Tables.events(spark, sfDir).limit(150).offset(100)) // snapshot 2 (orphaned below)
+    val full = t.read(spark).count()
+    t.rollbackTo(1)
+    assert(t.read(spark).count() === 100)
+    val c = freshCatalog(wh)
+    val res = spark.sql(
+      s"CALL $c.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => 2)").collect()
+    assert(res.length === 1 && res(0).getLong(0) === 2L)
+    assert(t.read(spark).count() === full) // the orphaned append is back
+    // non-append snapshots refuse: a rewrite against a diverged base is undefined
+    t.delete(spark, col("event_type") === "click") // CoW snapshot
+    val delSnap = t.meta.currentSnapshotId.get
+    t.rollbackTo(1)
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL $c.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $delSnap)")
+    }
+    assert(ex.getMessage.contains("append"))
+  }
+
   test("SQL DDL: ALTER ADD/RENAME/DROP COLUMN and DROP/RENAME TABLE") {
     val wh = Files.createTempDirectory("graft_wh")
     val cat = new GraftCatalog(wh)
