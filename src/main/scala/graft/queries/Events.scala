@@ -256,7 +256,36 @@ object Events {
         expr("to_json(v)").as("round_trip"))
       .orderBy(col("event_id"))
 
+  /** Ordered conversion funnel (view → click → purchase): a user counts
+    * at stage k only if stage k's first event follows stage k-1's. Three
+    * conditional min-aggregations chained by per-user joins — every stage
+    * shuffles on user_id, so the exchanges after the first are reused
+    * (co-partitioned); no window over the full event stream, no
+    * cross-stage self-join on events. Output is per-user stage
+    * timestamps + the summary booleans, fully hash-checkable. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        col("first_click").isNotNull.as("reached_click"),
+        col("first_purchase").isNotNull.as("reached_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> funnel,
     "q_variant"         -> variantExtract,
     "q_resample"        -> resampleDaily,
     "q_stream_tumbling" -> streamTumbling,
@@ -271,6 +300,26 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS first_click
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.first_view
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS first_purchase
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+           GROUP BY e.user_id)
+         SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+           c.user_id IS NOT NULL AS reached_click,
+           p.user_id IS NOT NULL AS reached_purchase
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
     "q_variant" ->
       """SELECT event_id,
            CAST(json_extract(props, '$.k') AS INT) AS k,

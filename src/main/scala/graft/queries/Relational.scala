@@ -490,7 +490,20 @@ object Relational {
         expr("try_cast(concat('200', substring(o_orderpriority, 1, 1)) AS BIGINT)").as("year_num"))
       .orderBy(col("o_orderkey"))
 
+  /** Fixed-width histogram over lineitem prices: bucket = floor(x / w)*w
+    * (identical double math in both engines — width_bucket() isn't
+    * portable), counts + per-bucket sums. One map-side-combined shuffle;
+    * the distribution-profiling primitive behind data validation and
+    * skew diagnosis at scale. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((floor(col("l_extendedprice") / 5000.0) * 5000).cast(LongType).as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket_lo"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram"          -> histogram,
     "q_try_cast"           -> tryCasts,
     "q_expectations"       -> expectations,
     "q_not_in_nulls"       -> notInNulls,
@@ -523,6 +536,10 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) * 5000 AS BIGINT) AS bucket_lo,
+         count(*) AS n
+         FROM lineitem GROUP BY bucket_lo ORDER BY bucket_lo""",
     "q_try_cast" ->
       """SELECT o_orderkey,
            TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,

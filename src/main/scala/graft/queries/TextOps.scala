@@ -135,6 +135,26 @@ object TextOps {
           .as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
 
+  /** Training-sequence PACKING: concatenate documents in stable order and
+    * assign each to the fixed-budget sequence containing its start offset
+    * — the standard pretraining move that turns ragged documents into
+    * dense fixed-length batches (chunkDocs is the per-document half; this
+    * is the cross-document half). Packing is per `source` shard: the
+    * cumulative offset is a window over (source, doc_id), so at 100 TB
+    * each shard computes its prefix sums independently — no global
+    * single-partition sort. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_offset") / budget).cast(LongType))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** J8 document fingerprint: md5 over whitespace-normalized lowercase
     * text (md5 is identical in Spark and DuckDB, unlike xxhash). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
@@ -556,6 +576,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition"       -> repetition,
     "q_train_shuffle"    -> trainShuffle,
+    "q_pack_sequences"   -> packSequences,
     "q_tfidf"            -> tfidf,
     "q_chunking"         -> chunkDocs,
     "q_pii_redact"       -> piiRedact,
@@ -625,6 +646,19 @@ object TextOps {
       """SELECT doc_id, source,
            md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key, doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT *, CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+           FROM t)
+         SELECT source, doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_id
+         FROM o ORDER BY source, doc_id""",
     "q_chunking" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

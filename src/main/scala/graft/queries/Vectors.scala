@@ -251,7 +251,39 @@ object Vectors {
       .select(col("vec_id"), col("pos"), col("col").cast(DoubleType).as("val"))
       .orderBy(col("vec_id"), col("pos"))
 
+  /** int8 symmetric quantization of embeddings — the storage/IO lever at
+    * 100 TB of vectors (4 bytes→1 byte per dim, with a per-vector scale):
+    * q = floor(x/scale + 0.5), scale = max|x|/127. All row-side
+    * higher-order functions, no shuffle; floor(x+0.5) instead of round()
+    * because Spark's half-up rounding diverges from DuckDB at .xx5 while
+    * floor is bit-identical. The judged output carries the quantized
+    * vector (joined to CSV — the driver forbids top-level arrays) plus
+    * the max reconstruction error, so the oracle re-derives the whole
+    * codec bit-for-bit. Two-stage projection: the HOFs compute once into
+    * named columns (interpreted, not codegen'd — duplication is the
+    * expensive mistake). */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = col("e")
+    val scale = col("scale")
+    val qv = col("qv")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("scale",
+        greatest(array_max(transform(e, x => abs(x))).cast(DoubleType) / 127.0,
+          lit(1e-12))) // zero-vector guard, mirrored in the oracle
+      .withColumn("qv",
+        transform(e, x => floor(x.cast(DoubleType) / scale + 0.5).cast(IntegerType)))
+      .select(
+        col("vec_id"), scale,
+        array_join(qv, ",").as("q_csv"),
+        array_max(zip_with(qv, e,
+          (q, x) => abs(q.cast(DoubleType) * scale - x.cast(DoubleType))))
+          .as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_pos_explode"   -> posExplode,
     "q_array_ops"     -> arrayOps,
     "q_vector_norms"  -> vectorNorms,
@@ -264,6 +296,22 @@ object Vectors {
   // q_ann_lsh is approximate by construction → rows-only check here;
   // recall vs the exact baseline is asserted in VectorsSpec.
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH base AS (
+           SELECT vec_id, embedding AS e,
+             greatest(
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0,
+               1e-12) AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS qv
+           FROM base)
+         SELECT vec_id, scale,
+           array_to_string(qv, ',') AS q_csv,
+           list_max(list_transform(range(1, len(e) + 1),
+             i -> abs(qv[i] * scale - CAST(e[i] AS DOUBLE)))) AS max_err
+         FROM q ORDER BY vec_id""",
     "q_array_ops" ->
       """SELECT vec_id,
          len(list_distinct(embedding[1:8])) AS n_uniq,
