@@ -69,7 +69,8 @@ object GraftProcedures {
         pDefault("target_files", IntegerType, "1"),
         pDefault("sort_by", StringType, "''"),
         pDefault("zorder_by", StringType, "''"),
-        pDefault("curve", StringType, "'morton'"))) {
+        pDefault("curve", StringType, "'morton'"),
+        pDefault("target_size_bytes", LongType, "-1"))) { // -1 = use target_files
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val t = cat.load(input.getUTF8String(0).toString)
           def cols(i: Int): Seq[String] =
@@ -78,7 +79,10 @@ object GraftProcedures {
           val before = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
           t.rewriteDataFiles(SparkSession.active, input.getInt(1),
             sortBy = cols(2), zorderBy = cols(3),
-            curve = if (input.isNullAt(4)) "morton" else input.getUTF8String(4).toString)
+            curve = if (input.isNullAt(4)) "morton" else input.getUTF8String(4).toString,
+            targetSizeBytes =
+              if (input.isNullAt(5) || input.getLong(5) <= 0) None
+              else Some(input.getLong(5)))
           val after = t.meta.currentSnapshot.map(_.manifest.size).getOrElse(0)
           result(
             StructType(Seq(

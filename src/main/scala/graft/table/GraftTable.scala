@@ -225,14 +225,17 @@ final class GraftTable(val dir: Path) {
       val snap = m.currentSnapshot
       val rows =
         snap.map(_.manifest).getOrElse(Nil).map(f =>
-          ("data", f.path, f.rows, f.schemaId, f.partitionValues)) ++
+          ("data", f.path, f.rows, f.schemaId, f.partitionValues,
+            f.sizeBytes.getOrElse(-1L))) ++
         snap.map(_.allDeleteFiles).getOrElse(Nil).map(f =>
-          ("position_deletes", f.path, f.rows, f.schemaId, f.partitionValues)) ++
+          ("position_deletes", f.path, f.rows, f.schemaId, f.partitionValues,
+            f.sizeBytes.getOrElse(-1L))) ++
         snap.map(_.allEqDeleteFiles).getOrElse(Nil).map(f =>
           ("equality_deletes", f.path, f.rows, 0,
-            Map("columns" -> f.columns.mkString(","))))
+            Map("columns" -> f.columns.mkString(",")), -1L))
       spark.createDataFrame(rows).toDF(
-        "content", "file_path", "n_rows", "schema_id", "partition_values")
+        "content", "file_path", "n_rows", "schema_id", "partition_values",
+        "size_bytes")
     case "partitions" =>
       // per-partition summary of the current snapshot (Iceberg's
       // `.partitions`): one row per partition value, file + row counts.
@@ -798,13 +801,29 @@ final class GraftTable(val dir: Path) {
     * ZORDER). */
   def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1,
       sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
-      curve: String = "morton"): Unit = {
+      curve: String = "morton", targetSizeBytes: Option[Long] = None): Unit = {
     require(sortBy.isEmpty || zorderBy.isEmpty, "sortBy and zorderBy are exclusive")
     require(curve == "morton" || (curve == "hilbert" && (zorderBy.isEmpty || zorderBy.size == 2)),
       s"curve '$curve' unsupported (morton: 1-4 columns; hilbert: exactly 2)")
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
+    // Size-based binpack (Iceberg's target-file-size-bytes): output file
+    // count from recorded manifest byte sizes — pure metadata, no
+    // filesystem stat storm. Legacy entries without sizes estimate via
+    // the manifest-wide bytes/row. At 100 TB "compact to N files" is
+    // meaningless; "compact to 512 MB files" is the actual policy.
+    val effectiveTarget = targetSizeBytes match {
+      case None => targetFiles
+      case Some(tgt) =>
+        require(tgt > 0, "targetSizeBytes must be positive")
+        val known = manifest.flatMap(f => f.sizeBytes.map(_.toDouble))
+        val knownRows = manifest.filter(_.sizeBytes.isDefined).map(_.rows).sum
+        val bytesPerRow = if (knownRows > 0) known.sum / knownRows else 64.0
+        val total = manifest.map(f =>
+          f.sizeBytes.map(_.toDouble).getOrElse(f.rows * bytesPerRow)).sum
+        math.max(1, math.ceil(total / tgt).toInt)
+    }
     // compaction folds MoR deletes into the rewrite and clears them —
     // the new snapshot is pure data files again
     val base = readLive(spark, m, manifest)
@@ -850,7 +869,7 @@ final class GraftTable(val dir: Path) {
       // same "z-order within partitions" layout Iceberg's zorder keeps
       val keys = partLeadCols :+ col("__graft_zval")
       base.withColumn("__graft_zval", zcol)
-        .repartitionByRange(targetFiles, keys: _*)
+        .repartitionByRange(effectiveTarget, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop("__graft_zval")
     }
@@ -871,11 +890,11 @@ final class GraftTable(val dir: Path) {
       if (zorderBy.nonEmpty) (zorderCluster(), true)
       else if (sortBy.nonEmpty) {
         val keys = partLeadCols ++ sortBy.map(col)
-        (base.repartitionByRange(targetFiles, keys: _*)
+        (base.repartitionByRange(effectiveTarget, keys: _*)
           .sortWithinPartitions(keys: _*), true)
       }
       else if (m.partitionFields.nonEmpty) (base, false)
-      else (base.repartition(targetFiles), true)
+      else (base.repartition(effectiveTarget), true)
     val newFiles = writeFiles(spark, m, df, preClustered)
     TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles, Nil))
   }
@@ -1376,7 +1395,8 @@ final class GraftTable(val dir: Path) {
       // manifest tight, they'd only bloat planning
       if (rows == 0) None
       else Some(DataFile(rel, rows, m.currentSchemaId, pvals,
-        if (stats.isEmpty) None else Some(stats)))
+        if (stats.isEmpty) None else Some(stats),
+        sizeBytes = Some(Files.size(p))))
     }
   }
 

@@ -49,7 +49,10 @@ final case class DataFile(
     // with seq < the delete's seq — Iceberg v2's sequence-number rule
     // that keeps later appends of a deleted key alive. None (legacy
     // metadata) reads as 0: older than any equality delete.
-    seq: Option[Long] = None)
+    seq: Option[Long] = None,
+    // On-disk bytes (None in legacy metadata): drives size-based
+    // compaction planning without touching the filesystem.
+    sizeBytes: Option[Long] = None)
 
 /** Iceberg v2 EQUALITY delete file: parquet of key tuples (`columns`);
   * any row in a data file with seq < this delete's `seq` whose key tuple

@@ -387,6 +387,29 @@ class TableSpec extends SparkTestBase {
       "post-rename appends still record stats under the new name")
   }
 
+  test("size-based compaction: output file count from recorded manifest bytes") {
+    import spark.implicits._
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.bin", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    // several small appends → several small files with recorded sizes
+    (0 until 5).foreach(i =>
+      t.append(((i * 1000L) until ((i + 1) * 1000L)).map(k => (k, s"v$k")).toDF("k", "v")))
+    val files = t.meta.currentSnapshot.get.manifest
+    assert(files.size >= 5)
+    assert(files.forall(_.sizeBytes.exists(_ > 0)), "writes must record file sizes")
+    val total = files.flatMap(_.sizeBytes).sum
+    // target ≈ half the total → expect 2 output files (ceil(total/tgt))
+    t.rewriteDataFiles(spark, targetSizeBytes = Some(total / 2 + 1))
+    val after = t.meta.currentSnapshot.get.manifest
+    assert(after.size == 2, s"expected 2 binpacked files, got ${after.size}")
+    assert(t.read(spark).count() === 5000)
+    // a huge target collapses to one file
+    t.rewriteDataFiles(spark, targetSizeBytes = Some(Long.MaxValue / 2))
+    assert(t.meta.currentSnapshot.get.manifest.size == 1)
+  }
+
   test("equality delete: key rows disappear without reading or touching data files") {
     val cat = newCatalog()
     cat.createSchema("db")
