@@ -49,6 +49,18 @@ class GraftDsv2Table(val table: GraftTable, ident: String)
     m.sparkSchema(m.currentSchemaId)
   }
 
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: stored user
+    * properties plus the format pins the reference declares
+    * (README.md:176-177). */
+  override def properties(): util.Map[String, String] = {
+    val meta = table.meta
+    val out = new util.HashMap[String, String]()
+    out.put("format-version", meta.formatVersion.toString)
+    out.put("provider", "graft")
+    meta.allProperties.foreach { case (k, v) => out.put(k, v) }
+    out
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -319,9 +331,14 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
           throw new UnsupportedOperationException(s"partition transform $other")
       }
     }
-    new GraftDsv2Table(
-      cat.createTable(qualified(ident), schema, None, specs),
-      s"$catalogName.${qualified(ident)}")
+    val t = cat.createTable(qualified(ident), schema, None, specs)
+    // store user TBLPROPERTIES; Spark-managed keys aren't table content
+    val managed = Set("provider", "owner", "location", "format-version")
+    val user = properties.asScala.filterNot { case (k, _) =>
+      managed.contains(k) || k.startsWith("option.")
+    }.toMap
+    if (user.nonEmpty) t.setProperties(user)
+    new GraftDsv2Table(t, s"$catalogName.${qualified(ident)}")
   }
 
   /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN` — each
@@ -337,9 +354,14 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
         t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(rm.property()))
       case other =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE change not supported: $other (top-level add/rename/drop column only)")
+          s"ALTER TABLE change not supported: $other " +
+            "(top-level add/rename/drop column and table properties only)")
     }
     loadTable(ident)
   }

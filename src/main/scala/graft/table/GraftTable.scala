@@ -813,7 +813,12 @@ final class GraftTable(val dir: Path) {
     // filesystem stat storm. Legacy entries without sizes estimate via
     // the manifest-wide bytes/row. At 100 TB "compact to N files" is
     // meaningless; "compact to 512 MB files" is the actual policy.
-    val effectiveTarget = targetSizeBytes match {
+    // explicit arg > table property > targetFiles count
+    val sizeTarget = targetSizeBytes.orElse(
+      if (targetFiles != 1) None // an explicit file count wins over the property
+      else m.allProperties.get("write.target-file-size-bytes").flatMap(v =>
+        scala.util.Try(v.toLong).toOption.filter(_ > 0)))
+    val effectiveTarget = sizeTarget match {
       case None => targetFiles
       case Some(tgt) =>
         require(tgt > 0, "targetSizeBytes must be positive")
@@ -1299,6 +1304,22 @@ final class GraftTable(val dir: Path) {
       val ids = cols.map(c => m.currentSchema.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(s"no column $c")).id)
       m.copy(sortOrderIds = if (ids.isEmpty) None else Some(ids))
+    }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES` — metadata-only merge. The
+    * reference's CREATE TABLE carries TBLPROPERTIES (README.md:176-177);
+    * well-known keys steer maintenance (write.target-file-size-bytes →
+    * rewriteDataFiles' default binpack target). */
+  def setProperties(props: Map[String, String]): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      m.copy(tableProperties = Some(m.allProperties ++ props))
+    }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES`. */
+  def unsetProperties(keys: Seq[String]): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val rest = m.allProperties -- keys
+      m.copy(tableProperties = if (rest.isEmpty) None else Some(rest))
     }
 
   /** Partition-spec evolution, the other half: `DROP PARTITION FIELD`.

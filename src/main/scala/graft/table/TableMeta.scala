@@ -109,9 +109,13 @@ final case class TableMeta(
     // every append range-clusters and sorts by — per-file min/max stats
     // stay disjoint WITHOUT waiting for a sorted compaction, so stats
     // pruning works from the first append. Ids, not names: rename-safe.
-    sortOrderIds: Option[Seq[Int]] = None) {
+    sortOrderIds: Option[Seq[Int]] = None,
+    // User table properties (TBLPROPERTIES) — free-form; well-known keys
+    // (write.target-file-size-bytes) steer maintenance defaults.
+    tableProperties: Option[Map[String, String]] = None) {
 
   def sortOrder: Seq[Int] = sortOrderIds.getOrElse(Nil)
+  def allProperties: Map[String, String] = tableProperties.getOrElse(Map.empty)
 
   def allRefs: Map[String, SnapshotRef] = refs.getOrElse(Map.empty)
 

@@ -289,6 +289,33 @@ class Dsv2Spec extends SparkTestBase {
     intercept[Exception](t.readRef(spark, "v1"))
   }
 
+  test("TBLPROPERTIES: stored at CREATE, SET/UNSET via ALTER, steer compaction") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val c = freshCatalog(wh)
+    new GraftCatalog(wh).createSchema("db")
+    spark.sql(
+      s"""CREATE TABLE $c.db.props (k BIGINT, v STRING)
+          TBLPROPERTIES ('owner.team' = 'data-eng', 'comment.x' = 'demo')""")
+    val t = new GraftCatalog(wh).load("db.props")
+    assert(t.meta.allProperties === Map("owner.team" -> "data-eng", "comment.x" -> "demo"))
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $c.db.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("owner.team") === "data-eng")
+    assert(shown("format-version") === "2") // the reference's v2 pin
+    spark.sql(s"ALTER TABLE $c.db.props SET TBLPROPERTIES ('owner.team' = 'ml')")
+    spark.sql(s"ALTER TABLE $c.db.props UNSET TBLPROPERTIES ('comment.x')")
+    assert(t.meta.allProperties === Map("owner.team" -> "ml"))
+    // well-known key steers the default compaction policy
+    import spark.implicits._
+    (0 until 4).foreach(i =>
+      t.append(((i * 500L) until ((i + 1) * 500L)).map(k => (k, s"v$k")).toDF("k", "v")))
+    val total = t.meta.currentSnapshot.get.manifest.flatMap(_.sizeBytes).sum
+    t.setProperties(Map("write.target-file-size-bytes" -> (total / 2 + 1).toString))
+    t.rewriteDataFiles(spark) // no explicit target: property applies
+    assert(t.meta.currentSnapshot.get.manifest.size === 2)
+    assert(t.read(spark).count() === 2000)
+  }
+
   test("SQL PARTITIONED BY maps the full transform family (bucket/truncate/months)") {
     val wh = Files.createTempDirectory("graft_wh")
     val c = freshCatalog(wh)
