@@ -331,13 +331,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
           throw new UnsupportedOperationException(s"partition transform $other")
       }
     }
-    val t = cat.createTable(qualified(ident), schema, None, specs)
-    // store user TBLPROPERTIES; Spark-managed keys aren't table content
+    // user TBLPROPERTIES (Spark-managed keys aren't table content) go
+    // into the initial metadata commit — no create/set-properties window
     val managed = Set("provider", "owner", "location", "format-version")
     val user = properties.asScala.filterNot { case (k, _) =>
       managed.contains(k) || k.startsWith("option.")
     }.toMap
-    if (user.nonEmpty) t.setProperties(user)
+    val t = cat.createTable(qualified(ident), schema, None, specs, user)
     new GraftDsv2Table(t, s"$catalogName.${qualified(ident)}")
   }
 

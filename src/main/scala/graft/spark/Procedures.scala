@@ -66,7 +66,7 @@ object GraftProcedures {
       // mirroring Iceberg's strategy => 'sort' sort_order / zorder(...)
       new GraftProc("rewrite_data_files", Array(
         p("table", StringType),
-        pDefault("target_files", IntegerType, "1"),
+        pDefault("target_files", IntegerType, "-1"), // -1 = property/1
         pDefault("sort_by", StringType, "''"),
         pDefault("zorder_by", StringType, "''"),
         pDefault("curve", StringType, "'morton'"),

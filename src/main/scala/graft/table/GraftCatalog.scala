@@ -23,7 +23,8 @@ final class GraftCatalog(val warehouse: Path) {
       qualified: String,
       schema: StructType,
       partitionDays: Option[String] = None,
-      partitionSpec: Seq[(String, String)] = Nil): GraftTable = {
+      partitionSpec: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
     val dir = tableDir(qualified)
     if (Files.exists(dir.resolve("meta")))
       throw new IllegalStateException(s"table $qualified already exists")
@@ -46,7 +47,11 @@ final class GraftCatalog(val warehouse: Path) {
       formatVersion = 2, name = qualified,
       schemas = Map("1" -> cols), currentSchemaId = 1,
       lastColumnId = cols.size,
-      partitionFields = pf, snapshots = Nil, currentSnapshotId = None)
+      partitionFields = pf, snapshots = Nil, currentSnapshotId = None,
+      // TBLPROPERTIES land in the SAME v1 commit as the table itself —
+      // a crash between "create" and "set properties" must not leave a
+      // policy-less table behind
+      tableProperties = if (properties.isEmpty) None else Some(properties))
     TableMeta.write(meta, dir.resolve("meta").resolve("v1.json"))
     Files.write(dir.resolve("meta").resolve("version-hint.text"), "1".getBytes)
     new GraftTable(dir)

@@ -302,11 +302,33 @@ final class GraftTable(val dir: Path) {
       .withColumn("_graft_seq", coalesce(col("_graft_seq"), lit(0L)))
       .drop("_graft_rel")
     eds.foldLeft(withSeq) { (acc, ed) =>
-      val keys = spark.read.parquet(dir.resolve(ed.path).toString).dropDuplicates()
-      val cond = ed.columns.map(c => acc(c) <=> keys(c)).reduce(_ && _) &&
+      val keys = eqDeleteKeys(spark, ed)
+      val cur = eqDeleteCurrentNames(ed)
+      val cond = cur.map(c => acc(c) <=> keys(c)).reduce(_ && _) &&
         acc("_graft_seq") < lit(ed.seq)
       acc.join(broadcast(keys), cond, "left_anti")
     }.drop("_graft_seq")
+  }
+
+  /** An equality delete's key columns resolved to CURRENT schema names
+    * (id-indirected, like every other read): a rename between the delete
+    * and the read must not break — or silently un-apply — the delete. */
+  private def eqDeleteCurrentNames(ed: EqDeleteFile): Seq[String] = {
+    val m = meta
+    ed.columnIds match {
+      case Some(ids) => ids.zip(ed.columns).map { case (id, written) =>
+        m.currentSchema.find(_.id == id).map(_.name).getOrElse(written)
+      }
+      case None => ed.columns // legacy entry: name-based
+    }
+  }
+
+  /** The delete's key tuples with columns RENAMED to current names. */
+  private def eqDeleteKeys(spark: SparkSession, ed: EqDeleteFile): DataFrame = {
+    val cur = eqDeleteCurrentNames(ed)
+    spark.read.parquet(dir.resolve(ed.path).toString)
+      .select(ed.columns.zip(cur).map { case (w, c) => col(w).as(c) }: _*)
+      .dropDuplicates()
   }
 
   /** The snapshot's merge-on-read delete entries as (_graft_fp,
@@ -539,27 +561,34 @@ final class GraftTable(val dir: Path) {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
-    val outRel = s"data/d-${java.util.UUID.randomUUID().toString.take(12)}"
-    val outDir = dir.resolve(outRel)
-    readLive(spark, m, manifest)
-      .filter(coalesce(pred, lit(false)))
-      .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
-      .coalesce(1) // positional deletes are tiny; one file per commit
-      .write.parquet(outDir.toString)
+    val entries = writeDeleteParquet("d",
+      readLive(spark, m, manifest)
+        .filter(coalesce(pred, lit(false)))
+        .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos")))
+      .map { case (rel, rows) => DataFile(rel, rows, m.currentSchemaId, Map.empty) }
+    if (entries.isEmpty) return // nothing matched; stray empty dir is inert
+    TableMeta.commit(dir, v,
+      appendSnapshot(m, "delete", manifest, carryDeletes(m) ++ entries))
+  }
+
+  /** Write a (tiny, by-construction) delete-file parquet under
+    * data/<prefix>-<uuid>/ and return its (relativePath, rows) parts —
+    * the shared tail of both MoR delete flavors. Zero-row parts are
+    * skipped (empty write partitions carry nothing). */
+  private def writeDeleteParquet(prefix: String, df: DataFrame): Seq[(String, Long)] = {
+    val outDir = dir.resolve(
+      s"data/$prefix-${java.util.UUID.randomUUID().toString.take(12)}")
+    df.coalesce(1).write.parquet(outDir.toString)
     val walk = Files.walk(outDir)
     val parts =
       try walk.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toVector.sortBy(_.toString)
       finally walk.close()
-    val entries = parts.flatMap { p =>
+    parts.flatMap { p =>
       val (rows, _) = FooterStats.read(p, Nil)
-      if (rows == 0) None
-      else Some(DataFile(dir.relativize(p).toString, rows, m.currentSchemaId, Map.empty))
+      if (rows == 0) None else Some(dir.relativize(p).toString -> rows)
     }
-    if (entries.isEmpty) return // nothing matched; stray empty dir is inert
-    TableMeta.commit(dir, v,
-      appendSnapshot(m, "delete", manifest, carryDeletes(m) ++ entries))
   }
 
   /** Iceberg v2 EQUALITY deletes: every row whose key tuple appears in
@@ -579,20 +608,12 @@ final class GraftTable(val dir: Path) {
     val aligned = keys.select(keyCols.map(k =>
       col(k).cast(m0.currentSchema.find(_.name == k).get.sparkType).as(k)): _*)
       .dropDuplicates()
-    val outRel = s"data/e-${java.util.UUID.randomUUID().toString.take(12)}"
-    val outDir = dir.resolve(outRel)
-    aligned.coalesce(1).write.parquet(outDir.toString)
-    val walk = Files.walk(outDir)
-    val parts =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toVector.sortBy(_.toString)
-      finally walk.close()
-    val entries = parts.flatMap { p =>
-      val (rows, _) = FooterStats.read(p, Nil)
-      if (rows == 0) None
+    // record key column IDS alongside the written names: reads resolve
+    // ids to current names, so a rename can't break the pending delete
+    val keyIds = keyCols.map(k => m0.currentSchema.find(_.name == k).get.id)
+    val entries = writeDeleteParquet("e", aligned).map { case (rel, rows) =>
       // seq = 0 placeholder; appendSnapshot stamps the commit's id
-      else Some(EqDeleteFile(dir.relativize(p).toString, rows, keyCols, 0L))
+      EqDeleteFile(rel, rows, keyCols, 0L, Some(keyIds))
     }
     if (entries.isEmpty) return
     // reapply-safe: the key file is already on disk and the seq guard is
@@ -799,7 +820,7 @@ final class GraftTable(val dir: Path) {
     * planColRange/planFilters prune on any of them — the multi-dimension
     * layout a single-column sort can't give (Delta/Iceberg's OPTIMIZE
     * ZORDER). */
-  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = 1,
+  def rewriteDataFiles(spark: SparkSession, targetFiles: Int = -1,
       sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
       curve: String = "morton", targetSizeBytes: Option[Long] = None): Unit = {
     require(sortBy.isEmpty || zorderBy.isEmpty, "sortBy and zorderBy are exclusive")
@@ -813,13 +834,15 @@ final class GraftTable(val dir: Path) {
     // filesystem stat storm. Legacy entries without sizes estimate via
     // the manifest-wide bytes/row. At 100 TB "compact to N files" is
     // meaningless; "compact to 512 MB files" is the actual policy.
-    // explicit arg > table property > targetFiles count
+    // precedence: explicit targetSizeBytes > explicit targetFiles (any
+    // positive value, including 1 — "compact to one file" must stay
+    // possible with the property set) > table property > 1
     val sizeTarget = targetSizeBytes.orElse(
-      if (targetFiles != 1) None // an explicit file count wins over the property
+      if (targetFiles > 0) None
       else m.allProperties.get("write.target-file-size-bytes").flatMap(v =>
         scala.util.Try(v.toLong).toOption.filter(_ > 0)))
     val effectiveTarget = sizeTarget match {
-      case None => targetFiles
+      case None => if (targetFiles > 0) targetFiles else 1
       case Some(tgt) =>
         require(tgt > 0, "targetSizeBytes must be positive")
         val known = manifest.flatMap(f => f.sizeBytes.map(_.toDouble))
@@ -1085,8 +1108,13 @@ final class GraftTable(val dir: Path) {
             applyEqDeletes(spark, prevSnap, posApplied)
           }
           val matched = newEqFiles.map { ed =>
-            val keys = spark.read.parquet(dir.resolve(ed.path).toString).dropDuplicates()
-            prevLive.join(broadcast(keys), ed.columns, "left_semi")
+            val keys = eqDeleteKeys(spark, ed)
+            // null-safe match, same as applyEqDeletes: a delete keyed on
+            // a NULL tuple removes NULL-keyed rows, and the changelog
+            // must report exactly what the read path applied
+            val cond = eqDeleteCurrentNames(ed)
+              .map(c => prevLive(c) <=> keys(c)).reduce(_ && _)
+            prevLive.join(broadcast(keys), cond, "left_semi")
           }.reduce(_.unionByName(_)).dropDuplicates()
             .drop("_graft_fp", "_graft_pos")
           Some(tag(matched, "delete", s.snapshotId))
@@ -1269,6 +1297,13 @@ final class GraftTable(val dir: Path) {
       require(!m.partitionFields.exists(pf =>
         m.currentSchema.find(_.id == pf.sourceId).exists(_.name == name)),
         s"column $name is a partition source")
+      // a pending equality delete keys on this column: dropping it would
+      // make the delete unevaluable on every read (including the
+      // compaction that clears it) — compact first, then drop
+      val colId = m.currentSchema.find(_.name == name).get.id
+      require(!m.currentSnapshot.exists(_.allEqDeleteFiles.exists(ed =>
+        ed.columnIds.map(_.contains(colId)).getOrElse(ed.columns.contains(name)))),
+        s"column $name keys a pending equality delete; run rewriteDataFiles first")
       val nextSchema = m.currentSchema.filterNot(_.name == name)
       val nextSchemaId = m.currentSchemaId + 1
       m.copy(

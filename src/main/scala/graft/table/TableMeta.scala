@@ -54,11 +54,18 @@ final case class DataFile(
     // compaction planning without touching the filesystem.
     sizeBytes: Option[Long] = None)
 
-/** Iceberg v2 EQUALITY delete file: parquet of key tuples (`columns`);
-  * any row in a data file with seq < this delete's `seq` whose key tuple
-  * matches is deleted. Written without reading the table (O(keys) cost —
-  * the CDC-upsert workhorse where positional deletes need a scan). */
-final case class EqDeleteFile(path: String, rows: Long, columns: Seq[String], seq: Long)
+/** Iceberg v2 EQUALITY delete file: parquet of key tuples; any row in a
+  * data file with seq < this delete's `seq` whose key tuple matches is
+  * deleted. Written without reading the table (O(keys) cost — the
+  * CDC-upsert workhorse where positional deletes need a scan).
+  * `columns` are the names AS WRITTEN in the key parquet; `columnIds`
+  * are the schema ids those names had at delete time — reads resolve
+  * ids to CURRENT names, so a later column rename can't break (or
+  * silently un-apply) a pending delete. Iceberg records field ids for
+  * the same reason. */
+final case class EqDeleteFile(
+    path: String, rows: Long, columns: Seq[String], seq: Long,
+    columnIds: Option[Seq[Int]] = None)
 
 /** `deleteFiles` (Iceberg v2 merge-on-read): parquet files of
   * (file_path, pos) rows marking deleted positions in data files; the

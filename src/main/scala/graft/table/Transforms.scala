@@ -51,10 +51,17 @@ private[graft] object Transforms {
   }
 
   /** Hidden-partition field name for a transform on a column; `days` keeps
-    * the historical `<col>_day` layout existing metadata was written with. */
-  def fieldName(spec: String, sourceCol: String): String = parse(spec)._1 match {
-    case "days" => s"${sourceCol}_day"
-    case name   => s"${sourceCol}_$name"
+    * the historical `<col>_day` layout existing metadata was written with.
+    * Parametric transforms embed the parameter (`k_bucket8`): after a
+    * DROP + re-ADD with a different parameter (bucket[4] → bucket[8]),
+    * stale recorded values must NOT be interpreted under the new spec —
+    * a distinct field name makes old files read as "no recorded value"
+    * (kept, never wrongly pruned), the same reason Iceberg gives each
+    * spec's fields fresh ids. */
+  def fieldName(spec: String, sourceCol: String): String = parse(spec) match {
+    case ("days", _)      => s"${sourceCol}_day"
+    case (name, Some(p))  => s"${sourceCol}_$name$p"
+    case (name, None)     => s"${sourceCol}_$name"
   }
 
   /** Write-side partition value (becomes the directory name). */

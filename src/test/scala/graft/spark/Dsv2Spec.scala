@@ -333,7 +333,7 @@ class Dsv2Spec extends SparkTestBase {
     val fs = t.meta.currentSnapshot.get.manifest
     assert(fs.nonEmpty)
     assert(fs.forall(f => f.partitionValues.keySet ==
-      Set("id_bucket", "name_truncate", "ts_months")))
+      Set("id_bucket4", "name_truncate2", "ts_months")))
     assert(spark.sql(s"SELECT * FROM $c.db.pt").count() == 2)
   }
 

@@ -387,6 +387,38 @@ class TableSpec extends SparkTestBase {
       "post-rename appends still record stats under the new name")
   }
 
+  test("legacy metadata (no seq/sizes/eq-deletes/sort-order/properties) still parses and reads") {
+    // a metadata document as round 1 wrote it — every field added since
+    // must default, and absent per-file seq must read as 0 (older than
+    // any equality delete)
+    val legacy = """{
+      "formatVersion": 2,
+      "name": "db.legacy",
+      "schemas": { "1": [
+        { "id": 1, "name": "k", "dataType": "\"long\"" },
+        { "id": 2, "name": "v", "dataType": "\"string\"" } ] },
+      "currentSchemaId": 1,
+      "lastColumnId": 2,
+      "partitionFields": [],
+      "snapshots": [ {
+        "snapshotId": 1,
+        "timestampMs": 1700000000000,
+        "operation": "append",
+        "manifest": [ { "path": "data/w-x/part-0.parquet", "rows": 5,
+                        "schemaId": 1, "partitionValues": {} } ] } ],
+      "currentSnapshotId": 1
+    }"""
+    val dir = Files.createTempDirectory("graft_legacy")
+    Files.writeString(dir.resolve("m.json"), legacy)
+    val m = TableMeta.read(dir.resolve("m.json"))
+    assert(m.name === "db.legacy")
+    val f = m.currentSnapshot.get.manifest.head
+    assert(f.seq.isEmpty && f.sizeBytes.isEmpty && f.stats.isEmpty)
+    assert(m.sortOrder.isEmpty && m.allProperties.isEmpty && m.allRefs.isEmpty)
+    assert(m.currentSnapshot.get.allEqDeleteFiles.isEmpty)
+    assert(m.publishedPrefix === 1)
+  }
+
   test("size-based compaction: output file count from recorded manifest bytes") {
     import spark.implicits._
     val cat = newCatalog()
@@ -464,6 +496,51 @@ class TableSpec extends SparkTestBase {
     // CoW rewrites must never resurrect an eq-deleted row
     t.delete(spark, col("uf") === "RJ")
     assert(t.read(spark).filter(col("id_pedido") === "p1").count() === 0)
+  }
+
+  test("equality delete survives a key-column rename (id-resolved); drop of a key column refuses") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.eqren", pedidosSchema)
+    t.append(pedidosDf)
+    import spark.implicits._
+    t.deleteMoREquality(spark, Seq("p2").toDF("id_pedido"))
+    assert(t.read(spark).count() === 4)
+    // rename the KEY column while the delete is pending: reads must keep
+    // applying it (ids, not names) — and must not crash
+    t.renameColumn("id_pedido", "pedido_id")
+    val cur = t.read(spark)
+    assert(cur.count() === 4)
+    assert(cur.filter(col("pedido_id") === "p2").count() === 0)
+    // dropping a pending key column would make the delete unevaluable —
+    // refused until a compaction folds it
+    intercept[IllegalArgumentException] { t.dropColumn("pedido_id") }
+    t.rewriteDataFiles(spark, targetFiles = 1)
+    assert(t.meta.currentSnapshot.get.allEqDeleteFiles.isEmpty)
+    t.dropColumn("pedido_id") // fine now
+    assert(t.read(spark).count() === 4)
+  }
+
+  test("re-adding a partition field with a different parameter never mis-prunes old files") {
+    import spark.implicits._
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.respec", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      partitionSpec = Seq("k" -> "bucket[4]"))
+    t.append((0L until 64L).map(k => (k, s"v$k")).toDF("k", "v"))
+    t.dropPartitionField("k")
+    t.addPartitionField("k", "bucket[8]")
+    t.append((64L until 128L).map(k => (k, s"v$k")).toDF("k", "v"))
+    // distinct field names per parameter: bucket[8] pruning must treat
+    // bucket[4]-era files as "no recorded value" (kept), not reinterpret
+    // their values under the new modulus
+    import org.apache.spark.sql.sources.EqualTo
+    (0L until 64L).foreach { probe =>
+      val got = t.readPruned(spark, Seq(EqualTo("k", probe)))
+        .filter(col("k") === probe).count()
+      assert(got === 1L, s"k=$probe lost by re-specced bucket pruning")
+    }
   }
 
   test("equality delete files are GC'd by expire and emit exact rows in the changelog") {

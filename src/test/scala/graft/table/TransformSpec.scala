@@ -82,7 +82,7 @@ class TransformSpec extends SparkTestBase {
     val t = cat.createTable("db.b", schema, partitionSpec = Seq("k" -> "bucket[8]"))
     t.append(df(500))
     val fs = files(t)
-    val buckets = fs.map(_.partitionValues("k_bucket")).distinct
+    val buckets = fs.map(_.partitionValues("k_bucket8")).distinct
     assert(buckets.size > 1 && buckets.forall(b => (0 until 8).map(_.toString).contains(b)))
     // the Spark-side hash() and the driver-side Murmur3 literal eval MUST
     // agree — otherwise pruning would silently drop matching rows
@@ -96,7 +96,7 @@ class TransformSpec extends SparkTestBase {
     val pruned = t.planFilters(t.meta, Seq(EqualTo("k", 5L)))
     val expectBucket = Transforms.bucketOfLiteral(5L, 8).get.toString
     assert(pruned.nonEmpty)
-    assert(pruned.forall(_.partitionValues("k_bucket") == expectBucket))
+    assert(pruned.forall(_.partitionValues("k_bucket8") == expectBucket))
     // and the pruned read still returns every matching row
     val got = t.readPruned(spark, Seq(EqualTo("k", 5L)))
       .filter(col("k") === 5L).count()
@@ -110,11 +110,11 @@ class TransformSpec extends SparkTestBase {
     val t = cat.createTable("db.tr", schema, partitionSpec = Seq("s" -> "truncate[3]"))
     t.append(df(400))
     val fs = files(t)
-    assert(fs.forall(_.partitionValues("s_truncate").length == 3))
+    assert(fs.forall(_.partitionValues("s_truncate3").length == 3))
     val pruned = t.planFilters(t.meta, Seq(
       GreaterThanOrEqual("s", "w03"), LessThanOrEqual("s", "w05-9999")))
     assert(pruned.size < fs.size)
-    assert(pruned.map(_.partitionValues("s_truncate")).distinct.sorted ==
+    assert(pruned.map(_.partitionValues("s_truncate3")).distinct.sorted ==
       Seq("w03", "w04", "w05"))
     val got = t.readPruned(spark, Seq(
       GreaterThanOrEqual("s", "w03"), LessThanOrEqual("s", "w05-9999")))
@@ -130,11 +130,11 @@ class TransformSpec extends SparkTestBase {
       (250L, 0L, "y", Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "k", "s", "ts")
     t.append(neg)
-    val pv = files(t).map(_.partitionValues("id_truncate")).sorted
+    val pv = files(t).map(_.partitionValues("id_truncate100")).sorted
     assert(pv == Seq("-100", "200"), s"got $pv") // -7 floors to -100
     val pruned = t.planFilters(t.meta, Seq(
       GreaterThanOrEqual("id", 200L), LessThanOrEqual("id", 299L)))
-    assert(pruned.map(_.partitionValues("id_truncate")) == Seq("200"))
+    assert(pruned.map(_.partitionValues("id_truncate100")) == Seq("200"))
   }
 
   test("partition evolution: drop field stops clustering, old files stay readable and pruned reads stay correct") {
