@@ -1338,23 +1338,45 @@ final class GraftTable(val dir: Path) {
     TableMeta.commitRetry(dir) { m =>
       val ids = cols.map(c => m.currentSchema.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(s"no column $c")).id)
-      m.copy(sortOrderIds = if (ids.isEmpty) None else Some(ids))
+      // keep SHOW TBLPROPERTIES in sync with the declared order
+      val props =
+        if (ids.isEmpty) m.allProperties - "write.sort-order"
+        else m.allProperties + ("write.sort-order" -> cols.mkString(","))
+      m.copy(
+        sortOrderIds = if (ids.isEmpty) None else Some(ids),
+        tableProperties = if (props.isEmpty) None else Some(props))
     }
 
   /** `ALTER TABLE ... SET TBLPROPERTIES` — metadata-only merge. The
     * reference's CREATE TABLE carries TBLPROPERTIES (README.md:176-177);
-    * well-known keys steer maintenance (write.target-file-size-bytes →
-    * rewriteDataFiles' default binpack target). */
+    * well-known keys steer behavior: write.target-file-size-bytes is the
+    * default binpack target, and write.sort-order (comma-separated
+    * columns) routes to the declared write order — the SQL-only path to
+    * WRITE ORDERED BY, exactly how Iceberg exposes it. */
   def setProperties(props: Map[String, String]): Unit =
     TableMeta.commitRetry(dir) { m =>
-      m.copy(tableProperties = Some(m.allProperties ++ props))
+      val nextSort = props.get("write.sort-order") match {
+        case None => m.sortOrderIds
+        case Some(v) =>
+          val ids = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(c =>
+            m.currentSchema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+              s"write.sort-order names unknown column $c")).id)
+          if (ids.isEmpty) None else Some(ids)
+      }
+      m.copy(
+        tableProperties = Some(m.allProperties ++ props),
+        sortOrderIds = nextSort)
     }
 
-  /** `ALTER TABLE ... UNSET TBLPROPERTIES`. */
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES`; unsetting write.sort-order
+    * also clears the declared write order. */
   def unsetProperties(keys: Seq[String]): Unit =
     TableMeta.commitRetry(dir) { m =>
       val rest = m.allProperties -- keys
-      m.copy(tableProperties = if (rest.isEmpty) None else Some(rest))
+      m.copy(
+        tableProperties = if (rest.isEmpty) None else Some(rest),
+        sortOrderIds =
+          if (keys.contains("write.sort-order")) None else m.sortOrderIds)
     }
 
   /** Partition-spec evolution, the other half: `DROP PARTITION FIELD`.

@@ -305,6 +305,12 @@ class Dsv2Spec extends SparkTestBase {
     spark.sql(s"ALTER TABLE $c.db.props SET TBLPROPERTIES ('owner.team' = 'ml')")
     spark.sql(s"ALTER TABLE $c.db.props UNSET TBLPROPERTIES ('comment.x')")
     assert(t.meta.allProperties === Map("owner.team" -> "ml"))
+    // write.sort-order routes to the declared write order (SQL-only
+    // WRITE ORDERED BY) and round-trips through SHOW TBLPROPERTIES
+    spark.sql(s"ALTER TABLE $c.db.props SET TBLPROPERTIES ('write.sort-order' = 'k')")
+    assert(t.meta.sortOrder.nonEmpty)
+    spark.sql(s"ALTER TABLE $c.db.props UNSET TBLPROPERTIES ('write.sort-order')")
+    assert(t.meta.sortOrder.isEmpty)
     // well-known key steers the default compaction policy
     import spark.implicits._
     (0 until 4).foreach(i =>
