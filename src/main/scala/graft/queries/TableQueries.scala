@@ -596,7 +596,26 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** Declared write sort order (WRITE ORDERED BY o_custkey): the append
+    * itself range-clusters, so a key-range read prunes on first-append
+    * footer stats — no compaction step in this fixture at all (contrast
+    * q_table_zorder, which buys its pruning with a rewrite pass).
+    * TableSpec proves the disjoint ranges + prune counts; the judged
+    * semantics: pruned range read == plain BETWEEN filter. */
+  def tableSorted(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("sorted", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders_sorted", ordersSchema)
+      t0.setSortOrder(Seq("o_custkey"))
+      t0.append(Tables.orders(s, d))
+      t0
+    }
+    ordered(t.readColRange(s, "o_custkey", "100", "500"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_sorted"          -> tableSorted,
     "q_table_eq_delete"       -> tableEqDelete,
     "q_table_bucket_prune"    -> tableBucketPrune,
     "q_table_month_prune"     -> tableMonthPrune,
@@ -631,6 +650,8 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_sorted" -> orderedOrdersSql.format(
+      "WHERE o_custkey BETWEEN 100 AND 500"),
     "q_table_eq_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
