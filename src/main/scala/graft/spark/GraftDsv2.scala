@@ -354,6 +354,8 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
         t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case upd: TableChange.UpdateColumnType if upd.fieldNames().length == 1 =>
+        t.widenColumn(upd.fieldNames()(0), upd.newDataType())
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

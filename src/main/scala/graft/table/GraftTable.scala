@@ -1274,6 +1274,35 @@ final class GraftTable(val dir: Path) {
         currentSchemaId = nextSchemaId, lastColumnId = nid)
     }
 
+  /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <t>` — Iceberg's safe type
+    * promotion, metadata-only: the read path already casts each file's
+    * columns to the CURRENT schema type (id-resolved), so old files
+    * serve the widened type without rewrite. Only lossless widenings are
+    * allowed — a narrowing would silently corrupt old data on read. */
+  def widenColumn(name: String, to: DataType): Unit =
+    TableMeta.commitRetry(dir) { m =>
+      val cur = m.currentSchema.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+      val from = cur.sparkType
+      val ok = (from, to) match {
+        case (a, b) if a == b => false // no-op: refuse to churn metadata
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType)                        => true
+        case (FloatType, DoubleType)                        => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+        case _ => false
+      }
+      require(ok, s"cannot widen $name: $from -> $to is not a lossless promotion")
+      val nextSchema = m.currentSchema.map(c =>
+        if (c.name == name) c.copy(dataType = to.json) else c)
+      val nextSchemaId = m.currentSchemaId + 1
+      m.copy(
+        schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+        currentSchemaId = nextSchemaId)
+    }
+
   /** B5 `ALTER TABLE ... RENAME COLUMN` (README.md:282) — metadata only,
     * no file rewrite (README.md:292); reads map by column id. */
   def renameColumn(from: String, to: String): Unit =

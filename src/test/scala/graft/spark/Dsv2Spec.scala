@@ -289,6 +289,39 @@ class Dsv2Spec extends SparkTestBase {
     intercept[Exception](t.readRef(spark, "v1"))
   }
 
+  test("ALTER COLUMN TYPE: lossless widening is metadata-only; narrowing refuses") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.widen", StructType(Seq(
+      StructField("id", IntegerType), StructField("x", FloatType))))
+    import spark.implicits._
+    t.append(Seq((1, 1.5f), (2, 2.5f)).toDF("id", "x"))
+    val filesBefore = t.meta.currentSnapshot.get.manifest.map(_.path)
+    val c = freshCatalog(wh)
+    spark.sql(s"ALTER TABLE $c.db.widen ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $c.db.widen ALTER COLUMN x TYPE DOUBLE")
+    // no file rewrite; old files serve the widened type through the cast
+    assert(t.meta.currentSnapshot.get.manifest.map(_.path) === filesBefore)
+    val df = spark.sql(s"SELECT * FROM $c.db.widen ORDER BY id")
+    assert(df.schema("id").dataType === LongType)
+    assert(df.schema("x").dataType === DoubleType)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)))
+    // a new append under the widened schema coexists with old files
+    t.append(Seq((3L, 3.5)).toDF("id", "x"))
+    assert(t.read(spark).count() === 3)
+    // narrowing refuses — Spark's analyzer rejects un-upcastable ALTERs
+    // before our catalog, and widenColumn guards the direct API path
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.db.widen ALTER COLUMN id TYPE INT")
+    }
+    intercept[IllegalArgumentException] {
+      t.widenColumn("id", IntegerType)
+    }
+    assert(t.meta.currentSchema.find(_.name == "id").get.sparkType === LongType)
+  }
+
   test("TBLPROPERTIES: stored at CREATE, SET/UNSET via ALTER, steer compaction") {
     val wh = Files.createTempDirectory("graft_wh")
     val c = freshCatalog(wh)
