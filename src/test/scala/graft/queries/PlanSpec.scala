@@ -134,4 +134,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("funnel stages stay equi-joins co-partitioned on user_id (no cartesian)") {
+    val p = plan(Events.funnel(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // stage aggregations are partial+final like any groupBy
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("embedding quantization is shuffle-free (row-side codec, one sort for output order)") {
+    val p = plan(Vectors.embedQuantize(spark, sfDir))
+    // the codec itself is narrow: no hash shuffle anywhere (the only
+    // exchange is the range partitioning of the deterministic orderBy;
+    // AQE's toString prints the plan twice, so count kinds, not totals)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("histogram aggregates partial+final on the bucket key") {
+    val p = plan(Relational.histogram(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("repetition metrics never self-join the corpus (positional bigrams + aggregations only)") {
+    val p = plan(TextOps.repetition(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
