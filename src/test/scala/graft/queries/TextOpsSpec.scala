@@ -41,6 +41,49 @@ class TextOpsSpec extends SparkTestBase {
     assert(worst >= 0.85, s"worst true jaccard among est=1.0 pairs: $worst")
   }
 
+  test("repetition metrics: degenerate docs (all-same token, single token) hit the poles") {
+    import spark.implicits._
+    val dir = graft.Scratch.fresh("textops_fixture").toString
+    Seq(
+      (0L, "spam spam spam spam", "en", "web", 19),
+      (1L, "solo", "en", "web", 4),
+      (2L, "a b c d", "en", "web", 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // all-same: every token and every bigram is the mode
+    assert(rows(0L).getAs[Double]("top_token_frac") === 1.0)
+    assert(rows(0L).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(rows(0L).getAs[Long]("n_distinct") === 1L)
+    // single token: no bigrams, fraction pinned to 0 (not NaN/null)
+    assert(rows(1L).getAs[Long]("n_bigrams") === 0L)
+    assert(rows(1L).getAs[Double]("top_bigram_frac") === 0.0)
+    // all-distinct: modes are singletons
+    assert(rows(2L).getAs[Long]("top_token_n") === 1L)
+    assert(rows(2L).getAs[Double]("top_token_frac") === 0.25)
+  }
+
+  test("sequence packing: offsets are contiguous per source and seq ids monotone") {
+    import spark.implicits._
+    val dir = graft.Scratch.fresh("textops_fixture2").toString
+    val words200 = (0 until 200).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, words200, "en", "a", 0), (1L, words200, "en", "a", 0),
+      (2L, words200, "en", "a", 0), (3L, "x y", "en", "b", 0))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.packSequences(spark, dir).collect()
+    val a = rows.filter(_.getAs[String]("source") == "a")
+      .sortBy(_.getAs[Long]("doc_id"))
+    // offsets: 0, 200, 400; budget 256 → seq ids 0, 0, 1
+    assert(a.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 200L, 400L))
+    assert(a.map(_.getAs[Long]("seq_id")).toSeq === Seq(0L, 0L, 1L))
+    // a different source packs independently from offset 0
+    val b = rows.filter(_.getAs[String]("source") == "b")
+    assert(b.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L))
+  }
+
   test("exact dedup is idempotent") {
     val once = TextOps.dedupExact(spark, sfDir)
     assert(once.count() === once.distinct().count())
