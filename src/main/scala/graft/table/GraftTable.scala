@@ -953,8 +953,14 @@ final class GraftTable(val dir: Path) {
       else {
         def paths(s: Snapshot) = s.manifest.map(_.path) ++
           s.allDeleteFiles.map(_.path) ++ s.allEqDeleteFiles.map(_.path)
-        val liveFiles = keep.flatMap(paths).toSet
-        orphans = dropped.flatMap(paths).toSet -- liveFiles
+        // manifest CHUNK files GC like data files: a chunk referenced
+        // only by dropped snapshots dies with them (shared prefix chunks
+        // survive through the keep set's refs)
+        def chunkPaths(s: Snapshot) =
+          s.manifestRefs.getOrElse(Nil).map(r => s"meta/$r")
+        val liveFiles = (keep.flatMap(paths) ++ keep.flatMap(chunkPaths)).toSet
+        orphans = (dropped.flatMap(paths) ++ dropped.flatMap(chunkPaths))
+          .toSet -- liveFiles
         // fold expired snapshots' streaming replay keys into the
         // per-query max-batchId watermark: exactly-once detection must
         // not die with the snapshot that carried the key, and a bounded
@@ -1153,7 +1159,26 @@ final class GraftTable(val dir: Path) {
       try { if (Files.isDirectory(d2) && !Files.list(d2).iterator().hasNext) Files.delete(d2) }
       catch { case _: Exception => () }
     }
-    orphans.map(p => dir.relativize(p).toString)
+    // manifest-chunk debris: man-*.json written by commit attempts that
+    // lost their race. A chunk is live if ANY existing version document
+    // references it — if any document fails to parse, skip chunk GC
+    // entirely (never guess about liveness).
+    val metaDir = dir.resolve("meta")
+    val chunkOrphans: Seq[java.nio.file.Path] =
+      try {
+        val listing = Files.list(metaDir)
+        val (docs, chunks) =
+          try {
+            val all = listing.iterator().asScala.toVector
+            (all.filter(_.getFileName.toString.matches("v\\d+\\.json")),
+              all.filter(_.getFileName.toString.startsWith("man-")))
+          } finally listing.close()
+        val live = docs.flatMap(TableMeta.readRefsOnly).toSet
+        chunks.filter(p => !live.contains(p.getFileName.toString)
+          && Files.getLastModifiedTime(p).toMillis < olderThanMs)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    chunkOrphans.foreach(Files.deleteIfExists(_))
+    (orphans ++ chunkOrphans).map(p => dir.relativize(p).toString)
   }
 
   // ---------------------------------------------------------------- refs

@@ -84,7 +84,16 @@ final case class Snapshot(
     // appends idempotent across retries (GraftTable.appendStreamBatch)
     streamBatch: Option[String] = None,
     // equality delete files (see EqDeleteFile); Option for old metadata
-    eqDeleteFiles: Option[Seq[EqDeleteFile]] = None) {
+    eqDeleteFiles: Option[Seq[EqDeleteFile]] = None,
+    // Structural sharing: the manifest lives in immutable chunk files
+    // under meta/ (`man-*.json`), referenced here in concatenation
+    // order; an append reuses its parent's chunks and adds one delta
+    // chunk, so the metadata DOCUMENT stays O(1) per append instead of
+    // O(files) — the Iceberg manifest-list move. In memory `manifest`
+    // is always hydrated (TableMeta.read resolves refs); on disk the
+    // document stores refs and an empty manifest. Legacy inline
+    // manifests (refs absent) still load.
+    manifestRefs: Option[Seq[String]] = None) {
   def allDeleteFiles: Seq[DataFile] = deleteFiles.getOrElse(Nil)
   def allEqDeleteFiles: Seq[EqDeleteFile] = eqDeleteFiles.getOrElse(Nil)
 }
@@ -175,12 +184,87 @@ final class ConcurrentCommitException(msg: String, cause: Throwable)
 object TableMeta {
   implicit val formats: Formats = DefaultFormats
 
+  // Manifest chunk files are immutable once written (UUID-named, never
+  // rewritten), so a process-wide cache keyed by absolute path is always
+  // coherent; crudely bounded — correctness never depends on a hit.
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+
+  private def readChunk(metaDir: Path, ref: String): Seq[DataFile] = {
+    val key = metaDir.resolve(ref).toAbsolutePath.toString
+    val hit = chunkCache.get(key)
+    if (hit != null) hit
+    else {
+      val v: Seq[DataFile] = Serialization.read[List[DataFile]](
+        new String(Files.readAllBytes(metaDir.resolve(ref)), StandardCharsets.UTF_8))
+      if (chunkCache.size > 4096) chunkCache.clear()
+      chunkCache.put(key, v)
+      v
+    }
+  }
+
+  private def writeChunk(metaDir: Path, files: Seq[DataFile]): String = {
+    val ref = s"man-${java.util.UUID.randomUUID().toString.take(16)}.json"
+    Files.write(metaDir.resolve(ref),
+      Serialization.write(files).getBytes(StandardCharsets.UTF_8))
+    chunkCache.put(metaDir.resolve(ref).toAbsolutePath.toString, files)
+    ref
+  }
+
+  /** Resolve chunk refs into in-memory manifests (after parse). */
+  private def hydrate(meta: TableMeta, metaDir: Path): TableMeta =
+    meta.copy(snapshots = meta.snapshots.map { s =>
+      s.manifestRefs match {
+        case Some(refs) if s.manifest.isEmpty && refs.nonEmpty =>
+          s.copy(manifest = refs.flatMap(readChunk(metaDir, _)).toVector)
+        case _ => s
+      }
+    })
+
+  /** Export manifests as shared chunk files and strip them from the
+    * document. A snapshot whose manifest extends its parent's (appends,
+    * metadata-only commits) reuses the parent's chunks plus one delta
+    * chunk; anything else (CoW rewrite, compaction, overwrite) writes a
+    * fresh full chunk. Snapshots already carrying refs (loaded from
+    * disk) are reused verbatim — chunks are immutable. */
+  private def dehydrate(meta: TableMeta, metaDir: Path): TableMeta = {
+    val done = scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[DataFile])]
+    val outSnaps = meta.snapshots.map { s =>
+      val refs: Seq[String] = s.manifestRefs match {
+        case Some(r) => r // already on disk from a prior version
+        case None =>
+          s.parentId.flatMap(done.get) match {
+            case Some((prefs, pman)) if pman.size <= s.manifest.size &&
+                s.manifest.take(pman.size) == pman =>
+              val delta = s.manifest.drop(pman.size)
+              if (delta.isEmpty) prefs else prefs :+ writeChunk(metaDir, delta)
+            case _ => Seq(writeChunk(metaDir, s.manifest))
+          }
+      }
+      done(s.snapshotId) = (refs, s.manifest)
+      s.copy(manifest = Nil, manifestRefs = Some(refs))
+    }
+    meta.copy(snapshots = outSnaps)
+  }
+
   def write(meta: TableMeta, path: Path): Unit =
-    Files.write(path, Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+    Files.write(path, Serialization.writePretty(dehydrate(meta, path.getParent))
+      .getBytes(StandardCharsets.UTF_8))
 
   def read(path: Path): TableMeta =
+    hydrate(
+      Serialization.read[TableMeta](
+        new String(Files.readAllBytes(path), StandardCharsets.UTF_8)),
+      path.getParent)
+
+  /** Chunk refs of a version document WITHOUT hydrating — old documents
+    * may reference chunks an expire already GC'd (those documents are
+    * unreadable history, same as their data files), but their refs must
+    * still count as "mentioned" for orphan-chunk liveness. */
+  private[table] def readRefsOnly(path: Path): Seq[String] =
     Serialization.read[TableMeta](
       new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+      .snapshots.flatMap(_.manifestRefs.getOrElse(Nil))
 
   /** Current metadata version of a table dir. The hint file is exactly
     * that — a HINT: a concurrent committer may have landed v<N+1> before
@@ -220,7 +304,8 @@ object TableMeta {
     val staged = Files.createTempFile(metaDir, s"v$next-", ".json.tmp")
     try {
       Files.write(staged,
-        Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+        Serialization.writePretty(dehydrate(meta, metaDir))
+          .getBytes(StandardCharsets.UTF_8))
       try Files.createLink(target, staged)
       catch {
         case e: FileAlreadyExistsException =>

@@ -2,6 +2,7 @@ package graft.table
 
 import java.nio.file.{Files, Path}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 import graft.SparkTestBase
 import org.apache.spark.sql.{DataFrame, Row}
@@ -385,6 +386,54 @@ class TableSpec extends SparkTestBase {
     assert(newFiles.nonEmpty)
     assert(newFiles.flatMap(_.stats.flatMap(_.get("key"))).nonEmpty,
       "post-rename appends still record stats under the new name")
+  }
+
+  test("manifest structural sharing: document growth is O(1) per append, chunks shared and GC'd") {
+    import spark.implicits._
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.share", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    def docSize: Long = {
+      val (v, _) = TableMeta.load(t.dir)
+      Files.size(t.dir.resolve("meta").resolve(s"v$v.json"))
+    }
+    def chunkFiles: Seq[java.nio.file.Path] = {
+      val l = Files.list(t.dir.resolve("meta"))
+      try l.iterator().asScala.filter(_.getFileName.toString.startsWith("man-")).toVector
+      finally l.close()
+    }
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val sizeAfter1 = docSize
+    (2 to 12).foreach(i => t.append(Seq((i.toLong, "x")).toDF("k", "v")))
+    val sizeAfter12 = docSize
+    // inline manifests would repeat all prior files in every snapshot:
+    // O(n^2) total. With chunk sharing the document only accumulates the
+    // per-snapshot ref lists — each append adds ONE chunk file and a few
+    // ref strings. Allow generous slack for the growing ref lists.
+    assert(sizeAfter12 < sizeAfter1 * 12,
+      s"document grew like inlined manifests: $sizeAfter1 -> $sizeAfter12")
+    // structural sharing: 12 appends -> 12 delta chunks (one per commit)
+    assert(chunkFiles.size === 12, s"got ${chunkFiles.size} chunks")
+    // reads see all rows through the hydrated manifests
+    assert(t.read(spark).count() === 12)
+    assert(t.readVersion(spark, 6).count() === 6) // time travel hydrates too
+    // expire drops old snapshots; their EXCLUSIVE chunks die, shared stay
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(t.read(spark).count() === 12)
+    // the survivor references all 12 delta chunks (its manifest is the
+    // full prefix chain), so nothing is GC'd here — but a compaction
+    // rewrites to one chunkset and expire then drops the old chain
+    t.rewriteDataFiles(spark, targetFiles = 1)
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(chunkFiles.size === 1, s"stale chunks survived: ${chunkFiles.size}")
+    assert(t.read(spark).count() === 12)
+    // orphan-chunk sweep: a stray chunk from a lost commit attempt dies
+    val stray = t.dir.resolve("meta").resolve("man-deadbeef.json")
+    Files.writeString(stray, "[]")
+    t.removeOrphanFiles(olderThanMs = Long.MaxValue)
+    assert(!Files.exists(stray))
+    assert(chunkFiles.size === 1)
   }
 
   test("legacy metadata (no seq/sizes/eq-deletes/sort-order/properties) still parses and reads") {
