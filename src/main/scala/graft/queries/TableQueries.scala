@@ -644,7 +644,36 @@ object TableQueries {
     ordered(t.readColRange(s, "o_custkey", "100", "500"))
   }
 
+  /** Safe type widening (ALTER COLUMN TYPE): ints written as INT are
+    * served as BIGINT and floats as DOUBLE after a metadata-only
+    * promotion — files from BOTH schema epochs coexist (pre-widen INT
+    * files + a post-widen BIGINT append), all casting through the
+    * id-resolved read projection. Oracle: plain casts over the source. */
+  def tableWiden(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("widen", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val narrowSchema = StructType(Seq(
+        StructField("o_orderkey", IntegerType),
+        StructField("o_custkey", IntegerType),
+        StructField("price_f", FloatType)))
+      val t0 = cat.createTable("db.orders_widen", narrowSchema)
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey").cast(IntegerType).as("o_orderkey"),
+        col("o_custkey").cast(IntegerType).as("o_custkey"),
+        col("o_totalprice").cast(FloatType).as("price_f"))
+      t0.append(src.filter(col("o_orderkey") % 2 === 0))
+      t0.widenColumn("o_orderkey", LongType)
+      t0.widenColumn("o_custkey", LongType)
+      t0.widenColumn("price_f", DoubleType)
+      t0.append(src.filter(col("o_orderkey") % 2 =!= 0)) // widened epoch
+      t0
+    }
+    t.read(s).orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_widen"           -> tableWiden,
     "q_table_sorted"          -> tableSorted,
     "q_table_eq_delete"       -> tableEqDelete,
     "q_table_bucket_prune"    -> tableBucketPrune,
@@ -681,6 +710,11 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_widen" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price_f
+         FROM orders ORDER BY o_orderkey""",
     "q_table_sorted" -> orderedOrdersSql.format(
       "WHERE o_custkey BETWEEN 100 AND 500"),
     "q_table_eq_delete" ->
