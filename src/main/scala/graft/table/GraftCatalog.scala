@@ -43,6 +43,14 @@ final class GraftCatalog(val warehouse: Path) {
       Transforms.validate(transform, src.sparkType)
       PartitionField(src.id, transform, Transforms.fieldName(transform, colName))
     }
+    // write.sort-order at CREATE routes to the declared order exactly
+    // like the ALTER SET TBLPROPERTIES path (GraftTable.setProperties) —
+    // the two SQL paths must not diverge
+    val sortIds = properties.get("write.sort-order").map { v =>
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(c =>
+        cols.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+          s"write.sort-order names unknown column $c")).id)
+    }.filter(_.nonEmpty)
     val meta = TableMeta(
       formatVersion = 2, name = qualified,
       schemas = Map("1" -> cols), currentSchemaId = 1,
@@ -51,7 +59,8 @@ final class GraftCatalog(val warehouse: Path) {
       // TBLPROPERTIES land in the SAME v1 commit as the table itself —
       // a crash between "create" and "set properties" must not leave a
       // policy-less table behind
-      tableProperties = if (properties.isEmpty) None else Some(properties))
+      tableProperties = if (properties.isEmpty) None else Some(properties),
+      sortOrderIds = sortIds)
     TableMeta.write(meta, dir.resolve("meta").resolve("v1.json"))
     Files.write(dir.resolve("meta").resolve("version-hint.text"), "1".getBytes)
     new GraftTable(dir)

@@ -1304,29 +1304,42 @@ final class GraftTable(val dir: Path) {
     * columns to the CURRENT schema type (id-resolved), so old files
     * serve the widened type without rewrite. Only lossless widenings are
     * allowed — a narrowing would silently corrupt old data on read. */
-  def widenColumn(name: String, to: DataType): Unit =
+  def widenColumn(name: String, to: DataType): Unit = {
+    // idempotent no-op (migration replays): nothing to promote, no churn
+    val (_, m0) = TableMeta.load(dir)
+    if (m0.currentSchema.find(_.name == name).exists(_.sparkType == to)) return
     TableMeta.commitRetry(dir) { m =>
       val cur = m.currentSchema.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
       val from = cur.sparkType
-      val ok = (from, to) match {
-        case (a, b) if a == b => false // no-op: refuse to churn metadata
-        case (ByteType, ShortType | IntegerType | LongType) => true
-        case (ShortType, IntegerType | LongType)            => true
-        case (IntegerType, LongType)                        => true
-        case (FloatType, DoubleType)                        => true
-        case (a: DecimalType, b: DecimalType) =>
-          b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
-        case _ => false
+      if (from == to) m // a racing identical widen landed first
+      else {
+        // a partition SOURCE cannot change type: bucket values come from
+        // Spark's TYPE-DEPENDENT Murmur3 (hash(5:Int) != hash(5L)), so a
+        // widened source would make pruning silently drop matching files
+        // and split keys across bucket dirs — drop the partition field
+        // first (the dropColumn rule, for the same reason)
+        require(!m.partitionFields.exists(_.sourceId == cur.id),
+          s"column $name is a partition source; DROP PARTITION FIELD before widening")
+        val ok = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType)            => true
+          case (IntegerType, LongType)                        => true
+          case (FloatType, DoubleType)                        => true
+          case (a: DecimalType, b: DecimalType) =>
+            b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+          case _ => false
+        }
+        require(ok, s"cannot widen $name: $from -> $to is not a lossless promotion")
+        val nextSchema = m.currentSchema.map(c =>
+          if (c.name == name) c.copy(dataType = to.json) else c)
+        val nextSchemaId = m.currentSchemaId + 1
+        m.copy(
+          schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+          currentSchemaId = nextSchemaId)
       }
-      require(ok, s"cannot widen $name: $from -> $to is not a lossless promotion")
-      val nextSchema = m.currentSchema.map(c =>
-        if (c.name == name) c.copy(dataType = to.json) else c)
-      val nextSchemaId = m.currentSchemaId + 1
-      m.copy(
-        schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
-        currentSchemaId = nextSchemaId)
     }
+  }
 
   /** B5 `ALTER TABLE ... RENAME COLUMN` (README.md:282) — metadata only,
     * no file rewrite (README.md:292); reads map by column id. */
@@ -1336,9 +1349,18 @@ final class GraftTable(val dir: Path) {
       require(!m.currentSchema.exists(_.name == to), s"column $to exists")
       val nextSchema = m.currentSchema.map(c => if (c.name == from) c.copy(name = to) else c)
       val nextSchemaId = m.currentSchemaId + 1
+      // the write.sort-order PROPERTY mirrors sortOrderIds by name — a
+      // rename keeps the ids correct but would leave the property naming
+      // a column that no longer exists; re-render it from the new schema
+      val nextProps =
+        if (m.sortOrder.isEmpty || !m.allProperties.contains("write.sort-order"))
+          m.tableProperties
+        else Some(m.allProperties + ("write.sort-order" ->
+          m.sortOrder.flatMap(id => nextSchema.find(_.id == id).map(_.name)).mkString(",")))
       m.copy(
         schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
-        currentSchemaId = nextSchemaId)
+        currentSchemaId = nextSchemaId,
+        tableProperties = nextProps)
     }
 
   /** `ALTER TABLE ... DROP COLUMN` — metadata only, like add/rename: the

@@ -281,8 +281,22 @@ object TableMeta {
   }
 
   def load(tableDir: Path): (Int, TableMeta) = {
-    val v = currentVersion(tableDir)
-    (v, read(tableDir.resolve("meta").resolve(s"v$v.json")))
+    // Hydration can race expire_snapshots: we read version N, expire
+    // commits N+1 and physically deletes chunks only N referenced, and
+    // our chunk read hits NoSuchFile. The NEWER document never references
+    // those chunks, so re-resolving the version and re-reading always
+    // converges — same forward-probing spirit as currentVersion.
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(tableDir)
+      try return (v, read(tableDir.resolve("meta").resolve(s"v$v.json")))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Atomic commit. Publication must be atomic AND exclusive: readers

@@ -3,7 +3,7 @@ package graft.spark
 import java.nio.file.Files
 
 import graft.{SparkTestBase, Tables}
-import graft.table.GraftCatalog
+import graft.table.{GraftCatalog, TableMeta}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
@@ -320,6 +320,37 @@ class Dsv2Spec extends SparkTestBase {
       t.widenColumn("id", IntegerType)
     }
     assert(t.meta.currentSchema.find(_.name == "id").get.sparkType === LongType)
+  }
+
+  test("widening guards: partition sources refuse; same-type replay is a no-op; rename re-renders sort-order property") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    // bucket source: widening would change the murmur3 domain
+    val tb = cat.createTable("db.wb", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType))),
+      partitionSpec = Seq("k" -> "bucket[4]"))
+    import spark.implicits._
+    tb.append(Seq((1, "a")).toDF("k", "v"))
+    val ex = intercept[IllegalArgumentException] { tb.widenColumn("k", LongType) }
+    assert(ex.getMessage.contains("partition source"))
+    // same-type replay: silent no-op, no metadata churn
+    val t2 = cat.createTable("db.wn", StructType(Seq(StructField("id", LongType))))
+    val vBefore = TableMeta.load(t2.dir)._1
+    t2.widenColumn("id", LongType)
+    assert(TableMeta.load(t2.dir)._1 === vBefore)
+    // CREATE TABLE TBLPROPERTIES routes write.sort-order like ALTER does
+    val c = freshCatalog(wh)
+    spark.sql(
+      s"""CREATE TABLE $c.db.ws (k BIGINT, v STRING)
+          TBLPROPERTIES ('write.sort-order' = 'k')""")
+    val ts = new GraftCatalog(wh).load("db.ws")
+    assert(ts.meta.sortOrder.nonEmpty)
+    // rename keeps the property naming a REAL column
+    ts.renameColumn("k", "key")
+    assert(ts.meta.allProperties("write.sort-order") === "key")
+    ts.append(Seq((1L, "a")).toDF("key", "v")) // order still applies, no crash
+    assert(ts.read(spark).count() === 1)
   }
 
   test("TBLPROPERTIES: stored at CREATE, SET/UNSET via ALTER, steer compaction") {
