@@ -672,7 +672,30 @@ object TableQueries {
     t.read(s).orderBy(col("o_orderkey"))
   }
 
+  /** Dynamic partition overwrite — the idempotent daily-reprocess move:
+    * recompute one day and swap exactly that partition in, leaving every
+    * other day's files untouched (INSERT OVERWRITE dynamic mode /
+    * Iceberg overwritePartitions). The fixture doubles day 2024-01-05's
+    * values and swaps the day; the oracle is a CASE over the source. */
+  def tableDynOverwrite(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("dyn_overwrite", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.events_dyn", eventsSchema, partitionDays = Some("ts"))
+      val src = Tables.events(s, d)
+      t0.append(src)
+      t0.overwritePartitions(
+        src.filter(to_date(col("ts")) === "2024-01-05")
+          .withColumn("value", col("value") * 2))
+      t0
+    }
+    t.read(s)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_dyn_overwrite"   -> tableDynOverwrite,
     "q_table_widen"           -> tableWiden,
     "q_table_sorted"          -> tableSorted,
     "q_table_eq_delete"       -> tableEqDelete,
@@ -710,6 +733,11 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_dyn_overwrite" ->
+      """SELECT event_id, ts, user_id, event_type,
+         CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+              THEN value * 2 ELSE value END AS value
+         FROM events ORDER BY event_id""",
     "q_table_widen" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
          CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -522,6 +522,41 @@ final class GraftTable(val dir: Path) {
     TableMeta.commitRetry(dir)(fresh => appendSnapshot(fresh, "overwrite", newFiles, Nil))
   }
 
+  /** DYNAMIC partition overwrite (Spark's INSERT OVERWRITE in dynamic
+    * mode / Iceberg's overwritePartitions): replaces exactly the hidden
+    * partitions the incoming frame touches, leaves every other partition
+    * untouched — the idempotent daily-reprocess primitive ("recompute
+    * day X and swap it in"). Metadata swap: old files whose recorded
+    * partition values match a written partition leave the manifest, the
+    * new files join it. MoR deletes carry (they're inert against removed
+    * files, seq-scoped for the rest).
+    *
+    * Requires every live file to record values for the current partition
+    * spec: a file written BEFORE the partition field was added could hold
+    * rows of a touched partition without being replaceable — compact
+    * first (files regain values under the current spec). */
+  def overwritePartitions(df: DataFrame): Unit = {
+    val (_, m0) = TableMeta.load(dir)
+    require(m0.partitionFields.nonEmpty,
+      "table has no partition spec; use overwrite() for full replacement")
+    val aligned = df.select(m0.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val newFiles = writeFiles(df.sparkSession, m0, aligned)
+    if (newFiles.isEmpty) return
+    val fieldNames = m0.partitionFields.map(_.name).toSet
+    val touched = newFiles.map(_.partitionValues.filter(kv => fieldNames.contains(kv._1))).toSet
+    TableMeta.commitRetry(dir) { fresh =>
+      val cur = fresh.currentSnapshot.map(_.manifest).getOrElse(Nil)
+      val unreplaceable = cur.filter(f =>
+        !fieldNames.subsetOf(f.partitionValues.keySet))
+      require(unreplaceable.isEmpty,
+        s"${unreplaceable.size} file(s) predate the current partition spec and may hold " +
+          "rows of a touched partition; run rewriteDataFiles first")
+      val kept = cur.filterNot(f =>
+        touched.contains(f.partitionValues.filter(kv => fieldNames.contains(kv._1))))
+      appendSnapshot(fresh, "dynamic_overwrite", kept ++ newFiles, carryDeletes(fresh))
+    }
+  }
+
   /** D2 row-level `DELETE WHERE` (README.md:231), copy-on-write: one scan
     * finds the files that actually contain matching rows; only those are
     * rewritten without the matching rows. Old snapshots keep the original

@@ -388,6 +388,36 @@ class TableSpec extends SparkTestBase {
       "post-rename appends still record stats under the new name")
   }
 
+  test("dynamic partition overwrite: only touched partitions swap; pre-spec files refuse") {
+    import spark.implicits._
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.dyn", pedidosSchema, partitionDays = Some("data_criacao"))
+    t.append(pedidosDf) // days 05-10(x2), 05-11, 05-12, 05-13
+    val untouchedBefore = t.meta.currentSnapshot.get.manifest
+      .filterNot(_.partitionValues.get("data_criacao_day").contains("2024-05-10"))
+      .map(_.path).toSet
+    // swap day 2024-05-10 (p1, p2) for a single replacement row
+    val repl = pedidosDf.filter(col("id_pedido") === "p1")
+      .withColumn("produto", lit("teclado-v2"))
+    t.overwritePartitions(repl)
+    val cur = t.read(spark)
+    assert(cur.count() === 4) // 5 - 2 (day swapped out) + 1
+    assert(cur.filter(col("id_pedido") === "p2").count() === 0)
+    assert(cur.filter(col("produto") === "teclado-v2").count() === 1)
+    // untouched partitions keep their exact files (no rewrite)
+    val after = t.meta.currentSnapshot.get.manifest.map(_.path).toSet
+    assert(untouchedBefore.subsetOf(after))
+    // time travel still shows the pre-swap day
+    assert(t.readVersion(spark, 1).count() === 5)
+    // a pre-spec (unpartitioned-epoch) file blocks the swap with a clear error
+    val t2 = cat.createTable("db.dyn2", pedidosSchema)
+    t2.append(pedidosDf)
+    t2.addPartitionField("data_criacao")
+    val ex = intercept[IllegalArgumentException] { t2.overwritePartitions(repl) }
+    assert(ex.getMessage.contains("rewriteDataFiles"))
+  }
+
   test("manifest structural sharing: document growth is O(1) per append, chunks shared and GC'd") {
     import spark.implicits._
     val cat = newCatalog()
