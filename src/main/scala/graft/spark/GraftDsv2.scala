@@ -49,6 +49,32 @@ class GraftDsv2Table(val table: GraftTable, ident: String)
     m.sparkSchema(m.currentSchemaId)
   }
 
+  /** DESCRIBE/SHOW CREATE partitioning surface: the hidden-partition
+    * spec rendered as Spark connector transforms (the inverse of
+    * createTable's mapping). Read-side pruning doesn't depend on this —
+    * it runs through SupportsPushDownFilters — but the catalog should
+    * not claim a partitioned table is unpartitioned. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val m = table.meta
+    val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
+    m.partitionFields.flatMap { pf =>
+      idToName.get(pf.sourceId).map { src =>
+        graft.table.Transforms.parse(pf.transform) match {
+          case ("days", _)           => Expressions.days(src)
+          case ("months", _)         => Expressions.months(src)
+          case ("years", _)          => Expressions.years(src)
+          case ("hours", _)          => Expressions.hours(src)
+          case ("bucket", Some(n))   => Expressions.bucket(n, src)
+          case ("truncate", Some(w)) =>
+            Expressions.apply("truncate",
+              Expressions.literal(Integer.valueOf(w)), Expressions.column(src))
+          case other => throw new IllegalStateException(s"unknown transform $other")
+        }
+      }
+    }.toArray
+  }
+
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: stored user
     * properties plus the format pins the reference declares
     * (README.md:176-177). */

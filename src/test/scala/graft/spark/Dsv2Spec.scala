@@ -405,6 +405,10 @@ class Dsv2Spec extends SparkTestBase {
     assert(fs.forall(f => f.partitionValues.keySet ==
       Set("id_bucket4", "name_truncate2", "ts_months")))
     assert(spark.sql(s"SELECT * FROM $c.db.pt").count() == 2)
+    // the catalog reports the spec back (DESCRIBE shows partitioning)
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $c.db.pt").collect().map(_.mkString(" "))
+    assert(desc.exists(_.contains("bucket(4, id)")), desc.mkString("\n"))
+    assert(desc.exists(_.contains("months(ts)")), desc.mkString("\n"))
   }
 
   test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
