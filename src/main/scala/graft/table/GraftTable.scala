@@ -534,7 +534,13 @@ final class GraftTable(val dir: Path) {
     * Requires every live file to record values for the current partition
     * spec: a file written BEFORE the partition field was added could hold
     * rows of a touched partition without being replaceable — compact
-    * first (files regain values under the current spec). */
+    * first (files regain values under the current spec).
+    *
+    * Scala-API surface only: Spark's OverwritePartitionsDynamic plan
+    * demands native BATCH_WRITE (TableCapabilityCheck rejects the V1
+    * bridge), so SQL INSERT OVERWRITE in dynamic mode would need a full
+    * DSv2 writer implementation — static INSERT OVERWRITE (full replace)
+    * works through SQL today. */
   def overwritePartitions(df: DataFrame): Unit = {
     val (_, m0) = TableMeta.load(dir)
     require(m0.partitionFields.nonEmpty,
