@@ -158,6 +158,37 @@ class TransformSpec extends SparkTestBase {
     assert(got == expect && got > 0)
   }
 
+  test("property: driver-side bucket hash agrees with Spark's for random longs and strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // One distributed evaluation over a generated batch, then compare
+    // element-wise: Prop.forAll with a per-sample Spark job would be
+    // minutes of scheduler overhead for no extra coverage.
+    val longs = Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .sample.getOrElse(Seq.empty).distinct
+    val sparkLongBuckets = longs.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(32)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    longs.foreach { v =>
+      assert(Transforms.bucketOfLiteral(v, 32).contains(sparkLongBuckets(v)),
+        s"long bucket mismatch for $v")
+    }
+    val strings = Gen.listOfN(200, Gen.asciiPrintableStr.map(_.take(24)))
+      .sample.getOrElse(Seq.empty).distinct.filter(_.nonEmpty)
+    val sparkStrBuckets = strings.toDF("s")
+      .select(col("s"), pmod(hash(col("s")), lit(32)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    strings.foreach { v =>
+      assert(Transforms.bucketOfLiteral(v, 32).contains(sparkStrBuckets(v)),
+        s"string bucket mismatch for ${v.map(_.toInt)}")
+    }
+    // and ints hash differently from longs — the reason widenColumn
+    // refuses to change a bucket source's type
+    assert((0 until 100).exists(v =>
+      Transforms.bucketOfLiteral(v, 32) != Transforms.bucketOfLiteral(v.toLong, 32)),
+      "int and long murmur3 buckets coincided on 0..99 — type guard premise broken")
+  }
+
   test("ADD PARTITION FIELD accepts the full transform family and validates types") {
     val cat = newCatalog(); cat.createSchema("db")
     val t = cat.createTable("db.ap", schema)
