@@ -23,7 +23,8 @@ class TablePropertySpec extends SparkTestBase {
 
   sealed trait Op
   case class Append(rows: Seq[(Long, String)]) extends Op
-  case class Delete(mod: Long) extends Op // delete where k % mod == 0
+  case class Delete(mod: Long) extends Op // CoW delete where k % mod == 0
+  case class EqDelete(keys: Set[Long]) extends Op // MoR equality delete by k
 
   private val genAppend: Gen[Op] = for {
     n <- Gen.choose(1, 8)
@@ -34,8 +35,12 @@ class TablePropertySpec extends SparkTestBase {
 
   private val genDelete: Gen[Op] = Gen.choose(2L, 5L).map(Delete(_))
 
+  private val genEqDelete: Gen[Op] =
+    Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(ks => EqDelete(ks.toSet))
+
   private val genOps: Gen[List[Op]] =
-    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.frequency(3 -> genAppend, 1 -> genDelete)))
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(3 -> genAppend, 1 -> genDelete, 1 -> genEqDelete)))
 
   private def df(rows: Seq[(Long, String)]) = {
     import spark.implicits._
@@ -60,6 +65,12 @@ class TablePropertySpec extends SparkTestBase {
         case Delete(mod) =>
           t.delete(spark, col("k") % mod === 0)
           model = model.filterNot(_._1 % mod == 0)
+        case EqDelete(keys) =>
+          // the sequence guard makes an equality delete exactly "remove
+          // every CURRENT row with these keys" — later appends re-add
+          import spark.implicits._
+          t.deleteMoREquality(spark, keys.toSeq.toDF("k"))
+          model = model.filterNot(r => keys.contains(r._1))
       }
 
       val table = t.read(spark).collect().map(r => (r.getLong(0), r.getString(1)))
