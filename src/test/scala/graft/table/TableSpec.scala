@@ -743,4 +743,32 @@ class TableSpec extends SparkTestBase {
     assert(t.meta.snapshots.size == 2)
     assert(t.read(spark).count() == 5)
   }
+
+  test("concurrent append + equality delete both land; the seq guard resolves the race") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.eqrace", pedidosSchema)
+    t.append(pedidosDf) // snapshot 1: p1..p5
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // race: append a NEW row p6 while eq-deleting p3. Both retry through
+    // commitRetry, so both must land in either order — and the OUTCOME
+    // is order-independent: p3's snapshot-1 rows always die (seq 1 <
+    // delete seq), and p6 always survives (append-after-delete → its seq
+    // exceeds the delete's; delete-after-append → p6 is in scope but
+    // doesn't match the key).
+    val extra = pedidosDf.filter(col("id_pedido") === "p5")
+      .withColumn("id_pedido", lit("p6"))
+    val fs = Seq(
+      Future(t.append(extra)),
+      Future(t.deleteMoREquality(spark, Seq("p3").toDF("id_pedido"))))
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.meta.snapshots.size == 3)
+    val cur = t.read(spark)
+    assert(cur.count() === 5) // 5 - p3 + p6
+    assert(cur.filter(col("id_pedido") === "p3").count() === 0)
+    assert(cur.filter(col("id_pedido") === "p6").count() === 1)
+  }
 }
