@@ -545,21 +545,45 @@ final class GraftTable(val dir: Path) {
     val (_, m0) = TableMeta.load(dir)
     require(m0.partitionFields.nonEmpty,
       "table has no partition spec; use overwrite() for full replacement")
+    val fieldNames = m0.partitionFields.map(_.name).toSet
+    def unreplaceable(m: TableMeta): Seq[DataFile] =
+      m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+        .filter(f => !fieldNames.subsetOf(f.partitionValues.keySet))
+    // fail BEFORE the write: the guard needs only the manifest, and a
+    // doomed swap should not burn a full dataset write first
+    require(unreplaceable(m0).isEmpty,
+      s"${unreplaceable(m0).size} file(s) predate the current partition spec and may hold " +
+        "rows of a touched partition; run rewriteDataFiles first")
     val aligned = df.select(m0.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val newFiles = writeFiles(df.sparkSession, m0, aligned)
     if (newFiles.isEmpty) return
-    val fieldNames = m0.partitionFields.map(_.name).toSet
     val touched = newFiles.map(_.partitionValues.filter(kv => fieldNames.contains(kv._1))).toSet
-    TableMeta.commitRetry(dir) { fresh =>
+    try TableMeta.commitRetry(dir) { fresh =>
+      // the swap was computed under m0's spec: a concurrent partition
+      // evolution would make "touched" mean something else — refuse
+      // rather than commit files missing current-spec values
+      require(fresh.partitionFields == m0.partitionFields,
+        "partition spec changed concurrently; retry the overwrite")
+      require(unreplaceable(fresh).isEmpty,
+        "files predating the partition spec appeared concurrently; run rewriteDataFiles first")
       val cur = fresh.currentSnapshot.map(_.manifest).getOrElse(Nil)
-      val unreplaceable = cur.filter(f =>
-        !fieldNames.subsetOf(f.partitionValues.keySet))
-      require(unreplaceable.isEmpty,
-        s"${unreplaceable.size} file(s) predate the current partition spec and may hold " +
-          "rows of a touched partition; run rewriteDataFiles first")
       val kept = cur.filterNot(f =>
         touched.contains(f.partitionValues.filter(kv => fieldNames.contains(kv._1))))
       appendSnapshot(fresh, "dynamic_overwrite", kept ++ newFiles, carryDeletes(fresh))
+    } catch {
+      case e: Throwable =>
+        // the replacement write never became visible — don't leave it
+        // for remove_orphan_files (the appendStreamBatch abort rule)
+        newFiles.map(_.path.split('/').take(2).mkString("/")).distinct.foreach { d =>
+          val staging = dir.resolve(d)
+          try {
+            val walk = Files.walk(staging)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { Files.deleteIfExists(p); () })
+            finally walk.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
     }
   }
 

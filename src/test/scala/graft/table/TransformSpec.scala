@@ -159,13 +159,15 @@ class TransformSpec extends SparkTestBase {
   }
 
   test("property: driver-side bucket hash agrees with Spark's for random longs and strings") {
-    import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
-    // One distributed evaluation over a generated batch, then compare
-    // element-wise: Prop.forAll with a per-sample Spark job would be
-    // minutes of scheduler overhead for no extra coverage.
-    val longs = Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))
-      .sample.getOrElse(Seq.empty).distinct
+    // One distributed evaluation over a seeded batch, then compare
+    // element-wise: a per-sample Spark job would be minutes of scheduler
+    // overhead for no extra coverage, and the FIXED seed makes any
+    // divergence reproducible (an unseeded sample could not be replayed).
+    val rnd = new scala.util.Random(42)
+    val longs = (Seq(0L, -1L, Long.MinValue, Long.MaxValue) ++
+      Seq.fill(200)(rnd.nextLong())).distinct
+    assert(longs.size > 100) // never vacuous
     val sparkLongBuckets = longs.toDF("k")
       .select(col("k"), pmod(hash(col("k")), lit(32)).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -173,8 +175,9 @@ class TransformSpec extends SparkTestBase {
       assert(Transforms.bucketOfLiteral(v, 32).contains(sparkLongBuckets(v)),
         s"long bucket mismatch for $v")
     }
-    val strings = Gen.listOfN(200, Gen.asciiPrintableStr.map(_.take(24)))
-      .sample.getOrElse(Seq.empty).distinct.filter(_.nonEmpty)
+    val strings = (Seq("a", "é世界", " ", "0") ++
+      Seq.fill(200)(rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString)).distinct
+    assert(strings.size > 100)
     val sparkStrBuckets = strings.toDF("s")
       .select(col("s"), pmod(hash(col("s")), lit(32)).as("b"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
