@@ -108,6 +108,42 @@ object GraftProcedures {
         }
       }
 
+    // Stock Spark has no parser for Iceberg's `ALTER TABLE ... ADD
+    // PARTITION FIELD` extension syntax — partition evolution rides the
+    // procedure surface instead (no custom parser, by design).
+    case "add_partition_field" =>
+      new GraftProc("add_partition_field", Array(
+        p("table", StringType),
+        p("column", StringType),
+        pDefault("transform", StringType, "'days'"))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val colName = input.getUTF8String(1).toString
+          val transform =
+            if (input.isNullAt(2)) "days" else input.getUTF8String(2).toString
+          t.addPartitionField(colName, transform)
+          result(
+            StructType(Seq(
+              StructField("column", StringType),
+              StructField("transform", StringType))),
+            utf8(colName), utf8(transform))
+        }
+      }
+
+    case "drop_partition_field" =>
+      new GraftProc("drop_partition_field", Array(
+        p("table", StringType),
+        p("column", StringType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val colName = input.getUTF8String(1).toString
+          t.dropPartitionField(colName)
+          result(
+            StructType(Seq(StructField("column", StringType))),
+            utf8(colName))
+        }
+      }
+
     case "cherrypick_snapshot" =>
       new GraftProc("cherrypick_snapshot", Array(
         p("table", StringType),
@@ -215,7 +251,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
     "rollback_to_snapshot", "cherrypick_snapshot", "create_tag",
-    "create_branch", "drop_ref", "fast_forward", "remove_orphan_files")
+    "create_branch", "drop_ref", "fast_forward", "remove_orphan_files",
+    "add_partition_field", "drop_partition_field")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

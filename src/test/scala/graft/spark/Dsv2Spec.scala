@@ -322,6 +322,27 @@ class Dsv2Spec extends SparkTestBase {
     assert(t.meta.currentSchema.find(_.name == "id").get.sparkType === LongType)
   }
 
+  test("CALL add/drop_partition_field: partition evolution from SQL (README ADD PARTITION FIELD surface)") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.pf", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(100))
+    val c = freshCatalog(wh)
+    val res = spark.sql(
+      s"CALL $c.system.add_partition_field(table => 'db.pf', column => 'user_id', transform => 'bucket[4]')")
+      .collect()
+    assert(res(0).getString(1) === "bucket[4]")
+    assert(t.meta.partitionFields.map(_.transform) === Seq("bucket[4]"))
+    // future writes cluster by the new field
+    t.append(Tables.events(spark, sfDir).limit(100))
+    assert(t.meta.currentSnapshot.get.manifest.exists(
+      _.partitionValues.contains("user_id_bucket4")))
+    spark.sql(s"CALL $c.system.drop_partition_field(table => 'db.pf', column => 'user_id')")
+    assert(t.meta.partitionFields.isEmpty)
+    assert(t.read(spark).count() === 200) // both epochs still read
+  }
+
   test("widening guards: partition sources refuse; same-type replay is a no-op; rename re-renders sort-order property") {
     val wh = Files.createTempDirectory("graft_wh")
     val cat = new GraftCatalog(wh)
