@@ -502,7 +502,26 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket_lo"))
 
+  /** Bitwise scalar battery (I13 family): and/or/xor/shifts/not over
+    * order keys — flag-word manipulation and hash mixing are everyday
+    * bit work in pipelines; all codegen'd built-ins, exact in both
+    * engines (two's-complement BIGINT). */
+  def scalarBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("low_byte"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_flag"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("mixed"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bitwise_not(col("o_orderkey")).as("inverted"),
+        // Spark bit_count → INT, DuckDB → TINYINT: pin both to INT
+        bit_count(col("o_orderkey")).cast(IntegerType).as("popcount"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_bitwise"     -> scalarBitwise,
     "q_histogram"          -> histogram,
     "q_try_cast"           -> tryCasts,
     "q_expectations"       -> expectations,
@@ -536,6 +555,16 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_bitwise" ->
+      """SELECT o_orderkey,
+         o_orderkey & 255 AS low_byte,
+         o_orderkey | 4096 AS with_flag,
+         xor(o_orderkey, o_custkey) AS mixed,
+         o_orderkey << 3 AS shl3,
+         o_orderkey >> 2 AS shr2,
+         ~o_orderkey AS inverted,
+         CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders ORDER BY o_orderkey""",
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) * 5000 AS BIGINT) AS bucket_lo,
          count(*) AS n
