@@ -628,7 +628,35 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Runtime Bloom-filter join pruning: a compact Bloom filter built
+    * over the (filtered) build side's join keys pre-filters the probe
+    * side BEFORE the join — the pattern behind Spark's own
+    * InjectRuntimeFilter, made explicit. At 100 TB the probe side is
+    * the dominant shuffle; shipping a ~100 KB bit array to every
+    * executor and dropping non-joining rows at the scan cuts that
+    * shuffle by the join's selectivity. False positives are harmless:
+    * the exact join still runs, so the result is identical to the
+    * un-pruned plan — which is exactly what the oracle checks.
+    * `stat.bloomFilter` is one distributed treeAggregate pass. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+    val bf = bigOrders.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    Tables.customer(s, d)
+      .filter(mightContain(col("c_custkey")))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join"    -> bloomJoin,
     "q_bucketed_join" -> bucketedJoin,
     "q_tpch_q2"     -> tpchQ2,
     "q_tpch_q9"     -> tpchQ9,
@@ -663,6 +691,13 @@ object Joins {
     "q_salted_join" -> saltedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT c_mktsegment,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_tpch_q2" ->
       """WITH ps AS (
            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,

@@ -520,7 +520,57 @@ object Relational {
         bit_count(col("o_orderkey")).cast(IntegerType).as("popcount"))
       .orderBy(col("o_orderkey"))
 
+  /** Linear-regression aggregate family (regr_slope/intercept/r2/corr/
+    * covar): y = l_extendedprice over x = l_quantity per return flag.
+    * Spark HAS regr_* built-ins, but their double accumulation order is
+    * partition-dependent — not reproducible against another engine. We
+    * compute the same statistics from EXACT decimal component sums
+    * (Sx, Sy, Sxx, Syy, Sxy) via the closed form, so the result is
+    * order-independent and bit-identical to the oracle at any
+    * parallelism: one map-side-combined aggregation, O(groups) state. */
+  def regrAgg(s: SparkSession, d: String): DataFrame = {
+    val sums = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+          .cast(DoubleType).as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+          .cast(DoubleType).as("sxy"))
+    val n     = col("n_pts").cast(DoubleType)
+    val covN  = col("sxy") * n - col("sx") * col("sy")
+    val varXn = col("sxx") * n - col("sx") * col("sx")
+    val varYn = col("syy") * n - col("sy") * col("sy")
+    sums.select(
+      col("l_returnflag"),
+      col("n_pts"),
+      (covN / varXn).as("slope"),
+      ((col("sy") - (covN / varXn) * col("sx")) / n).as("intercept"),
+      (covN / sqrt(varXn * varYn)).as("corr_xy"),
+      ((covN * covN) / (varXn * varYn)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Edit-distance battery (levenshtein): fuzzy matching / near-dup
+    * detection on short strings. Codegen'd built-in in both engines with
+    * the same unit-cost dynamic program — exact integers. O(len²) per
+    * row, embarrassingly parallel, no shuffle before the final sort. */
+  def editDistance(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("name_type_dist"),
+        levenshtein(col("p_brand"), lit("Brand#13")).as("brand_dist"),
+        (levenshtein(col("p_name"), col("p_brand")) <= lit(8)).as("near_brand"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regr_agg"           -> regrAgg,
+    "q_edit_distance"      -> editDistance,
     "q_scalar_bitwise"     -> scalarBitwise,
     "q_histogram"          -> histogram,
     "q_try_cast"           -> tryCasts,
@@ -555,6 +605,36 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_regr_agg" ->
+      """WITH sums AS (
+           SELECT l_returnflag,
+             count(*) AS n_pts,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n_pts,
+           (sxy * CAST(n_pts AS DOUBLE) - sx * sy)
+             / (sxx * CAST(n_pts AS DOUBLE) - sx * sx) AS slope,
+           (sy - ((sxy * CAST(n_pts AS DOUBLE) - sx * sy)
+                    / (sxx * CAST(n_pts AS DOUBLE) - sx * sx)) * sx)
+             / CAST(n_pts AS DOUBLE) AS intercept,
+           (sxy * CAST(n_pts AS DOUBLE) - sx * sy)
+             / sqrt((sxx * CAST(n_pts AS DOUBLE) - sx * sx)
+                    * (syy * CAST(n_pts AS DOUBLE) - sy * sy)) AS corr_xy,
+           ((sxy * CAST(n_pts AS DOUBLE) - sx * sy)
+              * (sxy * CAST(n_pts AS DOUBLE) - sx * sy))
+             / ((sxx * CAST(n_pts AS DOUBLE) - sx * sx)
+                * (syy * CAST(n_pts AS DOUBLE) - sy * sy)) AS r2
+         FROM sums ORDER BY l_returnflag""",
+    "q_edit_distance" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_name, p_type) AS INT) AS name_type_dist,
+         CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS brand_dist,
+         levenshtein(p_name, p_brand) <= 8 AS near_brand
+         FROM part ORDER BY p_partkey""",
     "q_scalar_bitwise" ->
       """SELECT o_orderkey,
          o_orderkey & 255 AS low_byte,

@@ -573,7 +573,105 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Character-diversity quality metric: per-document collision
+    * probability Σcᵢ²/L² (Simpson index) + distinct-char count. A
+    * gibberish/stuck-key detector that — unlike entropy — is EXACT
+    * rational arithmetic from integer counts, so it hash-matches any
+    * engine at any parallelism (Σ p·log p sums doubles in partition
+    * order and is not reproducible). Row-side explode, one
+    * map-side-combined aggregation; no raw text shuffles. */
+  def charDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_chars_txt"),
+        count(lit(1)).as("distinct_chars"),
+        (sum(col("c") * col("c")).cast(DoubleType) /
+          (sum(col("c")) * sum(col("c"))).cast(DoubleType)).as("collision_p"))
+      .withColumn("repetitive", col("collision_p") > lit(0.08))
+      .orderBy(col("doc_id"))
+
+  /** BM25-shaped relevance ranking for query terms {spark, table}:
+    * tf-saturation (k1=1.2) × length normalization (b=0.75) × a RATIONAL
+    * idf (N−df+0.5)/(df+0.5) — the log of the classic idf is monotone,
+    * so top-k order is preserved while every arithmetic step stays
+    * engine-reproducible (libm log differs in ulps across engines; the
+    * same reason q_tfidf uses N/df). Corpus stats (N, avgdl) ride a
+    * 1-row broadcast — no driver collect; df is a broadcast dim; per-doc
+    * score sums ≤2 terms (pairwise-commutative, order-safe). */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(
+      col("doc_id"),
+      size(filter(toks(col("text")), t => length(t) > 0)).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin("spark", "table"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val scoreT = idf * (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / avgdl)))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), scoreT.as("score_t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("score_t")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  /** Stratified sampling: exactly 20 docs per language, selected by
+    * md5(doc_id) order — a deterministic, engine-portable "random"
+    * order (both engines hash the same UTF-8 bytes), so the sample is
+    * reproducible across re-runs, partitionings, and cluster sizes.
+    * One window shuffle partitioned by the stratum key; at 100 TB the
+    * per-stratum top-k would use the same rank-and-filter shape. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast(StringType).cast(BinaryType))
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Training-mixture reweighting: per-language corpus share vs a
+    * uniform target, emitting the sampling weight that flattens the
+    * distribution (the DoReMi/data-mixing primitive). Pure integer
+    * counts + exact divisions — O(langs) output, one aggregation. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"))
+    val tot = per.agg(
+      sum(col("n_docs")).as("total_docs"), count(lit(1)).as("n_langs"))
+    val share = col("n_docs").cast(DoubleType) / col("total_docs").cast(DoubleType)
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("n_docs"), col("n_chars_tot"),
+        share.as("corpus_share"),
+        ((lit(1.0) / col("n_langs").cast(DoubleType)) / share).as("sample_weight"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_diversity"   -> charDiversity,
+    "q_bm25"             -> bm25,
+    "q_sample_stratified" -> sampleStratified,
+    "q_mix_weights"      -> mixWeights,
     "q_repetition"       -> repetition,
     "q_train_shuffle"    -> trainShuffle,
     "q_pack_sequences"   -> packSequences,
@@ -595,6 +693,59 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_char_diversity" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         cnt AS (
+           SELECT doc_id, ch, count(*) AS c FROM chars
+           WHERE len(ch) > 0 GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_txt,
+           count(*) AS distinct_chars,
+           CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS collision_p,
+           CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) > 0.08 AS repetitive
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "q_bm25" ->
+      """WITH dl AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS dl
+           FROM documents),
+         corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           WHERE term IN ('spark', 'table') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+             ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score_t
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+         SELECT doc_id, count(*) AS n_terms_hit, sum(score_t) AS score
+         FROM scored GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_sample_stratified" ->
+      """SELECT lang, rn, doc_id FROM (
+           SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY lang, rn""",
+    "q_mix_weights" ->
+      """WITH per AS (
+           SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_tot
+           FROM documents GROUP BY lang),
+         tot AS (SELECT sum(n_docs) AS total_docs, count(*) AS n_langs FROM per)
+         SELECT lang, n_docs, n_chars_tot,
+           CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS corpus_share,
+           (1.0 / CAST(n_langs AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS sample_weight
+         FROM per CROSS JOIN tot ORDER BY lang""",
     "q_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
