@@ -724,7 +724,44 @@ object TableQueries {
     "q_table_sql_update"      -> tableSqlUpdate,
     "q_table_sql_merge"       -> tableSqlMerge,
     "q_table_refs"            -> tableRefs,
+    "q_table_meta_agg"        -> tableMetaAgg,
+    "q_table_meta_sql"        -> tableMetaSql,
     "q_table_incremental"     -> tableIncremental)
+
+  /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
+    * manifest statistics (GraftTable.metaAggregate) — the scan-free
+    * fast path every big-table engine needs; at 100 TB this is
+    * milliseconds of driver metadata work vs executor-hours of scan.
+    * The oracle recomputes the same aggregates by actually scanning the
+    * source, proving the manifest stats are exact. MetaAggSpec proves
+    * the zero-IO property (answers survive deleting every data file). */
+  def tableMetaAgg(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("plain_meta", d)(plainFixture(s, d))
+    val agg = t.metaAggregate(Seq("o_orderkey", "o_totalprice"))
+      .getOrElse(sys.error("meta-agg unavailable on a delete-free table"))
+    val k = agg.minMax("o_orderkey")
+    val p = agg.minMax("o_totalprice")
+    import s.implicits._
+    Seq((agg.rows, k.min.toLong, k.max.toLong,
+        BigDecimal(p.min).toDouble, BigDecimal(p.max).toDouble))
+      .toDF("n_rows", "min_orderkey", "max_orderkey",
+        "min_totalprice", "max_totalprice")
+  }
+
+  /** The same scan-free aggregates through the SQL surface: Spark's
+    * SupportsPushDownAggregates hands COUNT/MIN/MAX to the scan builder,
+    * which answers from manifest stats (GraftMetaAggScan) — Dsv2Spec
+    * proves zero-IO by deleting every data file and re-asking. */
+  def tableMetaSql(s: SparkSession, d: String): DataFrame = {
+    tableSqlRead(s, d).count() // ensure the fixture + catalog exist
+    val cname = sqlFixtures(d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+           min(event_id) AS min_event, max(event_id) AS max_event,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           min(value) AS min_value, max(value) AS max_value
+          FROM $cname.db.events""")
+  }
 
   private val orderedOrdersSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -733,6 +770,18 @@ object TableQueries {
        FROM orders %s ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
+    "q_table_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+         min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey,
+         CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS min_totalprice,
+         CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS max_totalprice
+         FROM orders""",
+    "q_table_meta_sql" ->
+      """SELECT count(*) AS n_rows,
+         min(event_id) AS min_event, max(event_id) AS max_event,
+         min(ts) AS min_ts, max(ts) AS max_ts,
+         min(value) AS min_value, max(value) AS max_value
+         FROM events""",
     "q_table_dyn_overwrite" ->
       """SELECT event_id, ts, user_id, event_type,
          CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'

@@ -10,12 +10,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 surface for Graft tables — closes the reference's SQL
@@ -218,10 +219,12 @@ class GraftMetaTable(table: GraftTable, kind: String, ident: String)
 }
 
 class GraftScanBuilder(table: GraftTable, full: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var aggResult: Option[(StructType, Row)] = None
 
   /** Accept everything for pruning, return everything as residual:
     * Spark keeps the post-scan Filter, we get the bounds for skipping. */
@@ -235,7 +238,102 @@ class GraftScanBuilder(table: GraftTable, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(table, pushed, required)
+  /** COUNT(*)/MIN/MAX COMPLETE pushdown, answered from manifest stats
+    * (GraftTable.metaAggregate) — `SELECT count(*) FROM t` does zero
+    * data-file IO, the O(metadata) fast path Iceberg serves the same
+    * way. Refused (→ normal scan) when: any filter was pushed (we keep
+    * every filter residual, so a filtered agg never reaches here with
+    * an empty list anyway), a GROUP BY exists, any aggregate is not
+    * CountStar/Min/Max on a plain eligible column, or the table's
+    * current snapshot carries delete files / missing stats. */
+  private def tryMetaAgg(agg: Aggregation): Option[(StructType, Row)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    // aggregate spec per position: Left(()) = count(*), Right((col, isMin))
+    val specs: Seq[Either[Unit, (String, Boolean)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Left(())
+        case m: Min => colOf(m.column()) match {
+          case Some(c) => Right((c, true)); case None => return None
+        }
+        case m: Max => colOf(m.column()) match {
+          case Some(c) => Right((c, false)); case None => return None
+        }
+        case _ => return None
+      }
+    val cols = specs.collect { case Right((c, _)) => c }.distinct
+    val meta = table.metaAggregate(cols).getOrElse(return None)
+    if (!cols.forall(meta.minMax.contains)) return None
+    val types = full.fields.map(f => f.name -> f.dataType).toMap
+    val fieldsVals = specs.zipWithIndex.map {
+      case (Left(()), i) =>
+        (StructField(s"agg_$i", LongType, nullable = false), meta.rows: Any)
+      case (Right((c, isMin)), i) =>
+        val dt = types.getOrElse(c, return None)
+        val r = meta.minMax(c)
+        val v = GraftScanBuilder.parseStat(if (isMin) r.min else r.max, dt)
+          .getOrElse(return None)
+        (StructField(s"agg_$i", dt), v)
+    }
+    Some((StructType(fieldsVals.map(_._1)), Row(fieldsVals.map(_._2): _*)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryMetaAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = tryMetaAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftMetaAggScan(schema, row)
+    case None => new GraftV1Scan(table, pushed, required)
+  }
+}
+
+object GraftScanBuilder {
+  /** Manifest rendered-stat string → external row value for the column's
+    * Spark type (the inverse of FooterStats.render). None = a type we
+    * don't serve exactly (strings may be writer-truncated). */
+  def parseStat(s: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => Some(s.toInt)
+      case LongType    => Some(s.toLong)
+      case FloatType   => Some(BigDecimal(s).toFloat)
+      case DoubleType  => Some(BigDecimal(s).toDouble)
+      case t: DecimalType =>
+        Some(new java.math.BigDecimal(s).setScale(t.scale))
+      case DateType =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.parse(s)))
+      case TimestampType =>
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .withZone(java.time.ZoneOffset.UTC)
+        Some(java.sql.Timestamp.from(java.time.Instant.from(fmt.parse(s))))
+      case _ => None
+    }
+  }
+}
+
+/** 1-row scan carrying a completely-pushed-down aggregation result —
+  * produced when every requested aggregate was answered from manifest
+  * metadata; no data file is touched. */
+class GraftMetaAggScan(aggSchema: StructType, row: Row) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(row), 1)
+    }.asInstanceOf[T]
 }
 
 class GraftV1Scan(table: GraftTable, filters: Array[Filter], required: StructType)

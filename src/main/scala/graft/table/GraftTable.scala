@@ -17,6 +17,11 @@ case class RowAction(
     delete: Boolean,
     assigns: Seq[(String, Column)])
 
+/** Result of a metadata-only aggregation (GraftTable.metaAggregate):
+  * exact row count plus per-column min/max in the manifest's rendered
+  * string space (parse back via the column's sparkType). */
+case class MetaAgg(rows: Long, minMax: Map[String, ColRange])
+
 /** A Graft-format table: versioned parquet + JSON metadata giving the
   * reference's Iceberg v2 capabilities (SURVEY.md §2 B–D, H) on stock
   * Spark. All relational execution stays in Catalyst/Tungsten — this
@@ -192,6 +197,57 @@ final class GraftTable(val dir: Path) {
     val files = planFilters(m, filters)
     if (files.isEmpty) readFiles(spark, m, Nil)
     else readLive(spark, m, files).drop("_graft_fp", "_graft_pos")
+  }
+
+  /** Metadata-only aggregation: COUNT(*) plus per-column MIN/MAX
+    * answered ENTIRELY from manifest statistics — zero data-file IO.
+    * This is the O(metadata) fast path big tables rely on: at 100 TB a
+    * COUNT(*) scan costs executor-hours while the manifest answer is
+    * driver-side milliseconds (Iceberg serves the same aggregates from
+    * its manifests). MetaAggSpec proves the no-IO property by deleting
+    * every data file and asking again.
+    *
+    * Soundness guards (None → caller must fall back to a real scan):
+    *  - any positional or equality delete file in the current snapshot
+    *    makes manifest row counts an overcount → whole result is None;
+    *  - a column's min/max is reported only when EVERY data file carries
+    *    stats for it (a stats-less file could hide the true extremum —
+    *    all-null and unsupported-encoding files are indistinguishable
+    *    in the manifest);
+    *  - string columns are ineligible: parquet writers may truncate
+    *    binary min/max, which is safe for conservative pruning but not
+    *    for exact answers. */
+  def metaAggregate(cols: Seq[String]): Option[MetaAgg] = {
+    val m = meta
+    m.currentSnapshot match {
+      case None => Some(MetaAgg(0L, Map.empty))
+      case Some(snap) =>
+        if (snap.deleteFiles.exists(_.nonEmpty) ||
+            snap.eqDeleteFiles.exists(_.nonEmpty)) return None
+        val files = snap.manifest
+        val minMax = cols.flatMap { cname =>
+          m.currentSchema.find(_.name == cname).flatMap { cd =>
+            cd.sparkType match {
+              case StringType => None
+              case dt =>
+                val ranges = files.map(_.stats.flatMap(_.get(cname)))
+                if (files.nonEmpty && ranges.forall(_.isDefined)) {
+                  val rs = ranges.flatten
+                  val numeric = dt.isInstanceOf[NumericType]
+                  def lo(a: String, b: String) =
+                    if (numeric) { if (BigDecimal(a) <= BigDecimal(b)) a else b }
+                    else { if (utf8Lte(a, b)) a else b }
+                  def hi(a: String, b: String) =
+                    if (numeric) { if (BigDecimal(a) >= BigDecimal(b)) a else b }
+                    else { if (utf8Lte(a, b)) b else a }
+                  Some(cname -> ColRange(
+                    rs.map(_.min).reduce(lo), rs.map(_.max).reduce(hi)))
+                } else None
+            }
+          }
+        }.toMap
+        Some(MetaAgg(files.map(_.rows).sum, minMax))
+    }
   }
 
   /** C4 `SELECT * FROM t.history` (README.md:245-248). */

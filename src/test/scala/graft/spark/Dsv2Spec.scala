@@ -432,6 +432,48 @@ class Dsv2Spec extends SparkTestBase {
     assert(desc.exists(_.contains("months(ts)")), desc.mkString("\n"))
   }
 
+  test("SQL count/min/max served from manifest metadata: zero data-file IO") {
+    val (wh, t) = partitionedEvents()
+    val c = freshCatalog(wh)
+    val sql = s"""SELECT count(*) AS n, min(event_id) AS lo, max(event_id) AS hi,
+                   min(value) AS vlo, max(value) AS vhi FROM $c.db.events"""
+    val expect = t.read(spark).agg(
+      count(lit(1)), min("event_id"), max("event_id"), min("value"), max("value")).head()
+    val got = spark.sql(sql).head()
+    assert(got.getLong(0) === expect.getLong(0))
+    assert(got.getLong(1) === expect.getLong(1))
+    assert(got.getLong(2) === expect.getLong(2))
+    assert(got.getDouble(3) === expect.getDouble(3))
+    assert(got.getDouble(4) === expect.getDouble(4))
+
+    // the zero-IO proof: vaporize every data file; the aggregate still
+    // answers (a scan-based plan would now throw)
+    Files.walk(wh).iterator().forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) Files.delete(p)
+    }
+    assert(spark.sql(sql).head() === got)
+  }
+
+  test("aggregate pushdown refuses and falls back when semantics demand a scan") {
+    val (wh, t) = partitionedEvents()
+    val c = freshCatalog(wh)
+    // a WHERE clause keeps a residual filter → no complete pushdown; the
+    // scan path must still answer correctly
+    val filtered = spark.sql(
+      s"""SELECT count(*) FROM $c.db.events
+          WHERE event_type = 'click'""").head().getLong(0)
+    assert(filtered ===
+      t.read(spark).filter(col("event_type") === "click").count())
+    // avg is not meta-answerable → full scan path
+    val avgGot = spark.sql(s"SELECT avg(value) FROM $c.db.events").head().getDouble(0)
+    val avgExp = t.read(spark).agg(avg("value")).head().getDouble(0)
+    assert(math.abs(avgGot - avgExp) < 1e-9)
+    // a MoR delete makes manifest counts an overcount → must fall back
+    t.deleteMoR(spark, col("event_type") === "click")
+    val n = spark.sql(s"SELECT count(*) FROM $c.db.events").head().getLong(0)
+    assert(n === t.read(spark).count())
+  }
+
   test("catalog lists namespaces and tables; CREATE TABLE via SQL works") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)
