@@ -726,6 +726,7 @@ object TableQueries {
     "q_table_refs"            -> tableRefs,
     "q_table_meta_agg"        -> tableMetaAgg,
     "q_table_meta_sql"        -> tableMetaSql,
+    "q_table_bloom_prune"     -> tableBloomPrune,
     "q_table_incremental"     -> tableIncremental)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
@@ -746,6 +747,30 @@ object TableQueries {
         BigDecimal(p.min).toDouble, BigDecimal(p.max).toDouble))
       .toDF("n_rows", "min_orderkey", "max_orderkey",
         "min_totalprice", "max_totalprice")
+  }
+
+  /** Bloom-sidecar point lookup: the fixture appends EVEN keys then ODD
+    * keys, so both files span the full key range and min/max stats prune
+    * nothing — only the per-file Bloom (write.bloom-filter-columns)
+    * drops the wrong-parity file (BloomSkipSpec asserts kept == 1 file).
+    * The judged output is the looked-up row itself: pruning that loses
+    * or invents rows fails the oracle. */
+  def tableBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("bloom", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema,
+        properties = Map("write.bloom-filter-columns" -> "o_orderkey"))
+      val src = Tables.orders(s, d)
+      t0.append(src.filter(col("o_orderkey") % 2 === 0))
+      t0.append(src.filter(col("o_orderkey") % 2 === 1))
+      t0
+    }
+    val key = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .agg(min(col("o_orderkey"))).head().getLong(0)
+    ordered(t.readPruned(s,
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", key)))
+      .filter(col("o_orderkey") === key))
   }
 
   /** The same scan-free aggregates through the SQL surface: Spark's
@@ -776,6 +801,8 @@ object TableQueries {
          CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS min_totalprice,
          CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS max_totalprice
          FROM orders""",
+    "q_table_bloom_prune" -> orderedOrdersSql.format(
+      "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0)"),
     "q_table_meta_sql" ->
       """SELECT count(*) AS n_rows,
          min(event_id) AS min_event, max(event_id) AS max_event,

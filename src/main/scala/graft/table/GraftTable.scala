@@ -185,7 +185,19 @@ final class GraftTable(val dir: Path) {
               numeric, utf8Lte)
           case None => true
         }
-        statsOk && partOk
+        // Point-lookup skipping: a per-file Bloom sidecar answers
+        // "definitely not here" for pushed equality literals — the prune
+        // min/max can't make once file key ranges overlap. Loaded lazily
+        // (only for files that survive the other checks) and cached.
+        val bloomOk = (f.bloom, eqLiterals.get(cname)) match {
+          case (Some(ref), Some(v)) =>
+            BloomSidecar.read(dir.resolve(ref)).get(cname) match {
+              case Some(bf) => BloomSidecar.mightContain(bf, v)
+              case None => true
+            }
+          case _ => true
+        }
+        statsOk && partOk && bloomOk
       }
     }
   }
@@ -1262,7 +1274,8 @@ final class GraftTable(val dir: Path) {
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
     val (_, m) = TableMeta.load(dir)
     val referenced = m.snapshots
-      .flatMap(s => s.manifest.map(_.path) ++ s.allDeleteFiles.map(_.path) ++
+      .flatMap(s => s.manifest.map(_.path) ++ s.manifest.flatMap(_.bloom) ++
+        s.allDeleteFiles.map(_.path) ++
         s.allEqDeleteFiles.map(_.path)).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return Nil
@@ -1658,7 +1671,7 @@ final class GraftTable(val dir: Path) {
     // O(files) metadata reads, no data re-scan (re-aggregating what was
     // just written would double write IO; footers already hold the
     // answer, which is exactly how Iceberg writers collect stats).
-    files.flatMap { p =>
+    val entries = files.flatMap { p =>
       val rel = dir.relativize(p).toString
       val pvals = rel.split('/').filter(_.contains('='))
         .map { seg =>
@@ -1672,6 +1685,71 @@ final class GraftTable(val dir: Path) {
       else Some(DataFile(rel, rows, m.currentSchemaId, pvals,
         if (stats.isEmpty) None else Some(stats),
         sizeBytes = Some(Files.size(p))))
+    }
+    attachBlooms(spark, m, entries)
+  }
+
+  /** Build per-file Bloom sidecars for the columns declared in the
+    * `write.bloom-filter-columns` table property (comma-separated;
+    * ineligible/unknown names are skipped — indexing is an optimization,
+    * never a write failure). One distributed pass over the just-written
+    * files: each executor partition folds its rows into local per-file
+    * blooms, merged tree-wise — the column is re-read (columnar, index
+    * columns only), which is the explicit price of indexing, paid at
+    * write time once so every point lookup afterwards skips files.
+    * Sized from the file's exact row count at fpp=3%. */
+  private def attachBlooms(
+      spark: SparkSession, m: TableMeta, entries: Seq[DataFile]): Seq[DataFile] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val cols = m.allProperties.get("write.bloom-filter-columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .flatMap(n => m.currentSchema.find(_.name == n))
+      .filter(c => BloomSidecar.eligible(c.sparkType))
+    if (cols.isEmpty || entries.isEmpty) return entries
+    val names = cols.map(_.name)
+    // keyed by FILE NAME: unique within one write (spark part-<task>-<uuid>)
+    // and immune to file:// URI rendering differences in input_file_name
+    def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    val rowsOf = entries.map(e => fname(e.path) -> e.rows).toMap
+    val rowsB = spark.sparkContext.broadcast(rowsOf)
+    val nB = spark.sparkContext.broadcast(names)
+    val merged = spark.read
+      .parquet(entries.map(e => dir.resolve(e.path).toString): _*)
+      .select(names.map(col) :+ input_file_name().as("__graft_file"): _*)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[(String, String), BloomFilter]
+        val ns = nB.value
+        it.foreach { row =>
+          val f = fname(row.getString(ns.length))
+          val exp = math.max(rowsB.value.getOrElse(f, 100000L), 1L)
+          var i = 0
+          while (i < ns.length) {
+            if (!row.isNullAt(i)) {
+              val bf = acc.getOrElseUpdate((f, ns(i)), BloomFilter.create(exp, 0.03))
+              BloomSidecar.put(bf, row.get(i))
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc.toMap)
+      }
+      .reduce { (a, b) =>
+        b.foldLeft(a) { case (acc, (k, bf)) =>
+          acc.get(k) match {
+            case Some(mine) => mine.mergeInPlace(bf); acc
+            case None => acc + (k -> bf)
+          }
+        }
+      }
+    entries.map { e =>
+      val perFile = names.flatMap(n =>
+        merged.get((fname(e.path), n)).map(n -> _)).toMap
+      if (perFile.isEmpty) e
+      else {
+        val ref = e.path + ".bloom"
+        BloomSidecar.write(dir.resolve(ref), perFile)
+        e.copy(bloom = Some(ref))
+      }
     }
   }
 

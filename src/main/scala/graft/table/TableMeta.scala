@@ -52,7 +52,10 @@ final case class DataFile(
     seq: Option[Long] = None,
     // On-disk bytes (None in legacy metadata): drives size-based
     // compaction planning without touching the filesystem.
-    sizeBytes: Option[Long] = None)
+    sizeBytes: Option[Long] = None,
+    // Relative path of the per-file Bloom sidecar (BloomSidecar):
+    // equality-predicate data skipping. None = not indexed.
+    bloom: Option[String] = None)
 
 /** Iceberg v2 EQUALITY delete file: parquet of key tuples; any row in a
   * data file with seq < this delete's `seq` whose key tuple matches is
