@@ -727,6 +727,7 @@ object TableQueries {
     "q_table_meta_agg"        -> tableMetaAgg,
     "q_table_meta_sql"        -> tableMetaSql,
     "q_table_bloom_prune"     -> tableBloomPrune,
+    "q_table_null_prune"      -> tableNullPrune,
     "q_table_incremental"     -> tableIncremental)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
@@ -773,6 +774,28 @@ object TableQueries {
       .filter(col("o_orderkey") === key))
   }
 
+  /** Null-count pruning: append 1 holds the F-status rows with
+    * o_orderpriority NULLed (an all-null file), append 2 the rest. The
+    * pushed IsNotNull — which Spark attaches to almost every real
+    * predicate — skips the all-null file from footer null counts alone
+    * (NullPruneSpec asserts 1-of-2 files kept); judged output = the
+    * surviving rows, so wrong pruning fails the oracle. */
+  def tableNullPrune(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("null_prune", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema)
+      val src = Tables.orders(s, d)
+      t0.append(src.filter(col("o_orderstatus") === "F")
+        .withColumn("o_orderpriority", lit(null).cast(StringType)))
+      t0.append(src.filter(col("o_orderstatus") =!= "F"))
+      t0
+    }
+    ordered(t.readPruned(s,
+        Seq(org.apache.spark.sql.sources.IsNotNull("o_orderpriority")))
+      .filter(col("o_orderpriority").isNotNull))
+  }
+
   /** The same scan-free aggregates through the SQL surface: Spark's
     * SupportsPushDownAggregates hands COUNT/MIN/MAX to the scan builder,
     * which answers from manifest stats (GraftMetaAggScan) — Dsv2Spec
@@ -801,6 +824,8 @@ object TableQueries {
          CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS min_totalprice,
          CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS max_totalprice
          FROM orders""",
+    "q_table_null_prune" -> orderedOrdersSql.format(
+      "WHERE o_orderstatus <> 'F'"),
     "q_table_bloom_prune" -> orderedOrdersSql.format(
       "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0)"),
     "q_table_meta_sql" ->

@@ -71,6 +71,25 @@ private[graft] object FilterBounds {
     acc.toMap
   }
 
+  /** Conjunctive IS NULL / IS NOT NULL predicates per column
+    * (true = must-be-null). A column claimed both ways is dropped —
+    * the conjunction is unsatisfiable but proving that is the engine's
+    * job, not the pruner's. */
+  def collectNullness(filters: Seq[Filter]): Map[String, Boolean] = {
+    val acc = mutable.Map.empty[String, Boolean]
+    val conflicted = mutable.Set.empty[String]
+    def walk(f: Filter): Unit = f match {
+      case And(l, r)     => walk(l); walk(r)
+      case IsNull(c)     =>
+        if (acc.getOrElse(c, true) != true) conflicted += c else acc(c) = true
+      case IsNotNull(c)  =>
+        if (acc.getOrElse(c, false) != false) conflicted += c else acc(c) = false
+      case _             => ()
+    }
+    filters.foreach(walk)
+    (acc -- conflicted).toMap
+  }
+
   /** Raw typed literals of conjunctive equality filters. Bucket pruning
     * hashes the VALUE with the write side's expression — the stringified
     * bound would hash differently, so it needs the literal itself. */

@@ -27,7 +27,14 @@ object FooterStats {
   // Hadoop XML defaults every time — measurable across a 1000-file write.
   private val hadoopConf = new Configuration()
 
-  def read(file: Path, schema: Seq[ColumnDef]): (Long, Map[String, ColRange]) = {
+  def read(file: Path, schema: Seq[ColumnDef]): (Long, Map[String, ColRange]) =
+    { val (r, s, _) = readWithNulls(file, schema); (r, s) }
+
+  /** Full harvest: row count, per-column [min,max], and per-column null
+    * counts (only columns where EVERY row group reports numNulls — a
+    * partial count would under-report and make IS NULL pruning unsound). */
+  def readWithNulls(file: Path, schema: Seq[ColumnDef])
+      : (Long, Map[String, ColRange], Map[String, Long]) = {
     val byName = schema.map(c => c.name -> c.sparkType).toMap
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(
@@ -37,10 +44,15 @@ object FooterStats {
       val rows = blocks.map(_.getRowCount).sum
       // per column: fold min/max across row groups
       val acc = scala.collection.mutable.Map.empty[String, (Comparable[Any], Comparable[Any], DataType)]
+      val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+      val nullBad = scala.collection.mutable.Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         byName.get(name).foreach { dt =>
           val st = c.getStatistics
+          if (st != null && st.isNumNullsSet)
+            nullAcc(name) = nullAcc.getOrElse(name, 0L) + st.getNumNulls
+          else nullBad += name
           if (st != null && st.hasNonNullValue && !st.isEmpty) {
             val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
             val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
@@ -57,7 +69,7 @@ object FooterStats {
       val stats = acc.flatMap { case (name, (lo, hi, dt)) =>
         for (l <- render(lo, dt); h <- render(hi, dt)) yield name -> ColRange(l, h)
       }.toMap
-      (rows, stats)
+      (rows, stats, (nullAcc -- nullBad).toMap)
     } finally reader.close()
   }
 

@@ -158,13 +158,24 @@ final class GraftTable(val dir: Path) {
   def planFilters(m: TableMeta, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
     val all = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     val bounds = FilterBounds.collect(filters)
-    if (bounds.isEmpty) return all
+    val nullness = FilterBounds.collectNullness(filters)
+    if (bounds.isEmpty && nullness.isEmpty) return all
     val eqLiterals = FilterBounds.collectEquals(filters)
     // partition source column name -> its transform field
     val partFields = m.partitionFields.flatMap(pf =>
       m.currentSchema.find(_.id == pf.sourceId).map(c => c.name -> pf)).toMap
     all.filter { f =>
-      bounds.forall { case (cname, b) =>
+      // Null-count pruning: an all-null file can't satisfy IS NOT NULL,
+      // a null-free file can't satisfy IS NULL. Spark pushes IsNotNull
+      // alongside almost every predicate, so at scale this skips the
+      // sparse-column files without opening them.
+      val nullsOk = nullness.forall { case (cname, mustBeNull) =>
+        f.nulls.flatMap(_.get(cname)) match {
+          case Some(nc) => if (mustBeNull) nc > 0 else nc < f.rows
+          case None => true
+        }
+      }
+      nullsOk && bounds.forall { case (cname, b) =>
         val numeric = m.currentSchema.find(_.name == cname).exists(_.sparkType match {
           case _: NumericType => true
           case _ => false
@@ -1678,13 +1689,14 @@ final class GraftTable(val dir: Path) {
           val Array(k, v) = seg.split("=", 2)
           k -> Transforms.unescapePathValue(v) // bounds compare unescaped
         }.toMap
-      val (rows, stats) = FooterStats.read(p, m.currentSchema)
+      val (rows, stats, nulls) = FooterStats.readWithNulls(p, m.currentSchema)
       // zero-row files (empty write partitions) carry no data: keep the
       // manifest tight, they'd only bloat planning
       if (rows == 0) None
       else Some(DataFile(rel, rows, m.currentSchemaId, pvals,
         if (stats.isEmpty) None else Some(stats),
-        sizeBytes = Some(Files.size(p))))
+        sizeBytes = Some(Files.size(p)),
+        nulls = if (nulls.isEmpty) None else Some(nulls)))
     }
     attachBlooms(spark, m, entries)
   }

@@ -55,7 +55,11 @@ final case class DataFile(
     sizeBytes: Option[Long] = None,
     // Relative path of the per-file Bloom sidecar (BloomSidecar):
     // equality-predicate data skipping. None = not indexed.
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    // Per-column null counts from the footers (only columns where every
+    // row group reported numNulls): IS [NOT] NULL pruning — a file
+    // that's all-null (or null-free) for the column is skipped outright.
+    nulls: Option[Map[String, Long]] = None)
 
 /** Iceberg v2 EQUALITY delete file: parquet of key tuples; any row in a
   * data file with seq < this delete's `seq` whose key tuple matches is
