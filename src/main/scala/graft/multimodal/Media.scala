@@ -128,13 +128,43 @@ object Media {
     planResize(mediaTable(spark, sfDir), maxSide = 96)
       .orderBy(col("media_id"))
 
+  /** Driver-judged binary-asset dedup: exact duplicate media payloads
+    * found by content hash over the BINARY column — the first pass of
+    * any media-corpus dedup (near-dup embedding passes run only inside
+    * these groups' complements). The fixture simulates a re-ingested
+    * batch (same payloads under fresh ids — the everyday duplication
+    * mode in asset pipelines), so every payload has ≥2 copies and the
+    * canonical-id choice is exercised on every group. Hash-groupBy
+    * shuffles 16-byte digests, never payloads. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = mediaTable(spark, sfDir).toDF()
+    val reingested = base.withColumn("media_id", col("media_id") + lit(1000000000L))
+    base.unionByName(reingested)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("payload_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_dedup"     -> mediaDedup,
     "q_media_meta"      -> mediaMeta,
     "q_media_frames"    -> mediaFrames,
     "q_media_resize"    -> mediaResize,
     "q_batch_inference" -> batchInference)
 
   val oracle: Map[String, String] = Map(
+    "q_media_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+         count(*) AS n_copies,
+         min(doc_id) AS canonical_id
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000000, text FROM documents)
+         GROUP BY 1 HAVING count(*) > 1
+         ORDER BY payload_md5""",
     "q_batch_inference" ->
       """WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
          SELECT doc_id,

@@ -667,7 +667,59 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Boilerplate stripping: remove function-word noise ('a'/'the' as
+    * whole words), collapse runs of whitespace, trim — the regex-scrub
+    * shape every web-corpus cleaning stage uses (both engines run the
+    * same \b patterns; RE2 and java.util.regex agree on this subset).
+    * Row-side codegen'd regexp_replace; no shuffle before the sort. */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        trim(regexp_replace(
+          regexp_replace(col("text"), "\\b(a|the)\\b", ""),
+          " +", " ")).as("cleaned"))
+      .select(
+        col("doc_id"), col("n_chars_raw"),
+        length(col("cleaned")).as("n_chars_clean"),
+        col("cleaned"))
+      .orderBy(col("doc_id"))
+
+  /** Bigram LIFT (rational PMI): corpus-frequency ratio
+    * lift = c_xy·N / (c_x·c_y) — the collocation-mining primitive, with
+    * the log left off (monotone, and libm logs aren't cross-engine
+    * reproducible; same policy as q_bm25/q_tfidf). Exact integer
+    * products → one deterministic division. Unigram counts broadcast
+    * into the bigram side; top-k by raw count. */
+  def bigramLift(s: SparkSession, d: String): DataFrame = {
+    val toksOf = filter(toks(col("text")), t => length(t) > 0)
+    val docs = Tables.documents(s, d).select(col("doc_id"), toksOf.as("t"))
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tokens"))
+    val bi = docs.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i+1)))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    bi
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(
+        col("bigram"), col("c_xy"),
+        (( col("c_xy") * col("n_tokens")).cast(DoubleType) /
+          (col("c_x") * col("c_y")).cast(DoubleType)).as("lift"))
+      .orderBy(col("c_xy").desc, col("bigram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate"      -> boilerplate,
+    "q_bigram_lift"      -> bigramLift,
     "q_char_diversity"   -> charDiversity,
     "q_bm25"             -> bm25,
     "q_sample_stratified" -> sampleStratified,
@@ -693,6 +745,37 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_boilerplate" ->
+      """SELECT doc_id,
+         CAST(len(text) AS INT) AS n_chars_raw,
+         CAST(len(trim(regexp_replace(
+           regexp_replace(text, '\b(a|the)\b', '', 'g'), ' +', ' ', 'g'))) AS INT)
+           AS n_chars_clean,
+         trim(regexp_replace(
+           regexp_replace(text, '\b(a|the)\b', '', 'g'), ' +', ' ', 'g')) AS cleaned
+         FROM documents ORDER BY doc_id""",
+    "q_bigram_lift" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+           FROM documents),
+         uni AS (
+           SELECT w, count(*) AS c FROM (
+             SELECT unnest(t) AS w FROM docs) GROUP BY w),
+         ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+         bi AS (
+           SELECT bigram, count(*) AS c_xy FROM (
+             SELECT t[i] || ' ' || t[i + 1] AS bigram
+             FROM (SELECT t, unnest(range(1, len(t))) AS i FROM docs))
+           GROUP BY bigram)
+         SELECT bigram, c_xy,
+           CAST(c_xy * n_tokens AS DOUBLE)
+             / CAST(u1.c * u2.c AS DOUBLE) AS lift
+         FROM bi
+           JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+           JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+           CROSS JOIN ntok
+         ORDER BY c_xy DESC, bigram LIMIT 20""",
     "q_char_diversity" ->
       """WITH chars AS (
            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
