@@ -284,7 +284,54 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later active day — THE product-analytics staple. Two shuffles
+    * (per-user min, then per-(cohort, offset) distinct), both on small
+    * keys; at scale the distinct-user count per cell is the only state. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(
+        col("cohort_day").cast(TimestampType).as("cohort_ts"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_ts"), col("day_offset"))
+  }
+
+  /** Time-spine gap filling + forward fill: every (user, day) cell gets
+    * the last known daily total — the missing-data repair every
+    * time-series feature pipeline runs before training. The spine is
+    * generated (sequence over the corpus date range — no driver loop),
+    * the fill is one window pass with last(ignoreNulls). Daily totals
+    * are exact DECIMAL sums (order-independent). */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), valueDec.as("v"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).cast(DoubleType).as("day_value"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        col("day").cast(TimestampType).as("day_ts"),
+        col("day_value").isNull.as("was_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id"), col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> cohortRetention,
+    "q_gap_fill"         -> gapFill,
     "q_funnel" -> funnel,
     "q_variant"         -> variantExtract,
     "q_resample"        -> resampleDaily,
@@ -300,6 +347,32 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_ts,
+           CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM ev JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         daily AS (SELECT user_id, day, CAST(sum(v) AS DOUBLE) AS day_value
+                   FROM ev GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         spine AS (SELECT u.user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN span)
+         SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day_ts,
+           (daily.day_value IS NULL) AS was_gap,
+           last_value(daily.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM spine s LEFT JOIN daily
+           ON s.user_id = daily.user_id AND s.day = daily.day
+         ORDER BY s.user_id, day_ts""",
     "q_funnel" ->
       """WITH v AS (
            SELECT user_id, min(ts) AS first_view FROM events

@@ -106,7 +106,40 @@ object Windows {
         "metric", "value")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
 
+  /** SCD Type 2 build: collapse each customer's order-status history
+    * into validity intervals (valid_from, valid_to, is_current) — the
+    * warehouse dimension-maintenance staple. Islands via the classic
+    * rn − rn_per_status difference (two window passes over ONE shuffle
+    * partitioning: both windows and the final group share the custkey
+    * hash), then lead() closes each interval. Deterministic: ordering
+    * tiebreaks on the unique order key. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wSt = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val islands = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("island",
+        row_number().over(wAll) - row_number().over(wSt))
+      .groupBy(col("o_custkey"), col("o_orderstatus"), col("island"))
+      .agg(min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    // tiebreak (status, island): several islands can share a start date
+    // when one day carries a whole status flip-flop sequence
+    val wIv = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from"), col("o_orderstatus"), col("island"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wIv))
+      .select(
+        col("o_custkey"), col("o_orderstatus"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"          -> scd2,
     "q_window_rank"   -> rankTopK,
     "q_window_lag"    -> lagLead,
     "q_window_frames" -> frames,
@@ -115,6 +148,27 @@ object Windows {
     "q_unpivot"       -> unpivotMetrics)
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH numbered AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)
+             - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+               ORDER BY o_orderdate, o_orderkey) AS island
+           FROM orders),
+         islands AS (
+           SELECT o_custkey, o_orderstatus, island,
+             min(o_orderdate) AS valid_from,
+             count(*) AS n_orders
+           FROM numbered GROUP BY 1, 2, 3),
+         iv AS (
+           SELECT o_custkey, o_orderstatus, valid_from, n_orders,
+             lead(valid_from, 1) OVER (PARTITION BY o_custkey
+               ORDER BY valid_from, o_orderstatus, island) AS valid_to
+           FROM islands)
+         SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+           valid_to IS NULL AS is_current, n_orders
+         FROM iv ORDER BY o_custkey, valid_from, o_orderstatus""",
     "q_window_dist" ->
       """SELECT c_custkey, c_mktsegment,
          percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
