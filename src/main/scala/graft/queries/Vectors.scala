@@ -194,6 +194,87 @@ object Vectors {
       .limit(10)
   }
 
+  /** Offline PRODUCT QUANTIZATION index, built once per corpus per JVM:
+    * the 64-dim space splits into M=8 subspaces; a seeded KMeans per
+    * subspace learns K=16 centroids, and every vector is encoded as 8
+    * small codes — 256 float bytes become 8 bytes (32×), which is the
+    * memory lever that lets a 100 TB embedding corpus live in RAM for
+    * candidate generation. Codes are MATERIALIZED to parquet like the
+    * IVF assignments (index = maintained artifact, never query work). */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Array[Double]]], String)]
+
+  private val PQ_M = 8
+  private val PQ_K = 16
+
+  private def pqIndex(s: SparkSession, d: String): (Array[Array[Array[Double]]], String) =
+    pqIndexCache.getOrElseUpdate(d, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, d)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val dsub = dim / PQ_M
+      val withSubs = (0 until PQ_M).foldLeft(e.select(col("vec_id"), col("embedding"))) {
+        (acc, m) => acc.withColumn(s"fv_$m",
+          array_to_vector(slice(col("embedding"), m * dsub + 1, dsub)))
+      }
+      val models = (0 until PQ_M).map { m =>
+        new KMeans().setK(PQ_K).setSeed(42L + m).setMaxIter(10)
+          .setFeaturesCol(s"fv_$m").setPredictionCol(s"code_$m")
+          .fit(withSubs)
+      }
+      val encoded = models.zipWithIndex
+        .foldLeft(withSubs) { case (acc, (mod, _)) => mod.transform(acc) }
+        .select(col("vec_id") +: (0 until PQ_M).map(m => col(s"code_$m")): _*)
+      val path = graft.Scratch.overwritable("pq_index", d)
+      encoded.write.mode("overwrite").parquet(path)
+      (models.map(_.clusterCenters.map(_.toArray).toArray).toArray, path)
+    })
+
+  /** J7 scale path #3: PQ + ADC probe. The query vector builds M×K
+    * lookup tables driver-side (dot(q_m, c) and ‖c‖² per cell — 256
+    * doubles, trivially broadcast as literals); each candidate's
+    * approximate cosine is 8 array lookups over its CODES — the
+    * compressed representation is all that's scanned. The top 100 by
+    * ADC score rerank exactly against the true embeddings (bounded
+    * join; 20% of this corpus — the near-orthogonal test vectors put
+    * ADC's approximation error near the score spread, so the rerank set
+    * is sized generously; at scale it's the recall/latency dial).
+    * Approximate → rows-only check + recall spec, like LSH/IVF. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val (books, path) = pqIndex(s, d)
+    val e = Tables.embeddings(s, d)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val dsub = qVec.length / PQ_M
+    val qn = math.sqrt(qVec.map(x => x * x).sum)
+    def lut(m: Int)(f: Array[Double] => Double): Column =
+      array(books(m).map(c => lit(f(c))): _*)
+    val dotTerms = (0 until PQ_M).map { m =>
+      element_at(lut(m)(c => c.indices.map(j => c(j) * qVec(m * dsub + j)).sum),
+        col(s"code_$m") + 1)
+    }
+    val n2Terms = (0 until PQ_M).map { m =>
+      element_at(lut(m)(c => c.map(x => x * x).sum), col(s"code_$m") + 1)
+    }
+    val adc = dotTerms.reduce(_ + _) / (lit(qn) * sqrt(n2Terms.reduce(_ + _)))
+    val candidates = s.read.parquet(path)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(100)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    candidates
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(dot(col("embedding"), col("q_embedding")) /
+          (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Embedding-cosine near-duplicate removal (the vector flavor of the
     * dedup family): a vector dies when ANY smaller-id vector is within
     * cosine ≥ τ — the deterministic keep-first rule, same as
@@ -291,6 +372,7 @@ object Vectors {
     "q_cosine_pairs"  -> topKPairs,
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
+    "q_ann_pq"        -> annPq,
     "q_dedup_embedding" -> dedupEmbedding)
 
   // q_ann_lsh is approximate by construction → rows-only check here;

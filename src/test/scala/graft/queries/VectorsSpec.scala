@@ -49,4 +49,15 @@ class VectorsSpec extends SparkTestBase {
     assert(lshRecall >= 0.3, s"lsh recall=$lshRecall")
     assert(ivfRecall >= 0.2, s"ivf recall=$ivfRecall")
   }
+
+  test("PQ+ADC recall@10 beats the coarse methods (100-candidate exact rerank)") {
+    val exact = Vectors.cosineTopK(spark, sfDir).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = Vectors.annPq(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(pq).size / 10.0
+    // ADC ranks ALL vectors (no bucketing loss) before the exact rerank,
+    // so recall should be comfortably higher than LSH/IVF's floor
+    assert(recall >= 0.5, s"pq recall=$recall")
+  }
 }
