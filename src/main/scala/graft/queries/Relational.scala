@@ -568,7 +568,41 @@ object Relational {
         (levenshtein(col("p_name"), col("p_brand")) <= lit(8)).as("near_brand"))
       .orderBy(col("p_partkey"))
 
+  /** I13 calendar battery #2: quarter / ISO week / day-of-week /
+    * day-of-year / last_day / add_months — the partition-key and
+    * reporting-bucket derivations pipelines lean on. dayofweek is
+    * normalized to DuckDB's Sunday=0 convention; DATE-valued results
+    * surface as TIMESTAMP (driver dtype rule). */
+  def dateParts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        last_day(col("o_orderdate").cast(DateType)).cast(TimestampType).as("month_end"),
+        add_months(col("o_orderdate").cast(DateType), 1).cast(TimestampType).as("next_month"))
+      .orderBy(col("o_orderkey"))
+
+  /** F-family argmin/argmax + boolean aggregates: max_by/min_by (arg
+    * keys UNIQUE — ties would be engine-arbitrary), every/any, count_if.
+    * One map-side-combined shuffle. */
+  def argMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("latest_cust"),
+        every(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "P").as("has_pending"),
+        count_if(col("o_orderstatus") === "O").as("n_open"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_date_parts"         -> dateParts,
+    "q_arg_minmax"         -> argMinMax,
     "q_regr_agg"           -> regrAgg,
     "q_edit_distance"      -> editDistance,
     "q_scalar_bitwise"     -> scalarBitwise,
@@ -605,6 +639,24 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+         CAST(dayofweek(o_orderdate) AS INT) AS dow,
+         CAST(dayofyear(o_orderdate) AS INT) AS doy,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month
+         FROM orders ORDER BY o_orderkey""",
+    "q_arg_minmax" ->
+      """SELECT o_orderpriority,
+         max_by(o_orderstatus, o_orderkey) AS latest_status,
+         min_by(o_orderstatus, o_orderkey) AS first_status,
+         max_by(o_custkey, o_orderkey) AS latest_cust,
+         bool_and(o_totalprice > 0) AS all_positive,
+         bool_or(o_orderstatus = 'P') AS has_pending,
+         CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_regr_agg" ->
       """WITH sums AS (
            SELECT l_returnflag,
