@@ -102,6 +102,27 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoin → AsOfJoinExec via the injected planner
+    * strategy): one hash shuffle + sort per side — an equi-join's cost
+    * envelope — and a streaming O(1)-state merge, vs the window
+    * composition's shuffled union. Shares q_asof_join's DuckDB ASOF
+    * LEFT JOIN oracle: two implementations, one native and one
+    * composed, held to one external truth. */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_ts").as("last_purchase_ts"),
+        col("p_value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** J1 as an ACTUAL Structured Streaming run, not a batch dual: the
     * events parquet plays a file-source stream (Trigger.AvailableNow
     * drains it and terminates), the SAME windowed aggregation as the
@@ -341,6 +362,7 @@ object Events {
     "q_stream_sink"     -> streamSink,
     "q_sessionize"      -> sessionize,
     "q_asof_join"       -> asofJoin,
+    "q_asof_native"     -> asofNative,
     "q_window_tumbling" -> tumbling,
     "q_window_sliding"  -> sliding,
     "q_window_session"  -> sessionWindow,
@@ -458,6 +480,14 @@ object Events {
            max(ts) + INTERVAL '30 minutes' AS session_end,
            count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_asof_native" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+            p AS (SELECT * FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS last_purchase_ts, p.value AS last_purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
     "q_asof_join" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
             p AS (SELECT * FROM events WHERE event_type = 'purchase')

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions.lit
   * Wire with `spark.sql.extensions=graft.spark.GraftExtensions`
   * (Verify/Bench/test sessions all do). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => GraftRowLevelSql)
+    // native as-of join (graft.plans.AsOfJoin → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftRowLevelSql extends Rule[LogicalPlan] {
