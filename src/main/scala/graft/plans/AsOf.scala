@@ -21,9 +21,16 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"no column $n in ${p.output.map(_.name).mkString(", ")}"))
-    GraftPlanBridge.ofRows(left.sparkSession,
-      AsOfJoin(lp, rp,
-        attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTs), attr(rp, rightTs)))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lts, rts) = (attr(lp, leftTs), attr(rp, rightTs))
+    // Exec hashes each side on ITS OWN key and builds orderings from
+    // the LEFT types: an int-vs-long key pair would hash equal values
+    // to different partitions and silently lose every match — reject
+    // mismatches at plan time instead.
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lts.dataType == rts.dataType,
+      s"as-of timestamp types differ: ${lts.dataType} vs ${rts.dataType}")
+    GraftPlanBridge.ofRows(left.sparkSession, AsOfJoin(lp, rp, lk, rk, lts, rts))
   }
 }

@@ -108,9 +108,13 @@ final case class AsOfJoinExec(
       lit.map { lrow =>
         val k = lkB.eval(lrow)
         val t = ltB.eval(lrow)
-        if (k != null) {
+        // SQL semantics: a null key or null left-ts matches nothing
+        // (rts <= NULL is never true), and a null right-ts can never BE
+        // a match. The required Ascending ordering sorts NULLS FIRST,
+        // so null-ts right rows lead their key group: consume and drop.
+        if (k != null && t != null) {
           // consume right rows with (rk < k) or (rk == k && rts <= t);
-          // the last equal-key one consumed is the as-of match
+          // the last equal-key VALID one consumed is the as-of match
           var advancing = true
           while (advancing && pending != null) {
             val rk = rkB.eval(pending)
@@ -119,16 +123,21 @@ final case class AsOfJoinExec(
               pending = if (rit.hasNext) rit.next() else null
             } else if (cmp == 0) {
               val rt = rtB.eval(pending)
-              if (rt != null && tsOrd.compare(rt, t) <= 0) {
+              if (rt == null) { // unmatched by construction: skip
+                pending = if (rit.hasNext) rit.next() else null
+              } else if (tsOrd.compare(rt, t) <= 0) {
+                // copy BOTH the row and the key: the sort iterator
+                // reuses its row buffer (and, post-spill, the backing
+                // bytes of non-primitive keys like UTF8String)
                 lastMatch = pending.copy()
-                lastMatchKey = rk
+                lastMatchKey = rkB.eval(lastMatch)
                 pending = if (rit.hasNext) rit.next() else null
               } else advancing = false
             } else advancing = false
           }
         }
         val matched =
-          if (k != null && lastMatch != null && lastMatchKey != null &&
+          if (k != null && t != null && lastMatch != null && lastMatchKey != null &&
             keyOrd.compare(lastMatchKey, k) == 0) lastMatch
           else nullRight
         proj(joined(lrow, matched))

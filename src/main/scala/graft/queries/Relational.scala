@@ -600,7 +600,25 @@ object Relational {
         count_if(col("o_orderstatus") === "O").as("n_open"))
       .orderBy(col("o_orderpriority"))
 
+  /** Skew diagnosis: the distribution of per-key group sizes — the
+    * first thing to measure before choosing join/agg strategies at
+    * scale (salting, AQE skew thresholds, broadcast cutoffs all key off
+    * these numbers). Two-level aggregation: per-key counts (map-side
+    * combined), then O(1)-state stats over the counts; heavy-key
+    * thresholds as exact count_if. */
+  def skewDiag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        min(col("n")).as("min_rows"),
+        max(col("n")).as("max_rows"),
+        (sum(col("n")).cast(DoubleType) / count(lit(1))).as("avg_rows"),
+        count_if(col("n") >= 5).as("keys_ge5"),
+        count_if(col("n") >= 7).as("keys_ge7"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_diag"          -> skewDiag,
     "q_date_parts"         -> dateParts,
     "q_arg_minmax"         -> argMinMax,
     "q_regr_agg"           -> regrAgg,
@@ -639,6 +657,15 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_skew_diag" ->
+      """WITH per AS (
+           SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+         SELECT count(*) AS n_keys,
+           min(n) AS min_rows, max(n) AS max_rows,
+           CAST(sum(n) AS DOUBLE) / count(*) AS avg_rows,
+           CAST(count_if(n >= 5) AS BIGINT) AS keys_ge5,
+           CAST(count_if(n >= 7) AS BIGINT) AS keys_ge7
+         FROM per""",
     "q_date_parts" ->
       """SELECT o_orderkey,
          CAST(quarter(o_orderdate) AS INT) AS qtr,

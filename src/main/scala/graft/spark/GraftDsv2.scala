@@ -283,11 +283,22 @@ class GraftScanBuilder(table: GraftTable, full: StructType)
     Some((StructType(fieldsVals.map(_._1)), Row(fieldsVals.map(_._2): _*)))
   }
 
+  // supportCompletePushDown and pushAggregation arrive back-to-back for
+  // the same Aggregation: memoize by identity so the metadata load +
+  // manifest fold run once (and both calls answer from ONE metadata
+  // snapshot — no torn read if a commit lands between them)
+  private var memoAgg: Aggregation = _
+  private var memoResult: Option[(StructType, Row)] = None
+  private def metaAggFor(agg: Aggregation): Option[(StructType, Row)] = {
+    if (!(agg eq memoAgg)) { memoAgg = agg; memoResult = tryMetaAgg(agg) }
+    memoResult
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    tryMetaAgg(agg).isDefined
+    metaAggFor(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggResult = tryMetaAgg(agg)
+    aggResult = metaAggFor(agg)
     aggResult.isDefined
   }
 

@@ -1719,10 +1719,14 @@ final class GraftTable(val dir: Path) {
       .filter(c => BloomSidecar.eligible(c.sparkType))
     if (cols.isEmpty || entries.isEmpty) return entries
     val names = cols.map(_.name)
-    // keyed by FILE NAME: unique within one write (spark part-<task>-<uuid>)
-    // and immune to file:// URI rendering differences in input_file_name
-    def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
-    val rowsOf = entries.map(e => fname(e.path) -> e.rows).toMap
+    // keyed by ABSOLUTE PATH (input_file_name URI → decoded filesystem
+    // path): basenames are NOT unique in a partitioned write — one task
+    // can emit the same part-NNNNN name into several partition dirs,
+    // and folding those files into one bloom would silently defeat
+    // pruning exactly where it matters
+    def pathOf(uri: String) = new java.net.URI(uri).getPath
+    val rowsOf = entries
+      .map(e => dir.resolve(e.path).toAbsolutePath.toString -> e.rows).toMap
     val rowsB = spark.sparkContext.broadcast(rowsOf)
     val nB = spark.sparkContext.broadcast(names)
     val merged = spark.read
@@ -1732,7 +1736,7 @@ final class GraftTable(val dir: Path) {
         val acc = scala.collection.mutable.Map.empty[(String, String), BloomFilter]
         val ns = nB.value
         it.foreach { row =>
-          val f = fname(row.getString(ns.length))
+          val f = pathOf(row.getString(ns.length))
           val exp = math.max(rowsB.value.getOrElse(f, 100000L), 1L)
           var i = 0
           while (i < ns.length) {
@@ -1754,8 +1758,9 @@ final class GraftTable(val dir: Path) {
         }
       }
     entries.map { e =>
+      val abs = dir.resolve(e.path).toAbsolutePath.toString
       val perFile = names.flatMap(n =>
-        merged.get((fname(e.path), n)).map(n -> _)).toMap
+        merged.get((abs, n)).map(n -> _)).toMap
       if (perFile.isEmpty) e
       else {
         val ref = e.path + ".bloom"

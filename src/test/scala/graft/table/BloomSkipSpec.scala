@@ -73,6 +73,34 @@ class BloomSkipSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned write: one task, many partition dirs → per-file blooms stay distinct") {
+    // a single-task write emits the SAME part-00000 basename into every
+    // partition dir — blooms must key by full path or they'd merge and
+    // stop pruning (regression for the basename-keyed first version)
+    val cat = new GraftCatalog(Files.createTempDirectory("graft_wh"))
+    cat.createSchema("db")
+    val src = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 400).coalesce(1)
+    val t = cat.createTable("db.ev",
+      org.apache.spark.sql.types.StructType(src.schema.fields.map(f =>
+        f.copy(dataType = f.dataType))),
+      partitionDays = Some("ts"),
+      properties = Map("write.bloom-filter-columns" -> "event_id"))
+    t.append(src)
+    val m = t.meta
+    val files = m.currentSnapshot.get.manifest
+    assert(files.size > 1, "need multiple partition-dir files")
+    assert(files.forall(_.bloom.isDefined))
+    // an id from ONE file must bloom-prune the files that don't hold it:
+    // stats ranges per day file may overlap arbitrary ids, but each
+    // file's bloom was built from its own rows only
+    val someId = spark.read.parquet(t.dir.resolve(files.head.path).toString)
+      .select(min(col("event_id"))).head().getLong(0)
+    val kept = t.planFilters(m, Seq(EqualTo("event_id", someId)))
+    assert(kept.map(_.path) === Seq(files.head.path),
+      s"expected only the owning file, got ${kept.map(_.path)}")
+  }
+
   test("no property → no sidecars, planning unchanged") {
     val cat = new GraftCatalog(Files.createTempDirectory("graft_wh"))
     cat.createSchema("db")
