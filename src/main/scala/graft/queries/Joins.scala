@@ -655,7 +655,48 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** INTERVAL-OVERLAP join via coarse-grid bucketing — the scalable
+    * formulation of big×big range joins (Spark would otherwise plan a
+    * broadcast-nested-loop over the range predicate). Each 14-day order
+    * window and each 7-day promo period explodes to the ≤3 / ≤2 epoch-
+    * week grid cells it touches; candidates come from an ordinary hash
+    * EQUI-join on the cell, deduped, then the exact overlap predicate
+    * filters. Cost: shuffle ∝ intervals × cells-per-interval — never
+    * the |L|×|R| cross product; the same shape answers spatial joins
+    * with 2-D grid cells. Oracle: the naive overlap join. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType}
+    val epoch = lit("1970-01-01").cast(DateType)
+    def cellOf(c: org.apache.spark.sql.Column) = floor(datediff(c, epoch) / 7)
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate").cast(DateType).as("w_from"),
+      date_add(col("o_orderdate").cast(DateType), 14).as("w_to")) // [from, to)
+    val span = orders.agg(
+      min(col("w_from")).as("d0"), max(col("w_from")).as("d1"))
+    val promos = s.range(1).crossJoin(broadcast(span))
+      .select(explode(expr("sequence(d0, d1, interval 7 days)")).as("p_from"))
+      .select(col("p_from"), date_add(col("p_from"), 7).as("p_to"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_from"))).as("promo_id"))
+    val oCells = orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("w_from"), col("w_to"),
+      explode(sequence(cellOf(col("w_from")), cellOf(col("w_to")))).as("cell"))
+    val pCells = promos.select(col("promo_id"), col("p_from"), col("p_to"),
+      explode(sequence(cellOf(col("p_from")), cellOf(col("p_to")))).as("cell"))
+    oCells.join(pCells, Seq("cell"))
+      .filter(col("w_from") < col("p_to") && col("p_from") < col("w_to"))
+      .select(col("promo_id"), col("p_from"), col("o_orderkey"), col("o_totalprice"))
+      .distinct() // an overlapping pair can meet in several cells
+      .groupBy(col("promo_id"), col("p_from").cast(org.apache.spark.sql.types.TimestampType).as("promo_start"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+      .orderBy(col("promo_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> intervalJoin,
     "q_bloom_join"    -> bloomJoin,
     "q_bucketed_join" -> bucketedJoin,
     "q_tpch_q2"     -> tpchQ2,
@@ -691,6 +732,26 @@ object Joins {
     "q_salted_join" -> saltedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS w_from,
+             CAST(o_orderdate AS DATE) + 14 AS w_to
+           FROM orders),
+         span AS (SELECT min(w_from) AS d0, max(w_from) AS d1 FROM o),
+         p AS (
+           SELECT CAST(unnest(generate_series(
+               (SELECT d0 FROM span), (SELECT d1 FROM span),
+               INTERVAL 7 DAY)) AS DATE) AS p_from),
+         promos AS (
+           SELECT p_from, p_from + 7 AS p_to,
+             CAST(row_number() OVER (ORDER BY p_from) AS INT) AS promo_id
+           FROM p)
+         SELECT promo_id, CAST(p_from AS TIMESTAMP) AS promo_start,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM o JOIN promos ON w_from < p_to AND p_from < w_to
+         GROUP BY promo_id, p_from ORDER BY promo_id""",
     "q_bloom_join" ->
       """SELECT c_mktsegment,
          count(*) AS n_orders,
