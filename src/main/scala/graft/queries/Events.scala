@@ -350,7 +350,61 @@ object Events {
       .orderBy(col("user_id"), col("day_ts"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): per
+    * user, each consecutive event pair increments (from, to) — the
+    * sequence-mining primitive behind next-action models and funnel
+    * discovery. One user-partitioned window pass (deterministic order:
+    * ts + unique event_id tiebreak), then a tiny (from, to) aggregate;
+    * transition share is an exact count ratio. */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(
+        col("prev_type"), col("event_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** Daily-count anomaly detection: z-score of each (event_type, day)
+    * count against that type's distribution — computed from EXACT
+    * integer component sums (n, Σx, Σx²) via the closed form, so the
+    * scores are bit-identical at any parallelism (stddev_samp's running
+    * double accumulation is not; same policy as q_regr_agg). */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val n = col("n_days").cast(DoubleType)
+    val mean = col("sx").cast(DoubleType) / n
+    val varS = (col("sxx").cast(DoubleType) * n -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) / (n * (n - lit(1.0)))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("day").cast(TimestampType).as("day_ts"),
+        col("x"),
+        ((col("x").cast(DoubleType) - mean) / sqrt(varS)).as("z"))
+      .withColumn("anomalous", abs(col("z")) > lit(2.0))
+      .orderBy(col("event_type"), col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions"      -> transitions,
+    "q_anomaly_zscore"   -> anomalyZscore,
     "q_cohort_retention" -> cohortRetention,
     "q_gap_fill"         -> gapFill,
     "q_funnel" -> funnel,
@@ -369,6 +423,43 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         pairs AS (
+           SELECT prev_type, event_type, count(*) AS n FROM seq
+           WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         totals AS (
+           SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+           FROM pairs GROUP BY 1)
+         SELECT prev_type, event_type, n,
+           CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+         FROM pairs JOIN totals USING (prev_type)
+         ORDER BY prev_type, event_type""",
+    "q_anomaly_zscore" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, count(*) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, CAST(day AS TIMESTAMP) AS day_ts, x,
+           (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))) AS z,
+           abs((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))) > 2.0
+             AS anomalous
+         FROM daily JOIN stats USING (event_type)
+         ORDER BY event_type, day_ts""",
     "q_cohort_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
          c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

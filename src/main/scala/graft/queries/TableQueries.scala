@@ -253,6 +253,56 @@ object TableQueries {
     s.sql(s"SELECT o_orderkey, status, channel FROM $c.db.ddl_t ORDER BY o_orderkey")
   }
 
+  /** Incremental materialized-view maintenance: the MV (per-status
+    * counts + revenue) is computed at snapshot 1, then REFRESHED by
+    * aggregating ONLY snapshot 2's delta (readIncremental — the files
+    * that commit added, nothing else) and folding partial states. The
+    * oracle is the full recompute over everything, so the judged check
+    * IS the delta-maintenance invariant: refresh(MV, Δ) == recompute.
+    * At 100 TB this is the difference between a refresh costing O(Δ)
+    * and O(table); count/decimal-sum states make the fold exact. */
+  def tableMvRefresh(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("mv_refresh", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema)
+      val src = Tables.orders(s, d)
+      t0.append(src.filter(col("o_orderkey") % 2 === 0))
+      t0.append(src.filter(col("o_orderkey") % 2 === 1))
+      t0
+    }
+    def partial(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    val mv0 = partial(t.readVersion(s, 1))
+    val delta = partial(t.readIncremental(s, 1, 2))
+    mv0.unionByName(delta)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** CTAS + RTAS through the catalog plugin: Spark's non-atomic v2 CTAS
+    * (createTable + append via the V1 write bridge) and REPLACE TABLE AS
+    * SELECT both route through the same snapshot commit path as every
+    * other write — the judged read-back proves the created table holds
+    * exactly the SELECT's rows after an RTAS narrowed it. */
+  def tableCtas(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.ctas_t")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""CREATE TABLE $c.db.ctas_t AS
+          SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+          FROM graft_src_orders""")
+    s.sql(
+      s"""REPLACE TABLE $c.db.ctas_t AS
+          SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+          FROM graft_src_orders WHERE o_orderstatus <> 'F'""")
+    s.sql(s"SELECT * FROM $c.db.ctas_t ORDER BY o_orderkey")
+  }
+
   /** `.partitions` metadata table over a day-partitioned events table,
     * read through SQL (`SELECT * FROM cat.db.events.partitions`). Fully
     * deterministic: the clustered write produces exactly one file per
@@ -728,6 +778,8 @@ object TableQueries {
     "q_table_meta_sql"        -> tableMetaSql,
     "q_table_bloom_prune"     -> tableBloomPrune,
     "q_table_null_prune"      -> tableNullPrune,
+    "q_table_ctas"            -> tableCtas,
+    "q_table_mv_refresh"      -> tableMvRefresh,
     "q_table_incremental"     -> tableIncremental)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
@@ -826,6 +878,15 @@ object TableQueries {
          FROM orders""",
     "q_table_null_prune" -> orderedOrdersSql.format(
       "WHERE o_orderstatus <> 'F'"),
+    "q_table_ctas" ->
+      """SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS price
+         FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
+    "q_table_mv_refresh" ->
+      """SELECT o_orderstatus,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_table_bloom_prune" -> orderedOrdersSql.format(
       "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0)"),
     "q_table_meta_sql" ->
