@@ -191,6 +191,41 @@ object TableQueries {
           ORDER BY event_id""")
   }
 
+  /** Manifest-stats auto-broadcast, end-to-end: `nation` lives in a
+    * Graft table; the SQL join against the parquet `customer` view gets
+    * its broadcast from graft.plans.GraftBroadcastStats (the manifest
+    * says 25 rows / a few KB, under the threshold) — no user hint
+    * anywhere. Dsv2Spec asserts the plan shape (BroadcastHashJoin, and
+    * none when broadcasting is disabled); this query judges the result
+    * against the plain-SQL oracle. At 100 TB the same decision is what
+    * keeps a fact-dim join from shuffling the fact side. */
+  private val statsFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def tableStatsJoin(s: SparkSession, d: String): DataFrame = {
+    val cname = statsFixtures.getOrElseUpdate(d, {
+      val wh = graft.Scratch.fresh("graft_wh")
+      val cat = new GraftCatalog(wh)
+      cat.createSchema("db")
+      val src = Tables.nation(s, d)
+      cat.createTable("db.nation", src.schema).append(src)
+      val name = "graft_stats_" + math.abs(d.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.spark.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+      name
+    })
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_src")
+    // exact DECIMAL sum (c_acctbal carries 2 decimals): parallel double
+    // summation is order-dependent; the decimal fold is bit-identical at
+    // any parallelism — the repo-wide money-aggregation policy
+    s.sql(
+      s"""SELECT n.n_name, count(*) AS n_customers,
+          CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+          FROM graft_cust_src c
+          JOIN $cname.db.nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+          ORDER BY n.n_name""")
+  }
+
   /** One MUTABLE SQL warehouse per JVM for the DDL/DML lifecycle queries:
     * unlike the read fixture, these queries DROP + recreate their tables
     * per invocation, so state never leaks between runs — only the catalog
@@ -779,6 +814,7 @@ object TableQueries {
     "q_table_bloom_prune"     -> tableBloomPrune,
     "q_table_null_prune"      -> tableNullPrune,
     "q_table_ctas"            -> tableCtas,
+    "q_table_stats_join"      -> tableStatsJoin,
     "q_table_mv_refresh"      -> tableMvRefresh,
     "q_table_incremental"     -> tableIncremental)
 
@@ -882,6 +918,11 @@ object TableQueries {
       """SELECT o_orderkey, o_orderstatus,
          CAST(o_totalprice AS DOUBLE) AS price
          FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
+    "q_table_stats_join" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""",
     "q_table_mv_refresh" ->
       """SELECT o_orderstatus,
          count(*) AS n_orders,

@@ -348,9 +348,37 @@ class GraftMetaAggScan(aggSchema: StructType, row: Row) extends V1Scan {
 }
 
 class GraftV1Scan(table: GraftTable, filters: Array[Filter], required: StructType)
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived size/row estimates AFTER filter pruning — what lets
+    * Spark auto-broadcast a small (or small-once-pruned) Graft table
+    * without an explicit hint. At 100 TB the difference is a shuffle of
+    * the fact table vs a broadcast of the dim: the optimizer can only
+    * make that call if the scan reports its size, and the manifest
+    * already knows it (planning stays O(metadata), zero file IO).
+    * Row counts ignore MoR delete files — an overcount, so the estimate
+    * errs toward NOT broadcasting (never unsafely large broadcasts).
+    * NOTE: Spark's V1ScanWrapper hides this interface from the
+    * post-pushdown scan relation; GraftV1ScanStatsRule (preCBO) re-wraps
+    * so plan.stats actually sees these numbers. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val m = table.meta
+    val files = table.planFilters(m, filters.toSeq)
+    val rows = files.map(_.rows).sum
+    // on-disk bytes where recorded; else rows x projected row width (the
+    // same flat estimate Spark's EstimationUtils uses for unknown sizes)
+    val rowWidth = math.max(8L, required.defaultSize.toLong)
+    val bytes = files.map(f => f.sizeBytes.getOrElse(f.rows * rowWidth)).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, table, filters, required).asInstanceOf[T]

@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => GraftRowLevelSql)
     // native as-of join (graft.plans.AsOfJoin → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // manifest-stats auto-broadcast of small Graft join sides (the
+    // V1Scan bridge hides scan stats from post-pushdown join planning;
+    // see graft.plans.GraftBroadcastStats for the full why)
+    ext.injectOptimizerRule(_ => graft.plans.GraftBroadcastStats)
   }
 }
 

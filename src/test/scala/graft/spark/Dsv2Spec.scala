@@ -483,4 +483,39 @@ class Dsv2Spec extends SparkTestBase {
     val t2 = new GraftCatalog(wh).load("db.fresh")
     assert(t2.meta.currentSchema.map(_.name) === Seq("id", "name"))
   }
+
+  test("scan statistics reach join planning: small Graft table auto-broadcasts, no hint") {
+    val (wh, _) = partitionedEvents()
+    val c = freshCatalog(wh)
+    // a big non-Graft side: plain parquet lineitem via temp view
+    spark.read.parquet(s"$sfDir/lineitem.parquet").createOrReplaceTempView("li_stats_spec")
+    def staticPlan(sql: String): String = {
+      // AQE off: assert the STATIC choice — AQE can rescue a misplanned
+      // SMJ at runtime, but only after the fact side's shuffle map ran
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.sql(sql)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val p = staticPlan(
+      s"""SELECT e.event_type, count(*) AS n
+          FROM li_stats_spec l JOIN $c.db.events e ON l.l_orderkey = e.user_id
+          GROUP BY e.event_type""")
+    // without GraftBroadcastStats the V1ScanWrapper hides scan stats ->
+    // defaultSizeInBytes=Long.Max -> static SortMergeJoin of both sides
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the hint must respect the threshold: with broadcast disabled the
+    // same query must NOT broadcast (rule defers to user config)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = staticPlan(
+        s"""SELECT e.event_type, count(*) AS n
+            FROM li_stats_spec l JOIN $c.db.events e ON l.l_orderkey = e.user_id
+            GROUP BY e.event_type""")
+      assert(!p2.contains("BroadcastHashJoin"), p2)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
