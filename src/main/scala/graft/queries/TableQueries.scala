@@ -226,6 +226,38 @@ object TableQueries {
           ORDER BY n.n_name""")
   }
 
+  /** `CALL system.add_files`: a directory of PLAIN parquet (never
+    * touched by the Graft writer) becomes table rows via footer-only
+    * registration — the migration path that onboards 100 TB in seconds
+    * of metadata work instead of executor-hours of rewrite
+    * (GraftTable.addFiles). Fixture = write scratch parquet + empty
+    * table + the CALL (cached per corpus, like every fixture); the
+    * judged read-back proves registration neither lost nor invented
+    * rows, which is exactly the migration invariant. */
+  private val addFilesFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def tableAddFiles(s: SparkSession, d: String): DataFrame = {
+    val cname = addFilesFixtures.getOrElseUpdate(d, {
+      val srcDir = graft.Scratch.fresh("addfiles_src")
+      Tables.orders(s, d)
+        .select(ordersSchema.map(c => col(c.name).cast(c.dataType).as(c.name)): _*)
+        .coalesce(4).write.mode("overwrite").parquet(srcDir.toString)
+      val wh = graft.Scratch.fresh("graft_wh")
+      val cat = new GraftCatalog(wh)
+      cat.createSchema("db")
+      cat.createTable("db.orders_ext", ordersSchema)
+      val name = "graft_addf_" + math.abs(d.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.spark.GraftCatalogPlugin].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+      s.sql(s"CALL $name.system.add_files(table => 'db.orders_ext', source_dir => '$srcDir')").collect()
+      name
+    })
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS price
+          FROM $cname.db.orders_ext ORDER BY o_orderkey""")
+  }
+
   /** One MUTABLE SQL warehouse per JVM for the DDL/DML lifecycle queries:
     * unlike the read fixture, these queries DROP + recreate their tables
     * per invocation, so state never leaks between runs — only the catalog
@@ -815,6 +847,7 @@ object TableQueries {
     "q_table_null_prune"      -> tableNullPrune,
     "q_table_ctas"            -> tableCtas,
     "q_table_stats_join"      -> tableStatsJoin,
+    "q_table_add_files"       -> tableAddFiles,
     "q_table_mv_refresh"      -> tableMvRefresh,
     "q_table_incremental"     -> tableIncremental)
 
@@ -923,6 +956,10 @@ object TableQueries {
          CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY n.n_name ORDER BY n.n_name""",
+    "q_table_add_files" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+         FROM orders ORDER BY o_orderkey""",
     "q_table_mv_refresh" ->
       """SELECT o_orderstatus,
          count(*) AS n_orders,

@@ -244,6 +244,25 @@ object GraftProcedures {
         }
       }
 
+    // Iceberg's migration surface (`CALL system.add_files(...)`):
+    // register a directory of existing parquet as table rows without
+    // reading the data — O(footers), see GraftTable.addFiles.
+    case "add_files" =>
+      new GraftProc("add_files", Array(
+        p("table", StringType),
+        p("source_dir", StringType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val added = t.addFiles(SparkSession.active,
+            java.nio.file.Paths.get(input.getUTF8String(1).toString))
+          result(
+            StructType(Seq(
+              StructField("added_files", LongType),
+              StructField("added_rows", LongType))),
+            added.size.toLong, added.map(_.rows).sum)
+        }
+      }
+
     case other =>
       throw new IllegalArgumentException(
         s"no such procedure: system.$other (have: ${names.mkString(", ")})")
@@ -252,7 +271,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
     "rollback_to_snapshot", "cherrypick_snapshot", "create_tag",
     "create_branch", "drop_ref", "fast_forward", "remove_orphan_files",
-    "add_partition_field", "drop_partition_field")
+    "add_partition_field", "drop_partition_field", "add_files")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

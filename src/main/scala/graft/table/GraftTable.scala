@@ -487,6 +487,65 @@ final class GraftTable(val dir: Path) {
     }
   }
 
+  /** Iceberg's `add_files` migration: register EXISTING parquet files as
+    * an append snapshot WITHOUT reading or rewriting their data — the
+    * onboarding path that turns a directory of plain parquet into table
+    * rows at O(metadata) cost. At 100 TB this is the difference between
+    * an afternoon of executor-hours (CTAS re-write) and seconds of
+    * footer reads: per file one footer fetch harvests row count +
+    * min/max + null stats, so pruning works immediately.
+    *
+    * Semantics match Iceberg: ownership of the files TRANSFERS to the
+    * table — a later compaction or expire may rewrite or delete them
+    * (manifest paths may be absolute; every reader resolves via
+    * `dir.resolve`, for which an absolute path is a no-op).
+    *
+    * Guards: the file schema must carry every current column with the
+    * exact type (by name — the files never went through our writer, so
+    * column-id mapping is pinned to the CURRENT schema id; a later
+    * rename resolves by id like any other file). Partitioned tables
+    * refuse: external files have no partition values, and a silent
+    * empty-value entry would quietly exempt them from day pruning's
+    * contract that partitioned files carry their day. */
+  def addFiles(spark: SparkSession, sourceDir: java.nio.file.Path): Seq[DataFile] = {
+    val m0 = meta
+    require(m0.partitionFields.isEmpty,
+      s"add_files into a partitioned table is unsupported (table $dir has hidden " +
+        "partition fields; external files carry no partition values)")
+    val parquets = Files.list(sourceDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(parquets.nonEmpty, s"no .parquet files in $sourceDir")
+    // schema check against ONE Spark-inferred schema (names + types);
+    // per-file drift would surface as a read error later — fail now
+    val fileSchema = spark.read.parquet(sourceDir.toString).schema
+    val byName = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+    m0.currentSchema.foreach { c =>
+      val ft = byName.getOrElse(c.name,
+        throw new IllegalArgumentException(
+          s"add_files: source lacks column ${c.name} (has: ${byName.keys.mkString(", ")})"))
+      require(ft == c.sparkType,
+        s"add_files: column ${c.name} is $ft in the files, ${c.sparkType} in the table")
+    }
+    val newFiles = parquets.map { p =>
+      val (rows, stats, nulls) = FooterStats.readWithNulls(p, m0.currentSchema)
+      DataFile(
+        path = p.toAbsolutePath.toString,
+        rows = rows,
+        schemaId = m0.currentSchemaId,
+        partitionValues = Map.empty,
+        stats = Some(stats),
+        sizeBytes = Some(Files.size(p)),
+        nulls = if (nulls.isEmpty) None else Some(nulls))
+    }
+    TableMeta.commitRetry(dir) { fresh =>
+      appendSnapshot(fresh, "append",
+        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
+        carryDeletes(fresh))
+    }
+    newFiles
+  }
+
   /** Write-audit-publish STAGE: append `df` to a BRANCH without touching
     * main — the snapshot commits (files durable, time-travel readable)
     * but currentSnapshotId stays put; only the branch ref advances.

@@ -771,4 +771,31 @@ class TableSpec extends SparkTestBase {
     assert(cur.filter(col("id_pedido") === "p3").count() === 0)
     assert(cur.filter(col("id_pedido") === "p6").count() === 1)
   }
+
+  test("add_files registers external parquet in place: no copy, stats harvested, guards hold") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.ext", pedidosSchema)
+    // plain Spark parquet, never touched by the Graft writer
+    val srcDir = Files.createTempDirectory("addfiles_src")
+    pedidosDf.coalesce(2).write.mode("overwrite").parquet(srcDir.toString)
+    val added = t.addFiles(spark, srcDir)
+    assert(added.map(_.rows).sum === 5)
+    // rows readable and identical to the source
+    val got = t.read(spark).orderBy("id_pedido").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("p1", "p2", "p3", "p4", "p5"))
+    // in place: manifest points INTO srcDir (absolute), nothing copied
+    assert(t.meta.currentSnapshot.get.manifest.forall(_.path.startsWith(srcDir.toString)))
+    // footer stats harvested -> stats pruning live on day one
+    val pruned = t.planColRange(t.meta, "quantidade", "3", "9")
+    assert(pruned.size < added.size, pruned.map(_.stats))
+    // schema guard: a file set missing a column refuses loudly
+    val badDir = Files.createTempDirectory("addfiles_bad")
+    pedidosDf.drop("uf").write.mode("overwrite").parquet(badDir.toString)
+    val e = intercept[IllegalArgumentException](t.addFiles(spark, badDir))
+    assert(e.getMessage.contains("uf"))
+    // partitioned tables refuse (external files carry no partition values)
+    val tp = cat.createTable("db.ext_part", pedidosSchema, partitionDays = Some("data_criacao"))
+    assertThrows[IllegalArgumentException](tp.addFiles(spark, srcDir))
+  }
 }
