@@ -93,6 +93,34 @@ object Vectors {
       .limit(30)
   }
 
+  /** J7 KNN JOIN (batch retrieval): EVERY query vector (vec_id % 50 = 0,
+    * the query "batch") gets its k=5 nearest corpus neighbours by
+    * cosine — the two-sided shape behind RAG pair mining and hard-negative
+    * sampling, vs cosineTopK's single query. Plan: the query batch
+    * broadcasts (small side by construction), each corpus row scores all
+    * queries under the broadcast join, and only NARROW (iq, ic, cos)
+    * pairs — never embeddings — reach the per-query top-k window. The
+    * corpus is scanned ONCE regardless of |Q|; at 100 TB you bound |Q|
+    * per job and batch, and that single-scan property is exactly what
+    * separates a knn JOIN from |Q| repeated scans. */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("iq"), col("embedding").as("qe"),
+        norm2(col("embedding")).as("nq"))
+    val scored = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("ic"), col("embedding").as("ec"),
+        norm2(col("embedding")).as("nc"))
+      .crossJoin(broadcast(q))
+      .select(col("iq"), col("ic"),
+        round(dot(col("ec"), col("qe")) / (col("nc") * col("nq")), 7).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("iq")).orderBy(col("cos").desc, col("ic"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("iq"), col("rk"))
+  }
+
   /** Fixed random hyperplanes for sign-bit LSH: deterministic (seeded),
     * shared by build and probe side. 3 tables × 4 bits. */
   private[graft] val HYPERPLANES: Array[Array[Double]] = {
@@ -370,6 +398,7 @@ object Vectors {
     "q_vector_norms"  -> vectorNorms,
     "q_cosine_topk"   -> cosineTopK,
     "q_cosine_pairs"  -> topKPairs,
+    "q_knn_join"      -> knnJoin,
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
     "q_ann_pq"        -> annPq,
@@ -422,6 +451,21 @@ object Vectors {
                * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 20""",
+    "q_knn_join" ->
+      """WITH q AS (
+           SELECT vec_id AS iq, embedding AS qe,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+           FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.iq, c.vec_id AS ic,
+             round(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * nq), 7) AS cos
+           FROM embeddings c, q WHERE c.vec_id % 50 <> 0),
+         ranked AS (
+           SELECT iq, ic, cos,
+             CAST(row_number() OVER (PARTITION BY iq ORDER BY cos DESC, ic) AS INT) AS rk
+           FROM scored)
+         SELECT iq, ic, cos, rk FROM ranked WHERE rk <= 5 ORDER BY iq, rk""",
     "q_cosine_pairs" ->
       """SELECT a.vec_id AS ia, b.vec_id AS ib,
            round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
