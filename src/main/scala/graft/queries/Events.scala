@@ -402,7 +402,37 @@ object Events {
       .orderBy(col("event_type"), col("day_ts"))
   }
 
+  /** EWMA smoothing of the daily event count (half-life = 1 day,
+    * pandas-style adjust=true): ewma_d = Σ x·2^idx' / Σ 2^idx' over days
+    * ≤ d, idx = days since the corpus epoch. The 2^idx weights and both
+    * running numerator/denominator are EXACT BIGINTs (idx ≤ ~30 at every
+    * sf; x·2^idx < 2^47), so the sums are order-independent at any
+    * parallelism and the single final double division is deterministic —
+    * no float accumulation anywhere, the same policy as q_anomaly_zscore.
+    * (A float-weighted formulation would hash-diverge: Spark's running
+    * window folds sequentially while DuckDB may sum via segment tree —
+    * different association, different rounding.) */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val idx = datediff(col("day"), lit("2024-01-01").cast(DateType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("p2", pow(lit(2.0), idx.cast(DoubleType)).cast(LongType))
+      .withColumn("s1", sum(col("x") * col("p2")).over(w))
+      .withColumn("s2", sum(col("p2")).over(w))
+      .select(
+        col("event_type"), col("day").cast(TimestampType).as("day_ts"), col("x"),
+        (col("s1").cast(DoubleType) / col("s2").cast(DoubleType)).as("ewma"))
+      .orderBy(col("event_type"), col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma"             -> ewma,
     "q_transitions"      -> transitions,
     "q_anomaly_zscore"   -> anomalyZscore,
     "q_cohort_retention" -> cohortRetention,
@@ -423,6 +453,25 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         wtd AS (
+           SELECT event_type, day, x,
+             CAST(pow(2.0, date_diff('day', DATE '2024-01-01', day)) AS BIGINT) AS p2
+           FROM daily),
+         run AS (
+           SELECT event_type, day, x,
+             SUM(x * p2) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS s1,
+             SUM(p2) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS s2
+           FROM wtd)
+         SELECT event_type, CAST(day AS TIMESTAMP) AS day_ts, x,
+           CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE) AS ewma
+         FROM run ORDER BY event_type, day_ts""",
     "q_transitions" ->
       """WITH seq AS (
            SELECT event_type,
