@@ -431,7 +431,58 @@ object Events {
       .orderBy(col("event_type"), col("day_ts"))
   }
 
+  /** Log DEBOUNCE dedup: within each (user, event_type) stream, keep
+    * only the FIRST event of every burst — a burst being a chain of
+    * events each within 60 s of its predecessor (the session_window gap
+    * rule). The training-data use: collapse retry storms / double-clicks
+    * to one record. A burst's first event is precisely a row whose gap
+    * to its predecessor exceeds 60 s (or has no predecessor), so ONE lag
+    * window pass + a filter does it — a single shuffle on (user, type),
+    * no burst-id materialization, no second window. Deterministic: ties
+    * on ts break by unique event_id; gaps compare in exact integer
+    * microseconds (unix_micros ↔ DuckDB epoch_us). */
+  def debounce(s: SparkSession, d: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byKey)))
+      .filter(col("gap_us").isNull || col("gap_us") > 60000000L)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+  }
+
+  /** Chi-square contingency GRID over event_type × day-of-week: observed
+    * count, expected count and the per-cell chi² contribution — the
+    * association screen behind feature selection and drift detection.
+    * Per-cell output instead of the summed statistic BY POLICY: the sum
+    * would fold 35 doubles in shuffle order (not engine-reproducible),
+    * while each cell's e = row_total·col_total/N and (o−e)²/e are a
+    * fixed dag of exact-integer inputs — bit-identical anywhere. */
+  def chisqCells(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+    val cells = ev.groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("row_n"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("col_n"))
+    val n = ev.count() // metadata-sized driver scalar (one long)
+    cells
+      .join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .withColumn("e",
+        col("row_n").cast(DoubleType) * col("col_n").cast(DoubleType) / lit(n.toDouble))
+      .select(
+        col("event_type"), col("dow"), col("o"), col("e"),
+        ((col("o").cast(DoubleType) - col("e")) * (col("o").cast(DoubleType) - col("e")) /
+          col("e")).as("chi2_cell"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_debounce"         -> debounce,
+    "q_chisq_cells"      -> chisqCells,
     "q_ewma"             -> ewma,
     "q_transitions"      -> transitions,
     "q_anomaly_zscore"   -> anomalyZscore,
@@ -453,6 +504,30 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_debounce" ->
+      """WITH g AS (
+           SELECT event_id, ts, user_id, event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+           FROM events)
+         SELECT event_id, ts, user_id, event_type
+         FROM g WHERE gap_us IS NULL OR gap_us > 60000000
+         ORDER BY user_id, event_type, ts, event_id""",
+    "q_chisq_cells" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+         ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events)
+         SELECT c.event_type, c.dow, c.o,
+           (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / n.n) AS e,
+           ((CAST(c.o AS DOUBLE) - (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / n.n))
+             * (CAST(c.o AS DOUBLE) - (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / n.n))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / n.n)) AS chi2_cell
+         FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), n
+         ORDER BY c.event_type, c.dow""",
     "q_ewma" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
