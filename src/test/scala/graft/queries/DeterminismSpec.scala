@@ -16,7 +16,13 @@ class DeterminismSpec extends SparkTestBase {
     "q_char_diversity" -> TextOps.charDiversity _,
     "q_gap_fill"       -> Events.gapFill _,
     "q_mix_weights"    -> TextOps.mixWeights _,
-    "q_bigram_lift"    -> TextOps.bigramLift _)
+    "q_bigram_lift"    -> TextOps.bigramLift _,
+    "q_ewma"           -> Events.ewma _,
+    "q_chisq_cells"    -> Events.chisqCells _,
+    "q_anomaly_zscore" -> Events.anomalyZscore _,
+    "q_transitions"    -> Events.transitions _,
+    "q_knn_join"       -> Vectors.knnJoin _,
+    "q_table_stats_join" -> TableQueries.tableStatsJoin _)
 
   test("float-bearing queries are bit-identical at 1 vs 7 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"
