@@ -161,4 +161,23 @@ class PlanSpec extends SparkTestBase {
     val p = plan(TextOps.repetition(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("knn join broadcasts the query batch; the corpus never shuffles its embeddings") {
+    val p = plan(Vectors.knnJoin(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the top-k is pushed BELOW the shuffle (WindowGroupLimit Partial):
+    // each input partition forwards at most k rows per query, so the
+    // exchange carries O(|Q|·k·partitions) narrow rows, not |Q|·|C|
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("debounce is one window pass: a single hash shuffle on the stream key") {
+    val p = plan(Events.debounce(spark, sfDir))
+    // one hashpartitioning exchange for the lag window (plus the final
+    // orderBy's range exchange); AQE prints the plan twice -> count kinds
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
