@@ -397,8 +397,13 @@ object Events {
         col("event_type"),
         col("day").cast(TimestampType).as("day_ts"),
         col("x"),
-        ((col("x").cast(DoubleType) - mean) / sqrt(varS)).as("z"))
-      .withColumn("anomalous", abs(col("z")) > lit(2.0))
+        // degenerate groups (single day, or zero variance) have no
+        // defined z — emit NULL explicitly on BOTH sides rather than
+        // ride engine division semantics (Spark 0/0 → NULL, DuckDB
+        // double 0/0 → NaN: they'd hash-diverge)
+        when(col("n_days") >= 2 && varS > lit(0.0),
+          (col("x").cast(DoubleType) - mean) / sqrt(varS)).as("z"))
+      .withColumn("anomalous", abs(col("z")) > lit(2.0)) // NULL z -> NULL
       .orderBy(col("event_type"), col("day_ts"))
   }
 
@@ -422,7 +427,15 @@ object Events {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     daily
-      .withColumn("p2", pow(lit(2.0), idx.cast(DoubleType)).cast(LongType))
+      // exactness guard: outside [0, 62] the 2^idx weight stops being an
+      // exact BIGINT (Spark's non-ANSI double->long cast would SILENTLY
+      // saturate while DuckDB raises) — fail loudly instead if the
+      // corpus ever widens past the epoch window
+      .withColumn("p2",
+        when(idx.between(0, 62), pow(lit(2.0), idx.cast(DoubleType)).cast(LongType))
+          .otherwise(raise_error(concat(
+            lit("ewma: day offset outside exact-weight range [0,62]: "),
+            col("day").cast(StringType)))))
       .withColumn("s1", sum(col("x") * col("p2")).over(w))
       .withColumn("s2", sum(col("p2")).over(w))
       .select(
@@ -467,12 +480,15 @@ object Events {
     val cells = ev.groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
     val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("row_n"))
     val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("col_n"))
-    val n = ev.count() // metadata-sized driver scalar (one long)
+    // grand total N re-aggregates the tiny cells frame (1-row broadcast)
+    // — no second scan of events, and the query stays fully lazy
+    val grand = cells.agg(sum(col("o")).cast(DoubleType).as("n_total"))
     cells
       .join(broadcast(rowT), Seq("event_type"))
       .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(grand))
       .withColumn("e",
-        col("row_n").cast(DoubleType) * col("col_n").cast(DoubleType) / lit(n.toDouble))
+        col("row_n").cast(DoubleType) * col("col_n").cast(DoubleType) / col("n_total"))
       .select(
         col("event_type"), col("dow"), col("o"), col("e"),
         ((col("o").cast(DoubleType) - col("e")) * (col("o").cast(DoubleType) - col("e")) /
@@ -571,19 +587,22 @@ object Events {
            SELECT event_type, count(*) AS n_days,
              CAST(sum(x) AS BIGINT) AS sx,
              CAST(sum(x * x) AS BIGINT) AS sxx
-           FROM daily GROUP BY 1)
-         SELECT event_type, CAST(day AS TIMESTAMP) AS day_ts, x,
-           (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
-             / sqrt((CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))) AS z,
-           abs((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
-             / sqrt((CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))) > 2.0
-             AS anomalous
-         FROM daily JOIN stats USING (event_type)
-         ORDER BY event_type, day_ts""",
+           FROM daily GROUP BY 1),
+         v AS (
+           SELECT event_type, n_days, sx,
+             (CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)) AS var_s
+           FROM stats),
+         scored AS (
+           SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day_ts, d.x,
+             CASE WHEN n_days >= 2 AND var_s > 0 THEN
+               (CAST(d.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / sqrt(var_s)
+             END AS z
+           FROM daily d JOIN v USING (event_type))
+         SELECT event_type, day_ts, x, z, abs(z) > 2.0 AS anomalous
+         FROM scored ORDER BY event_type, day_ts""",
     "q_cohort_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
          c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

@@ -199,20 +199,34 @@ object TableQueries {
     * none when broadcasting is disabled); this query judges the result
     * against the plain-SQL oracle. At 100 TB the same decision is what
     * keeps a fact-dim join from shuffling the fact side. */
-  private val statsFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
-
-  def tableStatsJoin(s: SparkSession, d: String): DataFrame = {
-    val cname = statsFixtures.getOrElseUpdate(d, {
+  /** Shared once-per-JVM-per-corpus catalog fixture: scratch warehouse +
+    * `db` schema + catalog registration (Spark caches catalog instances
+    * by name forever, so names must be stable per corpus — hashCode via
+    * Long.abs, which unlike Int abs can't stay negative). `build` runs
+    * inside the once-block AFTER registration so it may use SQL against
+    * the new catalog. */
+  private def registeredCatalog(
+      reg: scala.collection.concurrent.TrieMap[String, String],
+      prefix: String, s: SparkSession, d: String)(
+      build: (GraftCatalog, String) => Unit): String =
+    reg.getOrElseUpdate(d, {
       val wh = graft.Scratch.fresh("graft_wh")
       val cat = new GraftCatalog(wh)
       cat.createSchema("db")
-      val src = Tables.nation(s, d)
-      cat.createTable("db.nation", src.schema).append(src)
-      val name = "graft_stats_" + math.abs(d.hashCode).toString
+      val name = prefix + d.hashCode.toLong.abs.toString
       s.conf.set(s"spark.sql.catalog.$name", classOf[graft.spark.GraftCatalogPlugin].getName)
       s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+      build(cat, name)
       name
     })
+
+  private val statsFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def tableStatsJoin(s: SparkSession, d: String): DataFrame = {
+    val cname = registeredCatalog(statsFixtures, "graft_stats_", s, d) { (cat, _) =>
+      val src = Tables.nation(s, d)
+      cat.createTable("db.nation", src.schema).append(src)
+    }
     Tables.customer(s, d).createOrReplaceTempView("graft_cust_src")
     // exact DECIMAL sum (c_acctbal carries 2 decimals): parallel double
     // summation is order-dependent; the decimal fold is bit-identical at
@@ -237,21 +251,14 @@ object TableQueries {
   private val addFilesFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def tableAddFiles(s: SparkSession, d: String): DataFrame = {
-    val cname = addFilesFixtures.getOrElseUpdate(d, {
+    val cname = registeredCatalog(addFilesFixtures, "graft_addf_", s, d) { (cat, name) =>
       val srcDir = graft.Scratch.fresh("addfiles_src")
       Tables.orders(s, d)
         .select(ordersSchema.map(c => col(c.name).cast(c.dataType).as(c.name)): _*)
         .coalesce(4).write.mode("overwrite").parquet(srcDir.toString)
-      val wh = graft.Scratch.fresh("graft_wh")
-      val cat = new GraftCatalog(wh)
-      cat.createSchema("db")
       cat.createTable("db.orders_ext", ordersSchema)
-      val name = "graft_addf_" + math.abs(d.hashCode).toString
-      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.spark.GraftCatalogPlugin].getName)
-      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
       s.sql(s"CALL $name.system.add_files(table => 'db.orders_ext', source_dir => '$srcDir')").collect()
-      name
-    })
+    }
     s.sql(
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
           CAST(o_totalprice AS DOUBLE) AS price

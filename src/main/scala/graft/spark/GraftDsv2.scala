@@ -353,17 +353,24 @@ class GraftV1Scan(table: GraftTable, filters: Array[Filter], required: StructTyp
 
   override def readSchema(): StructType = required
 
-  /** Manifest-derived size/row estimates AFTER filter pruning — what lets
-    * Spark auto-broadcast a small (or small-once-pruned) Graft table
-    * without an explicit hint. At 100 TB the difference is a shuffle of
-    * the fact table vs a broadcast of the dim: the optimizer can only
-    * make that call if the scan reports its size, and the manifest
-    * already knows it (planning stays O(metadata), zero file IO).
-    * Row counts ignore MoR delete files — an overcount, so the estimate
-    * errs toward NOT broadcasting (never unsafely large broadcasts).
-    * NOTE: Spark's V1ScanWrapper hides this interface from the
-    * post-pushdown scan relation; GraftV1ScanStatsRule (preCBO) re-wraps
-    * so plan.stats actually sees these numbers. */
+  /** Manifest-derived size/row estimates — what lets Spark auto-broadcast
+    * a small Graft table without an explicit hint. At 100 TB the
+    * difference is a shuffle of the fact table vs a broadcast of the dim:
+    * the optimizer can only make that call if the scan reports its size,
+    * and the manifest already knows it (planning stays O(metadata), zero
+    * file IO). Row counts ignore MoR delete files — an overcount, so the
+    * estimate errs toward NOT broadcasting (never unsafely large
+    * broadcasts).
+    * NOTE the only LIVE caller is the pre-pushdown
+    * `DataSourceV2RelationBase.computeStats`, which builds this scan with
+    * an EMPTY filter array — so today the planFilters call below always
+    * sees no filters (whole-table estimate). Post-pushdown, Spark's
+    * V1ScanWrapper hides this interface entirely (verified in 4.1.2
+    * bytecode), which is why the broadcast decision is taken by
+    * graft.plans.GraftBroadcastStats in the operator-optimization batch,
+    * where this pre-pushdown estimate is still visible via plan.stats.
+    * The filters parameter is kept in the computation so a future native
+    * Batch scan (no V1 bridge) inherits pruned estimates for free. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val m = table.meta
     val files = table.planFilters(m, filters.toSeq)

@@ -30,6 +30,18 @@ object FooterStats {
   def read(file: Path, schema: Seq[ColumnDef]): (Long, Map[String, ColRange]) =
     { val (r, s, _) = readWithNulls(file, schema); (r, s) }
 
+  /** Top-level column names present in a file's footer schema — the
+    * per-file presence check add_files needs (Spark's directory-level
+    * inference reads ONE footer, so a drifting file hides from it). */
+  def columnsOf(file: Path): Set[String] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), hadoopConf))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally reader.close()
+  }
+
   /** Full harvest: row count, per-column [min,max], and per-column null
     * counts (only columns where EVERY row group reports numNulls — a
     * partial count would under-report and make IS NULL pruning unsound). */

@@ -508,16 +508,19 @@ final class GraftTable(val dir: Path) {
     * empty-value entry would quietly exempt them from day pruning's
     * contract that partitioned files carry their day. */
   def addFiles(spark: SparkSession, sourceDir: java.nio.file.Path): Seq[DataFile] = {
-    val m0 = meta
-    require(m0.partitionFields.isEmpty,
-      s"add_files into a partitioned table is unsupported (table $dir has hidden " +
-        "partition fields; external files carry no partition values)")
-    val parquets = Files.list(sourceDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val parquets = {
+      val stream = Files.list(sourceDir) // close: a leaked DirectoryStream fd per call
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
     require(parquets.nonEmpty, s"no .parquet files in $sourceDir")
-    // schema check against ONE Spark-inferred schema (names + types);
-    // per-file drift would surface as a read error later — fail now
+    // Type check against ONE Spark-inferred schema; column PRESENCE is
+    // checked PER FILE below (Spark infers from a single footer, and a
+    // file missing a column would otherwise register fine and read back
+    // silent NULLs — violating the migration invariant value-wise).
+    val m0 = meta
     val fileSchema = spark.read.parquet(sourceDir.toString).schema
     val byName = fileSchema.fields.map(f => f.name -> f.dataType).toMap
     m0.currentSchema.foreach { c =>
@@ -527,7 +530,12 @@ final class GraftTable(val dir: Path) {
       require(ft == c.sparkType,
         s"add_files: column ${c.name} is $ft in the files, ${c.sparkType} in the table")
     }
+    val required = m0.currentSchema.map(_.name)
     val newFiles = parquets.map { p =>
+      val missing = required.toSet -- FooterStats.columnsOf(p)
+      require(missing.isEmpty,
+        s"add_files: $p lacks column(s) ${missing.mkString(", ")} — registering it " +
+          "would read back silent NULLs")
       val (rows, stats, nulls) = FooterStats.readWithNulls(p, m0.currentSchema)
       DataFile(
         path = p.toAbsolutePath.toString,
@@ -539,6 +547,19 @@ final class GraftTable(val dir: Path) {
         nulls = if (nulls.isEmpty) None else Some(nulls))
     }
     TableMeta.commitRetry(dir) { fresh =>
+      // guards validate FRESH metadata inside the retry closure (like
+      // every other mutator): a concurrent add_partition_field or a
+      // racing add_files of the same directory must lose loudly, not
+      // slip stale-checked files into the commit
+      require(fresh.partitionFields.isEmpty,
+        s"add_files into a partitioned table is unsupported (table $dir has hidden " +
+          "partition fields; external files carry no partition values)")
+      require(fresh.currentSchemaId == m0.currentSchemaId,
+        "add_files: schema changed concurrently; retry against the new schema")
+      val existing = fresh.currentSnapshot.map(_.manifest.map(_.path).toSet).getOrElse(Set.empty)
+      val dups = newFiles.map(_.path).filter(existing)
+      require(dups.isEmpty, // Iceberg's check_duplicate_files=true behavior
+        s"add_files: ${dups.size} file(s) already registered (re-run?): ${dups.take(3).mkString(", ")}")
       appendSnapshot(fresh, "append",
         fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
         carryDeletes(fresh))

@@ -174,9 +174,12 @@ class PlanSpec extends SparkTestBase {
 
   test("debounce is one window pass: a single hash shuffle on the stream key") {
     val p = plan(Events.debounce(spark, sfDir))
-    // one hashpartitioning exchange for the lag window (plus the final
-    // orderBy's range exchange); AQE prints the plan twice -> count kinds
-    assert(p.contains("Exchange hashpartitioning"), p)
+    // exactly one hashpartitioning exchange (the lag window; the only
+    // other exchange is the final orderBy's range partitioning). AQE's
+    // toString prints the executed plan twice, so a single shuffle shows
+    // as <= 2 occurrences — a reintroduced second window pass would be 4
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges >= 1 && hashExchanges <= 2, s"hash exchanges: $hashExchanges\n$p")
     assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty, p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }

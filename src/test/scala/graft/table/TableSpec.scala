@@ -789,6 +789,24 @@ class TableSpec extends SparkTestBase {
     // footer stats harvested -> stats pruning live on day one
     val pruned = t.planColRange(t.meta, "quantidade", "3", "9")
     assert(pruned.size < added.size, pruned.map(_.stats))
+    // duplicate guard: re-registering the same directory refuses loudly
+    // (Iceberg's check_duplicate_files) instead of silently doubling rows
+    val dup = intercept[IllegalArgumentException](t.addFiles(spark, srcDir))
+    assert(dup.getMessage.contains("already registered"))
+    // per-file schema guard: a file missing a column refuses loudly even
+    // when another file in the directory carries the full schema
+    val mixDir = Files.createTempDirectory("addfiles_mix")
+    pedidosDf.coalesce(1).write.mode("overwrite").parquet(mixDir.toString)
+    val partial = Files.createTempDirectory("addfiles_partial")
+    pedidosDf.drop("uf").coalesce(1).write.mode("overwrite").parquet(partial.toString)
+    Files.list(partial).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.headOption.foreach(p =>
+        Files.copy(p, mixDir.resolve("zz-drifted.parquet")))
+    val mixErr = intercept[IllegalArgumentException] {
+      val t3 = cat.createTable("db.ext_mix", pedidosSchema)
+      t3.addFiles(spark, mixDir)
+    }
+    assert(mixErr.getMessage.contains("uf"), mixErr.getMessage)
     // schema guard: a file set missing a column refuses loudly
     val badDir = Files.createTempDirectory("addfiles_bad")
     pedidosDf.drop("uf").write.mode("overwrite").parquet(badDir.toString)
