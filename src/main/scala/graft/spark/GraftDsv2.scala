@@ -554,10 +554,14 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!java.nio.file.Files.isDirectory(dir)) Array.empty
-    else java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => java.nio.file.Files.exists(p.resolve("meta").resolve("version-hint.text")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    else {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
+        .filter(p => java.nio.file.Files.exists(p.resolve("meta").resolve("version-hint.text")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally listing.close()
+    }
   }
 
   // -------------------------------------------------------- procedures
@@ -578,10 +582,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
 
   // -------------------------------------------------------- namespaces
 
-  override def listNamespaces(): Array[Array[String]] =
-    java.nio.file.Files.list(warehouse).iterator().asScala
+  override def listNamespaces(): Array[Array[String]] = {
+    val listing = java.nio.file.Files.list(warehouse)
+    try listing.iterator().asScala
       .filter(java.nio.file.Files.isDirectory(_))
       .map(p => Array(p.getFileName.toString)).toArray
+    finally listing.close()
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty

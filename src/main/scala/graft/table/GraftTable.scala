@@ -1381,8 +1381,13 @@ final class GraftTable(val dir: Path) {
     orphans.foreach(Files.deleteIfExists(_))
     // empty leftover directories are cosmetic; sweep the easy ones
     orphans.map(_.getParent).distinct.foreach { d2 =>
-      try { if (Files.isDirectory(d2) && !Files.list(d2).iterator().hasNext) Files.delete(d2) }
-      catch { case _: Exception => () }
+      try {
+        val empty = Files.isDirectory(d2) && {
+          val l = Files.list(d2)
+          try !l.iterator().hasNext finally l.close()
+        }
+        if (empty) Files.delete(d2)
+      } catch { case _: Exception => () }
     }
     // manifest-chunk debris: man-*.json written by commit attempts that
     // lost their race. A chunk is live if ANY existing version document
