@@ -121,6 +121,33 @@ object Vectors {
       .orderBy(col("iq"), col("rk"))
   }
 
+  /** Retrieval-quality evaluation over the knn join: per query,
+    * precision@5 and reciprocal rank with relevance = label match — the
+    * metric harness every embedding-model iteration loop needs next to
+    * the retrieval itself. All metric arithmetic is exact-rational
+    * (hit-count/5, 1/rank: single divisions of exact ints), so rows are
+    * bit-identical at any parallelism. Builds on knnJoin's plan (query
+    * batch broadcast, WindowGroupLimit partial top-k); the label joins
+    * broadcast the tiny (vec_id, label) projection, never embeddings. */
+  def retrievalEval(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    knnJoin(s, d)
+      .join(broadcast(labels.select(col("vec_id").as("iq"), col("label").as("q_label"))), Seq("iq"))
+      .join(broadcast(labels.select(col("vec_id").as("ic"), col("label").as("c_label"))), Seq("ic"))
+      .groupBy(col("iq"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(when(col("q_label") === col("c_label"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("q_label") === col("c_label"), col("rk"))).as("first_rel_rank"))
+      .select(
+        col("iq"), col("k"), col("n_rel"),
+        (col("n_rel").cast(DoubleType) / col("k").cast(DoubleType)).as("precision_at_k"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast(DoubleType), lit(0.0))
+          .as("reciprocal_rank"))
+      .orderBy(col("iq"))
+  }
+
   /** Fixed random hyperplanes for sign-bit LSH: deterministic (seeded),
     * shared by build and probe side. 3 tables × 4 bits. */
   private[graft] val HYPERPLANES: Array[Array[Double]] = {
@@ -399,6 +426,7 @@ object Vectors {
     "q_cosine_topk"   -> cosineTopK,
     "q_cosine_pairs"  -> topKPairs,
     "q_knn_join"      -> knnJoin,
+    "q_retrieval_eval" -> retrievalEval,
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
     "q_ann_pq"        -> annPq,
@@ -451,6 +479,36 @@ object Vectors {
                * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 20""",
+    "q_retrieval_eval" ->
+      """WITH q AS (
+           SELECT vec_id AS iq, embedding AS qe,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+           FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.iq, c.vec_id AS ic,
+             round(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * nq), 7) AS cos
+           FROM embeddings c, q WHERE c.vec_id % 50 <> 0),
+         ranked AS (
+           SELECT iq, ic, cos,
+             CAST(row_number() OVER (PARTITION BY iq ORDER BY cos DESC, ic) AS INT) AS rk
+           FROM scored),
+         knn AS (SELECT iq, ic, rk FROM ranked WHERE rk <= 5),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         scoredk AS (
+           SELECT k.iq, k.rk,
+             CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+           FROM knn k
+           JOIN lab ql ON ql.vec_id = k.iq
+           JOIN lab cl ON cl.vec_id = k.ic)
+         SELECT iq,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(rel) AS BIGINT) AS n_rel,
+           CAST(sum(rel) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS precision_at_k,
+           CAST(min(CASE WHEN rel = 1 THEN rk END) AS INT) AS first_rel_rank,
+           coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rk END) AS DOUBLE), 0.0)
+             AS reciprocal_rank
+         FROM scoredk GROUP BY iq ORDER BY iq""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS iq, embedding AS qe,
