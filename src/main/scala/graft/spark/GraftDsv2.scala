@@ -115,14 +115,20 @@ class GraftDsv2Table(val table: GraftTable, ident: String)
     }
 
   /** `DELETE FROM t WHERE ...` — only for predicates expressible as a
-    * Column (canDeleteWhere gates); executes the CoW delete. */
+    * Column (canDeleteWhere gates). Routes by Iceberg's
+    * `write.delete.mode` table property: copy-on-write by default
+    * (read-optimized: matching files rewritten), merge-on-read when the
+    * property says so (write-optimized: a positional delete file, no
+    * data rewrite — the right trade at 100 TB for small deletes). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => FilterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     val pred = filters.flatMap(FilterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
-    table.delete(spark, pred)
+    if (table.meta.allProperties.get("write.delete.mode").contains("merge-on-read"))
+      table.deleteMoR(spark, pred)
+    else table.delete(spark, pred)
   }
 }
 

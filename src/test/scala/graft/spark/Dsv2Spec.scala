@@ -484,6 +484,26 @@ class Dsv2Spec extends SparkTestBase {
     assert(t2.meta.currentSchema.map(_.name) === Seq("id", "name"))
   }
 
+  test("write.delete.mode=merge-on-read routes SQL DELETE to a positional delete file") {
+    val (wh, t) = partitionedEvents()
+    val c = freshCatalog(wh)
+    val before = t.read(spark).count()
+    val nClicks = t.read(spark).filter(col("event_type") === "click").count()
+    val filesBefore = t.meta.currentSnapshot.get.manifest.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $c.db.events SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $c.db.events WHERE event_type = 'click'")
+    val snap = t.meta.currentSnapshot.get
+    // MoR: delete files present, NO data file rewritten
+    assert(snap.allDeleteFiles.nonEmpty, "expected positional delete files")
+    assert(snap.manifest.map(_.path).toSet === filesBefore, "MoR must not rewrite data files")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.events").head().getLong(0) === before - nClicks)
+    // back to default: CoW rewrites instead
+    spark.sql(s"ALTER TABLE $c.db.events UNSET TBLPROPERTIES ('write.delete.mode')")
+    spark.sql(s"DELETE FROM $c.db.events WHERE event_type = 'view'")
+    val snap2 = t.meta.currentSnapshot.get
+    assert(snap2.manifest.map(_.path).toSet !== filesBefore, "CoW should rewrite affected files")
+  }
+
   test("scan statistics reach join planning: small Graft table auto-broadcasts, no hint") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)
