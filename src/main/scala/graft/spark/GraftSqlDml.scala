@@ -61,8 +61,10 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
 }
 
 /** `UPDATE t SET ... WHERE ...` → GraftTable.update (CoW: only files
-  * containing matching rows are rewritten). Expressions reference target
-  * columns only, so attrs re-resolve by bare name inside update()'s scan. */
+  * containing matching rows are rewritten) or GraftTable.updateMoR when
+  * `write.update.mode=merge-on-read` (positional deletes + appended
+  * updated copies, no rewrite of untouched rows). Expressions reference
+  * target columns only, so attrs re-resolve by bare name inside the scan. */
 case class GraftUpdateSqlCommand(
     table: GraftTable,
     assignments: Seq[Assignment],
@@ -82,7 +84,10 @@ case class GraftUpdateSqlCommand(
           s"UPDATE of nested field ${other.sql} is not supported")
       }
     }
-    table.update(spark, condition.map(unq).getOrElse(lit(true)), effective.toMap)
+    val pred = condition.map(unq).getOrElse(lit(true))
+    if (table.meta.allProperties.get("write.update.mode").contains("merge-on-read"))
+      table.updateMoR(spark, pred, effective.toMap)
+    else table.update(spark, pred, effective.toMap)
     Seq.empty
   }
 }

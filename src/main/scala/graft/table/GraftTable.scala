@@ -879,6 +879,42 @@ final class GraftTable(val dir: Path) {
       appendSnapshot(m, "update", manifest.diff(affected) ++ newFiles, carryDeletes(m)))
   }
 
+  /** Merge-on-read UPDATE (`write.update.mode=merge-on-read`): ONE
+    * snapshot carries positional delete files marking the old versions
+    * of matching rows plus new data files holding their updated copies —
+    * untouched rows in affected files are never rewritten. Write cost is
+    * O(matching rows), vs CoW update's O(bytes of every affected file):
+    * the right trade at 100 TB when an update touches few rows spread
+    * over many files (CoW stays right for bulk updates — hence a
+    * property, not a default). Readers see pre- or post-update
+    * atomically; time travel keeps the old rows via the old snapshot,
+    * and compaction later folds the deletes away. */
+  def updateMoR(spark: SparkSession, pred: Column, assignments: Map[String, Column]): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    assignments.keys.foreach(k =>
+      require(m.currentSchema.exists(_.name == k), s"no column $k"))
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) return
+    // one scan feeds both the position list and the updated copies
+    val matching = readLive(spark, m, manifest)
+      .filter(coalesce(pred, lit(false))).persist()
+    try {
+      val delEntries = writeDeleteParquet("d",
+        matching.select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos")))
+        .map { case (rel, rows) => DataFile(rel, rows, m.currentSchemaId, Map.empty) }
+      if (delEntries.isEmpty) return // nothing matched
+      val updatedRows = matching.select(m.currentSchema.map { c =>
+        assignments.get(c.name) match {
+          case Some(e) => e.cast(c.sparkType).as(c.name)
+          case None    => col(c.name)
+        }
+      }: _*)
+      val newFiles = writeFiles(spark, m, updatedRows)
+      TableMeta.commit(dir, v,
+        appendSnapshot(m, "update", manifest ++ newFiles, carryDeletes(m) ++ delEntries))
+    } finally matching.unpersist()
+  }
+
   /** MERGE-shaped upsert: rows of `source` whose `keyCol` matches an
     * existing row REPLACE it (update-all-columns), the rest are inserted —
     * `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *

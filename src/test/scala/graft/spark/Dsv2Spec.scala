@@ -504,6 +504,28 @@ class Dsv2Spec extends SparkTestBase {
     assert(snap2.manifest.map(_.path).toSet !== filesBefore, "CoW should rewrite affected files")
   }
 
+  test("write.update.mode=merge-on-read: SQL UPDATE appends updated copies + positional deletes, no rewrite") {
+    val (wh, t) = partitionedEvents()
+    val c = freshCatalog(wh)
+    val filesBefore = t.meta.currentSnapshot.get.manifest.map(_.path).toSet
+    val before = t.read(spark).count()
+    val nClicks = t.read(spark).filter(col("event_type") === "click").count()
+    assert(nClicks > 0)
+    spark.sql(s"ALTER TABLE $c.db.events SET TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    spark.sql(s"UPDATE $c.db.events SET value = value * 2, event_type = 'clicked' WHERE event_type = 'click'")
+    val snap = t.meta.currentSnapshot.get
+    // old files all still present (plus the appended update files)
+    assert(filesBefore.subsetOf(snap.manifest.map(_.path).toSet), "MoR update must not rewrite")
+    assert(snap.allDeleteFiles.nonEmpty, "expected positional deletes for the old row versions")
+    // row count preserved; matched rows transformed exactly once
+    assert(t.read(spark).count() === before)
+    assert(t.read(spark).filter(col("event_type") === "click").count() === 0)
+    assert(t.read(spark).filter(col("event_type") === "clicked").count() === nClicks)
+    // time travel still sees the pre-update state
+    assert(t.readVersion(spark, snap.parentId.get)
+      .filter(col("event_type") === "click").count() === nClicks)
+  }
+
   test("scan statistics reach join planning: small Graft table auto-broadcasts, no hint") {
     val (wh, _) = partitionedEvents()
     val c = freshCatalog(wh)
