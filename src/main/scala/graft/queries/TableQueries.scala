@@ -155,6 +155,28 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** Merge-on-read MERGE: the SAME upsert as q_table_merge (doubled
+    * price for keys %10=0, fresh inserts at key+1e8 for %10=1) but
+    * executed as mergeMoR — one snapshot of equality deletes + appended
+    * source rows, zero table scan, O(source) write cost (the per-batch
+    * CDC shape at 100 TB). Shares q_table_merge's oracle verbatim: two
+    * write strategies, one external truth. */
+  def tableMorMerge(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("merge_mor", d) {
+      val t0 = plainFixture(s, d)
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(
+          Tables.orders(s, d)
+            .filter(col("o_orderkey") % 10 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      t0.mergeMoR(s, src, "o_orderkey")
+      t0
+    }
+    ordered(t.read(s))
+  }
+
   /** DSv2 SQL read (SURVEY §9.1): the reference's primary UX is
     * `spark-sql` (README.md:148-151, 214-216) — this registers the Graft
     * catalog plugin and SQL-queries a day-partitioned table by name. The
@@ -837,6 +859,7 @@ object TableQueries {
     "q_table_history"         -> tableHistory,
     "q_table_update"          -> tableUpdate,
     "q_table_merge"           -> tableMerge,
+    "q_table_mor_merge"       -> tableMorMerge,
     "q_table_sql_read"        -> tableSqlRead,
     "q_table_sql_write"       -> tableSqlWrite,
     "q_table_sql_ddl"         -> tableSqlDdl,
@@ -1060,6 +1083,19 @@ object TableQueries {
          o_orderdate,
          CASE WHEN o_orderstatus = 'F' THEN '0-REVIEWED' ELSE o_orderpriority END AS o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+    "q_table_mor_merge" -> // same truth as q_table_merge (see tableMorMerge)
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE),
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 1)
+         ORDER BY o_orderkey""",
     "q_table_merge" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -915,6 +915,37 @@ final class GraftTable(val dir: Path) {
     } finally matching.unpersist()
   }
 
+  /** Merge-on-read MERGE (CDC-optimal upsert): ONE snapshot carrying an
+    * EQUALITY delete of the source keys plus the source rows as new data
+    * files — total write cost O(source), independent of table size, with
+    * no scan of the table at all (the equality delete records key VALUES;
+    * the read side applies it to older-seq files only). The sequence rule
+    * appendSnapshot stamps makes this atomic AND self-consistent: the new
+    * files carry seq == the delete's seq, and equality deletes apply only
+    * to files with seq < delete seq — so the upserted copies survive
+    * while every older version of the same key dies. This is the shape a
+    * streaming CDC ingest runs per micro-batch at 100 TB; the CoW
+    * `merge` stays right for bulk rewrites of heavily-matched files. */
+  def mergeMoR(spark: SparkSession, source: DataFrame, keyCol: String): Unit = {
+    val (_, m0) = TableMeta.load(dir)
+    require(m0.currentSchema.exists(_.name == keyCol), s"no column $keyCol")
+    val aligned = source.select(
+      m0.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    val newFiles = writeFiles(spark, m0, aligned)
+    val keyId = m0.currentSchema.find(_.name == keyCol).get.id
+    val delEntries = writeDeleteParquet("e",
+      aligned.select(col(keyCol)).dropDuplicates())
+      .map { case (rel, rows) =>
+        EqDeleteFile(rel, rows, Seq(keyCol), 0L, Some(Seq(keyId))) // seq stamped at commit
+      }
+    // reapply-safe (files + key parquet already durable) -> retry loop
+    TableMeta.commitRetry(dir) { fresh =>
+      appendSnapshot(fresh, "merge",
+        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
+        carryDeletes(fresh), newEqDeletes = delEntries)
+    }
+  }
+
   /** MERGE-shaped upsert: rows of `source` whose `keyCol` matches an
     * existing row REPLACE it (update-all-columns), the rest are inserted —
     * `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
