@@ -219,6 +219,30 @@ object Events {
     t.read(s).orderBy(col("event_id"))
   }
 
+  /** Streaming CDC upsert sink, judged: the events stream drains
+    * (AvailableNow) through EventStreams.upsertToTable — each micro-batch
+    * merge-on-read upserts per-user latest-event state, resolving by
+    * (ts, event_id) argmax against the table's current rows — and the
+    * judged output is the final TABLE state. Because the resolve is
+    * idempotent/commutative, the final state is the per-user latest
+    * event REGARDLESS of how the source was sliced into batches; the
+    * oracle states exactly that. */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = new graft.table.GraftCatalog(graft.Scratch.fresh("graft_upsert_wh"))
+    cat.createSchema("db")
+    val t = cat.createTable("db.user_state", StructType(Seq(
+      StructField("user_id", LongType), StructField("last_ts", TimestampType),
+      StructField("last_type", StringType), StructField("last_event_id", LongType))))
+    val stream = eventStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val q = graft.streaming.EventStreams.upsertToTable(stream, t)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    t.read(s).orderBy(col("user_id"))
+  }
+
   /** J4 custom stateful operator, judged: flatMapGroupsWithState
     * sessionization (streaming.EventStreams.sessionize) run in batch mode
     * — output must equal the session_window query row for row (same
@@ -511,6 +535,7 @@ object Events {
     "q_stream_dedup"    -> streamDedup,
     "q_stream_join"     -> streamJoin,
     "q_stream_sink"     -> streamSink,
+    "q_stream_upsert"   -> streamUpsert,
     "q_sessionize"      -> sessionize,
     "q_asof_join"       -> asofJoin,
     "q_asof_native"     -> asofNative,
@@ -693,6 +718,15 @@ object Events {
     "q_stream_sink" ->
       """SELECT event_id, ts, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    // upsert sink's final table state = per-user latest event,
+    // independent of micro-batch slicing (idempotent argmax resolve)
+    "q_stream_upsert" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type,
+           event_id AS last_event_id
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
     // append-mode streaming dedup must equal the batch DISTINCT
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,

@@ -120,6 +120,54 @@ object Joins {
       .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
       .orderBy(col("custkey"))
 
+  /** I7 INTERSECT ALL — the multiset variant: each (status, priority)
+    * row survives min(countA, countB) times. Spark plans the same
+    * partial-aggregatable shape as INTERSECT (hash on the row value,
+    * count per side, replicate) — one shuffle on the projected columns,
+    * never on the full rows. */
+  def intersectAllRows(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .intersectAll(
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .select(col("o_orderstatus"), col("o_orderpriority")))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Fuzzy entity-matching join: dirty strings (one deleted character)
+    * matched back to the clean catalog at edit distance ≤ 1 — WITHOUT a
+    * cross join. Blocking: levenshtein ≤ 1 implies same first character
+    * and length within ±1, so the clean side fans out to its 3 candidate
+    * (first_char, length) block keys and candidates come from an
+    * ordinary hash EQUI-join on the block key; the exact levenshtein
+    * (codegen'd built-in, same DP both engines) then filters. Cost is
+    * shuffle ∝ rows × 3 and per-block candidate products — the standard
+    * blocked record-linkage shape; a raw `levenshtein(a,b) <= 1` join
+    * predicate would plan a broadcast-nested-loop over |L|×|R|. The
+    * oracle IS that naive form (truth, not the scale path). */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+    // deterministic corruption: drop the 3rd character
+    val dirty = names.select(
+      concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
+        .as("dirty_name")).distinct()
+    val cleanBlocks = names.select(
+      col("name"),
+      explode(array(length(col("name")) - 1, length(col("name")),
+        length(col("name")) + 1)).as("blk_len"),
+      substring(col("name"), 1, 1).as("blk_c"))
+    val dirtyBlocks = dirty.select(
+      col("dirty_name"),
+      length(col("dirty_name")).as("blk_len"),
+      substring(col("dirty_name"), 1, 1).as("blk_c"))
+    cleanBlocks.join(dirtyBlocks, Seq("blk_c", "blk_len"))
+      .filter(levenshtein(col("name"), col("dirty_name")) <= 1)
+      .select(col("dirty_name"), col("name"),
+        levenshtein(col("name"), col("dirty_name")).cast("int").as("dist"))
+      .distinct() // a pair can meet in several length blocks
+      .orderBy(col("dirty_name"), col("name"))
+  }
+
   /** Skew-resilient join via key salting: replicate the (small) build side
     * SALT ways, scatter the probe side across salts, join on (key, salt).
     * Result is identical to the plain join — the oracle proves it — but no
@@ -728,6 +776,8 @@ object Joins {
     "q_range_join"  -> rangeJoin,
     "q_union_all"   -> unionAll,
     "q_intersect"   -> intersectKeys,
+    "q_intersect_all" -> intersectAllRows,
+    "q_fuzzy_join"  -> fuzzyJoin,
     "q_except"      -> exceptKeys,
     "q_salted_join" -> saltedJoin)
 
@@ -852,6 +902,23 @@ object Joins {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_intersect_all" ->
+      """SELECT o_orderstatus, o_orderpriority FROM orders
+         WHERE o_totalprice > 100000
+         INTERSECT ALL
+         SELECT o_orderstatus, o_orderpriority FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         dirty AS (
+           SELECT DISTINCT substr(name, 1, 2) || substr(name, 4) AS dirty_name
+           FROM names)
+         SELECT DISTINCT dirty_name, name,
+           CAST(levenshtein(name, dirty_name) AS INT) AS dist
+         FROM names, dirty
+         WHERE levenshtein(name, dirty_name) <= 1
+         ORDER BY dirty_name, name""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

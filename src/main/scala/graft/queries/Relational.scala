@@ -324,6 +324,29 @@ object Relational {
          ORDER BY c.c_custkey""")
   }
 
+  /** EXISTS / NOT EXISTS correlated subqueries (SQL surface): orders
+    * with at least one returned line and no deeply-discounted line.
+    * Catalyst's RewritePredicateSubquery turns the pair into one
+    * LEFT SEMI plus one LEFT ANTI join on l_orderkey — each a single
+    * hash-partitioned pass over lineitem, no per-row re-execution (the
+    * naive nested-loop reading of EXISTS would be O(|orders|·|lineitem|)
+    * at 100 TB). The DataFrame semi/anti duals are judged separately
+    * (q_join_semi / q_join_anti / q_tpch_q4); this entry pins the SQL
+    * decorrelation path itself. */
+  def subqueryExists(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_sq_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+    s.sql(
+      """SELECT o.o_orderpriority, count(*) AS n_orders
+         FROM graft_sq_orders o
+         WHERE EXISTS (SELECT 1 FROM graft_sq_lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+           AND NOT EXISTS (SELECT 1 FROM graft_sq_lineitem l2
+                           WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.09)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""")
+  }
+
   /** Sketch family: approximate percentiles (GK sketch — bounded memory
     * per group at any scale, like HLL for distincts). The sketch value
     * differs from DuckDB's algorithm, so the hash-checked output is the
@@ -636,6 +659,7 @@ object Relational {
     "q_pivot"              -> pivotStatus,
     "q_collect_agg"        -> collectAgg,
     "q_subquery_scalar"    -> subqueryScalar,
+    "q_subquery_exists"    -> subqueryExists,
     "q_orc_scan"           -> orcScan,
     "q_json_scan"          -> jsonScan,
     "q_percentiles"        -> percentiles,
@@ -828,6 +852,15 @@ object Relational {
          WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                               WHERE c2.c_nationkey = c.c_nationkey)
          ORDER BY c.c_custkey""",
+    "q_subquery_exists" ->
+      """SELECT o.o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+           AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.09)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
     "q_orc_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey""",

@@ -686,6 +686,33 @@ object TextOps {
         col("cleaned"))
       .orderBy(col("doc_id"))
 
+  /** URL parsing battery — the web-corpus primitive behind domain-level
+    * dedup, source filtering, and blocklist joins at 100 TB. URLs are
+    * derived deterministically from (source, lang, doc_id) — identically
+    * in the oracle — then decomposed with Spark's codegen'd `parse_url`
+    * (HOST / PATH / QUERY / REF / per-key QUERY lookup) plus a
+    * registered-domain-ish suffix extraction. Pure row-side expressions:
+    * no shuffle, no UDF; the oracle re-derives every part with regexes. */
+  def urlParse(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+      lit("/doc/"), col("doc_id").cast(StringType),
+      lit("?ref="), (col("doc_id") % 7).cast(StringType),
+      lit("&v=2#sec"), (col("doc_id") % 3).cast(StringType))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("qstring"),
+        expr("parse_url(url, 'REF')").as("fragment"),
+        expr("parse_url(url, 'QUERY', 'ref')").as("ref_param"),
+        regexp_extract(expr("parse_url(url, 'HOST')"), "[^.]+\\.[^.]+$", 0)
+          .as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram LIFT (rational PMI): corpus-frequency ratio
     * lift = c_xy·N / (c_x·c_y) — the collocation-mining primitive, with
     * the log left off (monotone, and libm logs aren't cross-engine
@@ -719,6 +746,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate"      -> boilerplate,
+    "q_url_parse"        -> urlParse,
     "q_bigram_lift"      -> bigramLift,
     "q_char_diversity"   -> charDiversity,
     "q_bm25"             -> bm25,
@@ -745,6 +773,23 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_url_parse" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR)
+               || '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+               || '&v=2#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS qstring,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           regexp_extract(regexp_extract(url, '^https://([^/?#]+)', 1),
+             '[^.]+\.[^.]+$', 0) AS domain
+         FROM u ORDER BY doc_id""",
     "q_boilerplate" ->
       """SELECT doc_id,
          CAST(len(text) AS INT) AS n_chars_raw,

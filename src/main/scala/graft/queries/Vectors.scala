@@ -418,7 +418,77 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Hybrid-retrieval rank fusion (RRF): the dense ranking (cosine over
+    * embeddings, query vec 0 — q_cosine_topk's scoring) and the sparse
+    * ranking (BM25 over documents for {spark, table} — q_bm25's scoring)
+    * fused by reciprocal rank with k=60. The doc_id/vec_id domains align
+    * by construction (TESTDATA), which is exactly the RAG hybrid-search
+    * join. Scale shape: each retriever produces a k-bounded list (the
+    * global row_number window ranks ≤ n rows AFTER per-retriever top-k
+    * pruning — list-sized, not corpus-sized), and the fusion is a join
+    * of two 50-row sets. The RRF score 1/(60+r1) + 1/(60+r2) is carried
+    * as an EXACT integer fraction (num, den) — (120+r1+r2, product) —
+    * so the judged output has no cross-engine float arithmetic at all;
+    * the double division appears only in ORDER BY of exact ints (IEEE
+    * division is deterministic). Absent ranks use sentinel 0, not NULL:
+    * the driver's pandas hash turns nullable ints into float64. */
+  def rankFusion(s: SparkSession, d: String): DataFrame = {
+    val K = 50
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"), norm2(col("embedding")).as("q_norm"))
+    val cosScored = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(q))
+      .select(col("id"),
+        round(dot(col("embedding"), col("q_embedding")) / (col("nrm") * col("q_norm")), 7).as("cos"))
+    val cosRank = cosScored
+      .withColumn("rank_cos",
+        row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast(IntegerType))
+      .filter(col("rank_cos") <= K)
+      .select(col("id"), col("rank_cos"))
+    // sparse side: BM25 as in TextOps.bm25 (k1=1.2, b=0.75, rational idf)
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => length(t) > 0)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin("spark", "table"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val scoreT = idf * (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / avgdl)))
+    val bmScored = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id").as("id"), scoreT.as("score_t"))
+      .groupBy(col("id")).agg(sum(col("score_t")).as("score"))
+    val bmRank = bmScored
+      .withColumn("rank_bm25",
+        row_number().over(Window.orderBy(round(col("score"), 7).desc, col("id"))).cast(IntegerType))
+      .filter(col("rank_bm25") <= K)
+      .select(col("id"), col("rank_bm25"))
+    val rc = col("rank_cos")
+    val rb = col("rank_bm25")
+    cosRank.join(bmRank, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(rc, lit(0)).cast(IntegerType).as("rank_cos"),
+        coalesce(rb, lit(0)).cast(IntegerType).as("rank_bm25"),
+        when(rc.isNotNull && rb.isNotNull, lit(120L) + rc + rb)
+          .otherwise(lit(1L)).cast(LongType).as("rrf_num"),
+        when(rc.isNotNull && rb.isNotNull, (lit(60L) + rc) * (lit(60L) + rb))
+          .otherwise(lit(60L) + coalesce(rc, rb)).cast(LongType).as("rrf_den"))
+      .orderBy((col("rrf_num").cast(DoubleType) / col("rrf_den").cast(DoubleType)).desc,
+        col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion"   -> rankFusion,
     "q_embed_quantize" -> embedQuantize,
     "q_pos_explode"   -> posExplode,
     "q_array_ops"     -> arrayOps,
@@ -471,6 +541,52 @@ object Vectors {
          CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
          CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin
          FROM embeddings ORDER BY vec_id""",
+    "q_rank_fusion" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cos AS (
+           SELECT vec_id AS id,
+             round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
+           FROM embeddings, q WHERE vec_id <> 0),
+         cr AS (
+           SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INT) AS rank_cos
+           FROM cos QUALIFY rank_cos <= 50),
+         dl AS (
+           SELECT doc_id, len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS dl
+           FROM documents),
+         corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           WHERE term IN ('spark', 'table') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id AS id,
+             ((CAST(n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                / (CAST(dfq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                       / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score_t
+           FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+         bm AS (SELECT id, sum(score_t) AS score FROM scored GROUP BY id),
+         br AS (
+           SELECT id, CAST(row_number() OVER (ORDER BY round(score, 7) DESC, id) AS INT) AS rank_bm25
+           FROM bm QUALIFY rank_bm25 <= 50),
+         fused AS (
+           SELECT coalesce(cr.id, br.id) AS id, cr.rank_cos AS rc, br.rank_bm25 AS rb
+           FROM cr FULL JOIN br ON cr.id = br.id)
+         SELECT id,
+           CAST(coalesce(rc, 0) AS INT) AS rank_cos,
+           CAST(coalesce(rb, 0) AS INT) AS rank_bm25,
+           CAST(CASE WHEN rc IS NOT NULL AND rb IS NOT NULL
+                THEN 120 + rc + rb ELSE 1 END AS BIGINT) AS rrf_num,
+           CAST(CASE WHEN rc IS NOT NULL AND rb IS NOT NULL
+                THEN (60 + rc) * (60 + rb)
+                ELSE 60 + coalesce(rc, rb) END AS BIGINT) AS rrf_den
+         FROM fused
+         ORDER BY CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) DESC, id""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

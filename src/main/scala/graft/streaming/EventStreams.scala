@@ -57,6 +57,37 @@ object EventStreams {
     * so the table never double-counts. foreachBatch is the right seam:
     * the append is a normal distributed write, the snapshot commit is
     * a metadata-sized CAS. */
+  /** CDC upsert sink: each micro-batch read-modify-writes per-key state
+    * into a Graft table via merge-on-read MERGE (equality deletes, no
+    * table rewrite). Conflict resolution is argmax by (ts, event_id)
+    * over batch ∪ current-state — an associative, commutative,
+    * IDEMPOTENT resolve, so out-of-order batches and replays converge
+    * to the same final state (replaying a batch deletes-and-rewrites
+    * the identical resolved rows; a snapshot is minted but the data is
+    * a fixed point). Cost per batch: O(batch) write plus a read of
+    * current state semi-joined to the batch's keys — stats/Bloom file
+    * pruning makes that key-sized at scale, never a table scan; the
+    * batch key set broadcasts (micro-batches are small by admission
+    * control). */
+  def upsertToTable(stream: DataFrame, table: graft.table.GraftTable): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch.toDF().select(
+          col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("event_id").as("last_event_id"))
+        val touched = incoming.select(col("user_id")).distinct()
+        val current = table.read(s)
+          .join(broadcast(touched), Seq("user_id"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("last_ts").desc, col("last_event_id").desc)
+        val resolved = incoming.unionByName(current)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        table.mergeMoR(s, resolved, "user_id")
+    }
+
   def sinkToTable(stream: DataFrame, table: graft.table.GraftTable): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
