@@ -72,21 +72,28 @@ object EventStreams {
   def upsertToTable(stream: DataFrame, table: graft.table.GraftTable): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val incoming = batch.toDF().select(
-          col("user_id"), col("ts").as("last_ts"),
-          col("event_type").as("last_type"), col("event_id").as("last_event_id"))
-        val touched = incoming.select(col("user_id")).distinct()
-        val current = table.read(s)
-          .join(broadcast(touched), Seq("user_id"), "left_semi")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("last_ts").desc, col("last_event_id").desc)
-        val resolved = incoming.unionByName(current)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        table.mergeMoR(s, resolved, "user_id")
+        applyUpsertBatch(batch.toDF(), table)
     }
+
+  /** One upsert application (the foreachBatch body, factored out so the
+    * idempotence/commutativity claims are directly testable on batch
+    * frames — UpsertSinkSpec). */
+  def applyUpsertBatch(batch: DataFrame, table: graft.table.GraftTable): Unit = {
+    val s = batch.sparkSession
+    val incoming = batch.select(
+      col("user_id"), col("ts").as("last_ts"),
+      col("event_type").as("last_type"), col("event_id").as("last_event_id"))
+    val touched = incoming.select(col("user_id")).distinct()
+    val current = table.read(s)
+      .join(broadcast(touched), Seq("user_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("last_event_id").desc)
+    val resolved = incoming.unionByName(current)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    table.mergeMoR(s, resolved, "user_id")
+  }
 
   def sinkToTable(stream: DataFrame, table: graft.table.GraftTable): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {

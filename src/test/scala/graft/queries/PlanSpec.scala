@@ -172,6 +172,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("fuzzy join blocks to an equi-join — never a nested-loop over the edit-distance predicate") {
+    val p = plan(Joins.fuzzyJoin(spark, sfDir))
+    // the levenshtein filter must ride on the (first_char, length) block
+    // equi-join; a raw lev<=1 join predicate would plan BNL over |L|x|R|
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("debounce is one window pass: a single hash shuffle on the stream key") {
     val p = plan(Events.debounce(spark, sfDir))
     // exactly one hashpartitioning exchange (the lag window; the only
