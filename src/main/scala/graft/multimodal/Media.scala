@@ -148,7 +148,67 @@ object Media {
       .orderBy(col("payload_md5"))
   }
 
+  /** 64-bit perceptual hash over the stub feature vector: each of the 16
+    * features quantizes to a 4-bit bucket of its vector-normalized value,
+    * GRAY-CODED so adjacent buckets differ in exactly one bit — small
+    * payload perturbations (a re-encode, a metadata tweak) move few bits,
+    * unrelated payloads differ in many. Deterministic pure function of
+    * the feature vector (a real pHash would DCT decoded pixels in the
+    * same slot). */
+  def phashOf(feat: Array[Float]): Long = {
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    feat.foreach { f => if (f < mn) mn = f; if (f > mx) mx = f }
+    val span = math.max(mx - mn, 1e-9)
+    var bits = 0L
+    var j = 0
+    while (j < feat.length) {
+      val b = math.min(15, math.max(0, math.round((feat(j) - mn) / span * 15).toInt))
+      val g = b ^ (b >> 1)
+      bits |= g.toLong << (j * 4)
+      j += 1
+    }
+    bits
+  }
+
+  /** Driver-judged (rows-only) perceptual near-dup detection — the media
+    * dual of SimHash text near-dup: corrupted re-encodes (payload + one
+    * trailing byte under a fresh id — bytes differ, so content-hash
+    * dedup CANNOT see the pair) are recovered by banded phash matching.
+    * Scale shape: payloads never shuffle (phash computed in the same
+    * mapPartitions pass as feature extraction); the self-join is a hash
+    * EQUI-join on (band, 8-bit band value) carrying only (id, phash) —
+    * candidates ∝ band-bucket occupancy, never |media|²; the Hamming
+    * re-rank (xor + bit_count, codegen'd) filters candidates. Accuracy
+    * is proven in MediaSpec (planted-pair recall + output bounds) — the
+    * same rows-only + spec treatment as LSH/minhash. */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = mediaTable(spark, sfDir)
+    val corrupted = base.toDF()
+      .select((col("media_id") + lit(1000000000L)).as("media_id"), col("meta"),
+        concat(col("payload"), lit(" ").cast("binary")).as("payload"))
+      .as[MediaRow]
+    val sig = extractFeatures(base.unionByName(corrupted))
+      .map(f => (f.media_id, phashOf(f.embedding)))
+      .toDF("media_id", "phash")
+    val bands = sig.select(col("media_id"), col("phash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("band"))
+      .select(col("media_id"), col("phash"), col("band.b"), col("band.v"))
+    val l = bands.select(col("media_id").as("id_a"), col("phash").as("pa"), col("b"), col("v"))
+    val r = bands.select(col("media_id").as("id_b"), col("phash").as("pb"), col("b"), col("v"))
+    l.join(r, Seq("b", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(pa ^ pb)").cast("int").as("hamming"))
+      .distinct() // a pair can agree on several bands
+      .filter(col("hamming") <= 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_phash"     -> phashPairs,
     "q_media_dedup"     -> mediaDedup,
     "q_media_meta"      -> mediaMeta,
     "q_media_frames"    -> mediaFrames,

@@ -384,6 +384,41 @@ object TableQueries {
     * SELECT both route through the same snapshot commit path as every
     * other write — the judged read-back proves the created table holds
     * exactly the SELECT's rows after an RTAS narrowed it. */
+  /** Incremental JOIN-view maintenance: the MV is an aggregate over
+    * fact ⋈ dim; a new fact snapshot refreshes it from the O(Δ) delta
+    * alone — MV' = fold(MV ∪ agg(Δfact ⋈ dim)) — never re-joining the
+    * full fact table (with a changing dim the symmetric rule adds
+    * fact ⋈ Δdim; the fold is the same). At 100 TB this is the
+    * difference between a full join recompute and delta-sized work per
+    * refresh; readIncremental supplies exactly the Δ rows between
+    * snapshots. The oracle is the FULL recompute over the final state —
+    * the judged check IS the maintenance invariant. Exact DECIMAL
+    * partial sums make the fold order-independent. */
+  def tableMvJoinRefresh(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("mv_join_refresh", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema)
+      val src = Tables.orders(s, d)
+      t0.append(src.filter(col("o_orderkey") % 2 === 0))
+      t0.append(src.filter(col("o_orderkey") % 2 === 1))
+      t0
+    }
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    def partial(fact: DataFrame) = fact
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    val mv0 = partial(t.readVersion(s, 1))
+    val delta = partial(t.readIncremental(s, 1, 2))
+    mv0.unionByName(delta)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def tableCtas(s: SparkSession, d: String): DataFrame = {
     val c = mutableCatalog(s)
     s.sql(s"DROP TABLE IF EXISTS $c.db.ctas_t")
@@ -879,6 +914,7 @@ object TableQueries {
     "q_table_stats_join"      -> tableStatsJoin,
     "q_table_add_files"       -> tableAddFiles,
     "q_table_mv_refresh"      -> tableMvRefresh,
+    "q_table_mv_join_refresh" -> tableMvJoinRefresh,
     "q_table_incremental"     -> tableIncremental)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
@@ -995,6 +1031,12 @@ object TableQueries {
          count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_table_mv_join_refresh" ->
+      """SELECT c_mktsegment,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_table_bloom_prune" -> orderedOrdersSql.format(
       "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0)"),
     "q_table_meta_sql" ->

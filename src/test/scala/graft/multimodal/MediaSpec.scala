@@ -25,6 +25,19 @@ class MediaSpec extends SparkTestBase {
     assert(a.map(_.media_id).distinct.length === a.length)
   }
 
+  test("phash near-dup recovers corrupted re-encodes with high recall and near-zero noise") {
+    import org.apache.spark.sql.functions._
+    val nDocs = Media.mediaTable(spark, sfDir).count()
+    val pairs = Media.phashPairs(spark, sfDir).collect()
+    // planted pair = (id, id + 1e9): same payload plus one trailing byte
+    val planted = pairs.count(r => r.getAs[Long]("id_b") - r.getAs[Long]("id_a") == 1000000000L)
+    assert(planted >= (nDocs * 0.8).toLong, s"recall: $planted of $nDocs")
+    // noise (pairs between unrelated payloads) must stay marginal
+    assert(pairs.length - planted <= math.max(2, nDocs / 10),
+      s"noise pairs: ${pairs.length - planted}")
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 4))
+  }
+
   test("resize plan caps the long side; frame sampling steps by k") {
     val media = Media.mediaTable(spark, sfDir)
     val resized = Media.planResize(media, maxSide = 96).collect()
