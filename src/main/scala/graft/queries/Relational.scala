@@ -273,6 +273,56 @@ object Relational {
       .groupBy(col("priority")).agg(count(lit(1)).as("n"))
       .orderBy(col("priority"))
 
+  /** Re-aggregatable sketch rollup: per-status HLL sketches of distinct
+    * customers are UNIONED into the global sketch — one pass serves every
+    * granularity, the pattern that replaces per-granularity COUNT
+    * DISTINCT scans at 100 TB (sketches are tiny, mergeable, and
+    * register-max union is order-independent, so the estimate is
+    * deterministic at any parallelism). The judged fact is the sketch
+    * CONTRACT (same treatment as q_approx_percentile): every level's
+    * estimate lands within 5% of exact, which the oracle states as
+    * literal booleans next to the exact counts. */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val per = o.groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+    val perOut = per.select(col("o_orderstatus"), col("exact_custs"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("exact_custs")) <=
+        col("exact_custs") * 0.05).as("within_5pct"))
+    // the rollup: union the per-group sketches, never rescan the data
+    val globalApprox = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val globalExact = o.agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    val globalOut = globalExact.crossJoin(globalApprox)
+      .select(lit("ALL").as("o_orderstatus"), col("exact_custs"),
+        (abs(col("approx") - col("exact_custs")) <=
+          col("exact_custs") * 0.05).as("within_5pct"))
+    perOut.unionByName(globalOut).orderBy(col("o_orderstatus"))
+  }
+
+  /** Equi-depth decile profile per group: ntile(10) over a TOTALLY
+    * ordered key (price + unique row key — ties broken identically in
+    * both engines), then per-bucket count/min/max/exact-decimal sum.
+    * The window partitions by return flag, so it parallelizes by key; a
+    * GLOBAL equi-depth profile at 100 TB would instead take
+    * approx_percentile boundaries (one pass) and range-join rows to
+    * buckets — this query is the per-group shape both build on. */
+  def quantileBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("l_returnflag"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("tot"))
+      .orderBy(col("l_returnflag"), col("decile"))
+  }
+
   /** F-family: exact interpolated percentiles (Spark `percentile` ==
     * DuckDB `quantile_cont`, both linear interpolation on sorted data —
     * an exact, order-independent aggregate). */
@@ -660,6 +710,8 @@ object Relational {
     "q_collect_agg"        -> collectAgg,
     "q_subquery_scalar"    -> subqueryScalar,
     "q_subquery_exists"    -> subqueryExists,
+    "q_hll_rollup"         -> hllRollup,
+    "q_quantile_buckets"   -> quantileBuckets,
     "q_orc_scan"           -> orcScan,
     "q_json_scan"          -> jsonScan,
     "q_percentiles"        -> percentiles,
@@ -852,6 +904,23 @@ object Relational {
          WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                               WHERE c2.c_nationkey = c.c_nationkey)
          ORDER BY c.c_custkey""",
+    "q_hll_rollup" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS within_5pct
+         FROM orders GROUP BY o_orderstatus
+         UNION ALL
+         SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
+         ORDER BY o_orderstatus""",
+    "q_quantile_buckets" ->
+      """WITH b AS (
+           SELECT l_returnflag, l_extendedprice,
+             ntile(10) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+           FROM lineitem)
+         SELECT l_returnflag, CAST(decile AS INT) AS decile, count(*) AS n,
+           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_subquery_exists" ->
       """SELECT o.o_orderpriority, count(*) AS n_orders
          FROM orders o
