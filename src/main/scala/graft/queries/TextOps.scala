@@ -217,6 +217,55 @@ object TextOps {
     * for bounded cost, the standard production tradeoff. */
   private val MAX_POSTING = 1000
 
+  /** Prefix-filtered set-similarity self-join (the PPJoin/SSJoin
+    * candidate-generation principle): for Jaccard ≥ τ, two shingle sets
+    * MUST share a token within their length-(|X| − ⌈τ·|X|⌉ + 1) prefixes
+    * under one global token order — so only prefixes enter the inverted
+    * index, shrinking candidate generation from Σ df² over ALL tokens to
+    * the prefix tokens only (rarest-first ordering makes those the
+    * low-df tokens, exactly the cheap postings). Candidates then verify
+    * with the exact Jaccard over the full sets. Same external truth as
+    * q_jaccard_pairs' naive oracle, restricted to the τ threshold —
+    * completeness is the prefix principle, precision is the verify step.
+    * At 100 TB this is the difference between indexing every token and
+    * indexing ~(1−τ) of each document's rarest tokens. */
+  def jaccardPrefix(s: SparkSession, d: String): DataFrame = {
+    val TAU = 0.5
+    val tmp = graft.Scratch.overwritable("shingles_pfx", d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
+      .write.mode("overwrite").parquet(tmp)
+    val base = s.read.parquet(tmp)
+    val docTok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
+    // global rarity order: ascending document frequency, ties by token —
+    // deterministic and identical on every executor
+    val dfs = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefixes = docTok.join(dfs, Seq("tok"))
+      .withColumn("rnk", row_number().over(byDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * TAU) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cands = prefixes.select(col("doc_id").as("ia"), col("tok"))
+      .join(prefixes.select(col("doc_id").as("ib"), col("tok")), Seq("tok"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    // verify candidates on the full sets; two-stage projection so the
+    // intersect computes once, not per reference
+    cands
+      .join(base.select(col("doc_id").as("ia"), col("sh").as("sha")), Seq("ia"))
+      .join(base.select(col("doc_id").as("ib"), col("sh").as("shb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+      .select(col("ia"), col("ib"),
+        (col("common").cast(DoubleType) /
+          (col("sa") + col("sb") - col("common")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= TAU)
+      .orderBy(col("jaccard").desc, col("ia"), col("ib"))
+  }
+
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Materialize the shingle table once: it feeds BOTH sides of the
     // self-join plus the size lookup, and (measured) Catalyst otherwise
@@ -764,6 +813,7 @@ object TextOps {
     "q_dedup_exact"      -> dedupExact,
     "q_dedup_keep_first" -> dedupKeepFirst,
     "q_jaccard_pairs"    -> jaccardPairs,
+    "q_jaccard_prefix"   -> jaccardPrefix,
     "q_minhash_pairs"    -> minhashPairs,
     "q_simhash_pairs"    -> simhashPairs,
     "q_lang_id"          -> langId,
@@ -1075,6 +1125,21 @@ object TextOps {
       """SELECT source, count(*) AS n_docs,
            count(CASE WHEN substr(md5(text), 1, 1) <= '3' THEN 1 END) AS n_kept
          FROM documents GROUP BY source ORDER BY source""",
+    "q_jaccard_prefix" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat(string_split(text, ' ')[i], ' ',
+                           string_split(text, ' ')[i+1], ' ',
+                           string_split(text, ' ')[i+2]))) AS s
+           FROM documents)
+         SELECT ia, ib, jaccard FROM (
+           SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5
+         ORDER BY jaccard DESC, ia, ib""",
     "q_jaccard_pairs" ->
       """WITH sh AS (
            SELECT doc_id,

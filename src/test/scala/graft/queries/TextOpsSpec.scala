@@ -166,6 +166,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(k > 0 && k < n) // 25% target, loose sanity bounds
   }
 
+  test("prefix filter indexes strictly fewer postings than the full inverted index") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // full index size = total distinct shingles per doc; the τ=0.5 prefix
+    // keeps |X| − ⌈τ|X|⌉ + 1 ≈ half of each doc's tokens (+1)
+    val sizes = docs.select(size(array_distinct(expr(
+      "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")))
+      .as("sz")).collect().map(_.getInt(0))
+    val full = sizes.map(_.toLong).sum
+    val prefix = sizes.map(sz => sz - math.ceil(sz * 0.5).toLong + 1).sum
+    assert(prefix < full, s"prefix=$prefix full=$full")
+    assert(prefix <= full / 2 + sizes.length, s"prefix=$prefix full=$full")
+  }
+
   test("language-ID emits only known languages, deterministically") {
     val a = TextOps.langId(spark, sfDir).collect()
     val langs = Set("en", "de", "fr", "es", "zh")
