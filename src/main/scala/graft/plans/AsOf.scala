@@ -14,7 +14,10 @@ object AsOf {
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got $direction")
     val lp = GraftPlanBridge.analyzed(left)
     val rp = GraftPlanBridge.analyzed(right)
     def attr(p: LogicalPlan, n: String) =
@@ -31,6 +34,7 @@ object AsOf {
       s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lts.dataType == rts.dataType,
       s"as-of timestamp types differ: ${lts.dataType} vs ${rts.dataType}")
-    GraftPlanBridge.ofRows(left.sparkSession, AsOfJoin(lp, rp, lk, rk, lts, rts))
+    GraftPlanBridge.ofRows(left.sparkSession,
+      AsOfJoin(lp, rp, lk, rk, lts, rts, forward = direction == "forward"))
   }
 }

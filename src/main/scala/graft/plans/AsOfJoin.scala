@@ -33,7 +33,10 @@ final case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    // false = backward (greatest rts <= lts, the default);
+    // true = forward (smallest rts >= lts)
+    forward: Boolean = false) extends BinaryNode {
 
   // right side is outer: unmatched left rows emit nulls
   override def output: Seq[Attribute] =
@@ -46,8 +49,8 @@ final case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -65,7 +68,8 @@ final case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryExecNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -105,7 +109,33 @@ final case class AsOfJoinExec(
       var pending: InternalRow = if (rit.hasNext) rit.next() else null
       var lastMatch: InternalRow = null
       var lastMatchKey: Any = null
-      lit.map { lrow =>
+      if (forward) lit.map { lrow =>
+        // FORWARD: smallest rts >= lts. Left rows arrive ts-ascending,
+        // so right rows with rts < lts are dead for every later left row
+        // of the key too — consuming them is safe; the match (if any) is
+        // the pending row itself, NOT consumed (the next left row may
+        // match it again). No carried state at all.
+        val k = lkB.eval(lrow)
+        val t = ltB.eval(lrow)
+        var matched: InternalRow = nullRight
+        if (k != null && t != null) {
+          var advancing = true
+          while (advancing && pending != null) {
+            val rk = rkB.eval(pending)
+            val cmp = if (rk == null) -1 else keyOrd.compare(rk, k)
+            if (cmp < 0) {
+              pending = if (rit.hasNext) rit.next() else null
+            } else if (cmp == 0) {
+              val rt = rtB.eval(pending)
+              if (rt == null || tsOrd.compare(rt, t) < 0) {
+                pending = if (rit.hasNext) rit.next() else null
+              } else { matched = pending; advancing = false }
+            } else advancing = false
+          }
+        }
+        proj(joined(lrow, matched))
+      }
+      else lit.map { lrow =>
         val k = lkB.eval(lrow)
         val t = ltB.eval(lrow)
         // SQL semantics: a null key or null left-ts matches nothing

@@ -123,6 +123,27 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the same native operator: each click picks
+    * the NEXT purchase at-or-after it (smallest p_ts >= ts) — the
+    * "time-to-conversion" direction. Same one-shuffle-per-side cost
+    * envelope; the forward merge carries no state at all (the candidate
+    * is the un-consumed head of the right iterator). Oracle: DuckDB
+    * ASOF LEFT JOIN with the inequality flipped to c.ts <= p.ts. */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_ts").as("next_purchase_ts"),
+        col("p_value").as("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** J1 as an ACTUAL Structured Streaming run, not a batch dual: the
     * events parquet plays a file-source stream (Trigger.AvailableNow
     * drains it and terminates), the SAME windowed aggregation as the
@@ -539,6 +560,7 @@ object Events {
     "q_sessionize"      -> sessionize,
     "q_asof_join"       -> asofJoin,
     "q_asof_native"     -> asofNative,
+    "q_asof_forward"    -> asofForward,
     "q_window_tumbling" -> tumbling,
     "q_window_sliding"  -> sliding,
     "q_window_session"  -> sessionWindow,
@@ -755,6 +777,14 @@ object Events {
            p.ts AS last_purchase_ts, p.value AS last_purchase_value
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+    "q_asof_forward" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+            p AS (SELECT * FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS next_purchase_ts, p.value AS next_purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
     "q_asof_join" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),

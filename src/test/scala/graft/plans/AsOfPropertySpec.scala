@@ -63,4 +63,35 @@ class AsOfPropertySpec extends SparkTestBase {
       }
     }, minTests = 40)
   }
+
+  test("∀ sides: FORWARD as-of == brute-force smallest-rts-≥-lts model") {
+    import spark.implicits._
+    check(Prop.forAll(genSides) { case (ls, rs) =>
+      val clicks = ls.zipWithIndex
+        .map { case ((k, t), i) => (java.lang.Long.valueOf(i.toLong), k, t) }
+        .toDF("event_id", "user_id", "ts")
+      val purchases = rs.toDF("p_user", "p_ts", "p_value")
+      val out = AsOf.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+          direction = "forward")
+        .orderBy("event_id").collect()
+
+      val model = ls.zipWithIndex.map { case ((k, t), i) =>
+        val best =
+          if (k == null || t == null) Nil
+          else rs.filter(r => r._1 == k && r._2 != null && r._2 >= t)
+        val bestTs = if (best.isEmpty) null
+          else java.lang.Long.valueOf(best.map(_._2.longValue()).min)
+        val vals = if (bestTs == null) Set.empty[Double]
+          else best.filter(_._2.longValue() == bestTs).map(_._3).toSet
+        (i.toLong, bestTs, vals)
+      }
+
+      out.length == ls.length && out.zip(model).forall {
+        case (row, (_, null, _)) => row.isNullAt(4) && row.isNullAt(5)
+        case (row, (_, bestTs, vals)) =>
+          !row.isNullAt(4) && row.getLong(4) == bestTs.longValue() &&
+            vals.contains(row.getDouble(5))
+      }
+    }, minTests = 40)
+  }
 }
