@@ -125,6 +125,27 @@ object Relational {
         levenshtein(col("c_name"), lit("Customer#000000042")).as("lev42"))
       .orderBy(col("c_custkey"))
 
+  /** I13 string battery #2: padding, translation, splitting, position,
+    * repetition, regex multi-match — the remaining everyday string kit
+    * (ETL key formatting, token surgery), all codegen'd row-side
+    * built-ins with exact DuckDB duals. */
+  def scalarString2(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("key_pad"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        repeat(lit("ab"), (col("c_custkey") % 3 + 1).cast("int")).as("reps"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"),
+        expr("left(c_name, 8)").as("l8"),
+        expr("right(c_name, 4)").as("r4"),
+        array_join(expr("regexp_extract_all(c_name, '[0-9]+', 0)"), ",").as("all_digits"),
+        expr("regexp_count(c_name, '0')").cast("int").as("n_zeros"))
+      .orderBy(col("c_custkey"))
+
   /** I13 date functions. */
   def scalarDate(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -721,6 +742,7 @@ object Relational {
     "q_top_orders"         -> topOrders,
     "q_csv_scan"           -> csvScan,
     "q_scalar_string"      -> scalarString,
+    "q_scalar_string2"     -> scalarString2,
     "q_scalar_date"        -> scalarDate,
     "q_scalar_math"        -> scalarMath,
     "q_scalar_conditional" -> scalarConditional,
@@ -970,6 +992,20 @@ object Relational {
          regexp_extract(c_name, '[0-9]+') AS digits,
          CAST(length(c_name) AS INT) AS name_len,
          CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS lev42
+         FROM customer ORDER BY c_custkey""",
+    "q_scalar_string2" ->
+      """SELECT c_custkey,
+         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+         rpad(c_mktsegment, 12, '.') AS seg_pad,
+         translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+         reverse(c_mktsegment) AS seg_rev,
+         repeat('ab', CAST(c_custkey % 3 + 1 AS INT)) AS reps,
+         split_part(c_name, '#', 2) AS name_num,
+         CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+         left(c_name, 8) AS l8,
+         right(c_name, 4) AS r4,
+         array_to_string(regexp_extract_all(c_name, '[0-9]+', 0), ',') AS all_digits,
+         CAST(len(regexp_extract_all(c_name, '0', 0)) AS INT) AS n_zeros
          FROM customer ORDER BY c_custkey""",
     "q_scalar_date" ->
       """SELECT o_orderkey,

@@ -762,6 +762,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Nested-JSON extraction battery (semi-structured surface beyond
+    * q_json_extract's flat props): a nested document with an object and
+    * an array, derived deterministically so both engines parse the SAME
+    * bytes. Exercises path extraction (get_json_object), array indexing
+    * and length, json_tuple, and a full from_json into a typed struct —
+    * all row-side codegen'd/interpreted expressions, no shuffle before
+    * the output sort. At 100 TB, parse ONCE into a typed column
+    * (from_json) and reuse, rather than re-walking paths per reference —
+    * shown here by pulling two fields from one parsed struct. */
+  def jsonOps(s: SparkSession, d: String): DataFrame = {
+    val j = concat(
+      lit("{\"id\":"), col("doc_id").cast(StringType),
+      lit(",\"meta\":{\"lang\":\""), col("lang"),
+      lit("\",\"src\":\""), col("source"),
+      lit("\"},\"tags\":["), (col("doc_id") % 3).cast(StringType),
+      lit(","), (col("doc_id") % 5).cast(StringType), lit(",7]}"))
+    val parsed = from_json(col("j"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "id BIGINT, meta STRUCT<lang: STRING, src: STRING>, tags ARRAY<INT>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), j.as("j"))
+      .withColumn("p", parsed) // parse once, reuse below
+      .select(
+        col("doc_id"),
+        get_json_object(col("j"), "$.meta.lang").as("lang_path"),
+        get_json_object(col("j"), "$.tags[1]").as("tag1"),
+        json_tuple(col("j"), "id").as("id_str"),
+        expr("json_array_length(get_json_object(j, '$.tags'))").cast("int").as("n_tags"),
+        col("p.meta.src").as("src_typed"),
+        element_at(col("p.tags"), 3).as("tag_last"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram LIFT (rational PMI): corpus-frequency ratio
     * lift = c_xy·N / (c_x·c_y) — the collocation-mining primitive, with
     * the log left off (monotone, and libm logs aren't cross-engine
@@ -796,6 +829,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate"      -> boilerplate,
     "q_url_parse"        -> urlParse,
+    "q_json_ops"         -> jsonOps,
     "q_bigram_lift"      -> bigramLift,
     "q_char_diversity"   -> charDiversity,
     "q_bm25"             -> bm25,
@@ -823,6 +857,23 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_json_ops" ->
+      """WITH u AS (
+           SELECT doc_id,
+             '{"id":' || CAST(doc_id AS VARCHAR)
+               || ',"meta":{"lang":"' || lang
+               || '","src":"' || source
+               || '"},"tags":[' || CAST(doc_id % 3 AS VARCHAR)
+               || ',' || CAST(doc_id % 5 AS VARCHAR) || ',7]}' AS j
+           FROM documents)
+         SELECT doc_id,
+           j->>'$.meta.lang' AS lang_path,
+           j->>'$.tags[1]' AS tag1,
+           CAST(j->'$.id' AS VARCHAR) AS id_str,
+           CAST(json_array_length(j, '$.tags') AS INT) AS n_tags,
+           j->>'$.meta.src' AS src_typed,
+           CAST(j->'$.tags[2]' AS INT) AS tag_last
+         FROM u ORDER BY doc_id""",
     "q_url_parse" ->
       """WITH u AS (
            SELECT doc_id,
