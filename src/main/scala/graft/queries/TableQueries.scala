@@ -384,6 +384,28 @@ object TableQueries {
     * SELECT both route through the same snapshot commit path as every
     * other write — the judged read-back proves the created table holds
     * exactly the SELECT's rows after an RTAS narrowed it. */
+  /** Schema-evolving append (mergeSchema): the first batch writes the
+    * declared schema; the second arrives with a NEW column and goes
+    * through appendEvolve — a metadata-only ADD COLUMN (fresh column id)
+    * then a normal append. Old files read NULL for the new column, new
+    * files carry it: the judged output shows exactly that split. */
+  def tableEvolveAppend(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("evolve_append", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders_ev", ordersSchema)
+      val src = Tables.orders(s, d)
+      t0.append(src.filter(col("o_orderkey") % 2 === 0))
+      t0.appendEvolve(src.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel",
+          concat(lit("ch"), (col("o_orderkey") % 3).cast(StringType))))
+      t0
+    }
+    t.read(s)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_channel"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** One incremental SCD Type-2 apply: close the current version of every
     * CHANGED key and insert its new version — in ONE merge-on-read
     * snapshot, touching only the batch's keys (O(batch) write, a
@@ -981,6 +1003,7 @@ object TableQueries {
     "q_table_mv_refresh"      -> tableMvRefresh,
     "q_table_mv_join_refresh" -> tableMvJoinRefresh,
     "q_table_scd2_apply"      -> tableScd2Apply,
+    "q_table_evolve_append"   -> tableEvolveAppend,
     "q_table_incremental"     -> tableIncremental)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
@@ -1097,6 +1120,11 @@ object TableQueries {
          count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_table_evolve_append" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN 'ch' || CAST(o_orderkey % 3 AS VARCHAR) END AS o_channel
+         FROM orders ORDER BY o_orderkey""",
     "q_table_scd2_apply" ->
       """SELECT c_custkey, c_mktsegment AS segment,
            TIMESTAMP '2024-01-01 00:00:00' AS valid_from,

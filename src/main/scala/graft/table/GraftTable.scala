@@ -473,6 +473,40 @@ final class GraftTable(val dir: Path) {
     * frame to the table schema by name (cast like the reference's ingest
     * CASTs), cluster by the partition transform if one is declared, write
     * parquet, commit an `append` snapshot. */
+  /** Schema-evolving append (Iceberg's `mergeSchema` write option): any
+    * incoming column the table lacks is first ADDed by a metadata-only
+    * schema commit (fresh column id — old files read NULL for it, the
+    * standard evolution rule), then the rows append normally. Column
+    * adds are idempotent-by-name through the retry loop, so two racing
+    * evolving appends converge: one wins each add, the loser's retry
+    * sees the column exists and proceeds. Never drops or retypes —
+    * narrowing is the caller's explicit widenColumn/ALTER decision. */
+  def appendEvolve(df: DataFrame): Unit = {
+    val (_, m0) = TableMeta.load(dir)
+    val have = m0.currentSchema.map(_.name).toSet
+    df.schema.fields.filterNot(f => have(f.name)).foreach { f =>
+      TableMeta.commitRetry(dir) { m =>
+        if (m.currentSchema.exists(_.name == f.name)) m // racer added it
+        else {
+          val nid = m.lastColumnId + 1
+          val nextSchema = m.currentSchema :+ ColumnDef(nid, f.name, f.dataType.json)
+          val nextSchemaId = m.currentSchemaId + 1
+          m.copy(
+            schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
+            currentSchemaId = nextSchemaId, lastColumnId = nid)
+        }
+      }
+    }
+    // rows may predate table columns the OTHER way too (table evolved,
+    // producer not yet): fill those with NULLs — explicitly, here, not
+    // in plain append (which stays strict so a missing column is a
+    // caller bug, not silent data loss)
+    val (_, m1) = TableMeta.load(dir)
+    val padded = m1.currentSchema.filterNot(c => df.columns.contains(c.name))
+      .foldLeft(df)((acc, c) => acc.withColumn(c.name, lit(null).cast(c.sparkType)))
+    append(padded)
+  }
+
   def append(df: DataFrame): Unit = {
     val (_, m) = TableMeta.load(dir)
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)

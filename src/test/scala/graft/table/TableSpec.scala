@@ -710,6 +710,25 @@ class TableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.readIncremental(spark, 2, 1))
   }
 
+  test("appendEvolve adds unseen columns, pads lagging producers, keeps plain append strict") {
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.ev", pedidosSchema)
+    t.append(pedidosDf.limit(2))
+    // new column arrives with the data → schema evolves, old rows read NULL
+    t.appendEvolve(pedidosDf.filter(col("id_pedido") === "p3")
+      .withColumn("canal", lit("web")))
+    val afterAdd = t.read(spark).orderBy(col("id_pedido")).collect()
+    assert(afterAdd.length === 3)
+    assert(afterAdd.take(2).forall(_.isNullAt(6)) && afterAdd(2).getString(6) === "web")
+    // lagging producer: frame WITHOUT the evolved column pads with NULL
+    t.appendEvolve(pedidosDf.filter(col("id_pedido") === "p4"))
+    val p4 = t.read(spark).filter(col("id_pedido") === "p4").collect()
+    assert(p4.length === 1 && p4(0).isNullAt(6))
+    // plain append stays strict: missing column is an error, not silence
+    intercept[Exception](t.append(pedidosDf.filter(col("id_pedido") === "p5")))
+  }
+
   test("remove_orphan_files deletes unreferenced debris, never live files") {
     val cat = newCatalog()
     cat.createSchema("db")
