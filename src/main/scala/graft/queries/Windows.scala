@@ -138,8 +138,34 @@ object Windows {
       .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
   }
 
+  /** Cumulative DISTINCT count over a window — SQL forbids
+    * COUNT(DISTINCT) OVER, so the scalable formulation is the first-seen
+    * trick: mark each (user, event_type)'s first row (row_number == 1 in
+    * the per-type ordering), then a running SUM of markers in event
+    * order. Both windows and the output share ONE user_id hash
+    * partitioning — a single shuffle; per-row state is O(1), vs the
+    * naive set-in-a-frame which buffers every preceding row. The running
+    * "distinct event types seen so far" is the engagement-breadth metric
+    * feature pipelines derive per interaction. */
+  def cumDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("first_seen",
+        (row_number().over(firstSeen) === 1).cast("int"))
+      .withColumn("n_types_so_far", sum(col("first_seen")).over(running))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("n_types_so_far"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"          -> scd2,
+    "q_window_cum_distinct" -> cumDistinct,
     "q_window_rank"   -> rankTopK,
     "q_window_lag"    -> lagLead,
     "q_window_frames" -> frames,
@@ -169,6 +195,15 @@ object Windows {
          SELECT o_custkey, o_orderstatus, valid_from, valid_to,
            valid_to IS NULL AS is_current, n_orders
          FROM iv ORDER BY o_custkey, valid_from, o_orderstatus""",
+    "q_window_cum_distinct" ->
+      """SELECT event_id, user_id, ts, event_type,
+           CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_so_far
+         FROM (SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+               FROM events)
+         ORDER BY event_id""",
     "q_window_dist" ->
       """SELECT c_custkey, c_mktsegment,
          percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
