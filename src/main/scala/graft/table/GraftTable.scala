@@ -1509,7 +1509,22 @@ final class GraftTable(val dir: Path) {
           && Files.getLastModifiedTime(p).toMillis < olderThanMs)
       } catch { case scala.util.control.NonFatal(_) => Nil }
     chunkOrphans.foreach(Files.deleteIfExists(_))
-    (orphans ++ chunkOrphans).map(p => dir.relativize(p).toString)
+    // crashed-committer staging debris: TableMeta.commit stages the
+    // version document (v<N>-*.json.tmp) and the hint swap (hint*.tmp)
+    // in meta/ and deletes them in a finally — which a hard kill skips.
+    // Staging files are never referenced by anything, so age alone
+    // makes them safe to sweep.
+    val tmpOrphans: Seq[java.nio.file.Path] =
+      try {
+        val listing = Files.list(metaDir)
+        try listing.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".tmp")
+            && Files.getLastModifiedTime(p).toMillis < olderThanMs)
+          .toVector
+        finally listing.close()
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    tmpOrphans.foreach(Files.deleteIfExists(_))
+    (orphans ++ chunkOrphans ++ tmpOrphans).map(p => dir.relativize(p).toString)
   }
 
   // ---------------------------------------------------------------- refs

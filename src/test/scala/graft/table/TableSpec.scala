@@ -742,9 +742,13 @@ class TableSpec extends SparkTestBase {
     // a too-recent cutoff protects the (possibly in-flight) stray
     assert(t.removeOrphanFiles(olderThanMs = 0L).isEmpty)
     assert(Files.exists(stray))
+    // plant crashed-committer staging debris in meta/
+    val tmpStage = t.dir.resolve("meta").resolve("v9-crashed.json.tmp")
+    Files.write(tmpStage, "{\"partial\":".getBytes)
     val removed = t.removeOrphanFiles(olderThanMs = Long.MaxValue)
     assert(removed.exists(_.contains("w-deadbeef")))
-    assert(!Files.exists(stray))
+    assert(removed.exists(_.contains("v9-crashed.json.tmp")))
+    assert(!Files.exists(stray) && !Files.exists(tmpStage))
     assert(t.read(spark).collect().toSet === before) // live data untouched
   }
 
