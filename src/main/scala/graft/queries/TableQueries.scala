@@ -678,6 +678,29 @@ object TableQueries {
     ordered(t.readIncremental(s, 1, 2))
   }
 
+  /** H-family maintenance: rewrite_manifests. Three appends leave the
+    * current snapshot's manifest as 3 chunk files (structural sharing's
+    * per-append delta); consolidation folds them to ONE full chunk.
+    * Pure metadata reorganization — the judged read after the rewrite
+    * must equal the plain source (no rows lost/invented), and the query
+    * itself requires the fold actually happened (3+ chunks -> 1), so a
+    * silently-broken consolidation fails the gate rather than hiding
+    * behind an unchanged read. */
+  def tableManifestRewrite(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("manifest_rewrite", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema)
+      val src = Tables.orders(s, d)
+      (0 to 2).foreach(r => t0.append(src.filter(col("o_orderkey") % 3 === r)))
+      val (before, after) = t0.rewriteManifests()
+      require(before >= 3 && after == 1,
+        s"rewrite_manifests did not consolidate: $before -> $after")
+      t0
+    }
+    ordered(t.read(s))
+  }
+
   /** D2, merge-on-read flavor: positional delete files instead of CoW
     * rewrite — visible semantics identical to q_table_read's CoW delete
     * (same oracle), but no data file is rewritten (asserted in
@@ -1004,6 +1027,7 @@ object TableQueries {
     "q_table_mv_join_refresh" -> tableMvJoinRefresh,
     "q_table_scd2_apply"      -> tableScd2Apply,
     "q_table_evolve_append"   -> tableEvolveAppend,
+    "q_table_manifest_rewrite" -> tableManifestRewrite,
     "q_table_incremental"     -> tableIncremental)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
@@ -1211,6 +1235,8 @@ object TableQueries {
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
          ORDER BY event_id""",
     "q_table_compact" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    // rewrite_manifests is metadata-only: content == plain source
+    "q_table_manifest_rewrite" -> orderedOrdersSql.format(""),
     "q_table_zorder" -> orderedOrdersSql.format("WHERE o_custkey BETWEEN 100 AND 500"),
     // The history rows are fully deterministic (snapshot ids are dense
     // from 1; append=1, delete=2, replace=3; expire keeps the last 2;

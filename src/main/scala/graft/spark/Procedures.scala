@@ -92,6 +92,24 @@ object GraftProcedures {
         }
       }
 
+    case "rewrite_manifests" =>
+      // metadata dual of rewrite_data_files: fold the current snapshot's
+      // per-append delta chunks into one full manifest chunk
+      new GraftProc("rewrite_manifests", Array(
+        p("table", StringType),
+        pDefault("min_input_chunks", IntegerType, "2"))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val (before, after) =
+            t.rewriteManifests(if (input.isNullAt(1)) 2 else input.getInt(1))
+          result(
+            StructType(Seq(
+              StructField("rewritten_manifest_chunks", LongType),
+              StructField("added_manifest_chunks", LongType))),
+            before.toLong, after.toLong)
+        }
+      }
+
     case "rollback_to_snapshot" =>
       new GraftProc("rollback_to_snapshot", Array(
         p("table", StringType),

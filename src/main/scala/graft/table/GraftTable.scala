@@ -1252,6 +1252,45 @@ final class GraftTable(val dir: Path) {
     TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles, Nil))
   }
 
+  /** `CALL system.rewrite_manifests` (Iceberg's manifest-compaction
+    * maintenance, the metadata dual of rewrite_data_files). Structural
+    * sharing keeps each append O(1) — at the cost of one delta chunk
+    * file per append, so after N appends the CURRENT snapshot's manifest
+    * is the concatenation of N chunk reads (N file opens on a cold
+    * load; at 100 TB with thousands of appends this is the manifest
+    * fan-out Iceberg's rewrite_manifests exists to fold). Consolidates
+    * the current snapshot's chunk list into ONE full chunk — a pure
+    * metadata reorganization: same data files, same stats, same
+    * snapshot id, so time travel / incremental / streaming reads are
+    * byte-identical before and after. Older version documents keep
+    * referencing the old chunks (history stays readable); once
+    * expire_snapshots retires those documents the chunks lose their
+    * last reference and remove_orphan_files' chunk-liveness pass sweeps
+    * them. Returns (chunksBefore, chunksAfter); no-op (no commit) below
+    * `minInputChunks` — an unconditional commit would publish pure
+    * metadata churn per call. */
+  def rewriteManifests(minInputChunks: Int = 2): (Int, Int) = {
+    def chunks(m: TableMeta): Int =
+      m.currentSnapshot.flatMap(_.manifestRefs).map(_.size).getOrElse(0)
+    val before = chunks(meta)
+    if (before < minInputChunks) return (before, before)
+    TableMeta.commitRetry(dir) { m =>
+      m.currentSnapshot match {
+        // re-check inside the retry loop: a racing writer may have
+        // moved the current snapshot; consolidating ITS manifest is
+        // still correct (reapplicable update), consolidating a 0/1
+        // chunk list is skipped
+        case Some(cur) if cur.manifestRefs.exists(_.size >= minInputChunks) =>
+          val ref = TableMeta.writeChunk(dir.resolve("meta"), cur.manifest)
+          m.copy(snapshots = m.snapshots.map(s =>
+            if (s.snapshotId == cur.snapshotId) s.copy(manifestRefs = Some(Seq(ref)))
+            else s))
+        case _ => m
+      }
+    }
+    (before, chunks(meta))
+  }
+
   /** H1 `CALL system.expire_snapshots(older_than, retain_last)`
     * (README.md:319-322): drop expired snapshots from metadata, then
     * physically delete data files no surviving snapshot references. */

@@ -210,7 +210,7 @@ object TableMeta {
     }
   }
 
-  private def writeChunk(metaDir: Path, files: Seq[DataFile]): String = {
+  private[table] def writeChunk(metaDir: Path, files: Seq[DataFile]): String = {
     val ref = s"man-${java.util.UUID.randomUUID().toString.take(16)}.json"
     Files.write(metaDir.resolve(ref),
       Serialization.write(files).getBytes(StandardCharsets.UTF_8))

@@ -466,6 +466,48 @@ class TableSpec extends SparkTestBase {
     assert(chunkFiles.size === 1)
   }
 
+  test("rewrite_manifests: folds per-append delta chunks to one, metadata-only, history intact") {
+    import spark.implicits._
+    val cat = newCatalog()
+    cat.createSchema("db")
+    val t = cat.createTable("db.rm", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    (1 to 8).foreach(i => t.append(Seq((i.toLong, "x")).toDF("k", "v")))
+    def curRefs: Seq[String] =
+      t.meta.currentSnapshot.flatMap(_.manifestRefs).getOrElse(Nil)
+    assert(curRefs.size === 8) // one delta chunk per append
+    val dataBefore = t.read(spark).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val filesBefore = t.meta.currentSnapshot.get.manifest.map(_.path)
+
+    val (before, after) = t.rewriteManifests()
+    assert(before === 8 && after === 1)
+    assert(curRefs.size === 1)
+    // pure metadata reorganization: same data files in the same order,
+    // same rows, same snapshot id (no new snapshot — history untouched)
+    assert(t.meta.currentSnapshot.get.manifest.map(_.path) === filesBefore)
+    assert(t.read(spark).as[(Long, String)].collect().sortBy(_._1).toSeq === dataBefore)
+    assert(t.meta.snapshots.size === 8)
+    // older snapshots keep their own chunks: time travel still reads
+    assert(t.readVersion(spark, 3).count() === 3)
+    // appends after the rewrite extend the consolidated chunk list by
+    // one delta (structural sharing resumes from the new base)
+    t.append(Seq((9L, "x")).toDF("k", "v"))
+    assert(curRefs.size === 2)
+    assert(t.read(spark).count() === 9)
+    // below min_input_chunks it is a pure no-op: no commit, no churn
+    val (b2, a2) = t.rewriteManifests()
+    assert((b2, a2) === (2, 1))
+    val vAfter = TableMeta.load(t.dir)._1
+    val (b3, a3) = t.rewriteManifests(minInputChunks = 2)
+    assert((b3, a3) === (1, 1))
+    assert(TableMeta.load(t.dir)._1 === vAfter)
+    // expire + orphan sweep after consolidation: the folded chunk chain
+    // loses its last reference once old version docs are the only
+    // mention — reads stay correct throughout
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(t.read(spark).count() === 9)
+  }
+
   test("legacy metadata (no seq/sizes/eq-deletes/sort-order/properties) still parses and reads") {
     // a metadata document as round 1 wrote it — every field added since
     // must default, and absent per-file seq must read as 0 (older than
