@@ -193,6 +193,27 @@ object Events {
       graft.streaming.EventStreams.tumblingCounts(eventStream(s, d)))
       .orderBy(col("ws"), col("event_type"))
 
+  /** J4 judged: flatMapGroupsWithState sessionization with EVENT-TIME
+    * TIMEOUT state (EventStreams.sessionizeStream) — the custom stateful
+    * operator running as an actual stream, not its batch dual. Emitted
+    * rows are (a) sessions closed by a >= 30-min gap inside the data and
+    * (b) each user's final open session IF the end-of-stream watermark
+    * passed its timeout (Spark fires those in the no-data micro-batch).
+    * The oracle is the batch gap-sessionization filtered by the same
+    * closure rule — watermark and timeout clocks are MILLISECOND-floored
+    * in Spark, timeouts arm at ceil-ms(last)+gap and fire strictly below
+    * the watermark, so the rule is exactly expressible in SQL (pinned
+    * empirically by StreamingSpec against both clock conventions). */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    drainToMemory(s, "graft_stream_session", "append")(
+      graft.streaming.EventStreams.sessionizeStream(ev).toDF())
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** J5 streaming exact dedup, judged: dropDuplicates over (user_id,
     * event_type, day-window) with a watermark — the bounded-state
     * streaming dedup (EventStreams.dedupDaily). Drained AvailableNow,
@@ -553,6 +574,7 @@ object Events {
     "q_variant"         -> variantExtract,
     "q_resample"        -> resampleDaily,
     "q_stream_tumbling" -> streamTumbling,
+    "q_stream_session"  -> streamSession,
     "q_stream_dedup"    -> streamDedup,
     "q_stream_join"     -> streamJoin,
     "q_stream_sink"     -> streamSink,
@@ -803,6 +825,41 @@ object Events {
          event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
          GROUP BY ws, event_type ORDER BY ws, event_type""",
+    // Batch gap-sessionization filtered by the streaming closure rule:
+    // every session a data gap closed, plus each user's FINAL session
+    // only if its timeout (ceil-ms of last event + 30 min, Spark's
+    // ms-floored timeout clock) fell strictly below the end-of-stream
+    // watermark (ms-floored max event time, delay 0). The nearest
+    // boundary in this corpus is seconds away from the watermark, so
+    // floor/strictness conventions cannot flip a row (verified).
+    "q_stream_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked),
+         agg AS (
+           SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             max(ts) AS last_ts,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM sess GROUP BY user_id, sid),
+         flagged AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY session_start DESC) AS rn_last
+           FROM agg)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM flagged
+         WHERE rn_last > 1
+            OR (epoch_us(last_ts) + 999) // 1000 + 1800000
+               < epoch_us((SELECT max(ts) FROM events)) // 1000
+         ORDER BY user_id, session_start""",
     "q_window_session" ->
       """WITH marked AS (
            SELECT user_id, ts, value,

@@ -826,7 +826,139 @@ object TextOps {
       .limit(20)
   }
 
+  /** Positional inverted-index phrase search: occurrences of the exact
+    * 2-token phrase "table part". Each word's postings are (doc_id,
+    * position) pairs; the phrase is a hash EQUI-join of the two posting
+    * lists on (doc_id, adjacent position) — the standard search-engine
+    * phrase plan. At corpus scale the postings are a materialized index
+    * keyed by token, so each phrase query touches two posting lists,
+    * never the raw text; here both lists derive from one scan (Spark
+    * reuses the exchange). No LIKE scan, no regex, no cross join. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val first = postings.filter(col("tok") === "table")
+      .select(col("doc_id"), col("pos"))
+    val second = postings.filter(col("tok") === "part")
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+    first
+      .join(second, col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE vocabulary-building step 1: adjacent character-pair frequencies
+    * within words (the statistic each merge round of byte-pair encoding
+    * maximizes). Pure row-side expansion (words -> length-2 slices via a
+    * codegen'd HOF), then one partial-aggregated count shuffle of 2-char
+    * keys — raw text never shuffles. Top 30 by (count, pair) is a total
+    * order, so the limit is deterministic. */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+
+  /** Count-min-sketch heavy hitters (the mergeable frequency sketch —
+    * CMS counters add, so partial aggregation and any merge order give
+    * the SAME sketch; seed pinned). The judged contract mirrors
+    * q_hll_rollup's sketch treatment: exact top-20 token counts (the
+    * oracle-checkable part) next to the CMS guarantee booleans —
+    * estimate >= exact (always true for CMS) and overshoot <= eps*N
+    * (holds with the configured 99.9% confidence; deterministic here
+    * given the fixed seed and corpus). The sketch itself is KB-sized and
+    * driver-held (built distributed via treeAggregate); only the 20-row
+    * top-k aggregate is collected to probe it — metadata-sized, like
+    * q_ann_ivf's query vector fetch. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.stat.countMinSketch("tok", 0.001, 0.999, 42)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20).collect()
+    val bound = math.ceil(0.001 * sketch.totalCount()).toLong
+    val rows = top.toSeq.map { r =>
+      val t = r.getString(0); val exact = r.getLong(1)
+      val est = sketch.estimateCount(t)
+      (t, exact, est >= exact && est - exact <= bound)
+    }
+    import s.implicits._
+    rows.toDF("tok", "n_exact", "within_bound")
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  /** Priority-aware deduplication: the "merge crawl dumps" op — the same
+    * document arriving from multiple ingests keeps ONE survivor chosen
+    * by source priority (recrawl > original > mirror), not by arrival
+    * accident. Fixture plants recrawl/mirror copies of a slice of the
+    * corpus (the corpus itself has no exact dups). Grouping key is
+    * xxhash64(text): the 8-byte digest shuffles, the raw text never
+    * does (the q_media_dedup treatment); survivor choice is one ranked
+    * window over that key. */
+  def dedupPriority(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    val all = base
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          lit("recrawl").as("source")))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+          lit("mirror").as("source")))
+      .select(col("doc_id"), col("source"), xxhash64(col("text")).as("grp"))
+    val prio = when(col("source") === "recrawl", 0)
+      .when(col("source") === "mirror", 2).otherwise(1)
+    val w = Window.partitionBy(col("grp"))
+    all
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(prio.asc, col("doc_id").asc)))
+      .filter(col("rn") === 1 && col("n_copies") > 1)
+      .select(col("doc_id"), col("source"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-substring contamination (the 50-gram overlap check run before
+    * training): does any train document contain a literal span of a
+    * benchmark document? Bench docs enumerate EVERY 40-char window;
+    * train docs sample windows at stride 10 — any shared run >= 49
+    * chars therefore collides by construction (a strided train window
+    * falls fully inside it), without paying all-offsets on the big
+    * side. Spans are joined as xxhash64 digests: 8-byte keys shuffle,
+    * the text never does. Fixture plants a copy of half the bench split
+    * inside synthetic train docs (natural 40-char repeats are
+    * vanishingly rare in this corpus). */
+  def spanContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val train = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("text"))
+      .unionByName(bench.filter(col("bench_id") % 2 === 0)
+        .select((col("bench_id") + 50000).as("train_id"),
+          concat(lit("begin copy "), col("text"), lit(" end copy")).as("text")))
+    val benchSpans = bench.select(col("bench_id"), explode(expr(
+      "transform(sequence(1, greatest(length(text) - 39, 1)), i -> xxhash64(substring(text, i, 40)))"))
+      .as("span_h"))
+    val trainSpans = train.select(col("train_id"), explode(expr(
+      "transform(sequence(1, greatest(length(text) - 39, 1), 10), i -> xxhash64(substring(text, i, 40)))"))
+      .as("span_h"))
+    trainSpans.join(benchSpans, "span_h")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(countDistinct(col("span_h")).as("n_shared_spans"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search"    -> phraseSearch,
+    "q_bpe_pairs"        -> bpePairs,
+    "q_heavy_hitters"    -> heavyHitters,
+    "q_dedup_priority"   -> dedupPriority,
+    "q_span_contamination" -> spanContamination,
     "q_boilerplate"      -> boilerplate,
     "q_url_parse"        -> urlParse,
     "q_json_ops"         -> jsonOps,

@@ -46,6 +46,77 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions === oracle)
   }
 
+  test("sessionizeStream: state carries across micro-batches, event-time timeout closes the tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, t: String, v: Double = 1.0) =
+      Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(stream.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("sess_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (2 events)
+      stream.addData(Seq(ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream_out").count() === 0) // nothing closed yet
+      // batch 2: e3 EXTENDS the open state (cross-batch merge), e4's
+      // 100-min gap closes it -> the 3-event session emits
+      stream.addData(Seq(ev(3, 1, "2024-01-01 10:20:00"), ev(4, 1, "2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_stream_out")
+        .as[EventStreams.Session].collect().toSeq
+      assert(afterGap.map(s => (s.user_id, s.n_events, s.session_start.toString,
+        s.session_end.toString, s.sum_value)) ===
+        Seq((1L, 3L, "2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0", 3.0)))
+      // batch 3: another user far in the future pushes the watermark
+      // past e4's timeout (12:00 + 30min) -> user 1's tail session
+      // closes BY TIMEOUT in the no-data batch; user 2's own session
+      // stays open (watermark never passes it) and must NOT emit
+      stream.addData(Seq(ev(5, 2, "2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("sess_stream_out")
+        .as[EventStreams.Session].collect().toSeq.sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(all.map(s => (s.user_id, s.n_events, s.session_end.toString)) ===
+        Seq((1L, 3L, "2024-01-01 10:50:00.0"), (1L, 1L, "2024-01-01 12:30:00.0")))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream drained == batch sessions closed by the end-of-stream watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsDs.collect().toSeq
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_drain_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_drain_out").as[EventStreams.Session]
+      .collect().toSeq.sortBy(s => (s.user_id, s.session_start.getTime))
+    // model: batch gap sessionization, keep every session except each
+    // user's last, plus the last iff its ms-clock timeout fell strictly
+    // below the end-of-stream watermark (ms-floored max event time)
+    def us(t: java.sql.Timestamp): Long = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val wmMs = data.map(e => us(e.ts)).max / 1000L
+    val expected = data.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+      val sessions = EventStreams.splitSessions(u, evs.iterator).toVector
+      sessions.dropRight(1) ++ sessions.lastOption.filter { s =>
+        // session_end = last event + gap; recover the last event's
+        // micros, arm the ms-clock timeout the operator set (ceil-ms of
+        // last + gap), and apply the strictly-below-watermark fire rule
+        val lastUs = us(s.session_end) - 30L * 60 * 1000000L
+        val tmoMs = Math.floorDiv(lastUs + 999L, 1000L) + 30L * 60 * 1000L
+        tmoMs < wmMs
+      }
+    }.sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(streamed === expected)
+  }
+
   test("file-source readStream (parquet dir) == batch aggregation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
