@@ -989,6 +989,79 @@ object TextOps {
     "q_sample_hash"      -> sampleHash)
 
   val oracle: Map[String, String] = Map(
+    "q_phrase_search" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         hits AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM docs)
+           WHERE t[i] = 'table' AND t[i + 1] = 'part')
+         SELECT doc_id, count(*) AS n_hits
+         FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    "q_bpe_pairs" ->
+      """WITH words AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         pairs AS (
+           SELECT substring(w, i, 2) AS pair FROM (
+             SELECT w, unnest(range(1, len(w))) AS i
+             FROM words WHERE len(w) >= 2))
+         SELECT pair, count(*) AS n FROM pairs
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
+    // CMS booleans are a deterministic contract at this corpus+seed
+    // (estimate >= exact always holds for CMS; overshoot <= eps*N at
+    // 99.9% confidence) — asserted literally, the q_hll_rollup treatment.
+    "q_heavy_hitters" ->
+      """SELECT tok, n_exact, TRUE AS within_bound FROM (
+           SELECT tok, count(*) AS n_exact FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20)
+         ORDER BY n_exact DESC, tok""",
+    // Spark groups by xxhash64(text) so raw text never shuffles; the
+    // oracle groups by the text itself — identical partition of rows
+    // (xxhash64 is injective on this corpus; a collision would flip
+    // n_copies and fail the hash check, which is the point).
+    "q_dedup_priority" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+         all_docs AS (
+           SELECT doc_id, text, source FROM base
+           UNION ALL
+           SELECT doc_id + 100000, text, 'recrawl' FROM base WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 200000, text, 'mirror' FROM base WHERE doc_id % 10 = 0),
+         ranked AS (
+           SELECT doc_id, source,
+             count(*) OVER (PARTITION BY text) AS n_copies,
+             row_number() OVER (PARTITION BY text
+               ORDER BY CASE source WHEN 'recrawl' THEN 0
+                                    WHEN 'mirror' THEN 2 ELSE 1 END,
+                        doc_id) AS rn
+           FROM all_docs)
+         SELECT doc_id, source, n_copies FROM ranked
+         WHERE rn = 1 AND n_copies > 1 ORDER BY doc_id""",
+    // Spark joins 8-byte xxhash64 span digests; the oracle joins the raw
+    // 40-char substrings — same pairs barring a hash collision (which
+    // would fail the check, as intended).
+    "q_span_contamination" ->
+      """WITH bench AS (
+           SELECT doc_id AS bench_id, text FROM documents WHERE source = 'src0'),
+         train AS (
+           SELECT doc_id AS train_id, text FROM documents WHERE source <> 'src0'
+           UNION ALL
+           SELECT bench_id + 50000, 'begin copy ' || text || ' end copy'
+           FROM bench WHERE bench_id % 2 = 0),
+         bs AS (
+           SELECT bench_id, substring(text, i, 40) AS span FROM (
+             SELECT bench_id, text,
+               unnest(range(1, greatest(len(text) - 39, 1) + 1)) AS i
+             FROM bench)),
+         ts AS (
+           SELECT train_id, substring(text, i, 40) AS span FROM (
+             SELECT train_id, text,
+               unnest(range(1, greatest(len(text) - 39, 1) + 1, 10)) AS i
+             FROM train))
+         SELECT train_id, bench_id, count(DISTINCT span) AS n_shared_spans
+         FROM ts JOIN bs USING (span)
+         GROUP BY train_id, bench_id ORDER BY train_id, bench_id""",
     "q_json_ops" ->
       """WITH u AS (
            SELECT doc_id,
