@@ -1,11 +1,12 @@
 package graft.spark
 
-import java.nio.file.{Path, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
-import graft.table.{GraftCatalog, GraftTable}
+import graft.table.{GraftCatalog, GraftIO, GraftTable}
+import graft.table.GraftIO.RichHPath
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
@@ -423,12 +424,12 @@ class GraftRelation(
 class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
-  private var warehouse: Path = _
+  private var warehouse: HPath = _
   private def cat: GraftCatalog = new GraftCatalog(warehouse)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Paths.get(Option(options.get("warehouse"))
+    warehouse = new HPath(Option(options.get("warehouse"))
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse")))
   }
@@ -559,15 +560,11 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
-    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
-    else {
-      val listing = java.nio.file.Files.list(dir)
-      try listing.iterator().asScala
-        .filter(p => java.nio.file.Files.exists(p.resolve("meta").resolve("version-hint.text")))
-        .map(p => Identifier.of(namespace, p.getFileName.toString))
-        .toArray
-      finally listing.close()
-    }
+    if (!GraftIO.isDirectory(dir)) Array.empty
+    else GraftIO.list(dir)
+      .filter(st => GraftIO.exists(st.getPath.resolve("meta").resolve("version-hint.text")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
   }
 
   // -------------------------------------------------------- procedures
@@ -589,18 +586,16 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
   // -------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] = {
-    val listing = java.nio.file.Files.list(warehouse)
-    try listing.iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
-    finally listing.close()
+    GraftIO.list(warehouse)
+      .filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).toArray
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    java.nio.file.Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+    GraftIO.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
@@ -657,7 +652,7 @@ class GraftDataSource extends TableProvider
   private def tableFor(options: CaseInsensitiveStringMap): GraftDsv2Table = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("format(\"graft\") requires .load(<table dir>)"))
-    new GraftDsv2Table(new GraftTable(Paths.get(path)), path)
+    new GraftDsv2Table(new GraftTable(new HPath(path)), path)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -1,8 +1,7 @@
 package graft.spark
 
-import java.nio.file.{Path, Paths}
-
 import graft.table.GraftTable
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -41,7 +40,7 @@ import org.apache.spark.sql.types.StructType
   * cost tracks the append rate, not table size. */
 class GraftStreamSource(
     sqlContext: SQLContext,
-    tableDir: Path,
+    tableDir: HPath,
     skipRewrites: Boolean,
     maxSnapshotsPerTrigger: Option[Int] = None)
   extends Source
@@ -115,8 +114,8 @@ class GraftStreamSource(
 
 object GraftStreamSource {
   /** Shared by GraftDataSource's StreamSourceProvider hooks. */
-  def pathOf(parameters: Map[String, String]): Path =
-    Paths.get(parameters.getOrElse("path",
+  def pathOf(parameters: Map[String, String]): HPath =
+    new HPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "readStream.format(\"graft\") requires .load(<table dir>)")))
 

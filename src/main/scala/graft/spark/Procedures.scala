@@ -272,7 +272,7 @@ object GraftProcedures {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val t = cat.load(input.getUTF8String(0).toString)
           val added = t.addFiles(SparkSession.active,
-            java.nio.file.Paths.get(input.getUTF8String(1).toString))
+            new org.apache.hadoop.fs.Path(input.getUTF8String(1).toString))
           result(
             StructType(Seq(
               StructField("added_files", LongType),

@@ -1,8 +1,8 @@
 package graft.table
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import java.nio.file.{Files, Path}
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -54,7 +54,7 @@ object BloomSidecar {
     case _                    => true
   }
 
-  def write(path: Path, blooms: Map[String, BloomFilter]): Unit = {
+  def write(path: HPath, blooms: Map[String, BloomFilter]): Unit = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(blooms.size)
@@ -66,7 +66,7 @@ object BloomSidecar {
       b.writeTo(out)
     }
     out.flush()
-    Files.write(path, bos.toByteArray)
+    GraftIO.write(path, bos.toByteArray)
   }
 
   // Immutable-once-written → a process-wide cache is always coherent;
@@ -76,13 +76,13 @@ object BloomSidecar {
 
   /** Load a sidecar (cached). Missing/corrupt → empty map: skipping is
     * an optimization, a lost sidecar must never fail a scan. */
-  def read(path: Path): Map[String, BloomFilter] = {
-    val key = path.toAbsolutePath.toString
+  def read(path: HPath): Map[String, BloomFilter] = {
+    val key = path.toString
     val hit = cache.get(key)
     if (hit != null) return hit
     val v =
       try {
-        val in = new DataInputStream(Files.newInputStream(path))
+        val in = new DataInputStream(GraftIO.open(path))
         try {
           val n = in.readInt()
           (0 until n).map { _ =>

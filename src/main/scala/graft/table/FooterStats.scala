@@ -1,9 +1,8 @@
 package graft.table
 
-import java.nio.file.Path
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
@@ -23,20 +22,15 @@ object FooterStats {
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(java.time.ZoneOffset.UTC)
 
-  // One shared Configuration: constructing one per file re-parses the
-  // Hadoop XML defaults every time — measurable across a 1000-file write.
-  private val hadoopConf = new Configuration()
-
-  def read(file: Path, schema: Seq[ColumnDef]): (Long, Map[String, ColRange]) =
+  def read(file: HPath, schema: Seq[ColumnDef]): (Long, Map[String, ColRange]) =
     { val (r, s, _) = readWithNulls(file, schema); (r, s) }
 
   /** Top-level column names present in a file's footer schema — the
     * per-file presence check add_files needs (Spark's directory-level
     * inference reads ONE footer, so a drifting file hides from it). */
-  def columnsOf(file: Path): Set[String] = {
+  def columnsOf(file: HPath): Set[String] = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.toUri), hadoopConf))
+      HadoopInputFile.fromPath(file, GraftIO.conf))
     try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
       .map(_.getName).toSet
     finally reader.close()
@@ -45,12 +39,11 @@ object FooterStats {
   /** Full harvest: row count, per-column [min,max], and per-column null
     * counts (only columns where EVERY row group reports numNulls — a
     * partial count would under-report and make IS NULL pruning unsound). */
-  def readWithNulls(file: Path, schema: Seq[ColumnDef])
+  def readWithNulls(file: HPath, schema: Seq[ColumnDef])
       : (Long, Map[String, ColRange], Map[String, Long]) = {
     val byName = schema.map(c => c.name -> c.sparkType).toMap
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.toUri), hadoopConf))
+      HadoopInputFile.fromPath(file, GraftIO.conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum

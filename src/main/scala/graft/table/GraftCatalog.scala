@@ -1,20 +1,25 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.types.StructType
+
+import GraftIO.RichHPath
 
 /** Filesystem catalog: `warehouse/<schema>/<table>/` (SURVEY.md §2 A1/B1).
   * Replaces the reference's REST catalog + MinIO object store
   * (README.md:59-81) with direct metadata-file access — resolution cost is
-  * one directory path, no HTTP hop; the same layout works on any Hadoop
-  * FileSystem URI at cluster scale.
+  * one directory path, no HTTP hop. All IO goes through Hadoop
+  * `FileSystem` (GraftIO), so the warehouse root may be any supported
+  * URI: a local dir in tests, `hdfs://` or `s3a://` at cluster scale.
   */
-final class GraftCatalog(val warehouse: Path) {
+final class GraftCatalog(val warehouse: HPath) {
+
+  /** Local-path convenience (tests, tools). */
+  def this(warehouse: java.nio.file.Path) = this(GraftIO.fromNio(warehouse))
 
   /** B1 `CREATE SCHEMA IF NOT EXISTS` (README.md:159) — idempotent. */
   def createSchema(name: String): Unit =
-    Files.createDirectories(warehouse.resolve(name))
+    GraftIO.mkdirs(warehouse.resolve(name))
 
   /** B2 `CREATE TABLE ... USING iceberg TBLPROPERTIES('format-version'='2')`
     * (README.md:167-177): assign stable column ids (the indirection that
@@ -26,10 +31,10 @@ final class GraftCatalog(val warehouse: Path) {
       partitionSpec: Seq[(String, String)] = Nil,
       properties: Map[String, String] = Map.empty): GraftTable = {
     val dir = tableDir(qualified)
-    if (Files.exists(dir.resolve("meta")))
+    if (GraftIO.exists(dir.resolve("meta")))
       throw new IllegalStateException(s"table $qualified already exists")
-    Files.createDirectories(dir.resolve("meta"))
-    Files.createDirectories(dir.resolve("data"))
+    GraftIO.mkdirs(dir.resolve("meta"))
+    GraftIO.mkdirs(dir.resolve("data"))
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i + 1, f.name, f.dataType.json)
     }.toSeq
@@ -62,7 +67,7 @@ final class GraftCatalog(val warehouse: Path) {
       tableProperties = if (properties.isEmpty) None else Some(properties),
       sortOrderIds = sortIds)
     TableMeta.write(meta, dir.resolve("meta").resolve("v1.json"))
-    Files.write(dir.resolve("meta").resolve("version-hint.text"), "1".getBytes)
+    GraftIO.write(dir.resolve("meta").resolve("version-hint.text"), "1".getBytes)
     new GraftTable(dir)
   }
 
@@ -73,40 +78,40 @@ final class GraftCatalog(val warehouse: Path) {
     * whether the table existed. */
   def dropTable(qualified: String): Boolean = {
     val dir = tableDir(qualified)
-    if (!Files.exists(dir.resolve("meta").resolve("version-hint.text"))) false
+    if (!GraftIO.exists(dir.resolve("meta").resolve("version-hint.text"))) false
     else {
-      val walk = Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      finally walk.close()
+      GraftIO.deleteRecursive(dir)
       true
     }
   }
 
   /** `ALTER TABLE ... RENAME TO` — a directory move plus a metadata
     * commit recording the new qualified name. The move is atomic on a
-    * single filesystem (same warehouse root by construction). */
+    * single filesystem (same warehouse root by construction); on object
+    * stores Hadoop's rename is a copy+delete — still safe here because
+    * the destination-must-not-exist guard serializes racing renames at
+    * the final metadata commit. */
   def renameTable(from: String, to: String): Unit = {
     val src = tableDir(from)
     val dst = tableDir(to)
-    require(Files.exists(src.resolve("meta").resolve("version-hint.text")), s"no table $from")
-    require(!Files.exists(dst), s"table $to already exists")
+    require(GraftIO.exists(src.resolve("meta").resolve("version-hint.text")), s"no table $from")
+    require(!GraftIO.exists(dst), s"table $to already exists")
     // the target NAMESPACE must already exist — fabricating it here would
     // move the table into a schema nobody created. Throw the analysis
     // exception Spark's rename path translates into SCHEMA_NOT_FOUND
     // (a bare require would surface as an internal-looking stack trace)
-    if (!Files.isDirectory(dst.getParent))
+    if (!GraftIO.isDirectory(dst.getParent))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
-        Seq(dst.getParent.getFileName.toString))
-    Files.move(src, dst)
+        Seq(dst.getParent.getName))
+    GraftIO.rename(src, dst)
     TableMeta.commitRetry(dst)(m => m.copy(name = to))
   }
 
   def tableExists(qualified: String): Boolean =
     qualified.split('.').length == 2 && // e.g. db.t.partitions is a metadata table, not a table
-      Files.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
+      GraftIO.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
 
-  private def tableDir(qualified: String): Path = {
+  private def tableDir(qualified: String): HPath = {
     val parts = qualified.split('.')
     require(parts.length == 2, s"expected schema.table, got $qualified")
     warehouse.resolve(parts(0)).resolve(parts(1))

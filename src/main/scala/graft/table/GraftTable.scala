@@ -1,12 +1,14 @@
 package graft.table
 
-import java.nio.file.{Files, Path}
 import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import GraftIO.RichHPath
 
 /** One WHEN clause of a general MERGE: an optional guard condition, a
   * delete flag (WHEN ... THEN DELETE), and the SET/VALUES assignments.
@@ -35,7 +37,14 @@ case class MetaAgg(rows: Long, minMax: Map[String, ColRange])
   * metadata, never data. Snapshot isolation is structural: manifests are
   * immutable per snapshot.
   */
-final class GraftTable(val dir: Path) {
+final class GraftTable(val dir: HPath) {
+
+  /** Local-path convenience (tests, tools). */
+  def this(dir: java.nio.file.Path) = this(GraftIO.fromNio(dir))
+
+  /** Local-filesystem view of `dir` for `file://` tables — tests and
+    * tools that assert physical layout. Throws for remote schemes. */
+  def localDir: java.nio.file.Path = GraftIO.toNio(dir)
 
   def meta: TableMeta = TableMeta.load(dir)._2
 
@@ -541,14 +550,13 @@ final class GraftTable(val dir: Path) {
     * refuse: external files have no partition values, and a silent
     * empty-value entry would quietly exempt them from day pruning's
     * contract that partitioned files carry their day. */
-  def addFiles(spark: SparkSession, sourceDir: java.nio.file.Path): Seq[DataFile] = {
-    val parquets = {
-      val stream = Files.list(sourceDir) // close: a leaked DirectoryStream fd per call
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-      finally stream.close()
-    }
+  def addFiles(spark: SparkSession, sourceDir: java.nio.file.Path): Seq[DataFile] =
+    addFiles(spark, GraftIO.fromNio(sourceDir))
+
+  def addFiles(spark: SparkSession, sourceDir: HPath): Seq[DataFile] = {
+    val parquets = GraftIO.list(sourceDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
     require(parquets.nonEmpty, s"no .parquet files in $sourceDir")
     // Type check against ONE Spark-inferred schema; column PRESENCE is
     // checked PER FILE below (Spark infers from a single footer, and a
@@ -565,19 +573,23 @@ final class GraftTable(val dir: Path) {
         s"add_files: column ${c.name} is $ft in the files, ${c.sparkType} in the table")
     }
     val required = m0.currentSchema.map(_.name)
-    val newFiles = parquets.map { p =>
+    val newFiles = parquets.map { st =>
+      val p = st.getPath
       val missing = required.toSet -- FooterStats.columnsOf(p)
       require(missing.isEmpty,
         s"add_files: $p lacks column(s) ${missing.mkString(", ")} — registering it " +
           "would read back silent NULLs")
       val (rows, stats, nulls) = FooterStats.readWithNulls(p, m0.currentSchema)
       DataFile(
-        path = p.toAbsolutePath.toString,
+        // local sources register as plain absolute paths (scheme-less,
+        // the historical manifest form); remote sources keep the full URI
+        path = if (p.toUri.getScheme == null || p.toUri.getScheme == "file")
+          p.toUri.getPath else p.toString,
         rows = rows,
         schemaId = m0.currentSchemaId,
         partitionValues = Map.empty,
         stats = Some(stats),
-        sizeBytes = Some(Files.size(p)),
+        sizeBytes = Some(st.getLen),
         nulls = if (nulls.isEmpty) None else Some(nulls))
     }
     TableMeta.commitRetry(dir) { fresh =>
@@ -695,12 +707,8 @@ final class GraftTable(val dir: Path) {
           var d0 = p
           // walk up to the w-<uuid> staging root (partitioned writes nest
           // one level of day=... dirs under it)
-          while (d0 != null && !d0.getFileName.toString.startsWith("w-")) d0 = d0.getParent
-          val target = if (d0 == null) p else d0
-          val walk = Files.walk(target)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
+          while (d0 != null && !d0.getName.startsWith("w-")) d0 = d0.getParent
+          GraftIO.deleteRecursive(if (d0 == null) p else d0)
         }
     }
   }
@@ -768,13 +776,8 @@ final class GraftTable(val dir: Path) {
         // the replacement write never became visible — don't leave it
         // for remove_orphan_files (the appendStreamBatch abort rule)
         newFiles.map(_.path.split('/').take(2).mkString("/")).distinct.foreach { d =>
-          val staging = dir.resolve(d)
-          try {
-            val walk = Files.walk(staging)
-            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(p => { Files.deleteIfExists(p); () })
-            finally walk.close()
-          } catch { case scala.util.control.NonFatal(_) => () }
+          try GraftIO.deleteRecursive(dir.resolve(d))
+          catch { case scala.util.control.NonFatal(_) => () }
         }
         throw e
     }
@@ -837,15 +840,12 @@ final class GraftTable(val dir: Path) {
     val outDir = dir.resolve(
       s"data/$prefix-${java.util.UUID.randomUUID().toString.take(12)}")
     df.coalesce(1).write.parquet(outDir.toString)
-    val walk = Files.walk(outDir)
-    val parts =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toVector.sortBy(_.toString)
-      finally walk.close()
+    val parts = GraftIO.listFilesRecursive(outDir)
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.toString)
     parts.flatMap { p =>
       val (rows, _) = FooterStats.read(p, Nil)
-      if (rows == 0) None else Some(dir.relativize(p).toString -> rows)
+      if (rows == 0) None else Some(GraftIO.relativize(dir, p) -> rows)
     }
   }
 
@@ -1344,7 +1344,7 @@ final class GraftTable(val dir: Path) {
     }
     // physical GC only after the metadata commit landed: a failed commit
     // must never leave a surviving snapshot pointing at deleted files
-    if (changed) orphans.foreach(p => Files.deleteIfExists(dir.resolve(p)))
+    if (changed) orphans.foreach(p => GraftIO.delete(dir.resolve(p)))
   }
 
   /** Incremental (CDC-style) scan: rows in files ADDED after `fromSnapshotId`
@@ -1509,61 +1509,45 @@ final class GraftTable(val dir: Path) {
         s.allDeleteFiles.map(_.path) ++
         s.allEqDeleteFiles.map(_.path)).toSet
     val dataDir = dir.resolve("data")
-    if (!Files.isDirectory(dataDir)) return Nil
-    val walk = Files.walk(dataDir)
-    val orphans =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p)
-          && !referenced.contains(dir.relativize(p).toString)
-          && Files.getLastModifiedTime(p).toMillis < olderThanMs)
-        .toVector
-      finally walk.close()
-    orphans.foreach(Files.deleteIfExists(_))
+    if (!GraftIO.isDirectory(dataDir)) return Nil
+    val orphans = GraftIO.listFilesRecursive(dataDir)
+      .filter(st => !referenced.contains(GraftIO.relativize(dir, st.getPath))
+        && st.getModificationTime < olderThanMs)
+      .map(_.getPath)
+    orphans.foreach(GraftIO.delete)
     // empty leftover directories are cosmetic; sweep the easy ones
     orphans.map(_.getParent).distinct.foreach { d2 =>
-      try {
-        val empty = Files.isDirectory(d2) && {
-          val l = Files.list(d2)
-          try !l.iterator().hasNext finally l.close()
-        }
-        if (empty) Files.delete(d2)
-      } catch { case _: Exception => () }
+      try if (GraftIO.isDirectory(d2) && GraftIO.list(d2).isEmpty) GraftIO.delete(d2)
+      catch { case _: Exception => () }
     }
     // manifest-chunk debris: man-*.json written by commit attempts that
     // lost their race. A chunk is live if ANY existing version document
     // references it — if any document fails to parse, skip chunk GC
     // entirely (never guess about liveness).
     val metaDir = dir.resolve("meta")
-    val chunkOrphans: Seq[java.nio.file.Path] =
+    val chunkOrphans: Seq[HPath] =
       try {
-        val listing = Files.list(metaDir)
-        val (docs, chunks) =
-          try {
-            val all = listing.iterator().asScala.toVector
-            (all.filter(_.getFileName.toString.matches("v\\d+\\.json")),
-              all.filter(_.getFileName.toString.startsWith("man-")))
-          } finally listing.close()
-        val live = docs.flatMap(TableMeta.readRefsOnly).toSet
-        chunks.filter(p => !live.contains(p.getFileName.toString)
-          && Files.getLastModifiedTime(p).toMillis < olderThanMs)
+        val all = GraftIO.list(metaDir)
+        val docs = all.filter(_.getPath.getName.matches("v\\d+\\.json"))
+        val live = docs.flatMap(st => TableMeta.readRefsOnly(st.getPath)).toSet
+        all.filter(st => st.getPath.getName.startsWith("man-")
+          && !live.contains(st.getPath.getName)
+          && st.getModificationTime < olderThanMs).map(_.getPath)
       } catch { case scala.util.control.NonFatal(_) => Nil }
-    chunkOrphans.foreach(Files.deleteIfExists(_))
+    chunkOrphans.foreach(GraftIO.delete)
     // crashed-committer staging debris: TableMeta.commit stages the
-    // version document (v<N>-*.json.tmp) and the hint swap (hint*.tmp)
+    // version document (v<N>-*.tmp) and the hint swap (hint*.tmp)
     // in meta/ and deletes them in a finally — which a hard kill skips.
     // Staging files are never referenced by anything, so age alone
     // makes them safe to sweep.
-    val tmpOrphans: Seq[java.nio.file.Path] =
-      try {
-        val listing = Files.list(metaDir)
-        try listing.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".tmp")
-            && Files.getLastModifiedTime(p).toMillis < olderThanMs)
-          .toVector
-        finally listing.close()
-      } catch { case scala.util.control.NonFatal(_) => Nil }
-    tmpOrphans.foreach(Files.deleteIfExists(_))
-    (orphans ++ chunkOrphans ++ tmpOrphans).map(p => dir.relativize(p).toString)
+    val tmpOrphans: Seq[HPath] =
+      try GraftIO.list(metaDir)
+        .filter(st => st.getPath.getName.endsWith(".tmp")
+          && st.getModificationTime < olderThanMs)
+        .map(_.getPath)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    tmpOrphans.foreach(GraftIO.delete)
+    (orphans ++ chunkOrphans ++ tmpOrphans).map(p => GraftIO.relativize(dir, p))
   }
 
   // ---------------------------------------------------------------- refs
@@ -1911,19 +1895,17 @@ final class GraftTable(val dir: Path) {
       case None    => spark.conf.unset(tsKey)
     }
     // walk the written directory; parse partition values from dir names
-    val walk = Files.walk(outDir)
-    val files =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toVector.sortBy(_.toString)
-      finally walk.close()
+    val files = GraftIO.listFilesRecursive(outDir)
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.toString)
     if (files.isEmpty) return Nil // e.g. a delete that emptied every affected file
     // Row counts and per-column min/max come from the PARQUET FOOTERS —
     // O(files) metadata reads, no data re-scan (re-aggregating what was
     // just written would double write IO; footers already hold the
     // answer, which is exactly how Iceberg writers collect stats).
-    val entries = files.flatMap { p =>
-      val rel = dir.relativize(p).toString
+    val entries = files.flatMap { st =>
+      val p = st.getPath
+      val rel = GraftIO.relativize(dir, p)
       val pvals = rel.split('/').filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
@@ -1935,7 +1917,7 @@ final class GraftTable(val dir: Path) {
       if (rows == 0) None
       else Some(DataFile(rel, rows, m.currentSchemaId, pvals,
         if (stats.isEmpty) None else Some(stats),
-        sizeBytes = Some(Files.size(p)),
+        sizeBytes = Some(st.getLen),
         nulls = if (nulls.isEmpty) None else Some(nulls)))
     }
     attachBlooms(spark, m, entries)
@@ -1966,7 +1948,7 @@ final class GraftTable(val dir: Path) {
     // pruning exactly where it matters
     def pathOf(uri: String) = new java.net.URI(uri).getPath
     val rowsOf = entries
-      .map(e => dir.resolve(e.path).toAbsolutePath.toString -> e.rows).toMap
+      .map(e => dir.resolve(e.path).toUri.getPath -> e.rows).toMap
     val rowsB = spark.sparkContext.broadcast(rowsOf)
     val nB = spark.sparkContext.broadcast(names)
     val merged = spark.read
@@ -1998,7 +1980,7 @@ final class GraftTable(val dir: Path) {
         }
       }
     entries.map { e =>
-      val abs = dir.resolve(e.path).toAbsolutePath.toString
+      val abs = dir.resolve(e.path).toUri.getPath
       val perFile = names.flatMap(n =>
         merged.get((abs, n)).map(n -> _)).toMap
       if (perFile.isEmpty) e

@@ -1,10 +1,12 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, StandardCopyOption}
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
+
+import GraftIO.RichHPath
 
 /** Versioned table metadata for the Graft table format (SURVEY.md §2 B/C/D/H
   * — the Iceberg-capability layer re-expressed natively over Parquet;
@@ -197,29 +199,29 @@ object TableMeta {
   private val chunkCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
 
-  private def readChunk(metaDir: Path, ref: String): Seq[DataFile] = {
-    val key = metaDir.resolve(ref).toAbsolutePath.toString
+  private def readChunk(metaDir: HPath, ref: String): Seq[DataFile] = {
+    val key = metaDir.resolve(ref).toString
     val hit = chunkCache.get(key)
     if (hit != null) hit
     else {
       val v: Seq[DataFile] = Serialization.read[List[DataFile]](
-        new String(Files.readAllBytes(metaDir.resolve(ref)), StandardCharsets.UTF_8))
+        new String(GraftIO.readAllBytes(metaDir.resolve(ref)), StandardCharsets.UTF_8))
       if (chunkCache.size > 4096) chunkCache.clear()
       chunkCache.put(key, v)
       v
     }
   }
 
-  private[table] def writeChunk(metaDir: Path, files: Seq[DataFile]): String = {
+  private[table] def writeChunk(metaDir: HPath, files: Seq[DataFile]): String = {
     val ref = s"man-${java.util.UUID.randomUUID().toString.take(16)}.json"
-    Files.write(metaDir.resolve(ref),
+    GraftIO.write(metaDir.resolve(ref),
       Serialization.write(files).getBytes(StandardCharsets.UTF_8))
-    chunkCache.put(metaDir.resolve(ref).toAbsolutePath.toString, files)
+    chunkCache.put(metaDir.resolve(ref).toString, files)
     ref
   }
 
   /** Resolve chunk refs into in-memory manifests (after parse). */
-  private def hydrate(meta: TableMeta, metaDir: Path): TableMeta =
+  private def hydrate(meta: TableMeta, metaDir: HPath): TableMeta =
     meta.copy(snapshots = meta.snapshots.map { s =>
       s.manifestRefs match {
         case Some(refs) if s.manifest.isEmpty && refs.nonEmpty =>
@@ -234,7 +236,7 @@ object TableMeta {
     * chunk; anything else (CoW rewrite, compaction, overwrite) writes a
     * fresh full chunk. Snapshots already carrying refs (loaded from
     * disk) are reused verbatim — chunks are immutable. */
-  private def dehydrate(meta: TableMeta, metaDir: Path): TableMeta = {
+  private def dehydrate(meta: TableMeta, metaDir: HPath): TableMeta = {
     val done = scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[DataFile])]
     val outSnaps = meta.snapshots.map { s =>
       val refs: Seq[String] = s.manifestRefs match {
@@ -254,23 +256,23 @@ object TableMeta {
     meta.copy(snapshots = outSnaps)
   }
 
-  def write(meta: TableMeta, path: Path): Unit =
-    Files.write(path, Serialization.writePretty(dehydrate(meta, path.getParent))
+  def write(meta: TableMeta, path: HPath): Unit =
+    GraftIO.write(path, Serialization.writePretty(dehydrate(meta, path.getParent))
       .getBytes(StandardCharsets.UTF_8))
 
-  def read(path: Path): TableMeta =
+  def read(path: HPath): TableMeta =
     hydrate(
       Serialization.read[TableMeta](
-        new String(Files.readAllBytes(path), StandardCharsets.UTF_8)),
+        new String(GraftIO.readAllBytes(path), StandardCharsets.UTF_8)),
       path.getParent)
 
   /** Chunk refs of a version document WITHOUT hydrating — old documents
     * may reference chunks an expire already GC'd (those documents are
     * unreadable history, same as their data files), but their refs must
     * still count as "mentioned" for orphan-chunk liveness. */
-  private[table] def readRefsOnly(path: Path): Seq[String] =
+  private[table] def readRefsOnly(path: HPath): Seq[String] =
     Serialization.read[TableMeta](
-      new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+      new String(GraftIO.readAllBytes(path), StandardCharsets.UTF_8))
       .snapshots.flatMap(_.manifestRefs.getOrElse(Nil))
 
   /** Current metadata version of a table dir. The hint file is exactly
@@ -278,16 +280,32 @@ object TableMeta {
     * its hint swap, so we probe forward from the hint until the newest
     * existing version file. This guarantees retry progress under races
     * (a stale hint can never make two committers fight over the same
-    * version number forever). */
-  def currentVersion(tableDir: Path): Int = {
+    * version number forever). A missing or torn hint (possible on object
+    * stores, where the hint swap is an overwrite PUT rather than an
+    * atomic rename) falls back to listing `meta/` for the max version —
+    * the hint is an optimization, never the source of truth. */
+  def currentVersion(tableDir: HPath): Int = {
     val metaDir = tableDir.resolve("meta")
-    var v = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")),
-      StandardCharsets.UTF_8).trim.toInt
-    while (Files.exists(metaDir.resolve(s"v${v + 1}.json"))) v += 1
+    val hinted: Option[Int] =
+      try new String(GraftIO.readAllBytes(metaDir.resolve("version-hint.text")),
+        StandardCharsets.UTF_8).trim.toIntOption
+      catch { case scala.util.control.NonFatal(_) => None }
+    var v = hinted.getOrElse {
+      val vs = GraftIO.list(metaDir).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".json"))
+          n.stripPrefix("v").stripSuffix(".json").toIntOption
+        else None
+      }
+      if (vs.isEmpty)
+        throw new IllegalStateException(s"no table at $tableDir (no version files)")
+      vs.max
+    }
+    while (GraftIO.exists(metaDir.resolve(s"v${v + 1}.json"))) v += 1
     v
   }
 
-  def load(tableDir: Path): (Int, TableMeta) = {
+  def load(tableDir: HPath): (Int, TableMeta) = {
     // Hydration can race expire_snapshots: we read version N, expire
     // commits N+1 and physically deletes chunks only N referenced, and
     // our chunk read hits NoSuchFile. The NEWER document never references
@@ -298,7 +316,10 @@ object TableMeta {
       val v = currentVersion(tableDir)
       try return (v, read(tableDir.resolve("meta").resolve(s"v$v.json")))
       catch {
-        case e: java.nio.file.NoSuchFileException =>
+        // Hadoop filesystems surface a missing file as FileNotFound;
+        // nio (via LocalFileSystem shims) as NoSuchFileException.
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.nio.file.NoSuchFileException) =>
           attempt += 1
           if (attempt >= 5) throw e
       }
@@ -310,34 +331,26 @@ object TableMeta {
     * probe forward past the hint (`currentVersion`), so an in-flight
     * v<N+1>.json is VISIBLE — writing it in place would expose partial
     * JSON, and a committer crash would leave a truncated newest file that
-    * permanently breaks load(). Instead the full document goes to a temp
-    * file first and materializes at the target path via hard link:
-    * link creation is a single atomic metadata op that fails with
-    * FileAlreadyExistsException if the target exists — which *is* the
-    * conflict check (exactly one committer can land each version; an
-    * exists-then-write sequence would have a TOCTOU window). The hint
-    * pointer then swaps by atomic rename; readers that see a stale hint
-    * probe forward in `currentVersion`. */
-  def commit(tableDir: Path, expectedVersion: Int, meta: TableMeta): Int = {
+    * permanently breaks load(). `GraftIO.publishExclusive` provides both
+    * properties: on local filesystems the document is staged to a temp
+    * file and materialized via hard link — a single atomic metadata op
+    * that fails iff the target exists, which *is* the conflict check
+    * (exactly one committer can land each version; an exists-then-write
+    * sequence would have a TOCTOU window). On remote schemes it is an
+    * exclusive create (see GraftIO's per-scheme notes). The hint pointer
+    * then swaps atomically where the scheme allows; readers that see a
+    * stale or torn hint recover in `currentVersion`. */
+  def commit(tableDir: HPath, expectedVersion: Int, meta: TableMeta): Int = {
     val metaDir = tableDir.resolve("meta")
     val next = expectedVersion + 1
     val target = metaDir.resolve(s"v$next.json")
-    val staged = Files.createTempFile(metaDir, s"v$next-", ".json.tmp")
-    try {
-      Files.write(staged,
-        Serialization.writePretty(dehydrate(meta, metaDir))
-          .getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(target, staged)
-      catch {
-        case e: FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(
-            s"concurrent commit detected: $target already exists", e)
-      }
-    } finally Files.deleteIfExists(staged)
-    val tmp = Files.createTempFile(metaDir, "hint", ".tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaDir.resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val bytes = Serialization.writePretty(dehydrate(meta, metaDir))
+      .getBytes(StandardCharsets.UTF_8)
+    if (!GraftIO.publishExclusive(target, bytes))
+      throw new ConcurrentCommitException(
+        s"concurrent commit detected: $target already exists", null)
+    GraftIO.writeAtomicReplace(metaDir.resolve("version-hint.text"),
+      next.toString.getBytes(StandardCharsets.UTF_8))
     next
   }
 
@@ -348,7 +361,7 @@ object TableMeta {
     * for appends (manifest merge) and metadata-only DDL; operations that
     * validated against a specific base state (delete/replace) should use
     * single-shot `commit` and surface the conflict instead. */
-  def commitRetry(tableDir: Path, maxAttempts: Int = 10)(update: TableMeta => TableMeta): Int = {
+  def commitRetry(tableDir: HPath, maxAttempts: Int = 10)(update: TableMeta => TableMeta): Int = {
     var attempt = 1
     while (true) {
       val (v, m) = load(tableDir)

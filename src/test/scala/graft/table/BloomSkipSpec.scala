@@ -69,7 +69,7 @@ class BloomSkipSpec extends SparkTestBase {
       s"live sidecars must not be orphans: $removed")
     // sidecar files really exist next to the data
     t.meta.currentSnapshot.get.manifest.flatMap(_.bloom).foreach { ref =>
-      assert(Files.exists(t.dir.resolve(ref)))
+      assert(Files.exists(t.localDir.resolve(ref)))
     }
   }
 
@@ -94,7 +94,7 @@ class BloomSkipSpec extends SparkTestBase {
     // an id from ONE file must bloom-prune the files that don't hold it:
     // stats ranges per day file may overlap arbitrary ids, but each
     // file's bloom was built from its own rows only
-    val someId = spark.read.parquet(t.dir.resolve(files.head.path).toString)
+    val someId = spark.read.parquet(t.localDir.resolve(files.head.path).toString)
       .select(min(col("event_id"))).head().getLong(0)
     val kept = t.planFilters(m, Seq(EqualTo("event_id", someId)))
     assert(kept.map(_.path) === Seq(files.head.path),

@@ -46,7 +46,7 @@ class MetaAggSpec extends SparkTestBase {
     val before = t.metaAggregate(Seq("l_orderkey")).get
 
     // vaporize the data, keep the metadata
-    Files.walk(t.dir).iterator().forEachRemaining { p =>
+    Files.walk(t.localDir).iterator().forEachRemaining { p =>
       if (p.toString.endsWith(".parquet")) Files.delete(p)
     }
     val after = t.metaAggregate(Seq("l_orderkey")).get

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import graft.SparkTestBase
+import graft.table.GraftIO.RichHPath
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -164,7 +165,7 @@ class TableSpec extends SparkTestBase {
 
     // expire everything but the latest; old versions become unreadable and
     // their exclusive files are deleted from disk (README.md:319-322)
-    val dataDir = t.dir.resolve("data")
+    val dataDir = t.localDir.resolve("data")
     def parquetCount: Long = {
       val w = Files.walk(dataDir)
       try w.filter(p => p.toString.endsWith(".parquet")).count()
@@ -188,7 +189,7 @@ class TableSpec extends SparkTestBase {
     val files = t.meta.currentSnapshot.get.manifest
     assert(files.size === 2)
     val ranges = files.map { f =>
-      val df = spark.read.parquet(t.dir.resolve(f.path).toString)
+      val df = spark.read.parquet(t.localDir.resolve(f.path).toString)
       val r = df.agg(min("valor"), max("valor")).head()
       (r.getDecimal(0), r.getDecimal(1))
     }.sortBy(_._1)
@@ -336,7 +337,7 @@ class TableSpec extends SparkTestBase {
     val t = cat.createTable("db.mor4", pedidosSchema)
     t.append(pedidosDf)
     t.deleteMoR(spark, col("id_pedido") === "p2")
-    val delPath = t.dir.resolve(t.meta.currentSnapshot.get.allDeleteFiles.head.path)
+    val delPath = t.localDir.resolve(t.meta.currentSnapshot.get.allDeleteFiles.head.path)
     assert(Files.exists(delPath))
     t.rewriteDataFiles(spark, targetFiles = 1) // snapshot 3: no delete files
     t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
@@ -426,10 +427,10 @@ class TableSpec extends SparkTestBase {
       StructField("k", LongType), StructField("v", StringType))))
     def docSize: Long = {
       val (v, _) = TableMeta.load(t.dir)
-      Files.size(t.dir.resolve("meta").resolve(s"v$v.json"))
+      Files.size(t.localDir.resolve("meta").resolve(s"v$v.json"))
     }
     def chunkFiles: Seq[java.nio.file.Path] = {
-      val l = Files.list(t.dir.resolve("meta"))
+      val l = Files.list(t.localDir.resolve("meta"))
       try l.iterator().asScala.filter(_.getFileName.toString.startsWith("man-")).toVector
       finally l.close()
     }
@@ -459,7 +460,7 @@ class TableSpec extends SparkTestBase {
     assert(chunkFiles.size === 1, s"stale chunks survived: ${chunkFiles.size}")
     assert(t.read(spark).count() === 12)
     // orphan-chunk sweep: a stray chunk from a lost commit attempt dies
-    val stray = t.dir.resolve("meta").resolve("man-deadbeef.json")
+    val stray = t.localDir.resolve("meta").resolve("man-deadbeef.json")
     Files.writeString(stray, "[]")
     t.removeOrphanFiles(olderThanMs = Long.MaxValue)
     assert(!Files.exists(stray))
@@ -531,7 +532,7 @@ class TableSpec extends SparkTestBase {
     }"""
     val dir = Files.createTempDirectory("graft_legacy")
     Files.writeString(dir.resolve("m.json"), legacy)
-    val m = TableMeta.read(dir.resolve("m.json"))
+    val m = TableMeta.read(graft.table.GraftIO.fromNio(dir.resolve("m.json")))
     assert(m.name === "db.legacy")
     val f = m.currentSnapshot.get.manifest.head
     assert(f.seq.isEmpty && f.sizeBytes.isEmpty && f.stats.isEmpty)
@@ -671,7 +672,7 @@ class TableSpec extends SparkTestBase {
     t.append(pedidosDf) // snapshot 1
     import spark.implicits._
     t.deleteMoREquality(spark, Seq("p3").toDF("id_pedido")) // snapshot 2
-    val edPath = t.dir.resolve(t.meta.currentSnapshot.get.allEqDeleteFiles.head.path)
+    val edPath = t.localDir.resolve(t.meta.currentSnapshot.get.allEqDeleteFiles.head.path)
     assert(Files.exists(edPath))
     // changelog: snapshot 2 emits exactly the eq-deleted row as 'delete'
     val changes = t.readChanges(spark, 1, 2)
@@ -701,7 +702,7 @@ class TableSpec extends SparkTestBase {
     val (v, m) = TableMeta.load(t.dir)
     TableMeta.commit(t.dir, v, m)
     intercept[ConcurrentCommitException](TableMeta.commit(t.dir, v, m)) // loser
-    val metaDir = t.dir.resolve("meta")
+    val metaDir = t.localDir.resolve("meta")
     val listing = java.nio.file.Files.list(metaDir)
     val names = try {
       import scala.jdk.CollectionConverters._
@@ -714,7 +715,7 @@ class TableSpec extends SparkTestBase {
       s"unexpected staging debris in meta/: $names")
     // every version file present must parse — publication is all-or-nothing
     names.filter(_.matches("v\\d+\\.json")).foreach { n =>
-      TableMeta.read(metaDir.resolve(n))
+      TableMeta.read(t.dir.resolve("meta").resolve(n))
     }
   }
 
@@ -778,14 +779,14 @@ class TableSpec extends SparkTestBase {
     t.append(pedidosDf)
     val before = t.read(spark).collect().toSet
     // plant debris: a fake crashed-write file under data/
-    val stray = t.dir.resolve("data").resolve("w-deadbeef").resolve("part-0.parquet")
+    val stray = t.localDir.resolve("data").resolve("w-deadbeef").resolve("part-0.parquet")
     Files.createDirectories(stray.getParent)
     Files.write(stray, Array[Byte](1, 2, 3))
     // a too-recent cutoff protects the (possibly in-flight) stray
     assert(t.removeOrphanFiles(olderThanMs = 0L).isEmpty)
     assert(Files.exists(stray))
     // plant crashed-committer staging debris in meta/
-    val tmpStage = t.dir.resolve("meta").resolve("v9-crashed.json.tmp")
+    val tmpStage = t.localDir.resolve("meta").resolve("v9-crashed.json.tmp")
     Files.write(tmpStage, "{\"partial\":".getBytes)
     val removed = t.removeOrphanFiles(olderThanMs = Long.MaxValue)
     assert(removed.exists(_.contains("w-deadbeef")))
