@@ -20,21 +20,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf), then truncate to micros —
-    * the same truncation DuckDB applies when handing ns timestamps to
-    * clients, so oracles agree.
+  /** events.ts has shipped as both parquet timestamp[ns] and timestamp[us]
+    * across test-data generations, so branch on the dtype the scan actually
+    * loads instead of assuming either:
     *
-    * The conf is deliberately NOT save/restored here: the returned frame
-    * is lazy, so the flag must still be set when the scan executes.
-    * Session-wide effect: ns-timestamp parquet columns read as BIGINT
-    * instead of erroring — benign for every other table (none carry ns
-    * timestamps). */
+    *  - timestamp[ns]: Spark's vectorized reader rejects ns timestamps, so
+    *    `nanosAsLong` makes the column read as BIGINT; truncate to micros
+    *    (the same truncation DuckDB applies when handing ns timestamps to
+    *    clients, so oracles agree).
+    *  - timestamp[us] (current data, no tz → TIMESTAMP_NTZ): cast to the
+    *    session-tz TIMESTAMP type. The session is pinned UTC, so values are
+    *    identical and downstream query output schemas stay byte-stable with
+    *    the ns-era TIMESTAMP results.
+    *
+    * The conf is deliberately NOT save/restored: the returned frame is lazy,
+    * so the flag must still be set when the scan executes. Session-wide
+    * effect: ns-timestamp parquet columns read as BIGINT instead of erroring
+    * — benign for every other table (none carry ns timestamps). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

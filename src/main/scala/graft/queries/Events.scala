@@ -153,15 +153,21 @@ object Events {
     * claiming it. At scale the only change is the trigger (continuous
     * micro-batches) and a real sink. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
-    // ns-timestamp parquet: same legacy-conf + micros truncation as the
-    // batch reader (Tables.events), but the schema must be declared
-    // up-front (streaming file sources never infer)
+    // same ns/µs dtype branching as the batch reader (Tables.events), but
+    // the schema must be declared up-front (streaming file sources never
+    // infer), so branch on the batch-loaded physical schema
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     // file-source streams take a DIRECTORY; glob-filter to the events file
-    s.readStream.schema(rawSchema)
+    val raw = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Shared AvailableNow→memory-sink drain harness for the judged
