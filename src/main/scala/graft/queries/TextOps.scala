@@ -242,9 +242,14 @@ object TextOps {
     // deterministic and identical on every executor
     val dfs = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    // set size straight from the materialized array (sh is distinct, so
+    // |sh| == per-doc posting count) — a one-row-per-doc join the planner
+    // can broadcast, instead of a second per-doc window pass over the
+    // exploded postings before any pruning has happened
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
     val prefixes = docTok.join(dfs, Seq("tok"))
+      .join(sizes, Seq("doc_id"))
       .withColumn("rnk", row_number().over(byDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rnk") <= col("sz") - ceil(col("sz") * TAU) + 1)
       .select(col("doc_id"), col("tok"))
     val cands = prefixes.select(col("doc_id").as("ia"), col("tok"))

@@ -102,10 +102,13 @@ object GraftProcedures {
           val t = cat.load(input.getUTF8String(0).toString)
           val (before, after) =
             t.rewriteManifests(if (input.isNullAt(1)) 2 else input.getInt(1))
+          // columns named for what the values ARE (before/after chunk
+          // counts) — the previous rewritten/added naming claimed N
+          // rewritten + N added on a below-threshold no-op
           result(
             StructType(Seq(
-              StructField("rewritten_manifest_chunks", LongType),
-              StructField("added_manifest_chunks", LongType))),
+              StructField("chunks_before", LongType),
+              StructField("chunks_after", LongType))),
             before.toLong, after.toLong)
         }
       }
@@ -287,9 +290,10 @@ object GraftProcedures {
   }
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
-    "rollback_to_snapshot", "cherrypick_snapshot", "create_tag",
-    "create_branch", "drop_ref", "fast_forward", "remove_orphan_files",
-    "add_partition_field", "drop_partition_field", "add_files")
+    "rewrite_manifests", "rollback_to_snapshot", "cherrypick_snapshot",
+    "create_tag", "create_branch", "drop_ref", "fast_forward",
+    "remove_orphan_files", "add_partition_field", "drop_partition_field",
+    "add_files")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

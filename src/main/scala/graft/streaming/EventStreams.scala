@@ -132,33 +132,28 @@ object EventStreams {
     * at >= 30-minute gaps (the session_window merge rule). */
   private val GapMs = 30L * 60 * 1000
 
+  /** ONE clock for batch and stream: the same epoch-µs fold over the same
+    * `OpenSession` summary that `sessionizeStream` uses — the only batch
+    * difference is that end-of-input closes the open tail (a stream leaves
+    * it to the event-time timeout). A µs gap test also matches Spark's
+    * `session_window` semantics exactly; the previous ms-clock version
+    * split pairs whose true gap was up to 1 ms short of the threshold. */
   def splitSessions(userId: Long, events: Iterator[Event]): Iterator[Session] = {
-    val sorted = events.toVector.sortBy(_.ts.getTime)
+    val sorted = events.toVector.sortBy(e => (micros(e.ts), e.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
       val out = Vector.newBuilder[Session]
-      var start = sorted.head.ts
-      var last = sorted.head.ts
-      var n = 0L
-      // exact decimal accumulation with Spark's cast-to-DECIMAL(18,2)
-      // rounding (HALF_UP): order-independent, and bit-identical to the
-      // session_window query's `sum(value.cast(decimal)).cast(double)` —
-      // a plain double += would drift in the last ulp per addition order
-      var sum = BigDecimal(0)
-      def quant(v: Double): BigDecimal =
-        BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
-      def close(): Unit = {
-        // Timestamp.getTime is ms-precision; sub-ms digits live in the
-        // nanos field and must be carried over explicitly.
-        val end = new Timestamp(last.getTime + GapMs)
-        end.setNanos(last.getNanos)
-        out += Session(userId, start, end, n, sum.toDouble)
-      }
+      var open: OpenSession = null
       sorted.foreach { e =>
-        if (e.ts.getTime - last.getTime >= GapMs) { close(); start = e.ts; n = 0; sum = BigDecimal(0) }
-        n += 1; sum += quant(e.value); last = e.ts
+        val us = micros(e.ts)
+        if (open == null) open = OpenSession(us, us, 1L, centsOf(e.value))
+        else if (us - open.lastUs >= GapMs * 1000L) {
+          out += closeSession(userId, open)
+          open = OpenSession(us, us, 1L, centsOf(e.value))
+        } else open = OpenSession(open.startUs, us,
+          open.n + 1L, open.cents + centsOf(e.value))
       }
-      close()
+      out += closeSession(userId, open)
       out.result().iterator
     }
   }

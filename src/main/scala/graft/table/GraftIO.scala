@@ -143,11 +143,24 @@ object GraftIO {
       finally out.close()
     }
 
+  /** Test-only fault injection: invoked (when set) before each
+    * publishExclusive attempt, AFTER any staging the caller already did —
+    * throwing from here simulates a committer that crashed between
+    * staging its files and landing the version document (the window the
+    * crash-safety invariants must survive). Never set in production. */
+  @volatile private[graft] var beforePublish: HPath => Unit = null
+
   /** Exclusive-create publish: write `bytes` at `target` iff no file
     * exists there. Returns false (leaving any existing file untouched)
     * when the target already exists — the version-conflict signal.
     * Atomicity per scheme: see the object doc. */
-  def publishExclusive(target: HPath, bytes: Array[Byte]): Boolean =
+  def publishExclusive(target: HPath, bytes: Array[Byte]): Boolean = {
+    val hook = beforePublish
+    if (hook != null) hook(target)
+    publishExclusiveImpl(target, bytes)
+  }
+
+  private def publishExclusiveImpl(target: HPath, bytes: Array[Byte]): Boolean =
     if (isLocal(target)) {
       val t = toNio(target)
       val staged = Files.createTempFile(t.getParent, t.getFileName.toString + "-", ".tmp")

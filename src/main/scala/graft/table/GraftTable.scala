@@ -1274,6 +1274,11 @@ final class GraftTable(val dir: HPath) {
       m.currentSnapshot.flatMap(_.manifestRefs).map(_.size).getOrElse(0)
     val before = chunks(meta)
     if (before < minInputChunks) return (before, before)
+    // every retry attempt that writes a consolidated chunk and then loses
+    // the version CAS strands that chunk unreferenced — record each ref
+    // written here and sweep the losers after the final commit (the
+    // winner is whichever ref the committed document actually carries)
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
     TableMeta.commitRetry(dir) { m =>
       m.currentSnapshot match {
         // re-check inside the retry loop: a racing writer may have
@@ -1282,13 +1287,17 @@ final class GraftTable(val dir: HPath) {
         // chunk list is skipped
         case Some(cur) if cur.manifestRefs.exists(_.size >= minInputChunks) =>
           val ref = TableMeta.writeChunk(dir.resolve("meta"), cur.manifest)
+          written += ref
           m.copy(snapshots = m.snapshots.map(s =>
             if (s.snapshotId == cur.snapshotId) s.copy(manifestRefs = Some(Seq(ref)))
             else s))
         case _ => m
       }
     }
-    (before, chunks(meta))
+    val after = meta
+    val live = after.snapshots.flatMap(_.manifestRefs.getOrElse(Nil)).toSet
+    written.filterNot(live).foreach(r => GraftIO.delete(dir.resolve("meta").resolve(r)))
+    (before, chunks(after))
   }
 
   /** H1 `CALL system.expire_snapshots(older_than, retain_last)`

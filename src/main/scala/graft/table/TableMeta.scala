@@ -365,7 +365,14 @@ object TableMeta {
     var attempt = 1
     while (true) {
       val (v, m) = load(tableDir)
-      try return commit(tableDir, v, update(m))
+      val updated = update(m)
+      // no-op signal: `update` returning its input (reference-equal) means
+      // "nothing to change against this base" — skip the publish instead of
+      // committing a byte-identical version document (pure metadata churn,
+      // and maintenance ops racing real writers would burn their retries on
+      // it)
+      if (updated eq m) return v
+      try return commit(tableDir, v, updated)
       catch {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e

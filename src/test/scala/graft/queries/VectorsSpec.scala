@@ -60,4 +60,41 @@ class VectorsSpec extends SparkTestBase {
     // so recall should be comfortably higher than LSH/IVF's floor
     assert(recall >= 0.5, s"pq recall=$recall")
   }
+
+  test("banded dedup: precision 1 vs the exact all-pairs truth, recall measured") {
+    // exact verification means the banded plan can NEVER kill a vector
+    // the all-pairs truth keeps (false kills = 0); recall is the banding
+    // trade and is bounded below here so a parameter regression (fewer
+    // tables/bits, broken signature parity) fails loudly
+    val exactKept = Vectors.dedupEmbeddingExact(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val bandedKept = Vectors.dedupEmbedding(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactKilled = all -- exactKept
+    val bandedKilled = all -- bandedKept
+    assert(bandedKilled.subsetOf(exactKilled),
+      s"banded killed a survivor: ${bandedKilled -- exactKilled}")
+    val recall =
+      if (exactKilled.isEmpty) 1.0
+      else bandedKilled.size.toDouble / exactKilled.size
+    // near-orthogonal corpus, qualifying pairs at cos 0.42-0.51 (θ≈60°):
+    // 3 tables × 4 bits collide ~17-20% per table → union ~45%; the floor
+    // is set from that measurement, not aspiration
+    assert(recall >= 0.2, s"banded dedup recall=$recall (killed " +
+      s"${bandedKilled.size} of ${exactKilled.size})")
+  }
+
+  test("banded top-30 pairs: every reported pair's cosine matches the exact truth") {
+    // the banded top-k is a SUBSET property: each reported (ia, ib, cos)
+    // must appear with the identical cosine in the exact all-pairs
+    // scoring (banding can only drop pairs, never invent or misscore)
+    val banded = Vectors.topKPairs(spark, sfDir)
+    assert(banded.count() > 0)
+    val invented = banded.join(
+      Vectors.allPairsScored(spark, sfDir), Seq("ia", "ib", "cos"), "left_anti")
+    assert(invented.count() == 0,
+      s"banded pairs absent from exact scoring: ${invented.collect().mkString(",")}")
+  }
 }

@@ -502,6 +502,21 @@ class TableSpec extends SparkTestBase {
     val (b3, a3) = t.rewriteManifests(minInputChunks = 2)
     assert((b3, a3) === (1, 1))
     assert(TableMeta.load(t.dir)._1 === vAfter)
+    // the in-retry no-op path must not publish either: an update that
+    // returns its input reference-equal skips the commit entirely
+    val vNoop = TableMeta.commitRetry(t.dir)(identity)
+    assert(vNoop === vAfter, "identity update published a version")
+    assert(TableMeta.load(t.dir)._1 === vAfter)
+    // and a consolidation losing its race must not strand chunk files:
+    // every man-*.json on disk is referenced by some version document
+    val metaDir = GraftIO.toNio(t.dir.resolve("meta"))
+    val onDisk = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("man-")).toSet
+    val live = (1 to vAfter).flatMap { v =>
+      val doc = metaDir.resolve(s"v$v.json")
+      if (Files.exists(doc)) TableMeta.readRefsOnly(GraftIO.fromNio(doc)) else Nil
+    }.toSet
+    assert(onDisk.subsetOf(live), s"stranded chunks: ${onDisk -- live}")
     // expire + orphan sweep after consolidation: the folded chunk chain
     // loses its last reference once old version docs are the only
     // mention — reads stay correct throughout
