@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression (J9 family, like DotProductF): the size of
+  * the intersection of two SORTED string arrays by two-pointer merge —
+  * `size(array_intersect(a, b))` without the per-row hash-set build and
+  * intermediate array allocation. `array_intersect` is the dominant cost
+  * of set-similarity verification (candidate pairs × |set| hash inserts,
+  * all garbage); the merge does |a|+|b| binary UTF8 comparisons in a
+  * tight generated loop with zero allocation.
+  *
+  * Contract: both inputs ascending-sorted (as produced by `array_sort`)
+  * and duplicate-free (as produced by `array_distinct`) — the producer
+  * owns that invariant (jaccardPrefix writes its shingle table sorted).
+  * Null ELEMENTS are skipped on either side (cannot match anything);
+  * a null ARRAY yields NULL, mirroring array_intersect.
+  */
+case class SortedIntersectSizeF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_size requires two ARRAY<STRING> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val m = ys.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      if (xs.isNullAt(i)) i += 1
+      else if (ys.isNullAt(j)) j += 1
+      else {
+        val cmp = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSizeF =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectSizeF {
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      SortedIntersectSizeF(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

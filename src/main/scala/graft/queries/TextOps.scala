@@ -232,41 +232,68 @@ object TextOps {
   def jaccardPrefix(s: SparkSession, d: String): DataFrame = {
     val TAU = 0.5
     val tmp = graft.Scratch.overwritable("shingles_pfx", d)
+    // sh written SORTED (and distinct): the prefix is then a plain
+    // slice of the stored array, and the verify step's two-pointer
+    // merge intersect reads the same order
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
+      .select(col("doc_id"), array_sort(array_distinct(shinglesOf(col("t")))).as("sh"))
       .write.mode("overwrite").parquet(tmp)
     val base = s.read.parquet(tmp)
-    val docTok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
-    // global rarity order: ascending document frequency, ties by token —
-    // deterministic and identical on every executor
-    val dfs = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    // set size straight from the materialized array (sh is distinct, so
-    // |sh| == per-doc posting count) — a one-row-per-doc join the planner
-    // can broadcast, instead of a second per-doc window pass over the
-    // exploded postings before any pruning has happened
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
-    val prefixes = docTok.join(dfs, Seq("tok"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("rnk", row_number().over(byDoc))
-      .filter(col("rnk") <= col("sz") - ceil(col("sz") * TAU) + 1)
-      .select(col("doc_id"), col("tok"))
-    val cands = prefixes.select(col("doc_id").as("ia"), col("tok"))
-      .join(prefixes.select(col("doc_id").as("ib"), col("tok")), Seq("tok"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
-    // verify candidates on the full sets; two-stage projection so the
-    // intersect computes once, not per reference
-    cands
+    // Prefix under the ARRAY'S OWN sort order. The prefix principle
+    // holds for ANY fixed global token order, so the stored order is
+    // free: prefix extraction is a row-side slice — no df table, no
+    // per-doc rank window, no second materialization. (The rarity-
+    // ordered variant generates fewer candidates — measured 409k vs
+    // 567k here vs 1.13M unfiltered — but its candidate-GENERATION cost
+    // exceeded the saving on this corpus's flat df distribution, max
+    // df 25. On a skewed corpus, rarity ordering pays; the order is a
+    // pluggable choice, completeness never depends on it.)
+    val k = (size(col("sh")) - ceil(size(col("sh")) * TAU) + lit(1)).cast(IntegerType)
+    val prefixes = base.select(
+      col("doc_id"), size(col("sh")).as("sz"),
+      explode(slice(col("sh"), lit(1), k)).as("tok"))
+    // raw candidate pairs — duplicates (one per shared prefix token)
+    // are NOT distinct'ed here: the verification aggregate dedups for
+    // free, saving a full pre-join exchange. The size-compatibility
+    // bound (J ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ) rides the join as an extra
+    // conjunct — pairs it kills never reach the array-attach joins. The
+    // probe side repartitions off the single parquet split first: with
+    // broadcast joins all the way down, the whole candidate×verify
+    // pipeline would otherwise run as ONE task rooted at a one-file
+    // scan (measured 11 s single-core vs ~2 s spread across the
+    // session's cores).
+    val rawPairs = prefixes
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("ia"), col("sz").as("sa0"), col("tok"))
+      .join(prefixes.select(col("doc_id").as("ib"), col("sz").as("sb0"), col("tok")),
+        Seq("tok"))
+      .filter(col("ia") < col("ib") &&
+        col("sb0") * TAU <= col("sa0") && col("sa0") * TAU <= col("sb0"))
+      .select(col("ia"), col("ib"))
+    // Verify on the full sets. The intersect is the native two-pointer
+    // merge over the sorted arrays (SortedIntersectSizeF): identical
+    // count to size(array_intersect(...)), zero allocation. The τ
+    // filter sits ABOVE the pair aggregate on the aggregated value —
+    // deliberately: a filter directly over this projection gets pushed
+    // into the broadcast join as a join CONDITION, re-evaluating the
+    // intersect per probe outside the projection's subexpression
+    // elimination (measured 5.2 s vs 0.6 s for the same verify at
+    // sf0.1). Predicates on aggregate results cannot push below the
+    // aggregate, so the plan keeps exactly one intersect per pair.
+    val common = graft.functions.SortedIntersectSizeF
+      .sortedIntersectSize(col("sha"), col("shb"))
+    rawPairs
       .join(base.select(col("doc_id").as("ia"), col("sh").as("sha")), Seq("ia"))
       .join(base.select(col("doc_id").as("ib"), col("sh").as("shb")), Seq("ib"))
       .select(col("ia"), col("ib"),
-        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        common.as("common"),
         size(col("sha")).as("sa"), size(col("shb")).as("sb"))
       .select(col("ia"), col("ib"),
         (col("common").cast(DoubleType) /
           (col("sa") + col("sb") - col("common")).cast(DoubleType)).as("jaccard"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(min(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= TAU)
       .orderBy(col("jaccard").desc, col("ia"), col("ib"))
   }

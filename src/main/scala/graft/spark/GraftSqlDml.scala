@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions.lit
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => GraftRowLevelSql)
+    // literal ALTER TABLE ... ADD/DROP PARTITION FIELD (README.md:304)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // native as-of join (graft.plans.AsOfJoin → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // manifest-stats auto-broadcast of small Graft join sides (the

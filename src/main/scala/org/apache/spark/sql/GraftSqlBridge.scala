@@ -23,4 +23,26 @@ object GraftSqlBridge {
     val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Resolve a multipart table identifier to its v2 catalog + relative
+    * identifier the way Spark's LookupCatalog does (leading part names a
+    * registered catalog, else the session's current catalog) — the
+    * CatalogManager accessors are `private[sql]`, hence bridged here. */
+  def resolveV2Table(
+      spark: SparkSession,
+      parts: Seq[String]): org.apache.spark.sql.connector.catalog.Table = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    require(parts.nonEmpty, "empty table identifier")
+    val cm = spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    val (plugin, rest) =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    plugin match {
+      case tc: TableCatalog =>
+        tc.loadTable(Identifier.of(rest.init.toArray, rest.last))
+      case other => throw new IllegalArgumentException(
+        s"catalog ${other.name} is not a TableCatalog")
+    }
+  }
 }

@@ -343,6 +343,35 @@ class Dsv2Spec extends SparkTestBase {
     assert(t.read(spark).count() === 200) // both epochs still read
   }
 
+  test("literal ALTER TABLE ... ADD/DROP PARTITION FIELD parses and evolves the spec") {
+    // the reference's exact extension syntax (README.md:304), via the
+    // injected delegating parser — the CALL procedures above remain the
+    // equivalent programmatic surface
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.pfsql", eventsSchema)
+    t.append(Tables.events(spark, sfDir).limit(100))
+    val c = freshCatalog(wh)
+    spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD days(ts)")
+    assert(t.meta.partitionFields.map(_.transform) === Seq("days"))
+    spark.sql(s"ALTER TABLE $c.db.pfsql DROP PARTITION FIELD days(ts)")
+    assert(t.meta.partitionFields.isEmpty)
+    // parametric transform + DROP by bare source column
+    spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD bucket(4, user_id)")
+    assert(t.meta.partitionFields.map(_.transform) === Seq("bucket[4]"))
+    spark.sql(s"ALTER TABLE $c.db.pfsql DROP PARTITION FIELD user_id")
+    assert(t.meta.partitionFields.isEmpty)
+    // the delegating parser must not touch SQL Spark already accepts:
+    // stock ALTER and plain queries still parse and run
+    spark.sql(s"ALTER TABLE $c.db.pfsql SET TBLPROPERTIES ('x'='1')")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.pfsql").head().getLong(0) === 100)
+    // identity partitioning is rejected with a useful message
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD user_id"))
+    assert(e.getMessage.contains("identity"))
+  }
+
   test("widening guards: partition sources refuse; same-type replay is a no-op; rename re-renders sort-order property") {
     val wh = Files.createTempDirectory("graft_wh")
     val cat = new GraftCatalog(wh)
