@@ -322,6 +322,20 @@ object TableMeta {
                   _: java.nio.file.NoSuchFileException) =>
           attempt += 1
           if (attempt >= 5) throw e
+        // Torn read of an IN-FLIGHT version document: on non-local
+        // schemes publishExclusive is create+write+close, and the
+        // forward probe sees the file the moment create() opens it —
+        // possibly before (all) bytes land — so the parse fails. The
+        // writer's close is imminent; brief bounded backoff, then the
+        // re-read converges. (The local scheme can't hit this — its
+        // publish materializes complete bytes by hard link.) A document
+        // still unparseable after the retries is genuine corruption —
+        // e.g. a committer hard-killed mid-write on an object store
+        // without conditional PUTs — and fails loudly.
+        case scala.util.control.NonFatal(e) =>
+          attempt += 1
+          if (attempt >= 8) throw e
+          Thread.sleep(25L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")

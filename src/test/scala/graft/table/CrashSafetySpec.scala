@@ -142,6 +142,31 @@ class CrashSafetySpec extends SparkTestBase {
       s"(swept: $swept)")
   }
 
+  test("load() rides out a torn in-flight version document (non-local publish window)") {
+    // Non-local publishExclusive is create+write+close: a concurrent
+    // reader's forward probe sees v2.json between create() and close()
+    // and must retry the parse, not crash. Simulate the window
+    // deterministically: leave a truncated v2 on disk, complete it from
+    // another thread mid-load.
+    val wh = graftfsWarehouse()
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.torn", schema)
+    t.append(batch(0, 10))
+    val v2 = t.dir.resolve("meta").resolve("v2.json")
+    val full = GraftIO.readAllBytes(v2)
+    GraftIO.write(v2, full.take(full.length / 2)) // in-flight: half the bytes
+    val finisher = new Thread(() => {
+      Thread.sleep(150)
+      GraftIO.write(v2, full) // writer's close lands
+    })
+    finisher.start()
+    val (v, m) = TableMeta.load(t.dir)
+    finisher.join()
+    assert(v === 2)
+    assert(m.currentSnapshot.isDefined)
+  }
+
   test("crashed committers between stage and publish: file scheme") {
     scenario(localWarehouse())
   }
