@@ -67,7 +67,8 @@ object Vectors {
       .limit(20)
   }
 
-  /** Shared sign-LSH banding for the judged pair ops: 3 tables × 4 sign
+  /** Shared sign-LSH banding for the judged pair ops: BAND_TABLES (5)
+    * tables × 4 sign
     * bits against the fixed HYPERPLANES, signs taken on the dot ROUNDED
     * to 7 decimals so Spark and the DuckDB oracle (which evaluates the
     * same seeded planes as SQL literals) agree bit-for-bit. Candidates =
@@ -81,15 +82,15 @@ object Vectors {
     * (exact threshold joins on gap-free data are Ω(n²)). The operator a
     * 100 TB pipeline actually runs is exactly this: banded candidates +
     * exact verify, recall set by bands × bits (the VectorsSpec measures
-    * it against the exact truth). Plan shape: explode to 3 (t, bucket)
-    * cells per vector, shuffle on the band key, verify only colliding
+    * it against the exact truth). Plan shape: explode to one (t, bucket)
+    * cell per table per vector, shuffle on the band key, verify only colliding
     * pairs — O(n·bucket) work, and bucket width is the 100×-scale dial
     * (more bits → smaller buckets). */
   private lazy val planeCols: Array[Column] =
     HYPERPLANES.map(p => array(p.map(lit): _*))
 
   private def bandBuckets(v: Column): Seq[Column] =
-    (0 until 3).map { t =>
+    (0 until BAND_TABLES).map { t =>
       (0 until 4).map { i =>
         when(round(dot(planeCols(t * 4 + i), v), 7) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
@@ -103,7 +104,7 @@ object Vectors {
     val e = Tables.embeddings(s, d)
     val sig = e.select(
         col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"),
-        explode(array((0 until 3).zip(bandBuckets(col("embedding"))).map {
+        explode(array((0 until BAND_TABLES).zip(bandBuckets(col("embedding"))).map {
           case (t, b) => struct(lit(t).as("t"), b.as("b"))
         }: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -215,11 +216,17 @@ object Vectors {
   }
 
   /** Fixed random hyperplanes for sign-bit LSH: deterministic (seeded),
-    * shared by build and probe side. 3 tables × 4 bits. */
+    * shared by build and probe side. 5 tables × 4 bits; annLsh uses the
+    * first 3 tables (planes 0–11 — the seeded sequence keeps them
+    * byte-identical to when the array was 12 long), the banded pair ops
+    * all 5 (recall ≈ 1−(1−p⁴)^T against this corpus's θ≈60° pairs:
+    * T=3 → ~0.42 measured, T=5 → ~0.63, still bucketed candidates). */
   private[graft] val HYPERPLANES: Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(12)(Array.fill(64)(rng.nextGaussian()))
+    Array.fill(20)(Array.fill(64)(rng.nextGaussian()))
   }
+
+  private val BAND_TABLES = 5
 
   /** J7 scale path: LSH-bucketed approximate nearest neighbours for the
     * vec_id=0 query. bucket(t, v) = 4 sign bits of v against table t's
@@ -738,14 +745,14 @@ object Vectors {
   private lazy val bandedPairsSql: String = {
     def planeLit(k: Int): String =
       HYPERPLANES(k).map(_.toString).mkString("[", ", ", "]")
-    val sigCols = (0 until 3).map { t =>
+    val sigCols = (0 until BAND_TABLES).map { t =>
       (0 until 4).map { i =>
         s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
            |  j -> CAST(embedding[j] AS DOUBLE) * (pl.p${t * 4 + i})[j])), 7) >= 0
            |  THEN ${1 << i} ELSE 0 END)""".stripMargin
       }.mkString(" + ") + s" AS b$t"
     }.mkString(",\n           ")
-    val planeSelect = (0 until 12).map(k => s"${planeLit(k)} AS p$k").mkString(", ")
+    val planeSelect = (0 until BAND_TABLES * 4).map(k => s"${planeLit(k)} AS p$k").mkString(", ")
     s"""WITH pl AS (SELECT $planeSelect),
        sig AS (
          SELECT vec_id, embedding,
@@ -758,6 +765,6 @@ object Vectors {
                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
          FROM sig a JOIN sig b
            ON a.vec_id < b.vec_id
-          AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2))"""
+          AND (${(0 until BAND_TABLES).map(t => s"a.b$t = b.b$t").mkString(" OR ")}))"""
   }
 }

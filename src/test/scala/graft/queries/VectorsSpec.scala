@@ -80,9 +80,10 @@ class VectorsSpec extends SparkTestBase {
       if (exactKilled.isEmpty) 1.0
       else bandedKilled.size.toDouble / exactKilled.size
     // near-orthogonal corpus, qualifying pairs at cos 0.42-0.51 (θ≈60°):
-    // 3 tables × 4 bits collide ~17-20% per table → union ~45%; the floor
-    // is set from that measurement, not aspiration
-    assert(recall >= 0.2, s"banded dedup recall=$recall (killed " +
+    // 4-bit tables collide ~17-20% per table → union over 5 tables ≈
+    // 0.60-0.68 expected; the floor is set from that math with slack for
+    // the small-sample variance (tens of qualifying pairs), not aspiration
+    assert(recall >= 0.35, s"banded dedup recall=$recall (killed " +
       s"${bandedKilled.size} of ${exactKilled.size})")
   }
 
