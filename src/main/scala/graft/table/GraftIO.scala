@@ -97,8 +97,13 @@ object GraftIO {
 
   def mkdirs(p: HPath): Unit = { fs(p).mkdirs(p); () }
 
-  /** Delete one path (no error if absent). */
-  def delete(p: HPath): Unit = { fs(p).delete(p, false); () }
+  /** Delete one path (no error if absent). Local paths short-circuit to
+    * nio (same rationale as `write`: ChecksumFileSystem adds a `.crc`
+    * sidecar probe + delete per call — measurable across expire/compact's
+    * per-file GC loops). */
+  def delete(p: HPath): Unit =
+    if (isLocal(p)) { Files.deleteIfExists(toNio(p)); () }
+    else { fs(p).delete(p, false); () }
 
   def deleteRecursive(p: HPath): Unit = { fs(p).delete(p, true); () }
 

@@ -25,6 +25,11 @@ class TablePropertySpec extends SparkTestBase {
   case class Append(rows: Seq[(Long, String)]) extends Op
   case class Delete(mod: Long) extends Op // CoW delete where k % mod == 0
   case class EqDelete(keys: Set[Long]) extends Op // MoR equality delete by k
+  // maintenance ops: metadata/file reorganizations that must NEVER
+  // change logical content, interleaved with the mutations above
+  case object RewriteManifests extends Op
+  case object Compact extends Op
+  case object Expire extends Op
 
   private val genAppend: Gen[Op] = for {
     n <- Gen.choose(1, 8)
@@ -40,7 +45,9 @@ class TablePropertySpec extends SparkTestBase {
 
   private val genOps: Gen[List[Op]] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
-      Gen.frequency(3 -> genAppend, 1 -> genDelete, 1 -> genEqDelete)))
+      Gen.frequency(3 -> genAppend, 1 -> genDelete, 1 -> genEqDelete,
+        1 -> Gen.const(RewriteManifests), 1 -> Gen.const(Compact),
+        1 -> Gen.const(Expire))))
 
   private def df(rows: Seq[(Long, String)]) = {
     import spark.implicits._
@@ -56,6 +63,7 @@ class TablePropertySpec extends SparkTestBase {
       val snapshotsAfterFirstAppend = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String)]]
       var firstSnapshotContent: Option[Set[(Long, String)]] = None
 
+      var expired = false
       ops.foreach {
         case Append(rows) =>
           t.append(df(rows))
@@ -71,12 +79,23 @@ class TablePropertySpec extends SparkTestBase {
           import spark.implicits._
           t.deleteMoREquality(spark, keys.toSeq.toDF("k"))
           model = model.filterNot(r => keys.contains(r._1))
+        // maintenance never changes the model: the fold-equivalence
+        // check below is exactly the "logical content is invariant
+        // under reorganization" property
+        case RewriteManifests => t.rewriteManifests()
+        case Compact => t.rewriteDataFiles(spark, targetFiles = 2)
+        case Expire =>
+          t.expireSnapshots(
+            olderThanMs = System.currentTimeMillis() + 60000, retainLast = 1)
+          t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+          expired = true
       }
 
       val table = t.read(spark).collect().map(r => (r.getLong(0), r.getString(1)))
       val contentOk = table.sorted.toSeq == model.sorted.toSeq
-      // snapshot 1 (if any write happened) still returns its original content
-      val travelOk = firstSnapshotContent.forall { expect =>
+      // snapshot 1 (if any write happened) still returns its original
+      // content — unless an expire legitimately retired it
+      val travelOk = expired || firstSnapshotContent.forall { expect =>
         t.readVersion(spark, 1).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSet == expect
       }
