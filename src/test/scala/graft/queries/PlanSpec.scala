@@ -192,6 +192,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardPrefix's intersect never rides a join condition (pushdown trap)") {
+    // Catalyst pushes a filter over the verify projection into the
+    // broadcast join as a join CONDITION, re-evaluating the set
+    // intersect per probe outside subexpression elimination (measured
+    // 5.2 s vs 0.6 s at sf0.1). The pair aggregate between projection
+    // and filter prevents it; this pins that shape against optimizer
+    // changes: no plan line may carry the intersect inside a join.
+    val p = plan(TextOps.jaccardPrefix(spark, sfDir))
+    val offending = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("sortedintersectsizef")).toSeq
+    assert(offending.isEmpty, offending.mkString("\n"))
+    assert(p.contains("sortedintersectsizef"), p) // still the verify impl
+  }
+
   test("debounce is one window pass: a single hash shuffle on the stream key") {
     val p = plan(Events.debounce(spark, sfDir))
     // exactly one hashpartitioning exchange (the lag window; the only
