@@ -326,6 +326,31 @@ object TableQueries {
     s.sql(s"SELECT * FROM $c.db.orders_sql ORDER BY o_orderkey")
   }
 
+  /** Partition evolution through the LITERAL extension DDL
+    * (README.md:304 — the reference needs the Iceberg extensions jar for
+    * this exact statement): CREATE unpartitioned → `ALTER TABLE ... ADD
+    * PARTITION FIELD bucket(8, o_custkey)` (GraftSqlParser) → INSERT
+    * (writes cluster by the evolved spec) → SQL equality probe over the
+    * bucketed table. Judged semantics: the evolved table's SQL read ==
+    * plain filter; the parser mechanics are Dsv2Spec-proven, this puts
+    * the statement under the driver's oracle gate. */
+  def tableSqlPartitionEvolve(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.orders_pe")
+    s.sql(
+      s"""CREATE TABLE $c.db.orders_pe (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+    s.sql(s"ALTER TABLE $c.db.orders_pe ADD PARTITION FIELD bucket(8, o_custkey)")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.orders_pe
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE), o_orderdate, o_orderpriority
+          FROM graft_src_orders""")
+    s.sql(s"SELECT * FROM $c.db.orders_pe WHERE o_custkey = 37 ORDER BY o_orderkey")
+  }
+
   /** SQL DDL lifecycle: ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP
     * COLUMN are each a metadata-only schema commit (README.md:268-292 —
     * the reference renames a populated column and re-reads instantly);
@@ -1007,6 +1032,7 @@ object TableQueries {
     "q_table_mor_merge"       -> tableMorMerge,
     "q_table_sql_read"        -> tableSqlRead,
     "q_table_sql_write"       -> tableSqlWrite,
+    "q_table_sql_partition_evolve" -> tableSqlPartitionEvolve,
     "q_table_sql_ddl"         -> tableSqlDdl,
     "q_table_sql_call"        -> tableSqlCall,
     "q_table_partitions"      -> tablePartitions,
@@ -1293,6 +1319,11 @@ object TableQueries {
          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
          o_orderdate, o_orderpriority
          FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
+    "q_table_sql_partition_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_custkey = 37 ORDER BY o_orderkey""",
     "q_table_sql_ddl" ->
       """SELECT o_orderkey, o_orderstatus AS status, CAST(NULL AS VARCHAR) AS channel
          FROM orders ORDER BY o_orderkey""",
