@@ -48,7 +48,16 @@ class SchemaDriftSpec extends SparkTestBase {
       "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
         "lang" -> StringType, "source" -> StringType),
       "embeddings" -> Map("vec_id" -> LongType,
-        "embedding" -> ArrayType(FloatType, containsNull = true), "label" -> IntegerType)
+        "embedding" -> ArrayType(FloatType, containsNull = true), "label" -> IntegerType),
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+        "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+        "s_acctbal" -> DoubleType),
+      "part" -> Map("p_partkey" -> LongType, "p_brand" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
     )
     val drifted = for {
       (table, cols) <- expected.toSeq
