@@ -55,55 +55,66 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftPartitionFieldSql {
 
+  // The TABLE group is restricted to identifier characters: a looser
+  // `.+?` would also match statements that merely CONTAIN the phrase —
+  // `ALTER TABLE t SET TBLPROPERTIES ('x'='ADD PARTITION FIELD ...')`
+  // must fall through to the stock parser untouched.
   private val AddRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
   private val DropRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
 
   // days(ts) | bucket(16, id) | bare column
   private val UnaryT = """(?i)^\s*(\w+)\s*\(\s*([\w.`]+)\s*\)\s*$""".r
   private val BinaryT = """(?i)^\s*(\w+)\s*\(\s*(\d+)\s*,\s*([\w.`]+)\s*\)\s*$""".r
   private val BareT = """^\s*([\w.`]+)\s*$""".r
 
-  /** (source column, Transforms spec string) for a SQL transform text. */
-  private def transformOf(text: String): (String, String) = text match {
+  /** (source column, Transforms spec string) for a SQL transform text.
+    * None when the text matches no recognized shape — the statement then
+    * falls through to the delegate (whose own error surfaces), so this
+    * extension can only ever CLAIM statements it fully understands. */
+  private def transformOf(text: String): Option[(String, String)] = text match {
     case UnaryT(fn, col) => fn.toLowerCase match {
-      case "days" | "day"     => (strip(col), "days")
-      case "months" | "month" => (strip(col), "months")
-      case "years" | "year"   => (strip(col), "years")
-      case "hours" | "hour"   => (strip(col), "hours")
-      case other => throw new IllegalArgumentException(
-        s"unknown partition transform $other (have days/months/years/hours/bucket/truncate)")
+      case "days" | "day"     => Some((strip(col), "days"))
+      case "months" | "month" => Some((strip(col), "months"))
+      case "years" | "year"   => Some((strip(col), "years"))
+      case "hours" | "hour"   => Some((strip(col), "hours"))
+      case _ => None
     }
     case BinaryT(fn, n, col) => fn.toLowerCase match {
-      case "bucket"   => (strip(col), s"bucket[$n]")
-      case "truncate" => (strip(col), s"truncate[$n]")
-      case other => throw new IllegalArgumentException(
-        s"unknown parametric partition transform $other (have bucket/truncate)")
+      case "bucket"   => Some((strip(col), s"bucket[$n]"))
+      case "truncate" => Some((strip(col), s"truncate[$n]"))
+      case _ => None
     }
     case BareT(col) => throw new IllegalArgumentException(
       s"identity partitioning on ${strip(col)} is not supported — use an " +
         "explicit transform (days/months/years/hours/bucket/truncate)")
-    case other => throw new IllegalArgumentException(
-      s"cannot parse partition transform: $other")
+    case _ => None
   }
 
   private def strip(ident: String): String = ident.replace("`", "")
 
+  /** Trailing `-- comment` after the transform is tolerated (spark-sql
+    * sessions paste statements with them); anything else unrecognized
+    * falls through. */
+  private def stripComment(t: String): String =
+    t.replaceAll("(?s)--.*$", "").trim
+
   def parse(sqlText: String, idParser: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case AddRe(table, transform) =>
-        val (col, spec) = transformOf(transform)
-        Some(GraftPartitionFieldCommand(
-          idParser.parseMultipartIdentifier(table), col, Some(spec)))
+        transformOf(stripComment(transform)).map { case (col, spec) =>
+          GraftPartitionFieldCommand(
+            idParser.parseMultipartIdentifier(table), col, Some(spec))
+        }
       case DropRe(table, transform) =>
         // DROP accepts either the transform shape or the bare source
         // column (both name the same field: one transform per source)
-        val col = transform match {
-          case BareT(c) => strip(c)
-          case t        => transformOf(t)._1
+        val colOpt = stripComment(transform) match {
+          case BareT(c) => Some(strip(c))
+          case t        => transformOf(t).map(_._1)
         }
-        Some(GraftPartitionFieldCommand(
+        colOpt.map(col => GraftPartitionFieldCommand(
           idParser.parseMultipartIdentifier(table), col, None))
       case _ => None
     }

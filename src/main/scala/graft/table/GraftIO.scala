@@ -99,10 +99,20 @@ object GraftIO {
 
   /** Delete one path (no error if absent). Local paths short-circuit to
     * nio (same rationale as `write`: ChecksumFileSystem adds a `.crc`
-    * sidecar probe + delete per call — measurable across expire/compact's
-    * per-file GC loops). */
+    * sidecar probe + delete per call) — but any `.crc` sidecar a
+    * checksummed writer DID leave (Spark's own parquet writes go through
+    * LocalFileSystem) is removed alongside, since ChecksumFileSystem
+    * hides sidecars from listings and an orphaned one would be
+    * unreclaimable debris. */
   def delete(p: HPath): Unit =
-    if (isLocal(p)) { Files.deleteIfExists(toNio(p)); () }
+    if (isLocal(p)) {
+      val t = toNio(p)
+      Files.deleteIfExists(t)
+      val parent = t.getParent
+      if (parent != null)
+        Files.deleteIfExists(parent.resolve("." + t.getFileName.toString + ".crc"))
+      ()
+    }
     else { fs(p).delete(p, false); () }
 
   def deleteRecursive(p: HPath): Unit = { fs(p).delete(p, true); () }

@@ -1295,8 +1295,19 @@ final class GraftTable(val dir: HPath) {
       }
     }
     val after = meta
-    val live = after.snapshots.flatMap(_.manifestRefs.getOrElse(Nil)).toSet
-    written.filterNot(live).foreach(r => GraftIO.delete(dir.resolve("meta").resolve(r)))
+    // liveness must span EVERY existing version document, not just the
+    // latest: between this writer's commit and this sweep a concurrent
+    // expire/rewrite may have replaced the current refs, while older
+    // (still readable) documents reference the chunk this writer DID
+    // commit. Same all-documents rule as removeOrphanFiles' chunk pass;
+    // if any document fails to read, skip the sweep (never guess).
+    val metaDir = dir.resolve("meta")
+    val live: Set[String] =
+      try GraftIO.list(metaDir)
+        .filter(_.getPath.getName.matches("v\\d+\\.json"))
+        .flatMap(st => TableMeta.readRefsOnly(st.getPath)).toSet
+      catch { case scala.util.control.NonFatal(_) => written.toSet }
+    written.filterNot(live).foreach(r => GraftIO.delete(metaDir.resolve(r)))
     (before, chunks(after))
   }
 

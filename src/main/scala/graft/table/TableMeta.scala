@@ -328,11 +328,14 @@ object TableMeta {
         // possibly before (all) bytes land — so the parse fails. The
         // writer's close is imminent; brief bounded backoff, then the
         // re-read converges. (The local scheme can't hit this — its
-        // publish materializes complete bytes by hard link.) A document
+        // publish materializes complete bytes by hard link.) Only
+        // PARSE-layer failures retry — IO errors (permissions, bad
+        // mounts) are not transient and fail immediately. A document
         // still unparseable after the retries is genuine corruption —
         // e.g. a committer hard-killed mid-write on an object store
         // without conditional PUTs — and fails loudly.
-        case scala.util.control.NonFatal(e) =>
+        case e @ (_: org.json4s.MappingException |
+                  _: com.fasterxml.jackson.core.JsonProcessingException) =>
           attempt += 1
           if (attempt >= 8) throw e
           Thread.sleep(25L * attempt)

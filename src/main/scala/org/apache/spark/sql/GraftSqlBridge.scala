@@ -38,9 +38,12 @@ object GraftSqlBridge {
       if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
         (cm.catalog(parts.head), parts.tail)
       else (cm.currentCatalog, parts)
+    // a bare table name resolves in the session's current namespace,
+    // matching Spark's CatalogAndIdentifier rule
+    val ns = if (rest.length == 1) cm.currentNamespace else rest.init.toArray
     plugin match {
       case tc: TableCatalog =>
-        tc.loadTable(Identifier.of(rest.init.toArray, rest.last))
+        tc.loadTable(Identifier.of(ns, rest.last))
       case other => throw new IllegalArgumentException(
         s"catalog ${other.name} is not a TableCatalog")
     }

@@ -13,8 +13,14 @@ import org.apache.spark.sql.types._
   */
 class SchemaDriftSpec extends SparkTestBase {
 
-  private def rawSchema(name: String) =
+  private def rawSchema(name: String) = {
+    // the ns-era branch is only observable with nanosAsLong set (without
+    // it Spark rejects INT64(TIMESTAMP_NANOS) at footer-read time with
+    // its own error) — set it here so this canary is deterministic
+    // regardless of which suite touched the shared session first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet").schema
+  }
 
   test("events.ts physical type is one this repo's loader absorbs") {
     val dt = rawSchema("events")("ts").dataType

@@ -370,6 +370,15 @@ class Dsv2Spec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD user_id"))
     assert(e.getMessage.contains("identity"))
+    // a statement that merely CONTAINS the phrase inside a string
+    // literal must fall through to the stock parser untouched
+    spark.sql(s"ALTER TABLE $c.db.pfsql SET TBLPROPERTIES " +
+      "('note'='ADD PARTITION FIELD days(ts)')")
+    assert(t.meta.partitionFields.isEmpty)
+    // trailing line comments after the transform are tolerated
+    spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD days(ts) -- evolve")
+    assert(t.meta.partitionFields.map(_.transform) === Seq("days"))
+    spark.sql(s"ALTER TABLE $c.db.pfsql DROP PARTITION FIELD ts")
   }
 
   test("widening guards: partition sources refuse; same-type replay is a no-op; rename re-renders sort-order property") {

@@ -94,10 +94,13 @@ class TablePropertySpec extends SparkTestBase {
       val table = t.read(spark).collect().map(r => (r.getLong(0), r.getString(1)))
       val contentOk = table.sorted.toSeq == model.sorted.toSeq
       // snapshot 1 (if any write happened) still returns its original
-      // content — unless an expire legitimately retired it
-      val travelOk = expired || firstSnapshotContent.forall { expect =>
-        t.readVersion(spark, 1).collect()
+      // content. After an expire the read may legitimately fail (its
+      // chunks/files can be GC'd) — but if it still READS, immutability
+      // must still hold; only the expired case excuses an exception.
+      val travelOk = firstSnapshotContent.forall { expect =>
+        try t.readVersion(spark, 1).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSet == expect
+        catch { case scala.util.control.NonFatal(_) => expired }
       }
       contentOk && travelOk
     }, minTests = 15)
