@@ -690,8 +690,10 @@ final class GraftTable(val dir: HPath) {
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val newFiles = writeFiles(df.sparkSession, m, aligned)
     // racing replay detected inside the retry loop: abort WITHOUT
-    // committing (returning `fresh` unchanged would still mint a
-    // byte-identical metadata version — pure churn)
+    // committing. (commitRetry would also skip the publish for an
+    // unchanged `fresh` nowadays, but the ControlThrowable is still
+    // needed: a detected replay must ALSO trigger the staged-file
+    // cleanup below, which a silent no-op return could not signal.)
     object Replayed extends scala.util.control.ControlThrowable
     try TableMeta.commitRetry(dir) { fresh =>
       if (committed(fresh)) throw Replayed
@@ -1275,40 +1277,43 @@ final class GraftTable(val dir: HPath) {
     val before = chunks(meta)
     if (before < minInputChunks) return (before, before)
     // every retry attempt that writes a consolidated chunk and then loses
-    // the version CAS strands that chunk unreferenced — record each ref
-    // written here and sweep the losers after the final commit (the
-    // winner is whichever ref the committed document actually carries)
+    // the version CAS strands that chunk unreferenced. The refs are
+    // fresh UUIDs known ONLY to this process until a commit publishes
+    // one, so the winner is trackable locally: it is the ref written by
+    // the FINAL update invocation iff that invocation took the
+    // consolidation branch AND the commit landed. Everything else this
+    // process wrote is a loser — swept in a finally, because a
+    // commitRetry that exhausts its attempts (the case producing the
+    // most losers) must still clean up after itself.
     val written = scala.collection.mutable.ArrayBuffer.empty[String]
-    TableMeta.commitRetry(dir) { m =>
-      m.currentSnapshot match {
-        // re-check inside the retry loop: a racing writer may have
-        // moved the current snapshot; consolidating ITS manifest is
-        // still correct (reapplicable update), consolidating a 0/1
-        // chunk list is skipped
-        case Some(cur) if cur.manifestRefs.exists(_.size >= minInputChunks) =>
-          val ref = TableMeta.writeChunk(dir.resolve("meta"), cur.manifest)
-          written += ref
-          m.copy(snapshots = m.snapshots.map(s =>
-            if (s.snapshotId == cur.snapshotId) s.copy(manifestRefs = Some(Seq(ref)))
-            else s))
-        case _ => m
+    var lastRef: String = null
+    var committed = false
+    try {
+      TableMeta.commitRetry(dir) { m =>
+        m.currentSnapshot match {
+          // re-check inside the retry loop: a racing writer may have
+          // moved the current snapshot; consolidating ITS manifest is
+          // still correct (reapplicable update), consolidating a 0/1
+          // chunk list is skipped
+          case Some(cur) if cur.manifestRefs.exists(_.size >= minInputChunks) =>
+            val ref = TableMeta.writeChunk(dir.resolve("meta"), cur.manifest)
+            written += ref
+            lastRef = ref
+            m.copy(snapshots = m.snapshots.map(s =>
+              if (s.snapshotId == cur.snapshotId) s.copy(manifestRefs = Some(Seq(ref)))
+              else s))
+          case _ =>
+            lastRef = null // no-op signal: nothing of ours gets published
+            m
+        }
       }
+      committed = true
+    } finally {
+      val winner = if (committed) lastRef else null
+      written.filterNot(_ == winner)
+        .foreach(r => GraftIO.delete(dir.resolve("meta").resolve(r)))
     }
-    val after = meta
-    // liveness must span EVERY existing version document, not just the
-    // latest: between this writer's commit and this sweep a concurrent
-    // expire/rewrite may have replaced the current refs, while older
-    // (still readable) documents reference the chunk this writer DID
-    // commit. Same all-documents rule as removeOrphanFiles' chunk pass;
-    // if any document fails to read, skip the sweep (never guess).
-    val metaDir = dir.resolve("meta")
-    val live: Set[String] =
-      try GraftIO.list(metaDir)
-        .filter(_.getPath.getName.matches("v\\d+\\.json"))
-        .flatMap(st => TableMeta.readRefsOnly(st.getPath)).toSet
-      catch { case scala.util.control.NonFatal(_) => written.toSet }
-    written.filterNot(live).foreach(r => GraftIO.delete(metaDir.resolve(r)))
-    (before, chunks(after))
+    (before, chunks(meta))
   }
 
   /** H1 `CALL system.expire_snapshots(older_than, retain_last)`
@@ -1324,9 +1329,10 @@ final class GraftTable(val dir: HPath) {
         m.currentSnapshot.toSeq).distinct
       (keep, m.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId)))
     }
-    // nothing expires → no metadata commit at all (an unconditional
-    // commitRetry would publish a byte-identical new version per call —
-    // pure metadata churn)
+    // nothing expires → return before any work. (commitRetry's no-op
+    // signal would also skip the publish, but this pre-check avoids even
+    // entering the retry loop — and documents that an empty plan is the
+    // COMMON case for scheduled maintenance.)
     if (plan(TableMeta.load(dir)._2)._2.isEmpty) return
     var orphans = Set.empty[String]
     var changed = false

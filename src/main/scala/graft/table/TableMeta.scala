@@ -311,7 +311,11 @@ object TableMeta {
     // our chunk read hits NoSuchFile. The NEWER document never references
     // those chunks, so re-resolving the version and re-reading always
     // converges — same forward-probing spirit as currentVersion.
-    var attempt = 0
+    // independent budgets: a burst of one failure mode must not consume
+    // the other's retries (e.g. several torn-read parse retries followed
+    // by a recoverable expire-GC'd-chunk FileNotFound)
+    var fnfAttempt = 0
+    var parseAttempt = 0
     while (true) {
       val v = currentVersion(tableDir)
       try return (v, read(tableDir.resolve("meta").resolve(s"v$v.json")))
@@ -320,8 +324,8 @@ object TableMeta {
         // nio (via LocalFileSystem shims) as NoSuchFileException.
         case e @ (_: java.io.FileNotFoundException |
                   _: java.nio.file.NoSuchFileException) =>
-          attempt += 1
-          if (attempt >= 5) throw e
+          fnfAttempt += 1
+          if (fnfAttempt >= 5) throw e
         // Torn read of an IN-FLIGHT version document: on non-local
         // schemes publishExclusive is create+write+close, and the
         // forward probe sees the file the moment create() opens it —
@@ -336,9 +340,9 @@ object TableMeta {
         // without conditional PUTs — and fails loudly.
         case e @ (_: org.json4s.MappingException |
                   _: com.fasterxml.jackson.core.JsonProcessingException) =>
-          attempt += 1
-          if (attempt >= 8) throw e
-          Thread.sleep(25L * attempt)
+          parseAttempt += 1
+          if (parseAttempt >= 8) throw e
+          Thread.sleep(25L * parseAttempt)
       }
     }
     throw new IllegalStateException("unreachable")
