@@ -44,13 +44,18 @@ case class DotProductF(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // hoisted: the interpreted path runs per ROW in the O(rows × dim) hot
+  // loop this expression exists to speed up — no per-row type dispatch
+  @transient private lazy val leftIsFloat = elemType(left) == FloatType
+  @transient private lazy val rightIsFloat = elemType(right) == FloatType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n != ys.numElements()) return null
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -101,6 +106,12 @@ object DotProductF {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
+      "graft_dot", exprs => {
+        // arity-check here: exprs(1) on a 1-arg call would surface as a
+        // bare IndexOutOfBoundsException with no function context
+        require(exprs.length == 2,
+          s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
+        DotProductF(exprs(0), exprs(1))
+      }, "scala_udf")
   }
 }

@@ -23,11 +23,14 @@ object TextUdfs {
     }
   }
 
-  /** Generator-style UDF: word n-grams as rows via explode(udf(...)). */
+  /** Generator-style UDF: word n-grams as rows via explode(udf(...)).
+    * Tokenizes on whitespace RUNS (and drops a leading empty head), so
+    * double spaces / newlines never produce empty-string tokens that
+    * would pollute the n-grams. */
   val wordNgrams = udf { (s: String, n: Int) =>
     if (s == null) Array.empty[String]
     else {
-      val toks = s.split(" ")
+      val toks = s.split("\\s+").filter(_.nonEmpty)
       if (toks.length < n) Array.empty[String]
       else toks.sliding(n).map(_.mkString(" ")).toArray
     }

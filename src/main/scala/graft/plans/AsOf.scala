@@ -20,10 +20,23 @@ object AsOf {
       s"as-of direction must be backward|forward, got $direction")
     val lp = GraftPlanBridge.analyzed(left)
     val rp = GraftPlanBridge.analyzed(right)
-    def attr(p: LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column $n in ${p.output.map(_.name).mkString(", ")}"))
+    // resolve like Spark does: honor spark.sql.caseSensitive (default
+    // case-insensitive) and REFUSE ambiguity instead of silently binding
+    // the first of two same-named columns to an as-of key
+    val caseSensitive = left.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(p: LogicalPlan, n: String) = {
+      val matches = p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column $n in ${p.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.map(_.name).mkString(", ")} — " +
+            "disambiguate with select/alias before the as-of join")
+      }
+    }
     val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
     val (lts, rts) = (attr(lp, leftTs), attr(rp, rightTs))
     // Exec hashes each side on ITS OWN key and builds orderings from

@@ -164,6 +164,12 @@ object EventStreams {
     * StreamingSpec. In a stream the state would carry open sessions
     * across triggers with an event-time timeout. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    // batch-only by design: this variant never touches its state, so on
+    // a stream each micro-batch would be sessionized in isolation —
+    // silently splitting true sessions at trigger boundaries. Fail fast;
+    // the streaming shape is sessionizeStream.
+    require(!events.isStreaming,
+      "sessionize is the batch variant (state is never persisted) — use sessionizeStream for streams")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -183,8 +189,12 @@ object EventStreams {
     * triggers fed it. */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long, cents: Long)
 
+  // floorDiv, not truncation: a pre-epoch timestamp's getTime is
+  // negative while its nanos fraction is positive — plain /1000 rounds
+  // toward zero and lands a full second late (Timestamp(-500) would
+  // read +0.5 s instead of −0.5 s), breaking the tsOf round-trip
   private def micros(ts: Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
   private def tsOf(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
