@@ -380,7 +380,7 @@ object TextOps {
     var labels = base.select(col("doc_id"), col("doc_id").as("cl"))
     var changed = 1L
     var iters = 0
-    while (changed > 0 && iters < 20) {
+    while (changed > 0 && iters < 50) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cl").as("ncl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncl")).as("nbr"))
@@ -394,6 +394,12 @@ object TextOps {
       labels = updated.select(col("doc_id"), col("cl"))
       iters += 1
     }
+    // min-label propagation needs ≤ diameter passes; a component whose
+    // diameter exceeds the cap would otherwise SILENTLY emit stale
+    // labels (multiple survivors per true cluster). Fail loudly — the
+    // fix at that scale is pointer-doubling, not a bigger cap.
+    require(changed == 0,
+      s"dedupCluster did not converge within $iters passes — component diameter exceeds the cap")
     labels.select(col("doc_id"), col("cl").as("cluster_id"),
         (col("doc_id") === col("cl")).as("keep"))
       .orderBy(col("doc_id"))
@@ -557,7 +563,10 @@ object TextOps {
     * judged as an operator shape (determinism, coverage), not accuracy —
     * rows-only + TextOpsSpec. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
+    // tokenize ONCE into a named column: the five marker filters below
+    // would otherwise each re-run split() on the interpreted HOF path
+    // (no CSE there) — the same trap textStats documents
+    val t = col("__t")
     val markers = Seq(
       "en" -> Seq("the", "a", "row"), "de" -> Seq("der", "und", "batch"),
       "fr" -> Seq("le", "et", "merge"), "es" -> Seq("el", "y", "scan"),
@@ -568,6 +577,7 @@ object TextOps {
         lit(lang).as("lang"))
     }
     Tables.documents(s, d)
+      .withColumn("__t", toks(col("text")))
       // array_max on (score, lang) structs: ties break on the lang string
       // ordering — deterministic. Computed ONCE into a named column: HOFs
       // are interpreted, so duplicating the expression doubles the cost.

@@ -235,10 +235,15 @@ object Vectors {
     * bucket join is an ordinary shuffle join on a low-cardinality key —
     * no cross product, and the rerank touches only candidates. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val planes = HYPERPLANES.map(p => array(p.map(lit): _*))
+    // NOTE: this bucket() signs the RAW dot, while the banded pair ops
+    // (bandBuckets) sign round(dot, 7) for oracle parity — annLsh has no
+    // SQL oracle (rows-only + recall spec), so it keeps the cheaper raw
+    // sign; vectors within 5e-8 of a hyperplane may bucket differently
+    // between the two surfaces, which is fine for ANN and would matter
+    // only if these signatures were ever oracle-compared.
     def bucket(t: Int, v: Column): Column =
       (0 until 4).map { i =>
-        (dot(planes(t * 4 + i), v) >= 0).cast(IntegerType) * (1 << i)
+        (dot(planeCols(t * 4 + i), v) >= 0).cast(IntegerType) * (1 << i)
       }.reduce(_ + _)
     val e = Tables.embeddings(s, d)
     // each vector lands in 3 (table, bucket) cells
@@ -253,15 +258,16 @@ object Vectors {
       .select(col("t"),
         explode(array(col("b") +: (0 until 4).map(i =>
           col("b").bitwiseXOR(lit(1 << i))): _*)).as("b"),
-        col("embedding").as("q_embedding"))
+        col("embedding").as("q_embedding"),
+        norm2(col("embedding")).as("q_norm")) // once per probe row, not per candidate
     tabled.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), Seq("t", "b"))
-      .select(col("vec_id"), col("embedding"), col("q_embedding"))
+      .select(col("vec_id"), col("embedding"), col("q_embedding"), col("q_norm"))
       .distinct() // a candidate may collide in several tables
       .select(
         col("vec_id"),
         round(dot(col("embedding"), col("q_embedding")) /
-          (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+          (norm2(col("embedding")) * col("q_norm")), 7).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -275,8 +281,11 @@ object Vectors {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Array[Double]], String)]
 
+  // synchronized: concurrent.Map.getOrElseUpdate may run the thunk in
+  // two racing threads (get-then-putIfAbsent), and two overwrite-writes
+  // on the same Scratch path can overlap a concurrent reader
   private def ivfIndex(s: SparkSession, d: String): (Array[Array[Double]], String) =
-    ivfIndexCache.getOrElseUpdate(d, {
+    ivfIndexCache.synchronized { ivfIndexCache.getOrElseUpdate(d, {
       import org.apache.spark.ml.clustering.KMeans
       val e = Tables.embeddings(s, d)
         .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("embedding")))
@@ -291,7 +300,7 @@ object Vectors {
         .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(path)
       (model.clusterCenters.map(_.toArray), path)
-    })
+    }) }
 
   /** J7 scale path #2: IVF probe — nearest nprobe centroids are picked
     * driver-side (k×dim floats, tiny by construction), candidates come
@@ -309,7 +318,8 @@ object Vectors {
           math.sqrt(qVec.map(x => x.toDouble * x).sum)))
       }
       .sortBy(-_._2).take(4).map(_._1)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"),
+      norm2(col("embedding")).as("q_norm")) // once, not per candidate row
     s.read.parquet(indexPath)
       .filter(col("cluster").isin(nearestClusters.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= 0)
@@ -317,7 +327,7 @@ object Vectors {
       .select(
         col("vec_id"),
         round(dot(col("embedding"), col("q_embedding")) /
-          (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+          (norm2(col("embedding")) * col("q_norm")), 7).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -336,7 +346,7 @@ object Vectors {
   private val PQ_K = 16
 
   private def pqIndex(s: SparkSession, d: String): (Array[Array[Array[Double]]], String) =
-    pqIndexCache.getOrElseUpdate(d, {
+    pqIndexCache.synchronized { pqIndexCache.getOrElseUpdate(d, {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, d)
@@ -357,7 +367,7 @@ object Vectors {
       val path = graft.Scratch.overwritable("pq_index", d)
       encoded.write.mode("overwrite").parquet(path)
       (models.map(_.clusterCenters.map(_.toArray).toArray).toArray, path)
-    })
+    }) }
 
   /** J7 scale path #3: PQ + ADC probe. The query vector builds M×K
     * lookup tables driver-side (dot(q_m, c) and ‖c‖² per cell — 256
@@ -391,14 +401,15 @@ object Vectors {
       .select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(100)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"),
+      norm2(col("embedding")).as("q_norm")) // once, not per candidate row
     candidates
       .join(e, Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         round(dot(col("embedding"), col("q_embedding")) /
-          (norm2(col("embedding")) * norm2(col("q_embedding"))), 7).as("cos"))
+          (norm2(col("embedding")) * col("q_norm")), 7).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
