@@ -38,6 +38,49 @@ class MediaSpec extends SparkTestBase {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 4))
   }
 
+  test("decodeImage round-trips a crafted PNG exactly (real javax.imageio decode)") {
+    // 3×2 gray PNG, pixel(x,y) = (x + 2y + 7) mod 256
+    val png = Media.encodeGrayPng(3, 2, 7L)
+    assert(Media.looksLikeImage(png))
+    val img = Media.decodeImage(png).getOrElse(fail("PNG did not decode"))
+    assert(img.getWidth === 3 && img.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(img.getRaster.getSample(x, y, 0) === (x + 2 * y + 7) % 256,
+        s"pixel ($x,$y)")
+    // non-image bytes must be rejected cheaply, not decoded
+    assert(Media.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("extractFeatures uses decoded pixels for real images, byte fallback otherwise") {
+    import spark.implicits._
+    val png = Media.encodeGrayPng(8, 8, 1L)
+    val rows = Seq(
+      Media.MediaRow(1L, Media.MediaMeta("image", 8, 8, 0, 1), png),
+      Media.MediaRow(2L, Media.MediaMeta("audio", 0, 0, 16000, 1), "raw audio bytes".getBytes))
+    val feats = Media.extractFeatures(spark.createDataset(rows)).collect().sortBy(_.media_id)
+    // image row: checksum of DECODED samples, not of the PNG container
+    // bytes — re-encoding the same pixels yields the same checksum
+    val (decodedSum, _) = Media.decodedFeatures(Media.decodeImage(png).get)
+    assert(feats(0).checksum === decodedSum)
+    assert(feats(0).checksum !== Media.decodeStub(png)._1)
+    // audio row: byte fallback (no JVM codec)
+    assert(feats(1).checksum === Media.decodeStub("raw audio bytes".getBytes)._1)
+  }
+
+  test("imageDecode recovers closed-form dims and corner pixels from real PNG payloads") {
+    val got = Media.imageDecode(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (8 + (id % 8) * 4).toInt
+      val h = (8 + (id % 5) * 4).toInt
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Int]("px00") === (id % 256).toInt)
+      assert(r.getAs[Int]("px11") === ((w - 1 + 2L * (h - 1) + id) % 256).toInt)
+    }
+  }
+
   test("resize plan caps the long side; frame sampling steps by k") {
     val media = Media.mediaTable(spark, sfDir)
     val resized = Media.planResize(media, maxSide = 96).collect()
