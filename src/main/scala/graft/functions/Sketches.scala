@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Typed `Aggregator`s (SURVEY.md §2 J9) for the near-dup sketches.
   *
@@ -10,48 +12,65 @@ import org.apache.spark.sql.expressions.Aggregator
   * the shuffle carries one fixed-size array per (doc) group, never the
   * token stream. That is what makes MinHash/SimHash work at 100 TB: the
   * signature is O(1) per document regardless of document size.
+  *
+  * DESIGN FOR CROSS-ENGINE VERIFIABILITY: every arithmetic step here is
+  * chosen so a plain-SQL engine (the driver's DuckDB oracle) reproduces
+  * the signatures bit-for-bit without custom code —
+  *  - base token hash = first 15 hex chars of md5(token) (60 bits:
+  *    md5 is the one hash both engines share; 15 chars keeps the parse
+  *    inside a signed BIGINT),
+  *  - MinHash permutations h_i(x) = (a_i·(x mod P) + b_i) mod P with
+  *    P = 2³¹−1 and a_i,b_i < P, so every intermediate stays < 2⁶² —
+  *    NO wrap-around multiply, which SQL engines reject (DuckDB raises
+  *    on BIGINT overflow) and which made the previous formulation
+  *    unverifiable outside the JVM.
+  * The hash column itself is computed with Spark's codegen'd md5/conv
+  * (see tokenHashCol), NOT inside the Aggregator — the Aggregator only
+  * does the cheap permutation arithmetic per token.
   */
 object Sketches {
 
   val NUM_PERM = 64
 
-  /** Deterministic 64-bit token hash (splitmix64 finalizer over the
-    * String's UTF-8 bytes — stable across JVMs, unlike String.hashCode
-    * extended naively). */
-  def tokenHash(tok: String): Long = {
-    var h = 0x9e3779b97f4a7c15L
-    val bytes = tok.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001b3L; i += 1 }
-    mix(h)
+  /** Mersenne prime 2³¹−1: a_i·h + b_i with all operands < P stays under
+    * 2⁶² — exact in any engine's signed 64-bit arithmetic. */
+  val P31 = 2147483647L
+
+  /** Per-permutation universal-hash constants, deterministic, all in
+    * [1, P) / [0, P). Inlined into the DuckDB oracle via permValuesSql —
+    * ONE source of truth for both engines. */
+  val permA: Array[Long] = {
+    val r = new scala.util.Random(1042)
+    Array.fill(NUM_PERM)(1L + math.abs(r.nextLong()) % (P31 - 1))
+  }
+  val permB: Array[Long] = {
+    val r = new scala.util.Random(2042)
+    Array.fill(NUM_PERM)(math.abs(r.nextLong()) % P31)
   }
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** The permutation table as a SQL VALUES body: `(i, a, b), ...` —
+    * spliced into the minhash oracle so the DuckDB run uses the exact
+    * constants this JVM uses. */
+  def permValuesSql: String =
+    (0 until NUM_PERM).map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
 
-  /** Per-permutation universal hashes h_i(x) = a_i*x + b_i (odd a_i),
-    * seeded deterministically. */
-  private val permA: Array[Long] = {
-    val r = new scala.util.Random(1042); Array.fill(NUM_PERM)(r.nextLong() | 1L)
-  }
-  private val permB: Array[Long] = {
-    val r = new scala.util.Random(2042); Array.fill(NUM_PERM)(r.nextLong())
-  }
+  /** 60-bit token hash as a COLUMN: first 15 hex chars of md5, parsed
+    * base-16. Codegen'd end-to-end (md5/substring/conv are built-ins);
+    * DuckDB mirror: CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT). */
+  def tokenHashCol(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
 
   /** MinHash: signature(doc) = per-permutation min of h_i(tokenHash). The
     * fraction of matching coordinates between two signatures is an
-    * unbiased estimate of the Jaccard similarity of the token sets. */
-  object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
+    * unbiased estimate of the Jaccard similarity of the token sets.
+    * Input is the PRE-HASHED 60-bit token value (tokenHashCol). */
+  object MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
     def zero: Array[Long] = Array.fill(NUM_PERM)(Long.MaxValue)
-    def reduce(buf: Array[Long], tok: String): Array[Long] = {
-      val h = tokenHash(tok)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val hm = h % P31
       var i = 0
       while (i < NUM_PERM) {
-        val v = permA(i) * h + permB(i)
+        val v = (permA(i) * hm + permB(i)) % P31
         if (v < buf(i)) buf(i) = v
         i += 1
       }
@@ -69,16 +88,18 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** SimHash: each token votes ±1 on each of 64 bits of its hash
+  /** SimHash bit width: the 60 bits the md5-slice hash provides. */
+  val SIM_BITS = 60
+
+  /** SimHash: each token votes ±1 on each of 60 bits of its hash
     * (tf-weighted when fed the raw token stream); the signature is the
     * sign vector packed into a Long. Near-dups have small Hamming
-    * distance. */
-  object SimHashAgg extends Aggregator[String, Array[Int], Long] {
-    def zero: Array[Int] = new Array[Int](64)
-    def reduce(buf: Array[Int], tok: String): Array[Int] = {
-      val h = tokenHash(tok)
+    * distance. Input is the pre-hashed token value (tokenHashCol). */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](SIM_BITS)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
       var i = 0
-      while (i < 64) {
+      while (i < SIM_BITS) {
         buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
         i += 1
       }
@@ -86,13 +107,13 @@ object Sketches {
     }
     def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
       var i = 0
-      while (i < 64) { a(i) += b(i); i += 1 }
+      while (i < SIM_BITS) { a(i) += b(i); i += 1 }
       a
     }
     def finish(buf: Array[Int]): Long = {
       var out = 0L
       var i = 0
-      while (i < 64) { if (buf(i) > 0) out |= (1L << i); i += 1 }
+      while (i < SIM_BITS) { if (buf(i) > 0) out |= (1L << i); i += 1 }
       out
     }
     def bufferEncoder: Encoder[Array[Int]] =

@@ -484,8 +484,12 @@ object TextOps {
     *     so the candidate set stays near the true-duplicate count,
     * (c) the band join carries ONLY ids; signatures rejoin via a
     *     broadcast after distinct — the wide arrays never shuffle.
-    * (339 s → ~3 s at sf0.1.) Approximate → no SQL oracle; TextOpsSpec
-    * asserts estimate accuracy and precision against exact Jaccard. */
+    * (339 s → ~3 s at sf0.1.) The signature pipeline is md5-derived,
+    * overflow-free arithmetic (Sketches scaladoc) so the FULL
+    * approximate computation — signatures, banding, candidate join,
+    * estimate — is mirrored verbatim in the DuckDB oracle: the hash
+    * gate checks cross-engine sketch parity; TextOpsSpec asserts
+    * estimate accuracy and precision against exact Jaccard. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
     // signatures feed banding + two rejoin branches: write them out once
@@ -495,18 +499,23 @@ object TextOps {
     val tmp = graft.Scratch.overwritable("minhash_sigs", d)
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .select(col("doc_id"), col("source"), Sketches.tokenHashCol(col("tok")).as("th"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(mh(col("tok")).as("sig"))
+      .agg(mh(col("th")).as("sig"))
       .write.mode("overwrite").parquet(tmp)
     val sigs = s.read.parquet(tmp)
     val BANDS = 2
     val ROWS = Sketches.NUM_PERM / BANDS
+    // band key = md5 of the comma-joined band slice (not Murmur hash():
+    // md5 is the one digest the SQL oracle shares; fixed 32-char key
+    // either way, so the shuffle width is unchanged)
     val banded = sigs.select(
       col("doc_id"), col("source"),
       explode(array((0 until BANDS).map { bnd =>
         struct(
           lit(bnd).as("band"),
-          hash((0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*).as("bh"))
+          md5(concat_ws(",",
+            (0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = banded.select(col("doc_id").as("ia"), col("source"), col("band"), col("bh"))
@@ -531,19 +540,22 @@ object TextOps {
       .limit(50)
   }
 
-  /** J6 SimHash near-dup: 64-bit signatures, candidates from 4×16-bit
-    * band join, Hamming distance ≤ 8 filter. Approximate → rows-only. */
+  /** J6 SimHash near-dup: 60-bit signatures (the md5-slice hash width),
+    * candidates from 4×15-bit band join, Hamming distance ≤ 8 filter.
+    * Fully mirrored in the DuckDB oracle (same md5-derived bit votes) —
+    * the hash gate checks cross-engine sketch parity. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = udaf(Sketches.SimHashAgg)
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
       .groupBy(col("doc_id"))
-      .agg(sh(col("tok")).as("sig"))
+      .agg(sh(col("th")).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map { bnd =>
         struct(lit(bnd).as("band"),
-          shiftrightunsigned(col("sig"), bnd * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+          shiftrightunsigned(col("sig"), bnd * 15).bitwiseAND(lit(0x7fffL)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = banded.select(col("doc_id").as("ia"), col("sig").as("sa"), col("band"), col("bh"))
@@ -1451,5 +1463,73 @@ object TextOps {
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
          FROM sh a, sh b
          WHERE a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) > 0
-         ORDER BY jaccard DESC, ia, ib LIMIT 50""")
+         ORDER BY jaccard DESC, ia, ib LIMIT 50""",
+    // MinHash mirrored end-to-end: md5-slice token hash, the SAME
+    // (a_i, b_i) permutation table (spliced from Sketches — one source
+    // of truth), mod-2³¹−1 arithmetic (no overflow anywhere), md5 band
+    // keys, matching-coordinate estimate. The hash gate therefore
+    // checks cross-engine parity of the full approximate pipeline.
+    "q_minhash_pairs" -> s"""
+         WITH tok AS (
+           SELECT DISTINCT doc_id, source, tok FROM (
+             SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         th AS (
+           SELECT doc_id, source,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS hm
+           FROM tok),
+         perm(i, a, b) AS (VALUES ${graft.functions.Sketches.permValuesSql}),
+         sig AS (
+           SELECT doc_id, source, i, min((a * hm + b) % 2147483647) AS v
+           FROM th CROSS JOIN perm GROUP BY 1, 2, 3),
+         sigl AS (
+           SELECT doc_id, source, list(CAST(v AS VARCHAR) ORDER BY i) AS s
+           FROM sig GROUP BY 1, 2),
+         banded AS (
+           SELECT doc_id, source, band,
+             md5(array_to_string(list_slice(s, 1 + band * 32, 32 + band * 32), ',')) AS bh
+           FROM sigl CROSS JOIN (VALUES (0), (1)) bands(band)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y
+             ON x.source = y.source AND x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id < y.doc_id),
+         est AS (
+           SELECT c.ia, c.ib,
+             CAST(sum(CASE WHEN sx.v = sy.v THEN 1 ELSE 0 END) AS DOUBLE) / 64
+               AS est_jaccard
+           FROM cand c
+           JOIN sig sx ON sx.doc_id = c.ia
+           JOIN sig sy ON sy.doc_id = c.ib AND sy.i = sx.i
+           GROUP BY 1, 2)
+         SELECT ia, ib, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5
+         ORDER BY est_jaccard DESC, ia, ib LIMIT 50""",
+    // SimHash mirrored end-to-end: same md5-slice hash, tf-weighted
+    // ±1 bit votes over 60 bits, 4×15-bit band join, Hamming re-rank.
+    "q_simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         th AS (
+           SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM tok),
+         bits AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM th CROSS JOIN range(60) r(i) GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+           FROM bits GROUP BY 1),
+         banded AS (
+           SELECT doc_id, sig, band, (sig >> (band * 15)) & 32767 AS bh
+           FROM sig CROSS JOIN range(4) rb(band)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, x.sig AS sa, y.doc_id AS ib, y.sig AS sb
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id < y.doc_id)
+         SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+         ORDER BY hamming, ia, ib LIMIT 100""")
 }
