@@ -67,7 +67,7 @@ object Vectors {
       .limit(20)
   }
 
-  /** Shared sign-LSH banding for the judged pair ops: BAND_TABLES (5)
+  /** Shared sign-LSH banding for the judged pair ops: BAND_TABLES (8)
     * tables × 4 sign
     * bits against the fixed HYPERPLANES, signs taken on the dot ROUNDED
     * to 7 decimals so Spark and the DuckDB oracle (which evaluates the
@@ -89,8 +89,8 @@ object Vectors {
   private lazy val planeCols: Array[Column] =
     HYPERPLANES.map(p => array(p.map(lit): _*))
 
-  private def bandBuckets(v: Column): Seq[Column] =
-    (0 until BAND_TABLES).map { t =>
+  private def bandBuckets(tables: Int, v: Column): Seq[Column] =
+    (0 until tables).map { t =>
       (0 until 4).map { i =>
         when(round(dot(planeCols(t * 4 + i), v), 7) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
@@ -99,14 +99,30 @@ object Vectors {
   /** Banded candidate pairs with exact verified cosine (ia < ib, cos
     * rounded to 7). Duplicate collisions across tables collapse via
     * distinct on the (ia, ib, cos) triple — cos is identical per pair,
-    * so no re-join against the corpus is needed. */
-  private def bandedPairs(s: SparkSession, d: String): DataFrame = {
+    * so no re-join against the corpus is needed. `tables` defaults to
+    * the judged operating point; VectorsSpec sweeps it for the
+    * recall/cost curve.
+    *
+    * Plan-shape constraint: the 4T plane dots (each over a 64-literal
+    * array) are computed in a TOP-LEVEL projection, where codegen's
+    * splitExpressions chunks them into many small methods, and the
+    * explode generator only references the resulting T int columns.
+    * With the dots inlined INSIDE the generator, the fused stage
+    * (scan→generate→join probe→cosine→partial agg) exceeds the JIT'able
+    * method size at T=8 and the whole candidate loop runs interpreted —
+    * measured 23 s vs ~4 s at sf0.1. */
+  private[graft] def bandedPairs(s: SparkSession, d: String,
+      tables: Int = BAND_TABLES): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val sig = e.select(
-        col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"),
-        explode(array((0 until BAND_TABLES).zip(bandBuckets(col("embedding"))).map {
-          case (t, b) => struct(lit(t).as("t"), b.as("b"))
-        }: _*)).as("tb"))
+    val withBuckets = e.select(
+      Seq(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")) ++
+        bandBuckets(tables, col("embedding")).zipWithIndex.map {
+          case (b, t) => b.as(s"b$t")
+        }: _*)
+    val sig = withBuckets.select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
     val a = sig.select(col("vec_id").as("ia"), col("embedding").as("ea"),
@@ -216,17 +232,26 @@ object Vectors {
   }
 
   /** Fixed random hyperplanes for sign-bit LSH: deterministic (seeded),
-    * shared by build and probe side. 5 tables × 4 bits; annLsh uses the
-    * first 3 tables (planes 0–11 — the seeded sequence keeps them
-    * byte-identical to when the array was 12 long), the banded pair ops
-    * all 5 (recall ≈ 1−(1−p⁴)^T against this corpus's θ≈60° pairs:
-    * T=3 → ~0.42 measured, T=5 → ~0.63, still bucketed candidates). */
+    * shared by build and probe side. Up to 12 tables × 4 bits (48
+    * planes); annLsh uses the first 3 tables (planes 0–11 — the seeded
+    * sequence draws planes in order, so extending the pool keeps every
+    * existing plane byte-identical), the banded pair ops BAND_TABLES.
+    * Recall ≈ 1−(1−p⁴)^T against this corpus's θ≈60° qualifying pairs
+    * (p ≈ 1−θ/π ≈ 2/3): measured at sf0.001 by VectorsSpec's sweep,
+    * T=5 → 0.56, T=8 → 0.74, T=12 → 0.89. */
   private[graft] val HYPERPLANES: Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(20)(Array.fill(64)(rng.nextGaussian()))
+    Array.fill(48)(Array.fill(64)(rng.nextGaussian()))
   }
 
-  private val BAND_TABLES = 5
+  /** Judged operating point for the banded pair ops. T=5 shipped recall
+    * 0.56 — a dedup pass missing 44% of true near-dup pairs; T=8 buys
+    * 0.74 for candidate volume ∝ 8/5 (the verify stays exact, so
+    * precision is 1 at every T — the dial trades only cost for recall;
+    * T=12's 0.89 costs another 50% candidates for +0.15, past the knee).
+    * VectorsSpec records the full T ∈ {5,8,12} curve and pins this
+    * point's recall so a silent banding regression fails precisely. */
+  private[graft] val BAND_TABLES = 8
 
   /** J7 scale path: LSH-bucketed approximate nearest neighbours for the
     * vec_id=0 query. bucket(t, v) = 4 sign bits of v against table t's

@@ -79,12 +79,43 @@ class VectorsSpec extends SparkTestBase {
     val recall =
       if (exactKilled.isEmpty) 1.0
       else bandedKilled.size.toDouble / exactKilled.size
-    // near-orthogonal corpus, qualifying pairs at cos 0.42-0.51 (θ≈60°):
-    // 4-bit tables collide ~17-20% per table → union over 5 tables ≈
-    // 0.60-0.68 expected; the floor is set from that math with slack for
-    // the small-sample variance (tens of qualifying pairs), not aspiration
-    assert(recall >= 0.35, s"banded dedup recall=$recall (killed " +
+    // judged operating point T=8: expected ≈ 1−(1−p⁴)^8 ≈ 0.83 on this
+    // corpus's θ≈60° qualifying pairs; the floor sits just under the
+    // expected band (small-sample variance: tens of qualifying pairs),
+    // NOT at 2× slack — a silent banding/parity regression that halves
+    // recall must fail, not pass inside a loose floor
+    assert(recall >= 0.7, s"banded dedup recall=$recall (killed " +
       s"${bandedKilled.size} of ${exactKilled.size})")
+  }
+
+  test("banding recall/cost curve: T in {5,8,12}, monotone, judged point on the knee") {
+    // the published curve (SURVEY §J7): recall of banded kill vs the
+    // exact truth as the table count sweeps — the dial a 100 TB run
+    // turns. Precision stays 1 at every T (exact verify), so the sweep
+    // only trades candidate volume (∝ T) for recall.
+    val exactKept = Vectors.dedupEmbeddingExact(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactKilled = all -- exactKept
+    assert(exactKilled.nonEmpty, "corpus has no qualifying pairs — curve is vacuous")
+    val curve = Seq(5, 8, 12).map { t =>
+      val killed = Vectors.bandedPairs(spark, sfDir, tables = t)
+        .filter(col("cos") >= 0.42)
+        .select("ib").distinct().collect().map(_.getLong(0)).toSet
+      assert(killed.subsetOf(exactKilled), s"T=$t killed a survivor")
+      t -> killed.size.toDouble / exactKilled.size
+    }
+    info(curve.map { case (t, r) => f"T=$t recall=$r%.2f" }.mkString(", "))
+    // more tables can only add candidates → recall is monotone in T
+    assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-9 },
+      s"recall not monotone in T: $curve")
+    // T=12's marginal gain over the judged T=8 should be modest — the
+    // operating point sits at the knee, not on the steep part
+    val r8 = curve.find(_._1 == 8).get._2
+    val r12 = curve.find(_._1 == 12).get._2
+    assert(r8 >= 0.7, s"judged operating point recall=$r8")
+    assert(r12 - r8 <= 0.25, s"knee check: T=8→12 adds ${r12 - r8}")
   }
 
   test("banded top-30 pairs: every reported pair's cosine matches the exact truth") {
