@@ -41,6 +41,10 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    if (SortedIntersectSizeF.contractCheck) {
+      SortedIntersectSizeF.assertSortedDistinct(xs, "left")
+      SortedIntersectSizeF.assertSortedDistinct(ys, "right")
+    }
     val n = xs.numElements()
     val m = ys.numElements()
     var i = 0
@@ -89,7 +93,35 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
 }
 
 object SortedIntersectSizeF {
+  /** Column-API entry point.
+    *
+    * CONTRACT (unchecked on the hot path): both arrays must be
+    * ascending-sorted and duplicate-free — wrap the producers in
+    * `array_sort(array_distinct(...))` if in doubt. Violations don't
+    * error; they silently UNDERCOUNT (the merge skips past unsorted
+    * elements), which poisons any similarity built on top. For tests
+    * and debugging, `-Dgraft.sortedIntersect.checkContract=true` makes
+    * the interpreted path verify both inputs and throw on violation
+    * (codegen'd plans don't check — run the check with codegen off). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       SortedIntersectSizeF(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Test-only contract verification switch (see sortedIntersectSize).
+    * Read per call, not cached: specs flip the property at runtime and
+    * the interpreted path this guards is not perf-sensitive. */
+  private[functions] def contractCheck: Boolean =
+    java.lang.Boolean.getBoolean("graft.sortedIntersect.checkContract")
+
+  private[functions] def assertSortedDistinct(xs: ArrayData, side: String): Unit = {
+    var i = 1
+    while (i < xs.numElements()) {
+      if (!xs.isNullAt(i - 1) && !xs.isNullAt(i) &&
+          xs.getUTF8String(i - 1).compareTo(xs.getUTF8String(i)) >= 0)
+        throw new IllegalArgumentException(
+          s"graft_sorted_intersect_size: $side array violates the " +
+            s"sorted-distinct contract at index $i — results would undercount")
+      i += 1
+    }
+  }
 }

@@ -564,10 +564,17 @@ object Vectors {
       .crossJoin(broadcast(q))
       .select(col("id"),
         round(dot(col("embedding"), col("q_embedding")) / (col("nrm") * col("q_norm")), 7).as("cos"))
+    // top-K FIRST via orderBy+limit — plans as TakeOrderedAndProject,
+    // the distributed partial top-k (each partition forwards ≤ K rows).
+    // Only the surviving ≤ K rows meet the global row_number window.
+    // (A rank<=K filter AFTER a global window does NOT get Spark's
+    // WindowGroupLimit rewrite — that rule only fires for partitioned
+    // windows — so the filter form was a corpus-wide single-partition
+    // sort. PlanSpec pins the TakeOrdered shape.)
     val cosRank = cosScored
+      .orderBy(col("cos").desc, col("id")).limit(K)
       .withColumn("rank_cos",
         row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast(IntegerType))
-      .filter(col("rank_cos") <= K)
       .select(col("id"), col("rank_cos"))
     // sparse side: BM25 as in TextOps.bm25 (k1=1.2, b=0.75, rational idf)
     val docs = Tables.documents(s, d)
@@ -589,10 +596,11 @@ object Vectors {
       .crossJoin(broadcast(corpus))
       .select(col("doc_id").as("id"), scoreT.as("score_t"))
       .groupBy(col("id")).agg(sum(col("score_t")).as("score"))
+    // same TakeOrdered-first shape as cosRank (see comment there)
     val bmRank = bmScored
+      .orderBy(round(col("score"), 7).desc, col("id")).limit(K)
       .withColumn("rank_bm25",
         row_number().over(Window.orderBy(round(col("score"), 7).desc, col("id"))).cast(IntegerType))
-      .filter(col("rank_bm25") <= K)
       .select(col("id"), col("rank_bm25"))
     val rc = col("rank_cos")
     val rb = col("rank_bm25")

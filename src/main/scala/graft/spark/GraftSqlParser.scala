@@ -86,9 +86,10 @@ object GraftPartitionFieldSql {
       case "truncate" => Some((strip(col), s"truncate[$n]"))
       case _ => None
     }
-    case BareT(col) => throw new IllegalArgumentException(
-      s"identity partitioning on ${strip(col)} is not supported — use an " +
-        "explicit transform (days/months/years/hours/bucket/truncate)")
+    // bare column = identity partitioning (Iceberg's default transform);
+    // Transforms.validate still rejects unsuitable source types with a
+    // typed error from the command's run, not a parse-time throw
+    case BareT(col) => Some((strip(col), "identity"))
     case _ => None
   }
 

@@ -39,6 +39,16 @@ private[graft] object Transforms {
     case ("days" | "months" | "years" | "hours", None) =>
       require(srcType.isInstanceOf[TimestampType] || srcType.isInstanceOf[DateType],
         s"$spec needs a timestamp/date column, got $srcType")
+    case ("identity", None) =>
+      // low-cardinality layout keys only: the directory name IS the
+      // value, so the type must stringify order-preservingly (ISO dates,
+      // integers via the numeric compare branch, strings as UTF-8).
+      // Timestamp identity would mint a directory per microsecond —
+      // that's what the time transforms are for, so it stays rejected.
+      require(isIntegral(srcType) || srcType == StringType ||
+        srcType.isInstanceOf[DateType],
+        s"identity needs an integral/string/date column, got $srcType " +
+          "(use days/months/years/hours for timestamps)")
     case ("bucket", Some(n)) =>
       require(n > 0, "bucket count must be positive")
       require(isIntegral(srcType) || srcType == StringType,
@@ -66,6 +76,7 @@ private[graft] object Transforms {
 
   /** Write-side partition value (becomes the directory name). */
   def column(spec: String, src: Column, srcType: DataType): Column = parse(spec) match {
+    case ("identity", _) => src
     case ("days", _)   => to_date(src)
     case ("months", _) => date_format(src, "yyyy-MM")
     case ("years", _)  => date_format(src, "yyyy")
@@ -134,6 +145,16 @@ private[graft] object Transforms {
         eqLiteral.flatMap(bucketOfLiteral(_, n)) match {
           case Some(bk) => pv == bk.toString
           case None     => true // range predicates can't prune a hash bucket
+        }
+      case ("identity", _) =>
+        // the file holds exactly the value pv — plain order/equality
+        // pruning in the bound's own space (numeric or UTF-8)
+        if (numeric) {
+          val pvNum = try BigDecimal(pv) catch { case _: NumberFormatException => return true }
+          b.hi.forall(hi => pvNum <= BigDecimal(hi)) &&
+            b.lo.forall(lo => pvNum >= BigDecimal(lo))
+        } else {
+          b.hi.forall(hi => utf8Lte(pv, hi)) && b.lo.forall(lo => utf8Lte(lo, pv))
         }
       case ("truncate", Some(w)) =>
         if (numeric) {

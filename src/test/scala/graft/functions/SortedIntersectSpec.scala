@@ -31,6 +31,27 @@ class SortedIntersectSpec extends SparkTestBase {
     }
   }
 
+  test("unsorted input silently undercounts; the test-only contract flag catches it") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // HAZARD ON RECORD: feeding unsorted/duplicated arrays does not
+    // error — it undercounts (the merge walks past out-of-order
+    // elements). The producer owns the sorted-distinct contract
+    // (jaccardPrefix writes its shingle table sorted); this test pins
+    // both the failure mode and the diagnostic switch.
+    def arr(xs: String*) = Literal.create(xs.toArray, ArrayType(StringType))
+    val expr = SortedIntersectSizeF(arr("b", "a", "c"), arr("a", "b", "c")) // left NOT sorted
+    val silent = expr.eval(null) // interpreted path, flag off
+    assert(silent == 2, s"expected the documented undercount (2 of 3), got $silent")
+    System.setProperty("graft.sortedIntersect.checkContract", "true")
+    try {
+      val e = intercept[IllegalArgumentException](expr.eval(null))
+      assert(e.getMessage.contains("sorted-distinct contract"))
+      // sorted inputs still pass with the check on
+      assert(SortedIntersectSizeF(arr("a", "b", "c"), arr("a", "b", "c")).eval(null) == 3)
+    } finally System.clearProperty("graft.sortedIntersect.checkContract")
+  }
+
   test("participates in whole-stage codegen") {
     val df = graft.Tables.documents(spark, sfDir)
       .select(array_sort(array_distinct(split(col("text"), " "))).as("w"))

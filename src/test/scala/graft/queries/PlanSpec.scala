@@ -172,6 +172,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("rank fusion bounds each retriever with TakeOrdered before its global window") {
+    // rankFusion ranks each retriever with a GLOBAL Window.orderBy (no
+    // partitionBy) — safe ONLY because an orderBy+limit(K) runs FIRST,
+    // planning as TakeOrderedAndProject (distributed partial top-k:
+    // every partition forwards ≤ K rows), so the single-partition
+    // window sees ≤ K rows, not the corpus. A rank<=K filter AFTER the
+    // window does NOT get the WindowGroupLimit rewrite for
+    // un-partitioned windows (verified: the rule never fired), so this
+    // pin guards the TakeOrdered-first shape.
+    val p = plan(Vectors.rankFusion(spark, sfDir))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p) // one per retriever
+  }
+
   test("fuzzy join blocks to an equi-join — never a nested-loop over the edit-distance predicate") {
     val p = plan(Joins.fuzzyJoin(spark, sfDir))
     // the levenshtein filter must ride on the (first_char, length) block

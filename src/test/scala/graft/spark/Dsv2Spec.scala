@@ -366,10 +366,19 @@ class Dsv2Spec extends SparkTestBase {
     // stock ALTER and plain queries still parse and run
     spark.sql(s"ALTER TABLE $c.db.pfsql SET TBLPROPERTIES ('x'='1')")
     assert(spark.sql(s"SELECT count(*) FROM $c.db.pfsql").head().getLong(0) === 100)
-    // identity partitioning is rejected with a useful message
+    // bare column = identity partitioning (Iceberg's default transform)
+    spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD user_id")
+    assert(t.meta.partitionFields.map(_.transform) === Seq("identity"))
+    t.append(Tables.events(spark, sfDir).limit(50))
+    assert(t.read(spark).count() === 150) // pre- and post-evolution files
+    spark.sql(s"ALTER TABLE $c.db.pfsql DROP PARTITION FIELD user_id")
+    assert(t.meta.partitionFields.isEmpty)
+    // identity on a TIMESTAMP stays rejected (a directory per
+    // microsecond — the time transforms exist for that), with a typed
+    // error naming the fix
     val e = intercept[IllegalArgumentException](
-      spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD user_id"))
-    assert(e.getMessage.contains("identity"))
+      spark.sql(s"ALTER TABLE $c.db.pfsql ADD PARTITION FIELD ts"))
+    assert(e.getMessage.contains("identity") && e.getMessage.contains("days"))
     // a statement that merely CONTAINS the phrase inside a string
     // literal must fall through to the stock parser untouched
     spark.sql(s"ALTER TABLE $c.db.pfsql SET TBLPROPERTIES " +

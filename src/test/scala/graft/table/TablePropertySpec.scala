@@ -97,10 +97,31 @@ class TablePropertySpec extends SparkTestBase {
       // content. After an expire the read may legitimately fail (its
       // chunks/files can be GC'd) — but if it still READS, immutability
       // must still hold; only the expired case excuses an exception.
+      // the shapes GC'd history legitimately produces: missing chunk or
+      // data file (possibly wrapped by Spark), or the metadata loader's
+      // "no snapshot <id>" once expiry dropped the snapshot entry
+      def isMissingData(e: Throwable): Boolean = {
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+        chain.exists {
+          case _: java.io.FileNotFoundException => true
+          case _: java.nio.file.NoSuchFileException => true
+          case ia: IllegalArgumentException =>
+            Option(ia.getMessage).exists(_.startsWith("no snapshot"))
+          case _ => false
+        }
+      }
       val travelOk = firstSnapshotContent.forall { expect =>
         try t.readVersion(spark, 1).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSet == expect
-        catch { case scala.util.control.NonFatal(_) => expired }
+        catch {
+          // ONLY missing-data shapes are excused, and only after an
+          // expire: a time-travel bug that throws anything else (analysis
+          // error, codec failure, NPE) must fail the property even in
+          // sequences that contain an Expire. GC'd chunks/files surface
+          // as (possibly wrapped) FileNotFound/NoSuchFile, or as the
+          // loader's own "no snapshot/version" IllegalArgumentException.
+          case e: Throwable if expired && isMissingData(e) => true
+        }
       }
       contentOk && travelOk
     }, minTests = 15)

@@ -204,4 +204,30 @@ class TransformSpec extends SparkTestBase {
       t.addPartitionField("k", "bucket") // bucket without [N]
     }
   }
+
+  test("identity transform: value-is-directory writes, range + equality pruning, timestamps rejected") {
+    val cat = newCatalog(); cat.createSchema("db")
+    val t = cat.createTable("db.ident", schema, partitionSpec = Seq("k" -> "identity"))
+    t.append(df(800)) // k ∈ [0, 36]
+    val fs = files(t)
+    assert(fs.nonEmpty)
+    assert(fs.forall(_.partitionValues.get("k_identity").exists(_.matches("\\d+"))))
+    // equality prunes to exactly the one value's files
+    val eq = t.planFilters(t.meta, Seq(EqualTo("k", 7L)))
+    assert(eq.nonEmpty && eq.forall(_.partitionValues("k_identity") == "7"))
+    // numeric range pruning (not lexicographic: 9 < 10 must hold)
+    val rng = t.planFilters(t.meta, Seq(
+      GreaterThanOrEqual("k", 9L), LessThanOrEqual("k", 10L)))
+    assert(rng.nonEmpty && rng.forall(f =>
+      Set("9", "10").contains(f.partitionValues("k_identity"))))
+    // semantics: pruned read == plain filter
+    assert(t.readPruned(spark, Seq(EqualTo("k", 7L)))
+      .filter(col("k") === 7L).count() ===
+      df(800).filter(col("k") === 7L).count())
+    // identity on timestamp refused (one directory per microsecond)
+    val e = intercept[IllegalArgumentException] {
+      cat.createTable("db.identTs", schema, partitionSpec = Seq("ts" -> "identity"))
+    }
+    assert(e.getMessage.contains("identity"))
+  }
 }
