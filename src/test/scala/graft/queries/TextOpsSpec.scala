@@ -113,6 +113,45 @@ class TextOpsSpec extends SparkTestBase {
     assert(df < 1000, s"hot shingle df=$df would engage the cap and change results")
   }
 
+  test("pointer-doubling CC: planted 300-chain converges (diameter >> plain-propagation cap)") {
+    import spark.implicits._
+    // a chain of length 300 has diameter 299: dedupCluster's plain
+    // min-label loop (cap 50) can NOT label it — this is exactly the
+    // graph class the pointer-doubling variant exists for, converging
+    // in O(log d) ≈ 10 passes (its cap is 32, so convergence within
+    // the cap IS the log-d evidence)
+    val n = 300
+    val vertices = (0 until n).map(_.toLong).toDF("doc_id")
+    val fwd = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst"), col("src")))
+    val got = TextOps.ccPointerDoubling(vertices, edges).collect()
+    assert(got.length === n)
+    assert(got.forall(_.getAs[Long]("cluster_id") == 0L),
+      s"stale labels: ${got.filter(_.getAs[Long]("cluster_id") != 0L).take(5).mkString(",")}")
+    assert(got.count(_.getAs[Boolean]("keep")) === 1)
+  }
+
+  test("pointer-doubling CC matches driver-side union-find on a seeded random graph") {
+    import spark.implicits._
+    val n = 200
+    val rng = new scala.util.Random(7)
+    val edgeSeq = Seq.fill(150)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = scala.collection.mutable.Map((0 until n).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- edgeSeq) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i.toLong)).toMap
+    val vertices = (0 until n).map(_.toLong).toDF("doc_id")
+    val fwd = edgeSeq.toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst"), col("src")))
+    val got = TextOps.ccPointerDoubling(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("dedup clustering matches a driver-side union-find over the same pair graph") {
     // independent oracle: exact pairwise jaccard on 3-gram shingles,
     // brute-force union-find — O(n²) but fine at sf0.001
