@@ -593,6 +593,79 @@ object TextOps {
       .limit(50)
   }
 
+  /** FLAGSHIP end-to-end near-dup dedup: the full pipeline a training
+    * corpus actually runs, as ONE judged query — MinHash signatures →
+    * 2×32 banded candidates → EXACT Jaccard ≥ 0.95 verification on the
+    * candidates (codegen'd sorted-merge intersect — no estimate ships)
+    * → connected components (pointer-doubling, O(log diameter)) →
+    * keep-first survivors. Every stage is mirrored in the DuckDB oracle
+    * (md5-derived sketches; recursive-CTE transitive closure for the
+    * components), so the hash gate checks the WHOLE pipeline
+    * cross-engine, stage composition included.
+    *
+    * Operating point is NEAR-EXACT dedup (τ=0.95, banding S-curve at
+    * j≈0.98), measured against this corpus: background similarity is
+    * extreme (median pairwise jaccard ≈ 0.7, mode 0.8 — shared synthetic
+    * vocabulary), so any lower τ makes the TRUE edge graph quadratic
+    * (35% of all pairs at τ=0.7) and dedup semantically meaningless. At
+    * 2×32, candidates at sf0.1 are ~260k of 12.5M pairs; a 16×4 banding
+    * tried first admitted the j≈0.8 background mass — 8M+ candidates,
+    * 89 s, quadratic-shaped. Per-pair recall at j=0.95 is ~0.35, but
+    * near-exact GROUPS carry many internal pairs, so components connect
+    * transitively, and identical token sets collide in EVERY band —
+    * certainty recall at j=1 (pinned in spec). More NUM_PERM is the
+    * per-pair-recall dial at scale.
+    *
+    * Scale shape: the token-set table is written once and serves both
+    * the signature build and the verify (the 100 TB artifact shape);
+    * the band join carries ids only; token arrays ship only to DISTINCT
+    * surviving candidates, never |D|²; CC shuffles label-sized rows for
+    * ~log(diameter) passes. */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val mh = udaf(Sketches.MinHashAgg)
+    // sorted distinct token sets, materialized once: signature input AND
+    // exact-verify input (sorted = SortedIntersectSizeF's contract)
+    val tmp = graft.Scratch.overwritable("dedup_pipe_toks", d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
+      .write.mode("overwrite").parquet(tmp)
+    val sets = s.read.parquet(tmp)
+    val sigs = sets
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
+      .groupBy(col("doc_id"))
+      .agg(mh(col("th")).as("sig"))
+    val BANDS = 2
+    val ROWS = Sketches.NUM_PERM / BANDS
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until BANDS).map { bnd =>
+        struct(
+          lit(bnd).as("band"),
+          md5(concat_ws(",",
+            (0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.select(col("doc_id").as("ia"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val sized = sets.select(col("doc_id"), col("w"), size(col("w")).as("sz"))
+    val edges0 = cand
+      .join(sized.select(col("doc_id").as("ia"), col("w").as("wa"), col("sz").as("sa")), Seq("ia"))
+      .join(sized.select(col("doc_id").as("ib"), col("w").as("wb"), col("sz").as("sb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.SortedIntersectSizeF.sortedIntersectSize(col("wa"), col("wb"))
+          .as("common"),
+        col("sa"), col("sb"))
+      .filter(col("common").cast(DoubleType) /
+        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= 0.95)
+      .select(col("ia"), col("ib"))
+    val edges = edges0.union(edges0.select(col("ib"), col("ia"))).toDF("src", "dst")
+      .localCheckpoint()
+    ccPointerDoubling(sets.select(col("doc_id")), edges)
+  }
+
   /** J6 SimHash near-dup: 60-bit signatures (the md5-slice hash width),
     * candidates from 4×15-bit band join, Hamming distance ≤ 8 filter.
     * Fully mirrored in the DuckDB oracle (same md5-derived bit votes) —
@@ -1089,6 +1162,7 @@ object TextOps {
     "q_jaccard_prefix"   -> jaccardPrefix,
     "q_minhash_pairs"    -> minhashPairs,
     "q_simhash_pairs"    -> simhashPairs,
+    "q_dedup_pipeline"   -> dedupPipeline,
     "q_lang_id"          -> langId,
     "q_dedup_cluster"    -> dedupCluster,
     "q_contamination"    -> contamination,
@@ -1558,6 +1632,57 @@ object TextOps {
          SELECT ia, ib, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, ia, ib LIMIT 50""",
+    // The WHOLE dedup pipeline mirrored: signatures (same permutation
+    // table), 2×32 banding, exact-Jaccard verify on candidates, then
+    // connected components as a recursive-CTE transitive closure with
+    // min-reachable labels — stage composition checked cross-engine.
+    "q_dedup_pipeline" -> s"""
+         WITH RECURSIVE tok AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         th AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS hm
+           FROM tok),
+         perm(i, a, b) AS (VALUES ${graft.functions.Sketches.permValuesSql}),
+         sig AS (
+           SELECT doc_id, i, min((a * hm + b) % 2147483647) AS v
+           FROM th CROSS JOIN perm GROUP BY 1, 2),
+         sigl AS (
+           SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sl
+           FROM sig GROUP BY 1),
+         banded AS (
+           SELECT doc_id, band,
+             md5(array_to_string(list_slice(sl, 1 + band * 32, 32 + band * 32), ',')) AS bh
+           FROM sigl CROSS JOIN range(2) rb(band)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id < y.doc_id),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         edges0 AS (
+           SELECT c.ia, c.ib
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.ia
+           JOIN sets b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95),
+         edges AS (
+           SELECT ia AS src, ib AS dst FROM edges0
+           UNION ALL SELECT ib, ia FROM edges0),
+         r(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
+         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a)
+         SELECT d.doc_id,
+           least(d.doc_id, coalesce(lab.mn, d.doc_id)) AS cluster_id,
+           (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS keep
+         FROM documents d LEFT JOIN lab ON lab.a = d.doc_id
+         ORDER BY d.doc_id""",
     // SimHash mirrored end-to-end: same md5-slice hash, tf-weighted
     // ±1 bit votes over 60 bits, 4×15-bit band join, Hamming re-rank.
     "q_simhash_pairs" ->

@@ -152,6 +152,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("dedup pipeline: identical-token-set docs ALWAYS co-cluster; survivors are component minima") {
+    // j=1 pairs match every band (the sketch is a function of the token
+    // set), so the pipeline recalls exact duplicates with certainty —
+    // the hard guarantee a dedup run leans on; near-dup recall rides the
+    // 16×4 S-curve and is covered by the oracle's banding mirror.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val byTokSet = docs.groupBy(_._2.mkString(" ")).values.filter(_.length > 1)
+    assert(byTokSet.nonEmpty, "corpus has no identical-token-set pair — test is vacuous")
+    val labels = TextOps.dedupPipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    for (group <- byTokSet) {
+      val ids = group.map(_._1)
+      val cls = ids.map(labels(_)._1).distinct
+      assert(cls.size === 1, s"identical docs $ids split across clusters $cls")
+    }
+    // keep-first: exactly the component-min ids survive
+    labels.foreach { case (id, (cl, keep)) =>
+      assert(cl <= id)
+      assert(keep === (cl == id))
+    }
+  }
+
   test("dedup clustering matches a driver-side union-find over the same pair graph") {
     // independent oracle: exact pairwise jaccard on 3-gram shingles,
     // brute-force union-find — O(n²) but fine at sf0.001
