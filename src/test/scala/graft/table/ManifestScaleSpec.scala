@@ -52,6 +52,45 @@ class ManifestScaleSpec extends SparkTestBase {
     assert(t.matchAffected(manifest, Set(s"file:///elsewhere/$rel")).isEmpty)
   }
 
+  test("planning over a 10k-file manifest stays driver-cheap and O(files)") {
+    val cat = new GraftCatalog(Files.createTempDirectory("graft_scale_plan"))
+    cat.createSchema("db")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    val t = cat.createTable("db.big", schema, partitionDays = Some("ts"))
+    val m0 = t.meta
+    // synthetic 10k-file manifest: day partitions + disjoint id stats —
+    // the metadata shape a year of hourly appends produces
+    val files = (0 until 10000).map { i =>
+      DataFile(f"data/w-plan/part-$i%05d.parquet", 100L, m0.currentSchemaId,
+        Map("ts_day" -> f"2024-${1 + i % 12}%02d-${1 + i % 28}%02d"),
+        stats = Some(Map("id" -> ColRange(
+          f"${i * 100L}%019d", f"${i * 100L + 99}%019d"))))
+    }
+    val m = m0.copy(
+      snapshots = Seq(Snapshot(1L, None, 0L, "append", files)),
+      currentSnapshotId = Some(1L))
+    import java.sql.Timestamp
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val dayFilters = Seq(
+      GreaterThanOrEqual("ts", Timestamp.valueOf("2024-06-01 00:00:00")),
+      LessThanOrEqual("ts", Timestamp.valueOf("2024-06-30 23:59:59")))
+    t.planFilters(m, dayFilters) // JIT warm-up
+    val t0 = System.nanoTime()
+    val byDay = t.planFilters(m, dayFilters)
+    val byId = t.planFilters(m, Seq(EqualTo("id", 500000L)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    // partition pruning keeps ~1 month (±1-day tz widening) of 12
+    assert(byDay.size < files.size / 8, s"day pruning kept ${byDay.size}")
+    assert(byDay.forall(f => {
+      val d = f.partitionValues("ts_day")
+      d >= "2024-05-31" && d <= "2024-07-01"
+    }))
+    // stats pruning narrows an id equality to the one covering file
+    assert(byId.size === 1, s"stats pruning kept ${byId.size}")
+    assert(ms < 1000.0, s"planFilters over 10k files took $ms ms")
+  }
+
   test("CoW delete on a 200-file table rewrites only the files that contain matches") {
     val cat = new GraftCatalog(Files.createTempDirectory("graft_scale_wh"))
     cat.createSchema("db")
