@@ -75,10 +75,16 @@ object Media {
 
   /** REAL image decode via javax.imageio — no external codec library
     * needed for PNG/BMP/GIF/JPEG. None when the payload is not a
-    * decodable image (wrong magic bytes, or ImageIO has no reader). */
+    * decodable image: wrong magic bytes, no reader, OR a reader that
+    * claims the stream and then chokes. The catch matters: the 2-byte
+    * "BM" sniff (matching the JDK BMP reader's own canDecodeInput) is
+    * satisfied by any text payload starting with "BM…", and an
+    * uncaught IIOException there would fail the whole task instead of
+    * falling back to the byte-feature path. */
   def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
     if (!looksLikeImage(payload)) None
-    else Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    else try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic 8-bit grayscale PNG with pixel(x,y) = (x + 2y + seed)
     * mod 256 — a REAL ImageIO encode whose decode must recover the exact

@@ -152,18 +152,23 @@ object Events {
     * batch query's oracle — proving stream/batch unification, not just
     * claiming it. At scale the only change is the trigger (continuous
     * micro-batches) and a real sink. */
-  // the physical schema of a given events.parquet is fixed for the
-  // session: cache it so each of the 7 judged stream queries (×2 bench
-  // runs) doesn't re-read the footer (~100 ms each — pure drain floor)
+  // cache the physical events schema so each of the 7 judged stream
+  // queries (×2 bench runs) doesn't re-read the footer (~100 ms each —
+  // pure drain floor). Keyed by (path, size, mtime): a REGENERATED
+  // events.parquet in the same JVM (the dtype-drift class
+  // EventsDtypeSpec guards) invalidates naturally, at the cost of one
+  // FileStatus stat per call instead of a footer read.
   private val eventSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
 
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     // same ns/µs dtype branching as the batch reader (Tables.events), but
     // the schema must be declared up-front (streaming file sources never
     // infer), so branch on the batch-loaded physical schema
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = eventSchemaCache.computeIfAbsent(d,
+    val f = new java.io.File(s"$d/events.parquet")
+    val rawSchema = eventSchemaCache.computeIfAbsent((d, f.length, f.lastModified),
       _ => s.read.parquet(s"$d/events.parquet").schema)
     // file-source streams take a DIRECTORY; glob-filter to the events file
     val raw = s.readStream.schema(rawSchema)
@@ -177,13 +182,6 @@ object Events {
     }
   }
 
-  /** Shared AvailableNow→memory-sink drain harness for the judged
-    * streaming queries: drop any stale temp view, scope
-    * shuffle.partitions down (a stateful streaming op materializes one
-    * state store per shuffle partition at query start — tiny key spaces
-    * need nowhere near 32), drain, restore the session default only
-    * AFTER termination (micro-batch planning reads the conf from a
-    * background thread after start()). */
   /** Scope shuffle partitions down around a stream drain and restore the
     * session default only AFTER termination (micro-batch planning reads
     * the conf from a background thread after start()). Why 2: every

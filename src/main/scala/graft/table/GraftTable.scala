@@ -797,19 +797,30 @@ final class GraftTable(val dir: HPath) {
     * registrations — `resolve` of an absolute child is the child). */
   private[table] def matchAffected(manifest: Seq[DataFile], affectedPaths: Set[String]): Seq[DataFile] = {
     if (affectedPaths.isEmpty) return Nil
-    // authority + path (scheme-free): `file:/a` ≡ `file:///a` ≡ `/a`,
-    // while `s3a://bucketA/k` and `s3a://bucketB/k` stay distinct
-    def key(u: java.net.URI): String = {
+    // makeQualified canonicalizes every spelling through the table's
+    // filesystem: `file:/a` ≡ `file:///a` ≡ `/a`, and a scheme-less
+    // `dir` on a non-local defaultFS (hdfs://nn) qualifies to the same
+    // authority the scan reports — without it, fully-qualified
+    // `input_file_name` strings would never equal a bare-path base and
+    // every CoW delete/update/merge would silently match nothing.
+    // Paths already carrying a scheme (s3a add_files entries) keep it.
+    // key = scheme|authority|path of the QUALIFIED uri: makeQualified
+    // alone is not enough because `file:///a` keeps its empty-authority
+    // URI form while `file:/a` renders without it — same file, unequal
+    // strings; null-vs-empty authority is collapsed here instead.
+    val tableFs = GraftIO.fs(dir)
+    def key(p: HPath): String = {
+      val u = tableFs.makeQualified(p).toUri
       val a = u.getAuthority
-      (if (a == null) "" else a) + u.getPath
+      u.getScheme + "|" + (if (a == null) "" else a) + u.getPath
     }
-    val keys = affectedPaths.map(p => key(new HPath(p).toUri))
+    val keys = affectedPaths.map(p => key(new HPath(p)))
     // relative entries (the overwhelming case) resolve by string concat:
     // a Hadoop Path + URI parse per entry costs ~20 µs — 2 s of driver
     // time at 100k files (measured in ManifestScaleSpec) for no gain
-    val base = key(dir.toUri).stripSuffix("/")
+    val base = key(dir).stripSuffix("/")
     def entryKey(p: String): String =
-      if (p.startsWith("/") || p.contains(":")) key(new HPath(p).toUri)
+      if (p.startsWith("/") || p.contains(":")) key(new HPath(p))
       else base + "/" + p
     manifest.filter(f => keys.contains(entryKey(f.path)))
   }

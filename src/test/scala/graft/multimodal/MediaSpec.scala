@@ -49,6 +49,10 @@ class MediaSpec extends SparkTestBase {
         s"pixel ($x,$y)")
     // non-image bytes must be rejected cheaply, not decoded
     assert(Media.decodeImage("not an image".getBytes).isEmpty)
+    // text that PASSES the 2-byte BMP sniff ("BM...") must fall back
+    // to None, not crash the task: the JDK BMP reader claims any such
+    // stream and then throws on the garbage header
+    assert(Media.decodeImage("BM25 is a ranking function".getBytes).isEmpty)
   }
 
   test("extractFeatures uses decoded pixels for real images, byte fallback otherwise") {

@@ -156,7 +156,7 @@ class TextOpsSpec extends SparkTestBase {
     // j=1 pairs match every band (the sketch is a function of the token
     // set), so the pipeline recalls exact duplicates with certainty —
     // the hard guarantee a dedup run leans on; near-dup recall rides the
-    // 16×4 S-curve and is covered by the oracle's banding mirror.
+    // 2×32 S-curve and is covered by the oracle's banding mirror.
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("w"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1))

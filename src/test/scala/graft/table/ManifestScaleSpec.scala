@@ -32,9 +32,10 @@ class ManifestScaleSpec extends SparkTestBase {
     assert(got.map(_.path).toSet ===
       (0 until 100000 by 10).map(entryPath).toSet)
     // old O(n×m) code took minutes here; the hash probe takes ~100 ms.
-    // 2 s bound = 10× headroom against a loaded CI host, still 100×
-    // tighter than the quadratic path.
-    assert(ms < 2000.0, s"matchAffected took $ms ms — not O(files + affected)")
+    // 5 s bound = ~50× headroom against GC pauses / loaded CI hosts,
+    // still two orders of magnitude under the quadratic path — the pin
+    // is the asymptotic class, not the exact constant.
+    assert(ms < 5000.0, s"matchAffected took $ms ms — not O(files + affected)")
   }
 
   test("matchAffected normalizes file:/, file:/// and bare-path spellings") {
