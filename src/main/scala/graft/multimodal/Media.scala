@@ -107,6 +107,66 @@ object Media {
     bos.toByteArray
   }
 
+  /** RIFF/WAVE header sniff (the audio dual of looksLikeImage). */
+  def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode via javax.sound.sampled — the JVM's WAV codec.
+    * Returns (sampleRateHz, unsigned 8-bit PCM samples) or None for
+    * payloads that are not decodable WAV (wrong magic, codec error). */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
+    if (!looksLikeWav(payload)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val raw = in.readAllBytes()
+        Some((fmt.getSampleRate.toInt, raw.map(b => b & 0xff)))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic 8-bit mono PCM WAV with sample(i) = (3i + seed) mod
+    * 256 — a REAL javax.sound encode whose decode recovers the exact
+    * samples (PCM is lossless), so every decoded value is closed-form
+    * doc-id arithmetic for the SQL oracle. */
+  def encodeWavPcm8(nSamples: Int, rateHz: Int, seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rateHz.toFloat, 8, 1, 1, rateHz.toFloat, false)
+    val pcm = new Array[Byte](nSamples)
+    var i = 0
+    while (i < nSamples) { pcm(i) = ((3L * i + seed) % 256).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Features from decoded PCM: FNV over samples + 16-bin block means —
+    * the audio counterpart of decodedFeatures. */
+  def decodedAudioFeatures(samples: Array[Int]): (Long, Array[Float]) = {
+    var hsh = 1469598103934665603L
+    val feat = new Array[Float](16)
+    val cnt = new Array[Int](16)
+    val n = math.max(1, samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      hsh = (hsh ^ v) * 1099511628211L
+      val b = math.min(15, i * 16 / n)
+      feat(b) += v / 255.0f
+      cnt(b) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { if (cnt(j) > 0) feat(j) /= cnt(j); j += 1 }
+    (hsh, feat)
+  }
+
   /** Features from DECODED pixels: FNV over the raw samples (order-
     * sensitive content checksum) + 4×4 block-mean grid flattened to the
     * 16-dim embedding contract — the same output shape as the byte
@@ -159,8 +219,9 @@ object Media {
   /** Batched per-partition feature extraction — the `mapInPandas` shape:
     * the iterator is consumed lazily per partition, per-partition setup
     * happens once. Image payloads take the REAL javax.imageio decode
-    * (features from decoded pixels); payloads with no JVM codec
-    * (audio/video) fall back to byte-level features. */
+    * (features from decoded pixels), WAV payloads the REAL javax.sound
+    * decode (features from PCM samples); only video — the one kind the
+    * JVM ships no codec for — falls back to byte-level features. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -169,7 +230,10 @@ object Media {
       rows.map { r =>
         val (checksum, feat) = decodeImage(r.payload) match {
           case Some(img) => decodedFeatures(img)
-          case None      => decodeStub(r.payload)
+          case None => decodeWav(r.payload) match {
+            case Some((_, samples)) => decodedAudioFeatures(samples)
+            case None               => decodeStub(r.payload)
+          }
         }
         MediaFeature(r.media_id, r.meta.kind, r.payload.length, checksum, feat)
       }
@@ -338,8 +402,45 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** Fixture of REAL encoded WAV audio: one deterministic 8-bit PCM
+    * clip per document id (length, rate and every sample are closed-form
+    * doc-id arithmetic). */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (800 + (id % 5) * 200).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          MediaRow(id, MediaMeta("audio", 0, 0, rate, 1), encodeWavPcm8(n, rate, id))
+        }
+      }
+  }
+
+  /** Driver-judged REAL audio decode — the WAV dual of imageDecode:
+    * every payload is a genuine RIFF/WAVE file; javax.sound decodes it
+    * and we report frame count, sample rate, and first/last PCM samples
+    * — all closed-form doc-id arithmetic, DuckDB-checkable without an
+    * audio library. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, samples) = decodeWav(r.payload).getOrElse(
+            throw new IllegalStateException(
+              s"media ${r.media_id}: payload is not decodable WAV"))
+          (r.media_id, samples.length.toLong, rate,
+            samples.head, samples.last)
+        }
+      }
+      .toDF("media_id", "n_samples", "sample_rate", "s_first", "s_last")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_decode"    -> imageDecode,
+    "q_audio_decode"    -> audioDecode,
     "q_media_phash"     -> phashPairs,
     "q_media_dedup"     -> mediaDedup,
     "q_media_meta"      -> mediaMeta,
@@ -348,6 +449,15 @@ object Media {
     "q_batch_inference" -> batchInference)
 
   val oracle: Map[String, String] = Map(
+    // sample(i) = (3i + id) mod 256 in an (800 + id%5*200)-frame 8-bit
+    // PCM WAV at (8000 + id%3*4000) Hz — all pure id arithmetic
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST(800 + (doc_id % 5) * 200 AS BIGINT) AS n_samples,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+         CAST(doc_id % 256 AS INT) AS s_first,
+         CAST((3 * (800 + (doc_id % 5) * 200 - 1) + doc_id) % 256 AS INT) AS s_last
+         FROM documents ORDER BY media_id""",
     // pixel(x,y) = (x + 2y + id) mod 256 in a (8 + id%8*4) × (8 + id%5*4)
     // gray PNG — decoded dims and corner samples are pure id arithmetic
     "q_image_decode" ->

@@ -71,6 +71,30 @@ class MediaSpec extends SparkTestBase {
     assert(feats(1).checksum === Media.decodeStub("raw audio bytes".getBytes)._1)
   }
 
+  test("decodeWav round-trips a crafted PCM clip exactly (real javax.sound decode)") {
+    val wav = Media.encodeWavPcm8(nSamples = 5, rateHz = 8000, seed = 9L)
+    assert(Media.looksLikeWav(wav))
+    val (rate, samples) = Media.decodeWav(wav).getOrElse(fail("WAV did not decode"))
+    assert(rate === 8000)
+    assert(samples.toSeq === (0 until 5).map(i => (3 * i + 9) % 256))
+    // RIFF-sniff-passing garbage must fall back, not crash
+    assert(Media.decodeWav("RIFFxxxxWAVEgarbage!!".getBytes).isEmpty)
+    assert(Media.decodeWav("plain text".getBytes).isEmpty)
+  }
+
+  test("audioDecode recovers closed-form frame counts, rates and samples from real WAVs") {
+    val got = Media.audioDecode(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = 800 + (id % 5) * 200
+      assert(r.getAs[Long]("n_samples") === n)
+      assert(r.getAs[Int]("sample_rate") === (8000 + (id % 3) * 4000).toInt)
+      assert(r.getAs[Int]("s_first") === (id % 256).toInt)
+      assert(r.getAs[Int]("s_last") === ((3 * (n - 1) + id) % 256).toInt)
+    }
+  }
+
   test("imageDecode recovers closed-form dims and corner pixels from real PNG payloads") {
     val got = Media.imageDecode(spark, sfDir).collect()
     assert(got.nonEmpty)
