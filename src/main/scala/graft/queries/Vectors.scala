@@ -258,24 +258,25 @@ object Vectors {
     * hyperplanes; candidates = equi-join on (t, bucket) across 3 tables
     * (union of probes), then exact cosine rerank, top 10. At 100 TB the
     * bucket join is an ordinary shuffle join on a low-cardinality key —
-    * no cross product, and the rerank touches only candidates. */
+    * no cross product, and the rerank touches only candidates.
+    * Since round 7 the buckets use the SAME rounded-sign computation as
+    * the banded pair ops (bandBuckets), so the whole probe pipeline is
+    * mirrored in the DuckDB oracle and q_ann_lsh is hash-checked, not
+    * rows-only — the multi-probe flips, candidate distinct, and exact
+    * rerank are all deterministic given the buckets. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    // NOTE: this bucket() signs the RAW dot, while the banded pair ops
-    // (bandBuckets) sign round(dot, 7) for oracle parity — annLsh has no
-    // SQL oracle (rows-only + recall spec), so it keeps the cheaper raw
-    // sign; vectors within 5e-8 of a hyperplane may bucket differently
-    // between the two surfaces, which is fine for ANN and would matter
-    // only if these signatures were ever oracle-compared.
-    def bucket(t: Int, v: Column): Column =
-      (0 until 4).map { i =>
-        (dot(planeCols(t * 4 + i), v) >= 0).cast(IntegerType) * (1 << i)
-      }.reduce(_ + _)
     val e = Tables.embeddings(s, d)
-    // each vector lands in 3 (table, bucket) cells
-    val tabled = e.select(
+    // each vector lands in 3 (table, bucket) cells; buckets come from a
+    // top-level projection (the bandedPairs codegen-size lesson)
+    val withBuckets = e.select(
+      Seq(col("vec_id"), col("embedding")) ++
+        bandBuckets(3, col("embedding")).zipWithIndex.map {
+          case (b, t) => b.as(s"b$t")
+        }: _*)
+    val tabled = withBuckets.select(
       col("vec_id"), col("embedding"),
       explode(array((0 until 3).map(t =>
-        struct(lit(t).as("t"), bucket(t, col("embedding")).as("b"))): _*)).as("tb"))
+        struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
     // multi-probe: also scan the 4 single-bit-flip neighbor buckets per
     // table — the standard recall boost that costs probes, not memory
@@ -631,9 +632,11 @@ object Vectors {
     "q_ann_pq"        -> annPq,
     "q_dedup_embedding" -> dedupEmbedding)
 
-  // q_ann_lsh is approximate by construction → rows-only check here;
-  // recall vs the exact baseline is asserted in VectorsSpec.
+  // q_ann_ivf / q_ann_pq stay rows-only (their indexes are trained by
+  // seeded iterative KMeans — not mirrorable in one SQL pass); recall
+  // vs the exact baseline is asserted in VectorsSpec.
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshSql,
     "q_embed_quantize" ->
       """WITH base AS (
            SELECT vec_id, embedding AS e,
@@ -786,16 +789,53 @@ object Vectors {
     * verification — a deterministic function both engines compute
     * independently, which is what keeps the judged entries hash-checked
     * rather than rows-only despite the approximate recall. */
+  /** One hyperplane as a SQL DOUBLE-list literal (Double.toString
+    * round-trips exactly, so both engines see identical planes). */
+  private def planeLit(k: Int): String =
+    HYPERPLANES(k).map(_.toString).mkString("[", ", ", "]")
+
+  /** The rounded-sign bucket of `embedding` against table t's planes —
+    * the SQL mirror of one bandBuckets column (pl = plane CTE row). */
+  private def bucketSql(t: Int): String =
+    (0 until 4).map { i =>
+      s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
+         |  j -> CAST(embedding[j] AS DOUBLE) * (pl.p${t * 4 + i})[j])), 7) >= 0
+         |  THEN ${1 << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  /** Mirror of annLsh: same rounded-sign buckets (planes 0–11), the
+    * query's 5 probe buckets per table (identity + 4 single-bit flips),
+    * distinct candidates, exact cosine rerank, top 10. */
+  private lazy val annLshSql: String = {
+    val planeSelect = (0 until 12).map(k => s"${planeLit(k)} AS p$k").mkString(", ")
+    val sigCols = (0 until 3).map(t => s"${bucketSql(t)} AS b$t").mkString(",\n           ")
+    s"""WITH pl AS (SELECT $planeSelect),
+       sig AS (
+         SELECT vec_id, embedding,
+           $sigCols
+         FROM embeddings, pl),
+       q AS (SELECT b0, b1, b2, embedding AS qe FROM sig WHERE vec_id = 0),
+       probes AS (
+         SELECT tt.t,
+           xor(CASE tt.t WHEN 0 THEN q.b0 WHEN 1 THEN q.b1 ELSE q.b2 END, ff.flip) AS b
+         FROM q CROSS JOIN (VALUES (0), (1), (2)) tt(t)
+                CROSS JOIN (VALUES (0), (1), (2), (4), (8)) ff(flip)),
+       cand AS (
+         SELECT DISTINCT s.vec_id
+         FROM sig s JOIN probes p
+           ON (CASE p.t WHEN 0 THEN s.b0 WHEN 1 THEN s.b1 ELSE s.b2 END) = p.b
+         WHERE s.vec_id <> 0)
+       SELECT c.vec_id,
+         round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 7) AS cos
+       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       ORDER BY cos DESC, c.vec_id LIMIT 10"""
+  }
+
   private lazy val bandedPairsSql: String = {
-    def planeLit(k: Int): String =
-      HYPERPLANES(k).map(_.toString).mkString("[", ", ", "]")
-    val sigCols = (0 until BAND_TABLES).map { t =>
-      (0 until 4).map { i =>
-        s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
-           |  j -> CAST(embedding[j] AS DOUBLE) * (pl.p${t * 4 + i})[j])), 7) >= 0
-           |  THEN ${1 << i} ELSE 0 END)""".stripMargin
-      }.mkString(" + ") + s" AS b$t"
-    }.mkString(",\n           ")
+    val sigCols = (0 until BAND_TABLES)
+      .map(t => s"${bucketSql(t)} AS b$t").mkString(",\n           ")
     val planeSelect = (0 until BAND_TABLES * 4).map(k => s"${planeLit(k)} AS p$k").mkString(", ")
     s"""WITH pl AS (SELECT $planeSelect),
        sig AS (
