@@ -114,7 +114,14 @@ object Media {
 
   /** REAL audio decode via javax.sound.sampled — the JVM's WAV codec.
     * Returns (sampleRateHz, unsigned 8-bit PCM samples) or None for
-    * payloads that are not decodable WAV (wrong magic, codec error). */
+    * payloads that are not decodable 8-bit PCM WAV (wrong magic, codec
+    * error, or a sample format this path doesn't model). The format
+    * guard matters: without it a 16-bit PCM file would "decode" into
+    * interleaved little-endian byte halves silently posing as samples —
+    * byte soup labeled as PCM. Signed 8-bit maps to unsigned by the
+    * usual +128 offset; wider formats return None and take the
+    * byte-fallback feature path (a converter via
+    * AudioSystem.getAudioInputStream(target, in) would slot here). */
   def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
     if (!looksLikeWav(payload)) None
     else try {
@@ -122,8 +129,15 @@ object Media {
         new ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        val raw = in.readAllBytes()
-        Some((fmt.getSampleRate.toInt, raw.map(b => b & 0xff)))
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (fmt.getSampleSizeInBits != 8 || !(signed || unsigned)) None
+        else {
+          val raw = in.readAllBytes()
+          val off = if (signed) 0x80 else 0
+          Some((fmt.getSampleRate.toInt, raw.map(b => (b & 0xff) ^ off)))
+        }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -157,7 +171,9 @@ object Media {
     while (i < samples.length) {
       val v = samples(i)
       hsh = (hsh ^ v) * 1099511628211L
-      val b = math.min(15, i * 16 / n)
+      // long arithmetic: i * 16 wraps negative past ~134M samples (a
+      // 2-hour clip) and would index feat() out of bounds
+      val b = math.min(15, (i.toLong * 16 / n).toInt)
       feat(b) += v / 255.0f
       cnt(b) += 1
       i += 1

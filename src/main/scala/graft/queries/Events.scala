@@ -154,10 +154,12 @@ object Events {
     * micro-batches) and a real sink. */
   // cache the physical events schema so each of the 7 judged stream
   // queries (×2 bench runs) doesn't re-read the footer (~100 ms each —
-  // pure drain floor). Keyed by (path, size, mtime): a REGENERATED
-  // events.parquet in the same JVM (the dtype-drift class
-  // EventsDtypeSpec guards) invalidates naturally, at the cost of one
-  // FileStatus stat per call instead of a footer read.
+  // pure drain floor). Keyed by (path, size, mtime) from a Hadoop
+  // FileStatus (works for URI-form and non-local paths, unlike
+  // java.io.File): a REGENERATED events.parquet in the same JVM (the
+  // dtype-drift class EventsDtypeSpec guards) invalidates naturally, at
+  // the cost of one stat per call instead of a footer read. If the stat
+  // itself fails, skip the cache rather than serve under a stale key.
   private val eventSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
@@ -167,9 +169,14 @@ object Events {
     // the schema must be declared up-front (streaming file sources never
     // infer), so branch on the batch-loaded physical schema
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val f = new java.io.File(s"$d/events.parquet")
-    val rawSchema = eventSchemaCache.computeIfAbsent((d, f.length, f.lastModified),
-      _ => s.read.parquet(s"$d/events.parquet").schema)
+    def readSchema() = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+        val st = graft.table.GraftIO.fs(hp).getFileStatus(hp)
+        eventSchemaCache.computeIfAbsent(
+          (d, st.getLen, st.getModificationTime), _ => readSchema())
+      } catch { case scala.util.control.NonFatal(_) => readSchema() }
     // file-source streams take a DIRECTORY; glob-filter to the events file
     val raw = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)

@@ -804,13 +804,20 @@ final class GraftTable(val dir: HPath) {
     // `input_file_name` strings would never equal a bare-path base and
     // every CoW delete/update/merge would silently match nothing.
     // Paths already carrying a scheme (s3a add_files entries) keep it.
-    // key = scheme|authority|path of the QUALIFIED uri: makeQualified
+    // key = scheme|authority|path of the QUALIFIED uri: qualification
     // alone is not enough because `file:///a` keeps its empty-authority
     // URI form while `file:/a` renders without it — same file, unequal
     // strings; null-vs-empty authority is collapsed here instead.
+    // Path.makeQualified (not FileSystem.makeQualified) on purpose: the
+    // FileSystem flavor runs checkPath, which THROWS "Wrong FS" on a
+    // cross-scheme manifest entry (an s3a add_files registration in a
+    // file:// table) — the Path flavor fills in missing scheme/authority
+    // and leaves foreign schemes untouched.
     val tableFs = GraftIO.fs(dir)
+    val fsUri = tableFs.getUri
+    val fsWd = tableFs.getWorkingDirectory
     def key(p: HPath): String = {
-      val u = tableFs.makeQualified(p).toUri
+      val u = p.makeQualified(fsUri, fsWd).toUri
       val a = u.getAuthority
       u.getScheme + "|" + (if (a == null) "" else a) + u.getPath
     }

@@ -80,6 +80,16 @@ class MediaSpec extends SparkTestBase {
     // RIFF-sniff-passing garbage must fall back, not crash
     assert(Media.decodeWav("RIFFxxxxWAVEgarbage!!".getBytes).isEmpty)
     assert(Media.decodeWav("plain text".getBytes).isEmpty)
+    // a VALID 16-bit PCM WAV is outside this path's model: it must be
+    // rejected (None), not byte-soup-decoded as twice as many "samples"
+    import javax.sound.sampled._
+    val fmt16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](20)), fmt16, 10),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav16 = bos.toByteArray
+    assert(Media.looksLikeWav(wav16) && Media.decodeWav(wav16).isEmpty)
   }
 
   test("audioDecode recovers closed-form frame counts, rates and samples from real WAVs") {
