@@ -160,6 +160,63 @@ object Media {
     bos.toByteArray
   }
 
+  /** REAL multi-frame "video" decode via the JVM's animated-GIF codec —
+    * an actual moving-picture container (LZW-compressed frame sequence)
+    * the stock JDK can both write and read. Returns all frames, or None
+    * for non-GIF/undecodable payloads. A production video path would
+    * swap the GIF reader for an ffmpeg-style codec in the same slot;
+    * the frame-sequence contract is identical. */
+  def decodeGifFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    if (!(payload.length > 3 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) None
+    else try {
+      val reader = ImageIO.getImageReadersBySuffix("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        // a sniff-passing header with no decodable frames is garbage,
+        // not an empty video
+        if (n <= 0) None else Some((0 until n).map(reader.read))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic animated GIF: nFrames black/white frames with
+    * pixel(x,y,f) = ((x + y + f + seed) mod 2) — a REAL ImageIO
+    * sequence encode (2-color GIF is lossless), so every decoded frame
+    * pixel is closed-form doc-id arithmetic. */
+  def encodeGifAnim(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    // MODE_DISABLED = no GIF interlacing: the JDK writer otherwise
+    // emits interlaced frames whose row reassembly scrambles small
+    // heights (observed: h=3 decoded rows [r0, blank, r1])
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_BINARY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, ((x + y + f + seed) % 2).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Features from decoded PCM: FNV over samples + 16-bin block means —
     * the audio counterpart of decodedFeatures. */
   def decodedAudioFeatures(samples: Array[Int]): (Long, Array[Float]) = {
@@ -454,9 +511,54 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** Fixture of REAL multi-frame video (animated GIF): one deterministic
+    * clip per document id — frame count, dims and every pixel are
+    * closed-form doc-id arithmetic. */
+  def videoTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + (id % 3) * 4).toInt
+          val h = (8 + (id % 2) * 4).toInt
+          val n = (2 + (id % 4)).toInt
+          MediaRow(id, MediaMeta("video", w, h, 0, n), encodeGifAnim(w, h, n, id))
+        }
+      }
+  }
+
+  /** Driver-judged REAL video decode — the frame-sequence dual of
+    * imageDecode: every payload is a genuine animated GIF; the codec
+    * decodes all frames and we report the frame count, dims, and probe
+    * pixels of the FIRST and LAST frames — closed-form doc-id
+    * arithmetic, DuckDB-checkable with no media library. Frame sampling
+    * (q_media_frames) plans over the same counts; this proves the
+    * frames themselves decode. */
+  def videoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = decodeGifFrames(r.payload).getOrElse(
+            throw new IllegalStateException(
+              s"media ${r.media_id}: payload is not a decodable GIF"))
+          val f0 = frames.head
+          val fl = frames.last
+          val w = f0.getWidth
+          val h = f0.getHeight
+          (r.media_id, frames.length, w, h,
+            f0.getRGB(0, 0) & 0xff,
+            fl.getRGB(w - 1, h - 1) & 0xff)
+        }
+      }
+      .toDF("media_id", "n_frames", "width", "height", "px_first", "px_last")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_decode"    -> imageDecode,
     "q_audio_decode"    -> audioDecode,
+    "q_video_decode"    -> videoDecode,
     "q_media_phash"     -> phashPairs,
     "q_media_dedup"     -> mediaDedup,
     "q_media_meta"      -> mediaMeta,
@@ -465,6 +567,17 @@ object Media {
     "q_batch_inference" -> batchInference)
 
   val oracle: Map[String, String] = Map(
+    // pixel(x,y,f) = ((x + y + f + id) mod 2) * 255 in a
+    // (8 + id%3*4) × (8 + id%2*4), (2 + id%4)-frame animated GIF
+    "q_video_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST(2 + (doc_id % 4) AS INT) AS n_frames,
+         CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+         CAST(8 + (doc_id % 2) * 4 AS INT) AS height,
+         CAST((doc_id % 2) * 255 AS INT) AS px_first,
+         CAST(((8 + (doc_id % 3) * 4 - 1) + (8 + (doc_id % 2) * 4 - 1)
+               + (2 + (doc_id % 4) - 1) + doc_id) % 2 * 255 AS INT) AS px_last
+         FROM documents ORDER BY media_id""",
     // sample(i) = (3i + id) mod 256 in an (800 + id%5*200)-frame 8-bit
     // PCM WAV at (8000 + id%3*4000) Hz — all pure id arithmetic
     "q_audio_decode" ->

@@ -105,6 +105,27 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("decodeGifFrames round-trips a crafted animated GIF exactly (real multi-frame decode)") {
+    val gif = Media.encodeGifAnim(width = 4, height = 3, nFrames = 3, seed = 5L)
+    val frames = Media.decodeGifFrames(gif).getOrElse(fail("GIF did not decode"))
+    assert(frames.length === 3)
+    for (f <- 0 until 3; y <- 0 until 3; x <- 0 until 4)
+      assert((frames(f).getRGB(x, y) & 0xff) === ((x + y + f + 5) % 2) * 255,
+        s"frame $f pixel ($x,$y)")
+    assert(Media.decodeGifFrames("GIF89a-garbage".getBytes).isEmpty)
+    assert(Media.decodeGifFrames("not a gif".getBytes).isEmpty)
+  }
+
+  test("videoDecode recovers closed-form frame counts and probe pixels from real GIFs") {
+    val got = Media.videoDecode(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("n_frames") === (2 + id % 4).toInt)
+      assert(r.getAs[Int]("px_first") === ((id % 2) * 255).toInt)
+    }
+  }
+
   test("imageDecode recovers closed-form dims and corner pixels from real PNG payloads") {
     val got = Media.imageDecode(spark, sfDir).collect()
     assert(got.nonEmpty)
