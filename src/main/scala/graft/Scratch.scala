@@ -42,13 +42,15 @@ object Scratch {
     * function of (kind, key) — all current callers derive it from the
     * immutable test corpus. Synchronized: two racing writers on one
     * overwrite path could interleave with a concurrent reader. */
-  private val built = scala.collection.mutable.HashSet.empty[String]
+  // computeIfAbsent = per-key build-once with per-key blocking: two
+  // racing builders of the SAME artifact serialize (required — an
+  // overwrite racing a reader corrupts), while different artifacts
+  // build concurrently and cache hits don't block behind a build (a
+  // single global lock would stall every caller for a full Spark write)
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def materializedOnce(kind: String, key: String)(write: String => Unit): String = {
     val path = overwritable(kind, key)
-    built.synchronized {
-      if (!built.contains(path)) { write(path); built.add(path) }
-    }
-    path
+    built.computeIfAbsent(path, p => { write(p); p })
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -245,25 +245,35 @@ object Media {
     * 16-dim embedding contract — the same output shape as the byte
     * fallback, so downstream phash/ANN code is agnostic to which path
     * produced the vector. */
-  def decodedFeatures(img: BufferedImage): (Long, Array[Float]) = {
-    val w = img.getWidth
-    val h = img.getHeight
-    val raster = img.getRaster
+  def decodedFeatures(img: BufferedImage): (Long, Array[Float]) =
+    decodedVideoFeatures(Seq(img))
+
+  /** Frame-sequence features: the per-frame pixel walk chains one FNV
+    * checksum and accumulates one shared 4×4 block grid across ALL
+    * frames — two clips sharing only their first frame therefore get
+    * DIFFERENT checksums/embeddings (a frame-0-only shortcut would make
+    * video near-dup detection blind past the poster frame). */
+  def decodedVideoFeatures(frames: Seq[BufferedImage]): (Long, Array[Float]) = {
     var hsh = 1469598103934665603L
     val feat = new Array[Float](16)
     val cnt = new Array[Int](16)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = raster.getSample(x, y, 0)
-        hsh = (hsh ^ v) * 1099511628211L
-        val b = (y * 4 / h) * 4 + (x * 4 / w)
-        feat(b) += v / 255.0f
-        cnt(b) += 1
-        x += 1
+    frames.foreach { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          hsh = (hsh ^ v) * 1099511628211L
+          val b = (y * 4 / h) * 4 + (x * 4 / w)
+          feat(b) += v / 255.0f
+          cnt(b) += 1
+          x += 1
+        }
+        y += 1
       }
-      y += 1
     }
     var j = 0
     while (j < 16) { if (cnt(j) > 0) feat(j) /= cnt(j); j += 1 }
@@ -291,21 +301,25 @@ object Media {
 
   /** Batched per-partition feature extraction — the `mapInPandas` shape:
     * the iterator is consumed lazily per partition, per-partition setup
-    * happens once. Image payloads take the REAL javax.imageio decode
-    * (features from decoded pixels), WAV payloads the REAL javax.sound
-    * decode (features from PCM samples); only video — the one kind the
-    * JVM ships no codec for — falls back to byte-level features. */
+    * happens once. All three media kinds take REAL decodes: GIF payloads
+    * the multi-frame codec (decodeGifFrames — checked FIRST, because
+    * ImageIO.read on a GIF would silently decode only frame 0), other
+    * images javax.imageio, WAV javax.sound. Payloads no JVM codec
+    * accepts fall back to byte-level features. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup happens HERE (further codec init if needed;
       // ImageIO's plugin registry is already warm per-JVM)
       rows.map { r =>
-        val (checksum, feat) = decodeImage(r.payload) match {
-          case Some(img) => decodedFeatures(img)
-          case None => decodeWav(r.payload) match {
-            case Some((_, samples)) => decodedAudioFeatures(samples)
-            case None               => decodeStub(r.payload)
+        val (checksum, feat) = decodeGifFrames(r.payload) match {
+          case Some(frames) => decodedVideoFeatures(frames)
+          case None => decodeImage(r.payload) match {
+            case Some(img) => decodedFeatures(img)
+            case None => decodeWav(r.payload) match {
+              case Some((_, samples)) => decodedAudioFeatures(samples)
+              case None               => decodeStub(r.payload)
+            }
           }
         }
         MediaFeature(r.media_id, r.meta.kind, r.payload.length, checksum, feat)

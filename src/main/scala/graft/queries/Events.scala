@@ -160,6 +160,10 @@ object Events {
   // dtype-drift class EventsDtypeSpec guards) invalidates naturally, at
   // the cost of one stat per call instead of a footer read. If the stat
   // itself fails, skip the cache rather than serve under a stale key.
+  // Known residual window: a same-length regeneration inside one mtime
+  // granule is indistinguishable by stat — acceptable for a cache whose
+  // alternative is re-reading the footer every call; the driver
+  // regenerates between sessions, never mid-JVM.
   private val eventSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()

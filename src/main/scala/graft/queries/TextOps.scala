@@ -545,6 +545,21 @@ object TextOps {
     * estimate — is mirrored verbatim in the DuckDB oracle: the hash
     * gate checks cross-engine sketch parity; TextOpsSpec asserts
     * estimate accuracy and precision against exact Jaccard. */
+  /** md5 band-key cells over a NUM_PERM minhash signature column
+    * `sig`: one (band, bh) struct per band, bh = md5 of the comma-joined
+    * band slice. ONE implementation for every banding consumer
+    * (minhashPairs, dedupPipeline) — banding arithmetic drift between
+    * them would silently break exactly one query's oracle parity. */
+  private def minhashBandCells(bands: Int): Column = {
+    val rows = Sketches.NUM_PERM / bands
+    explode(array((0 until bands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        md5(concat_ws(",",
+          (0 until rows).map(r => element_at(col("sig"), bnd * rows + r + 1)): _*)).as("bh"))
+    }: _*))
+  }
+
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
     // signatures feed banding + two rejoin branches: a signature table
@@ -558,19 +573,11 @@ object TextOps {
         .agg(mh(col("th")).as("sig"))
         .write.mode("overwrite").parquet(pth))
     val sigs = s.read.parquet(tmp)
-    val BANDS = 2
-    val ROWS = Sketches.NUM_PERM / BANDS
     // band key = md5 of the comma-joined band slice (not Murmur hash():
     // md5 is the one digest the SQL oracle shares; fixed 32-char key
     // either way, so the shuffle width is unchanged)
     val banded = sigs.select(
-      col("doc_id"), col("source"),
-      explode(array((0 until BANDS).map { bnd =>
-        struct(
-          lit(bnd).as("band"),
-          md5(concat_ws(",",
-            (0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*)).as("bh"))
-      }: _*)).as("bb"))
+      col("doc_id"), col("source"), minhashBandCells(bands = 2).as("bb"))
       .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = banded.select(col("doc_id").as("ia"), col("source"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("ib"), col("source"), col("band"), col("bh"))
@@ -637,16 +644,7 @@ object TextOps {
       .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
       .groupBy(col("doc_id"))
       .agg(mh(col("th")).as("sig"))
-    val BANDS = 2
-    val ROWS = Sketches.NUM_PERM / BANDS
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until BANDS).map { bnd =>
-        struct(
-          lit(bnd).as("band"),
-          md5(concat_ws(",",
-            (0 until ROWS).map(r => element_at(col("sig"), bnd * ROWS + r + 1)): _*)).as("bh"))
-      }: _*)).as("bb"))
+    val banded = sigs.select(col("doc_id"), minhashBandCells(bands = 2).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.select(col("doc_id").as("ia"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
@@ -1171,6 +1169,33 @@ object TextOps {
     "q_quality_filter"   -> qualityFilter,
     "q_sample_hash"      -> sampleHash)
 
+  /** Shared oracle CTE prefix: per-doc minhash signatures (the same
+    * permutation table this JVM uses) down to the banded (band, bh)
+    * cells — ONE SQL formulation for every banding consumer, mirroring
+    * minhashBandCells. `withSource` carries the blocking column. */
+  private def minhashSigCtes(withSource: Boolean): String = {
+    val c = if (withSource) ", source" else ""
+    s"""tok AS (
+           SELECT DISTINCT doc_id$c, tok FROM (
+             SELECT doc_id$c, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         th AS (
+           SELECT doc_id$c,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS hm
+           FROM tok),
+         perm(i, a, b) AS (VALUES ${graft.functions.Sketches.permValuesSql}),
+         sig AS (
+           SELECT doc_id$c, i, min((a * hm + b) % 2147483647) AS v
+           FROM th CROSS JOIN perm GROUP BY ${if (withSource) "1, 2, 3" else "1, 2"}),
+         sigl AS (
+           SELECT doc_id$c, list(CAST(v AS VARCHAR) ORDER BY i) AS sl
+           FROM sig GROUP BY ${if (withSource) "1, 2" else "1"}),
+         banded AS (
+           SELECT doc_id$c, band,
+             md5(array_to_string(list_slice(sl, 1 + band * 32, 32 + band * 32), ',')) AS bh
+           FROM sigl CROSS JOIN (VALUES (0), (1)) bands(band))"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_phrase_search" ->
       """WITH docs AS (
@@ -1599,25 +1624,7 @@ object TextOps {
     // keys, matching-coordinate estimate. The hash gate therefore
     // checks cross-engine parity of the full approximate pipeline.
     "q_minhash_pairs" -> s"""
-         WITH tok AS (
-           SELECT DISTINCT doc_id, source, tok FROM (
-             SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-             FROM documents)),
-         th AS (
-           SELECT doc_id, source,
-             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS hm
-           FROM tok),
-         perm(i, a, b) AS (VALUES ${graft.functions.Sketches.permValuesSql}),
-         sig AS (
-           SELECT doc_id, source, i, min((a * hm + b) % 2147483647) AS v
-           FROM th CROSS JOIN perm GROUP BY 1, 2, 3),
-         sigl AS (
-           SELECT doc_id, source, list(CAST(v AS VARCHAR) ORDER BY i) AS s
-           FROM sig GROUP BY 1, 2),
-         banded AS (
-           SELECT doc_id, source, band,
-             md5(array_to_string(list_slice(s, 1 + band * 32, 32 + band * 32), ',')) AS bh
-           FROM sigl CROSS JOIN (VALUES (0), (1)) bands(band)),
+         WITH ${minhashSigCtes(withSource = true)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
            FROM banded x JOIN banded y
@@ -1639,25 +1646,7 @@ object TextOps {
     // connected components as a recursive-CTE transitive closure with
     // min-reachable labels — stage composition checked cross-engine.
     "q_dedup_pipeline" -> s"""
-         WITH RECURSIVE tok AS (
-           SELECT DISTINCT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             FROM documents)),
-         th AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS hm
-           FROM tok),
-         perm(i, a, b) AS (VALUES ${graft.functions.Sketches.permValuesSql}),
-         sig AS (
-           SELECT doc_id, i, min((a * hm + b) % 2147483647) AS v
-           FROM th CROSS JOIN perm GROUP BY 1, 2),
-         sigl AS (
-           SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sl
-           FROM sig GROUP BY 1),
-         banded AS (
-           SELECT doc_id, band,
-             md5(array_to_string(list_slice(sl, 1 + band * 32, 32 + band * 32), ',')) AS bh
-           FROM sigl CROSS JOIN range(2) rb(band)),
+         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
            FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh

@@ -821,7 +821,24 @@ final class GraftTable(val dir: HPath) {
       val a = u.getAuthority
       u.getScheme + "|" + (if (a == null) "" else a) + u.getPath
     }
-    val keys = affectedPaths.map(p => key(new HPath(p)))
+    // scan-reported strings (input_file_name / _metadata.file_path) are
+    // URL-ENCODED URIs, while manifest entries hold the LITERAL on-disk
+    // names (a partition value "a:b" is a directory literally named
+    // "a%3Ab", which the scan then reports as "a%253Ab") — decode the
+    // scan side into literal space before keying or such files would
+    // never match and the CoW op would silently touch nothing. Strings
+    // that don't parse as URIs pass through raw (then they were never
+    // encoded).
+    def decodedLiteral(p: String): String =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme == null || u.getPath == null) p
+        else {
+          val a = u.getAuthority
+          u.getScheme + "://" + (if (a == null) "" else a) + u.getPath
+        }
+      } catch { case scala.util.control.NonFatal(_) => p }
+    val keys = affectedPaths.map(p => key(new HPath(decodedLiteral(p))))
     // relative entries (the overwhelming case) resolve by string concat:
     // a Hadoop Path + URI parse per entry costs ~20 µs — 2 s of driver
     // time at 100k files (measured in ManifestScaleSpec) for no gain

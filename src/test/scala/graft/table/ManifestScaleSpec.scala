@@ -53,6 +53,20 @@ class ManifestScaleSpec extends SparkTestBase {
     assert(t.matchAffected(manifest, Set(s"file:///elsewhere/$rel")).isEmpty)
   }
 
+  test("matchAffected decodes URL-encoded scan paths into literal manifest space") {
+    val t = new GraftTable(Files.createTempDirectory("graft_scale_enc"))
+    val base = t.dir.toUri.getPath.stripSuffix("/")
+    // a partition value "a:b" lives in a directory LITERALLY named
+    // "a%3Ab" (Spark's dir escaping); scans report it double-encoded
+    val escaped = Seq(DataFile("data/k=a%3Ab/part-0.parquet", 1L, 0, Map.empty))
+    assert(t.matchAffected(escaped,
+      Set(s"file://$base/data/k=a%253Ab/part-0.parquet")).size === 1)
+    // a literal space in the name arrives singly-encoded
+    val spaced = Seq(DataFile("data/k=a b/part-0.parquet", 1L, 0, Map.empty))
+    assert(t.matchAffected(spaced,
+      Set(s"file://$base/data/k=a%20b/part-0.parquet")).size === 1)
+  }
+
   test("planning over a 10k-file manifest stays driver-cheap and O(files)") {
     val cat = new GraftCatalog(Files.createTempDirectory("graft_scale_plan"))
     cat.createSchema("db")
