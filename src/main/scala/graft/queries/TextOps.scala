@@ -560,11 +560,13 @@ object TextOps {
     }: _*))
   }
 
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc minhash signature table as a session-materialized
+    * artifact — the 100 TB shape (a signature table is MAINTAINED next
+    * to the corpus, not rebuilt per query). Shared by minhashPairs and
+    * dedupPipeline: the signature is a min over per-token hashes, so
+    * it's identical whichever consumer builds it first. */
+  private def minhashSigsArtifact(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
-    // signatures feed banding + two rejoin branches: a signature table
-    // IS a materialized artifact at 100 TB — built once per corpus per
-    // session (materializedOnce), reused by every later invocation
     val tmp = graft.Scratch.materializedOnce("minhash_sigs", d)(pth =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(array_distinct(toks(col("text")))).as("tok"))
@@ -572,7 +574,11 @@ object TextOps {
         .groupBy(col("doc_id"), col("source"))
         .agg(mh(col("th")).as("sig"))
         .write.mode("overwrite").parquet(pth))
-    val sigs = s.read.parquet(tmp)
+    s.read.parquet(tmp)
+  }
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigsArtifact(s, d)
     // band key = md5 of the comma-joined band slice (not Murmur hash():
     // md5 is the one digest the SQL oracle shares; fixed 32-char key
     // either way, so the shuffle width is unchanged)
@@ -630,20 +636,18 @@ object TextOps {
     * surviving candidates, never |D|²; CC shuffles label-sized rows for
     * ~log(diameter) passes. */
   def dedupPipeline(s: SparkSession, d: String): DataFrame = {
-    val mh = udaf(Sketches.MinHashAgg)
     // sorted distinct token sets, materialized once per corpus per
-    // session: signature input AND exact-verify input (sorted =
+    // session: the exact-verify input (sorted =
     // SortedIntersectSizeF's contract)
     val tmp = graft.Scratch.materializedOnce("dedup_pipe_toks", d)(pth =>
       Tables.documents(s, d)
         .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
         .write.mode("overwrite").parquet(pth))
     val sets = s.read.parquet(tmp)
-    val sigs = sets
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
-      .groupBy(col("doc_id"))
-      .agg(mh(col("th")).as("sig"))
+    // signatures come from the SHARED artifact (min over per-token
+    // hashes is token-ORDER-independent, so minhashPairs' table is
+    // bit-identical to one built from the sorted sets)
+    val sigs = minhashSigsArtifact(s, d).select(col("doc_id"), col("sig"))
     val banded = sigs.select(col("doc_id"), minhashBandCells(bands = 2).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.select(col("doc_id").as("ia"), col("band"), col("bh"))
