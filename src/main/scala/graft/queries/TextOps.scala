@@ -635,6 +635,56 @@ object TextOps {
     * the band join carries ids only; token arrays ship only to DISTINCT
     * surviving candidates, never |D|²; CC shuffles label-sized rows for
     * ~log(diameter) passes. */
+  /** INCREMENTAL near-dup dedup — the production arrival pattern: a NEW
+    * batch (doc_id % 10 == 9 plays the incoming shard) dedups against
+    * the EXISTING indexed corpus WITHOUT touching corpus-side state —
+    * batch docs band-probe the maintained signature artifact, exact
+    * verification runs only on colliding pairs, and a batch doc dies if
+    * any corpus doc (or any SMALLER-ID batch doc — within-batch
+    * keep-first) verifies Jaccard ≥ 0.95. Reuses both session
+    * artifacts (signatures + sorted token sets), so the incremental
+    * cost is O(batch + collisions), never O(corpus). Fully mirrored in
+    * the DuckDB oracle. Output: every batch doc with the smallest
+    * verified duplicate id (−1 = none) and its keep verdict. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigsArtifact(s, d).select(col("doc_id"), col("sig"))
+    val banded = sigs.select(col("doc_id"), minhashBandCells(bands = 2).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val isBatch = col("doc_id") % 10 === 9
+    val probe = banded.filter(isBatch)
+      .select(col("doc_id").as("ia"), col("band"), col("bh"))
+    // match side = whole signature table; the corpus-or-earlier-batch
+    // rule rides the join as a conjunct, so later batch docs never
+    // become kill candidates
+    val cand = probe
+      .join(banded.select(col("doc_id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("ia") =!= col("ib") &&
+        (col("ib") % 10 =!= 9 || col("ib") < col("ia")))
+      .select(col("ia"), col("ib")).distinct()
+    val tmp = graft.Scratch.materializedOnce("dedup_pipe_toks", d)(pth =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
+        .write.mode("overwrite").parquet(pth))
+    val sets = s.read.parquet(tmp)
+    val sized = sets.select(col("doc_id"), col("w"), size(col("w")).as("sz"))
+    val verified = cand
+      .join(sized.select(col("doc_id").as("ia"), col("w").as("wa"), col("sz").as("sa")), Seq("ia"))
+      .join(sized.select(col("doc_id").as("ib"), col("w").as("wb"), col("sz").as("sb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.SortedIntersectSizeF.sortedIntersectSize(col("wa"), col("wb"))
+          .as("common"),
+        col("sa"), col("sb"))
+      .filter(col("common").cast(DoubleType) /
+        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= 0.95)
+      .groupBy(col("ia")).agg(min(col("ib")).as("dup_of"))
+    sets.filter(isBatch).select(col("doc_id"))
+      .join(verified.select(col("ia").as("doc_id"), col("dup_of")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupPipeline(s: SparkSession, d: String): DataFrame = {
     // sorted distinct token sets, materialized once per corpus per
     // session: the exact-verify input (sorted =
@@ -1167,6 +1217,7 @@ object TextOps {
     "q_minhash_pairs"    -> minhashPairs,
     "q_simhash_pairs"    -> simhashPairs,
     "q_dedup_pipeline"   -> dedupPipeline,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_lang_id"          -> langId,
     "q_dedup_cluster"    -> dedupCluster,
     "q_contamination"    -> contamination,
@@ -1645,6 +1696,33 @@ object TextOps {
          SELECT ia, ib, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, ia, ib LIMIT 50""",
+    // Incremental dedup mirrored on the shared signature CTEs: batch
+    // docs probe all bands; kill candidates are corpus docs or
+    // smaller-id batch docs; exact verify at τ=0.95; min duplicate id.
+    "q_dedup_incremental" -> s"""
+         WITH ${minhashSigCtes(withSource = false)},
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id % 10 = 9 AND x.doc_id <> y.doc_id
+             AND (y.doc_id % 10 <> 9 OR y.doc_id < x.doc_id)),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         verified AS (
+           SELECT c.ia, min(c.ib) AS dup_of
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.ia
+           JOIN sets b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95
+           GROUP BY c.ia)
+         SELECT d.doc_id,
+           coalesce(v.dup_of, -1) AS dup_of,
+           (v.dup_of IS NULL) AS keep
+         FROM documents d LEFT JOIN verified v ON v.ia = d.doc_id
+         WHERE d.doc_id % 10 = 9
+         ORDER BY d.doc_id""",
     // The WHOLE dedup pipeline mirrored: signatures (same permutation
     // table), 2×32 banding, exact-Jaccard verify on candidates, then
     // connected components as a recursive-CTE transitive closure with

@@ -176,6 +176,33 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup: batch docs with an identical corpus/earlier doc always die") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(" ")).toMap
+    val out = TextOps.dedupIncremental(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.nonEmpty)
+    assert(out.keySet.forall(_ % 10 == 9)) // batch rows only
+    var checkedKills = 0
+    for ((id, set) <- docs if id % 10 == 9) {
+      // the true smallest identical partner that is corpus or earlier batch
+      val partner = docs.collect {
+        case (o, s2) if o != id && s2 == set && (o % 10 != 9 || o < id) => o
+      }.toSeq.sorted.headOption
+      val (dupOf, keep) = out(id)
+      partner.foreach { p =>
+        // j=1 collides in every band → MUST die, with dup_of no larger
+        // than the identical partner (a nearer near-dup may beat it)
+        assert(!keep, s"batch doc $id kept despite identical doc $p")
+        assert(dupOf != -1L && dupOf <= p, s"doc $id dup_of=$dupOf vs identical $p")
+        checkedKills += 1
+      }
+      if (keep) assert(dupOf == -1L)
+    }
+    assert(checkedKills > 0, "no cross-batch identical pair in corpus — test is vacuous")
+  }
+
   test("dedup clustering matches a driver-side union-find over the same pair graph") {
     // independent oracle: exact pairwise jaccard on 3-gram shingles,
     // brute-force union-find — O(n²) but fine at sf0.001
