@@ -172,6 +172,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("dedup pipeline + incremental plan as banded equi-joins, never cartesian") {
+    // five-stage composites: every join must ride the (band, bh) or id
+    // equi-keys — a cartesian/BNL anywhere is the quadratic reintro
+    // these operators exist to avoid
+    for (fn <- Seq(TextOps.dedupPipeline _, TextOps.dedupIncremental _)) {
+      val p = plan(fn(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("rank fusion bounds each retriever with TakeOrdered before its global window") {
     // rankFusion ranks each retriever with a GLOBAL Window.orderBy (no
     // partitionBy) — safe ONLY because an orderBy+limit(K) runs FIRST,
