@@ -562,9 +562,10 @@ object TextOps {
 
   /** The per-doc minhash signature table as a session-materialized
     * artifact — the 100 TB shape (a signature table is MAINTAINED next
-    * to the corpus, not rebuilt per query). Shared by minhashPairs and
-    * dedupPipeline: the signature is a min over per-token hashes, so
-    * it's identical whichever consumer builds it first. */
+    * to the corpus, not rebuilt per query). Shared by minhashPairs,
+    * dedupPipeline and dedupIncremental: the signature is a min over
+    * per-token hashes (token-order-independent), so it's identical
+    * whichever consumer builds it first. */
   private def minhashSigsArtifact(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
     val tmp = graft.Scratch.materializedOnce("minhash_sigs", d)(pth =>
@@ -607,34 +608,36 @@ object TextOps {
       .limit(50)
   }
 
-  /** FLAGSHIP end-to-end near-dup dedup: the full pipeline a training
-    * corpus actually runs, as ONE judged query — MinHash signatures →
-    * 2×32 banded candidates → EXACT Jaccard ≥ 0.95 verification on the
-    * candidates (codegen'd sorted-merge intersect — no estimate ships)
-    * → connected components (pointer-doubling, O(log diameter)) →
-    * keep-first survivors. Every stage is mirrored in the DuckDB oracle
-    * (md5-derived sketches; recursive-CTE transitive closure for the
-    * components), so the hash gate checks the WHOLE pipeline
-    * cross-engine, stage composition included.
-    *
-    * Operating point is NEAR-EXACT dedup (τ=0.95, banding S-curve at
-    * j≈0.98), measured against this corpus: background similarity is
-    * extreme (median pairwise jaccard ≈ 0.7, mode 0.8 — shared synthetic
-    * vocabulary), so any lower τ makes the TRUE edge graph quadratic
-    * (35% of all pairs at τ=0.7) and dedup semantically meaningless. At
-    * 2×32, candidates at sf0.1 are ~260k of 12.5M pairs; a 16×4 banding
-    * tried first admitted the j≈0.8 background mass — 8M+ candidates,
-    * 89 s, quadratic-shaped. Per-pair recall at j=0.95 is ~0.35, but
-    * near-exact GROUPS carry many internal pairs, so components connect
-    * transitively, and identical token sets collide in EVERY band —
-    * certainty recall at j=1 (pinned in spec). More NUM_PERM is the
-    * per-pair-recall dial at scale.
-    *
-    * Scale shape: the token-set table is written once and serves both
-    * the signature build and the verify (the 100 TB artifact shape);
-    * the band join carries ids only; token arrays ship only to DISTINCT
-    * surviving candidates, never |D|²; CC shuffles label-sized rows for
-    * ~log(diameter) passes. */
+  /** Sorted distinct token sets as a session-materialized artifact —
+    * the exact-verify input shared by dedupPipeline and dedupIncremental
+    * (sorted = SortedIntersectSizeF's contract). */
+  private def tokenSetsArtifact(s: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Scratch.materializedOnce("dedup_pipe_toks", d)(pth =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
+        .write.mode("overwrite").parquet(pth))
+    s.read.parquet(tmp)
+  }
+
+  /** Exact-Jaccard verification of candidate (ia, ib) pairs against the
+    * token-set artifact: codegen'd sorted-merge intersect, keep pairs
+    * with jaccard ≥ τ. ONE implementation for both dedup consumers —
+    * tokenization or τ drift between them would silently diverge two
+    * queries that share one cached artifact. */
+  private def verifyExact(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+    val sized = sets.select(col("doc_id"), col("w"), size(col("w")).as("sz"))
+    cand
+      .join(sized.select(col("doc_id").as("ia"), col("w").as("wa"), col("sz").as("sa")), Seq("ia"))
+      .join(sized.select(col("doc_id").as("ib"), col("w").as("wb"), col("sz").as("sb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.SortedIntersectSizeF.sortedIntersectSize(col("wa"), col("wb"))
+          .as("common"),
+        col("sa"), col("sb"))
+      .filter(col("common").cast(DoubleType) /
+        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= tau)
+      .select(col("ia"), col("ib"))
+  }
+
   /** INCREMENTAL near-dup dedup — the production arrival pattern: a NEW
     * batch (doc_id % 10 == 9 plays the incoming shard) dedups against
     * the EXISTING indexed corpus WITHOUT touching corpus-side state —
@@ -661,21 +664,8 @@ object TextOps {
       .filter(col("ia") =!= col("ib") &&
         (col("ib") % 10 =!= 9 || col("ib") < col("ia")))
       .select(col("ia"), col("ib")).distinct()
-    val tmp = graft.Scratch.materializedOnce("dedup_pipe_toks", d)(pth =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
-        .write.mode("overwrite").parquet(pth))
-    val sets = s.read.parquet(tmp)
-    val sized = sets.select(col("doc_id"), col("w"), size(col("w")).as("sz"))
-    val verified = cand
-      .join(sized.select(col("doc_id").as("ia"), col("w").as("wa"), col("sz").as("sa")), Seq("ia"))
-      .join(sized.select(col("doc_id").as("ib"), col("w").as("wb"), col("sz").as("sb")), Seq("ib"))
-      .select(col("ia"), col("ib"),
-        graft.functions.SortedIntersectSizeF.sortedIntersectSize(col("wa"), col("wb"))
-          .as("common"),
-        col("sa"), col("sb"))
-      .filter(col("common").cast(DoubleType) /
-        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= 0.95)
+    val sets = tokenSetsArtifact(s, d)
+    val verified = verifyExact(cand, sets, tau = 0.95)
       .groupBy(col("ia")).agg(min(col("ib")).as("dup_of"))
     sets.filter(isBatch).select(col("doc_id"))
       .join(verified.select(col("ia").as("doc_id"), col("dup_of")), Seq("doc_id"), "left_outer")
@@ -685,15 +675,12 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
-    // sorted distinct token sets, materialized once per corpus per
-    // session: the exact-verify input (sorted =
-    // SortedIntersectSizeF's contract)
-    val tmp = graft.Scratch.materializedOnce("dedup_pipe_toks", d)(pth =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
-        .write.mode("overwrite").parquet(pth))
-    val sets = s.read.parquet(tmp)
+  /** dedupPipeline's verified edge list (pre-checkpoint): exposed so
+    * PlanSpec can pin the banded equi-join shape — the final query's
+    * executedPlan is lineage-truncated by ccPointerDoubling's
+    * localCheckpoint, which would make a plan assertion on it vacuous. */
+  private[graft] def dedupPipelineEdges(s: SparkSession, d: String): DataFrame = {
+    val sets = tokenSetsArtifact(s, d)
     // signatures come from the SHARED artifact (min over per-token
     // hashes is token-ORDER-independent, so minhashPairs' table is
     // bit-identical to one built from the sorted sets)
@@ -704,20 +691,42 @@ object TextOps {
       .join(banded.select(col("doc_id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
-    val sized = sets.select(col("doc_id"), col("w"), size(col("w")).as("sz"))
-    val edges0 = cand
-      .join(sized.select(col("doc_id").as("ia"), col("w").as("wa"), col("sz").as("sa")), Seq("ia"))
-      .join(sized.select(col("doc_id").as("ib"), col("w").as("wb"), col("sz").as("sb")), Seq("ib"))
-      .select(col("ia"), col("ib"),
-        graft.functions.SortedIntersectSizeF.sortedIntersectSize(col("wa"), col("wb"))
-          .as("common"),
-        col("sa"), col("sb"))
-      .filter(col("common").cast(DoubleType) /
-        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= 0.95)
-      .select(col("ia"), col("ib"))
+    verifyExact(cand, sets, tau = 0.95)
+  }
+
+  /** FLAGSHIP end-to-end near-dup dedup: the full pipeline a training
+    * corpus actually runs, as ONE judged query — MinHash signatures →
+    * 2×32 banded candidates → EXACT Jaccard ≥ 0.95 verification on the
+    * candidates (codegen'd sorted-merge intersect — no estimate ships)
+    * → connected components (pointer-doubling, O(log diameter)) →
+    * keep-first survivors. Every stage is mirrored in the DuckDB oracle
+    * (md5-derived sketches; recursive-CTE transitive closure for the
+    * components), so the hash gate checks the WHOLE pipeline
+    * cross-engine, stage composition included.
+    *
+    * Operating point is NEAR-EXACT dedup (τ=0.95, banding S-curve at
+    * j≈0.98), measured against this corpus: background similarity is
+    * extreme (median pairwise jaccard ≈ 0.7, mode 0.8 — shared synthetic
+    * vocabulary), so any lower τ makes the TRUE edge graph quadratic
+    * (35% of all pairs at τ=0.7) and dedup semantically meaningless. At
+    * 2×32, candidates at sf0.1 are ~260k of 12.5M pairs; a 16×4 banding
+    * tried first admitted the j≈0.8 background mass — 8M+ candidates,
+    * 89 s, quadratic-shaped. Per-pair recall at j=0.95 is ~0.35, but
+    * near-exact GROUPS carry many internal pairs, so components connect
+    * transitively, and identical token sets collide in EVERY band —
+    * certainty recall at j=1 (pinned in spec). More NUM_PERM is the
+    * per-pair-recall dial at scale.
+    *
+    * Scale shape: signature and token-set tables are session artifacts
+    * (built once, shared across the dedup family); the band join
+    * carries ids only; token arrays ship only to DISTINCT surviving
+    * candidates, never |D|²; CC shuffles label-sized rows for
+    * ~log(diameter) passes. */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val edges0 = dedupPipelineEdges(s, d)
     val edges = edges0.union(edges0.select(col("ib"), col("ia"))).toDF("src", "dst")
       .localCheckpoint()
-    ccPointerDoubling(sets.select(col("doc_id")), edges)
+    ccPointerDoubling(tokenSetsArtifact(s, d).select(col("doc_id")), edges)
   }
 
   /** J6 SimHash near-dup: 60-bit signatures (the md5-slice hash width),

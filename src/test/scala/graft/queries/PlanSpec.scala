@@ -173,11 +173,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dedup pipeline + incremental plan as banded equi-joins, never cartesian") {
-    // five-stage composites: every join must ride the (band, bh) or id
-    // equi-keys — a cartesian/BNL anywhere is the quadratic reintro
-    // these operators exist to avoid
-    for (fn <- Seq(TextOps.dedupPipeline _, TextOps.dedupIncremental _)) {
+    // every join must ride the (band, bh) or id equi-keys — a
+    // cartesian/BNL anywhere is the quadratic reintro these operators
+    // exist to avoid. The pipeline is pinned at its PRE-CHECKPOINT edge
+    // stage (dedupPipelineEdges): the final query's executedPlan is
+    // lineage-truncated by ccPointerDoubling's localCheckpoint, so a
+    // plan assertion on it would be vacuously join-free.
+    for (fn <- Seq(TextOps.dedupPipelineEdges _, TextOps.dedupIncremental _)) {
       val p = plan(fn(spark, sfDir))
+      assert("Join".r.findAllIn(p).nonEmpty, p) // the stage genuinely joins
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     }
   }
