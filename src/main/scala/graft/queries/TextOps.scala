@@ -865,6 +865,82 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** CHUNK-level exact dedup — boilerplate passages (headers, license
+    * blocks, navigation junk) repeat across documents whose WHOLE texts
+    * are nowhere near duplicates, so document-level dedup never sees
+    * them; deduping at the chunk grain is the standard second pass.
+    * Same W=32/S=24 sliding chunks as chunkDocs; duplicate groups key
+    * on md5(chunk_text) (16-byte digests shuffle, never chunk text),
+    * canonical = smallest (doc_id, chunk_id), encoded as doc_id·10⁶ +
+    * chunk_id so one min-aggregate resolves the pair identically in
+    * both engines. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 32
+    val S = 24
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / S).cast(IntegerType).as("chunk_id"),
+        md5(concat_ws(" ", slice(col("t"), col("start"), lit(W)))).as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * lit(1000000L) + col("chunk_id")).as("canon_key"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
+        // DIV, not `/`: Spark's `/` on longs is DOUBLE division
+        expr("canon_key DIV 1000000").as("canon_doc"),
+        (col("canon_key") % 1000000L).cast(IntegerType).as("canon_chunk"))
+      .orderBy(col("chunk_md5"))
+  }
+
+  /** Source-pair OVERLAP MATRIX: distinct 3-gram shingles shared
+    * between every pair of sources — the corpus-observability pass that
+    * decides mixture weights and flags a source leaking into another
+    * (the pairwise generalization of decontamination's one-benchmark
+    * check).
+    *
+    * Scale shape: the naive shingle-keyed self-join pays Σ_shingle
+    * (k choose 2) rows (measured 5.8 s at sf0.1 — this corpus's
+    * shingles live in ~all 20 sources, so that's ~190× the posting
+    * count). Instead each shingle's source set folds into a 20-BIT
+    * MASK (one long) in a single aggregation, masks histogram into a
+    * handful of distinct values, and the pair expansion runs over
+    * (distinct masks × 190 literal pairs) — corpus-size-independent.
+    * shared(a,b) = Σ counts of masks containing both bits. */
+  def overlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val nSrc = 20
+    // repartition off the single parquet split: the shingle transform
+    // is an interpreted HOF — on one core it alone costs ~6 s at sf0.1
+    // (the jaccardPrefix trap)
+    val post = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(shinglesOf(split(col("text"), " "))).as("tok"))
+      .distinct()
+    val masks = post
+      .select(col("tok"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT))").as("bit"))
+      .groupBy(col("tok")).agg(sum(col("bit")).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val spark = post.sparkSession
+    import spark.implicits._
+    val pairs = (for (i <- 0 until nSrc; j <- (i + 1) until nSrc)
+      yield (i, j, (1L << i) | (1L << j))).toDF("i", "j", "bits")
+    masks.join(broadcast(pairs),
+        col("mask").bitwiseAND(col("bits")) === col("bits"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("shared_shingles"))
+      .select(
+        concat(lit("src"), col("i")).as("source_a"),
+        concat(lit("src"), col("j")).as("source_b"),
+        col("shared_shingles"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Character-diversity quality metric: per-document collision
     * probability Σcᵢ²/L² (Simpson index) + distinct-char count. A
     * gibberish/stuck-key detector that — unlike entropy — is EXACT
@@ -1227,6 +1303,8 @@ object TextOps {
     "q_simhash_pairs"    -> simhashPairs,
     "q_dedup_pipeline"   -> dedupPipeline,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_chunk_dedup"      -> chunkDedup,
+    "q_overlap_matrix"   -> overlapMatrix,
     "q_lang_id"          -> langId,
     "q_dedup_cluster"    -> dedupCluster,
     "q_contamination"    -> contamination,
@@ -1516,6 +1594,48 @@ object TextOps {
          SELECT source, doc_id, n_tokens, start_offset,
            CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_id
          FROM o ORDER BY source, doc_id""",
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         starts AS (
+           SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start
+           FROM toks),
+         chunks AS (
+           SELECT doc_id,
+             CAST((start - 1) / 24 AS INT) AS chunk_id,
+             md5(array_to_string(t[start : start + 31], ' ')) AS chunk_md5
+           FROM starts)
+         SELECT chunk_md5,
+           count(*) AS n_copies,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(min(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT) AS canon_doc,
+           CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS INT) AS canon_chunk
+         FROM chunks GROUP BY 1 HAVING count(*) > 1
+         ORDER BY chunk_md5""",
+    // same bitmask formulation as the Spark side: mask per shingle,
+    // mask histogram, pair expansion over (masks × 190 index pairs)
+    "q_overlap_matrix" ->
+      """WITH dsh AS (
+           SELECT DISTINCT source, tok FROM (
+             SELECT source,
+               unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> concat(string_split(text, ' ')[i], ' ',
+                             string_split(text, ' ')[i+1], ' ',
+                             string_split(text, ' ')[i+2]))) AS tok
+             FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+         masks AS (
+           SELECT tok,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(substr(source, 4) AS INT)) AS BIGINT) AS mask
+           FROM dsh GROUP BY tok),
+         mh AS (SELECT mask, count(*) AS n FROM masks GROUP BY mask),
+         pairs AS (
+           SELECT a.i, b.j,
+             (CAST(1 AS BIGINT) << a.i) | (CAST(1 AS BIGINT) << b.j) AS bits
+           FROM range(20) a(i) JOIN range(20) b(j) ON a.i < b.j)
+         SELECT 'src' || p.i AS source_a, 'src' || p.j AS source_b,
+           CAST(sum(mh.n) AS BIGINT) AS shared_shingles
+         FROM mh JOIN pairs p ON (mh.mask & p.bits) = p.bits
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_chunking" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

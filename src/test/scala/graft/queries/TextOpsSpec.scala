@@ -203,6 +203,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(checkedKills > 0, "no cross-batch identical pair in corpus — test is vacuous")
   }
 
+  test("chunk dedup + overlap matrix: structural invariants hold") {
+    val cd = TextOps.chunkDedup(spark, sfDir).collect()
+    assert(cd.nonEmpty, "no duplicated chunk in corpus — vacuous")
+    cd.foreach { r =>
+      assert(r.getAs[Long]("n_copies") > 1)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies"))
+      assert(r.getAs[Int]("canon_chunk") >= 0)
+    }
+    val om = TextOps.overlapMatrix(spark, sfDir).collect()
+    assert(om.nonEmpty)
+    om.foreach { r =>
+      // numeric-index pair convention: a's index < b's index
+      val ia = r.getAs[String]("source_a").drop(3).toInt
+      val ib = r.getAs[String]("source_b").drop(3).toInt
+      assert(ia < ib)
+      assert(r.getAs[Long]("shared_shingles") > 0)
+    }
+    // symmetric-free: each unordered pair appears at most once
+    assert(om.map(r => (r.getString(0), r.getString(1))).distinct.length === om.length)
+  }
+
   test("dedup clustering matches a driver-side union-find over the same pair graph") {
     // independent oracle: exact pairwise jaccard on 3-gram shingles,
     // brute-force union-find — O(n²) but fine at sf0.001
