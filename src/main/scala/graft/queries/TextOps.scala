@@ -874,16 +874,16 @@ object TextOps {
     * canonical = smallest (doc_id, chunk_id), encoded as doc_id·10⁶ +
     * chunk_id so one min-aggregate resolves the pair identically in
     * both engines. */
-  def chunkDedup(s: SparkSession, d: String): DataFrame = {
-    val W = 32
-    val S = 24
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
-      .select(col("doc_id"),
-        ((col("start") - 1) / S).cast(IntegerType).as("chunk_id"),
-        md5(concat_ws(" ", slice(col("t"), col("start"), lit(W)))).as("chunk_md5"))
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    // BUILT ON chunkDocs — one definition of what a "chunk" is; a
+    // drifted reimplementation here would silently disagree with
+    // q_chunking about chunk boundaries. Ragged tail chunks below
+    // W/2 = 16 tokens are excluded: a 1-token tail matching another
+    // doc's last word is not boilerplate, and a keep-first pass
+    // acting on such groups would delete unique passages.
+    chunkDocs(s, d)
+      .filter(col("chunk_tokens") >= 16)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("chunk_md5"))
       .groupBy(col("chunk_md5"))
       .agg(
         count(lit(1)).as("n_copies"),
@@ -895,7 +895,6 @@ object TextOps {
         expr("canon_key DIV 1000000").as("canon_doc"),
         (col("canon_key") % 1000000L).cast(IntegerType).as("canon_chunk"))
       .orderBy(col("chunk_md5"))
-  }
 
   /** Source-pair OVERLAP MATRIX: distinct 3-gram shingles shared
     * between every pair of sources — the corpus-observability pass that
@@ -913,21 +912,31 @@ object TextOps {
     * shared(a,b) = Σ counts of masks containing both bits. */
   def overlapMatrix(s: SparkSession, d: String): DataFrame = {
     val nSrc = 20
+    // loud guard, not silent truncation: a source indexed ≥ nSrc would
+    // set a mask bit no pair literal contains — its pairs would vanish
+    // from the output in BOTH engines, so the oracle gate couldn't see
+    // it. One column-pruned scan of `source` only.
+    val maxIdx = Tables.documents(s, d)
+      .agg(max(expr("CAST(substring(source, 4) AS INT)"))).head().getInt(0)
+    require(maxIdx < nSrc, s"source index $maxIdx exceeds the $nSrc-bit mask")
     // repartition off the single parquet split: the shingle transform
     // is an interpreted HOF — on one core it alone costs ~6 s at sf0.1
-    // (the jaccardPrefix trap)
+    // (the jaccardPrefix trap). split() materialized as an attribute
+    // BEFORE shinglesOf (its documented precondition: expressions
+    // inside the transform lambda re-evaluate per element). No
+    // distinct(): bit_or is idempotent, so duplicate postings cost
+    // nothing and the stream shuffles ONCE; array_distinct pre-shrinks
+    // per doc row-side.
     val post = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("source"),
-        explode(shinglesOf(split(col("text"), " "))).as("tok"))
-      .distinct()
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(array_distinct(shinglesOf(col("t")))).as("tok"))
     val masks = post
       .select(col("tok"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT))").as("bit"))
-      .groupBy(col("tok")).agg(sum(col("bit")).as("mask"))
+      .groupBy(col("tok")).agg(expr("bit_or(bit)").as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("n"))
-    val spark = post.sparkSession
-    import spark.implicits._
+    import s.implicits._
     val pairs = (for (i <- 0 until nSrc; j <- (i + 1) until nSrc)
       yield (i, j, (1L << i) | (1L << j))).toDF("i", "j", "bits")
     masks.join(broadcast(pairs),
@@ -1604,7 +1613,8 @@ object TextOps {
            SELECT doc_id,
              CAST((start - 1) / 24 AS INT) AS chunk_id,
              md5(array_to_string(t[start : start + 31], ' ')) AS chunk_md5
-           FROM starts)
+           FROM starts
+           WHERE len(t[start : start + 31]) >= 16)
          SELECT chunk_md5,
            count(*) AS n_copies,
            count(DISTINCT doc_id) AS n_docs,
@@ -1616,16 +1626,15 @@ object TextOps {
     // mask histogram, pair expansion over (masks × 190 index pairs)
     "q_overlap_matrix" ->
       """WITH dsh AS (
-           SELECT DISTINCT source, tok FROM (
-             SELECT source,
-               unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                 i -> concat(string_split(text, ' ')[i], ' ',
-                             string_split(text, ' ')[i+1], ' ',
-                             string_split(text, ' ')[i+2]))) AS tok
-             FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+           SELECT source,
+             unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat(string_split(text, ' ')[i], ' ',
+                           string_split(text, ' ')[i+1], ' ',
+                           string_split(text, ' ')[i+2]))) AS tok
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
          masks AS (
            SELECT tok,
-             CAST(sum(CAST(1 AS BIGINT) << CAST(substr(source, 4) AS INT)) AS BIGINT) AS mask
+             bit_or(CAST(1 AS BIGINT) << CAST(substr(source, 4) AS INT)) AS mask
            FROM dsh GROUP BY tok),
          mh AS (SELECT mask, count(*) AS n FROM masks GROUP BY mask),
          pairs AS (
