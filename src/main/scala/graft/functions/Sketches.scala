@@ -41,11 +41,14 @@ object Sketches {
     * ONE source of truth for both engines. */
   val permA: Array[Long] = {
     val r = new scala.util.Random(1042)
-    Array.fill(NUM_PERM)(1L + math.abs(r.nextLong()) % (P31 - 1))
+    // floorMod, NOT math.abs: abs(Long.MinValue) is NEGATIVE, which
+    // would put a constant outside [1, P) and break the overflow-free
+    // invariant one seed change from now; floorMod is total.
+    Array.fill(NUM_PERM)(1L + java.lang.Math.floorMod(r.nextLong(), P31 - 1))
   }
   val permB: Array[Long] = {
     val r = new scala.util.Random(2042)
-    Array.fill(NUM_PERM)(math.abs(r.nextLong()) % P31)
+    Array.fill(NUM_PERM)(java.lang.Math.floorMod(r.nextLong(), P31))
   }
 
   /** The permutation table as a SQL VALUES body: `(i, a, b), ...` —

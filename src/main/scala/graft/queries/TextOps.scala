@@ -888,7 +888,15 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * lit(1000000L) + col("chunk_id")).as("canon_key"))
+        // loud guard riding the aggregate (no extra corpus pass): a
+        // chunk_id ≥ 10⁶ (~24M-token doc) would silently corrupt the
+        // canonical (doc, chunk) attribution — and the oracle mirrors
+        // the same encoding, so parity could never catch it.
+        min(when(col("chunk_id") < lit(1000000),
+              col("doc_id") * lit(1000000L) + col("chunk_id"))
+            .otherwise(raise_error(concat(
+              lit("chunkDedup: chunk_id overflows the 10^6 canon encoding: "),
+              col("chunk_id"))))).as("canon_key"))
       .filter(col("n_copies") > 1)
       .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
         // DIV, not `/`: Spark's `/` on longs is DOUBLE division
@@ -916,8 +924,20 @@ object TextOps {
     // set a mask bit no pair literal contains — its pairs would vanish
     // from the output in BOTH engines, so the oracle gate couldn't see
     // it. One column-pruned scan of `source` only.
-    val maxIdx = Tables.documents(s, d)
-      .agg(max(expr("CAST(substring(source, 4) AS INT)"))).head().getInt(0)
+    // a non-'srcN' source name casts to NULL, which max() IGNORES — so
+    // malformed sources would sail past the guard and then vanish from
+    // the matrix in both engines (bit_or skips the NULL bit). Count the
+    // unparseable names in the same single scan and fail loudly; also
+    // handles the empty corpus (max=NULL would NPE on getInt).
+    val g = Tables.documents(s, d)
+      .agg(
+        max(expr("CAST(substring(source, 4) AS INT)")).as("max_idx"),
+        count(lit(1)).as("n_rows"),
+        count(when(expr("CAST(substring(source, 4) AS INT)").isNull, 1)).as("n_bad"))
+      .head()
+    require(g.getLong(2) == 0,
+      s"overlapMatrix: ${g.getLong(2)} row(s) have a source name that does not parse as 'srcN'")
+    val maxIdx = if (g.getLong(1) == 0) -1 else g.getInt(0)
     require(maxIdx < nSrc, s"source index $maxIdx exceeds the $nSrc-bit mask")
     // repartition off the single parquet split: the shingle transform
     // is an interpreted HOF — on one core it alone costs ~6 s at sf0.1

@@ -846,7 +846,17 @@ final class GraftTable(val dir: HPath) {
     def entryKey(p: String): String =
       if (p.startsWith("/") || p.contains(":")) key(new HPath(p))
       else base + "/" + p
-    manifest.filter(f => keys.contains(entryKey(f.path)))
+    val keyed = manifest.map(f => entryKey(f.path) -> f)
+    // every scan-reported path ORIGINATED from a manifest entry, so a
+    // non-match can only be a canonicalization bug — which, if silent,
+    // turns CoW delete/update/merge into a no-op that "succeeds". Fail
+    // loudly instead of skipping the write.
+    val entryKeys = keyed.iterator.map(_._1).toSet
+    val unmatched = keys.filterNot(entryKeys.contains)
+    require(unmatched.isEmpty,
+      s"matchAffected: ${unmatched.size} scan-reported path(s) matched no manifest entry " +
+        s"(path canonicalization bug): ${unmatched.take(3).mkString(", ")}")
+    keyed.collect { case (k, f) if keys.contains(k) => f }
   }
 
   /** D2 row-level `DELETE WHERE` (README.md:231), copy-on-write: one scan

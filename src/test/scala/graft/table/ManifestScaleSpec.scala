@@ -49,8 +49,13 @@ class ManifestScaleSpec extends SparkTestBase {
     // absolute manifest entries (add_files registrations) match too
     val absEntry = Seq(DataFile(s"file://$abs", 1L, 0, Map.empty))
     assert(t.matchAffected(absEntry, Set(s"file:$abs")).size === 1)
-    // and a same-suffix path under a DIFFERENT root must NOT match
-    assert(t.matchAffected(manifest, Set(s"file:///elsewhere/$rel")).isEmpty)
+    // a same-suffix path under a DIFFERENT root is a canonicalization
+    // bug (every scan path originates from a manifest entry) — it must
+    // FAIL LOUDLY, not silently no-op the CoW write
+    val ex = intercept[IllegalArgumentException] {
+      t.matchAffected(manifest, Set(s"file:///elsewhere/$rel"))
+    }
+    assert(ex.getMessage.contains("matched no manifest entry"))
   }
 
   test("matchAffected decodes URL-encoded scan paths into literal manifest space") {
