@@ -43,9 +43,25 @@ object Bench {
       t.rewriteDataFiles(spark, targetFiles = 1)
       t.read(spark).count()
     } catch { case _: Throwable => () }
+    // host-noise probe: one FIXED CPU-bound query (plan never changes
+    // round to round) timed at the start, middle and end of the run.
+    // Its min/max spread is a machine-readable noise index for the
+    // multi-tenant host — a 3× inflation on a plan-unchanged judged
+    // query is then attributable to a loaded window instead of argued
+    // from BASELINE.md prose. range→hash→sum keeps it input-independent
+    // (and inside long range under ANSI: |hash| < 2³¹, 2²⁴ rows).
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("sum(cast(hash(id) as bigint))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // JIT/codegen warm; untimed
+    val probes = scala.collection.mutable.ArrayBuffer(probeOnce())
     // two timed runs per query, report the min: steady-state throughput,
     // robust to the multi-tenant host's intermittent CPU steal
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qseq = SparkEntry.queries.toSeq
+    val results = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == qseq.size / 2) probes += probeOnce()
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -54,7 +70,8 @@ object Bench {
       val a = once()
       val b = if (a < 0) a else math.min(a, once())
       name -> b
-    }
+    }.toMap
+    probes += probeOnce()
     // failures are reported in `errors`, never summed into the total
     // (a -1 sentinel in the sum would make failures look FASTER)
     val ok = results.filter(_._2 >= 0)
@@ -71,10 +88,12 @@ object Bench {
     // ones worth auditing) until the budget is spent.
     val detail = ok.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},"errors":$errJson,"sf":"$sfDir"}"""
+    val noiseJson =
+      s""""noise":{"probe_min":${fmt(probes.min)},"probe_max":${fmt(probes.max)},"probe_spread":${fmt(probes.max / probes.min)}}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},$noiseJson,"errors":$errJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("target/bench_detail.json"), fullJson)
     catch { case _: Throwable => () }
-    val budget = 1500 // chars for the queries map; total line stays < 1700
+    val budget = 1400 // chars for the queries map; total line stays < 1700
     var used = 0
     val kept = detail.takeWhile { entry =>
       val fits = used + entry.length + 1 <= budget
@@ -83,7 +102,7 @@ object Bench {
     }
     val omitted = ok.size - kept.size
     val omittedSec = ok.toSeq.sortBy(-_._2).drop(kept.size).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},$noiseJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
