@@ -335,13 +335,40 @@ object Vectors {
       .limit(10)
   }
 
+  /** Σ cᵢ² of a trained centroid, by the same sequential left-to-right
+    * fold both engines' list arithmetic uses — spliced as a literal into
+    * BOTH the Spark assignment expression and the DuckDB oracle, so the
+    * two engines compare identical doubles. */
+  private def sumSq(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Nearest-centroid assignment as a deterministic EXPRESSION over the
+    * trained centroids: argmin over score_c = ‖c‖² − 2·e·c (the shared
+    * e·e term cancels out of the squared-distance argmin), sequential-
+    * fold doubles, ties to the smaller centroid index (lexicographic
+    * struct min). model.transform is NOT used for the materialized
+    * assignment: MLlib's fastSquaredDistance shortcut isn't portable
+    * arithmetic, and this exact function is what the DuckDB oracle
+    * replays from the same centroid literals — it's what flips
+    * q_ann_ivf / q_ann_pq from rows-only to hash-checked. */
+  private def assignCol(cents: Array[Array[Double]], e: Column): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(sumSq(c)) - lit(2.0) * dot(array(c.map(lit): _*), e)).as("score"),
+        lit(i).as("code"))
+    }: _*)).getField("code")
+
   /** Offline IVF index, built ONCE per corpus per JVM: a KMeans coarse
-    * quantizer (MLlib, seeded) assigns every vector to a cluster, and the
-    * assignment table is MATERIALIZED to parquet — at 100 TB the index is
-    * a persisted artifact maintained alongside the corpus, never rebuilt
-    * inside a query (the round-1 judge flagged in-query training as the
+    * quantizer (MLlib, seeded) learns the centroids, and every vector's
+    * assignment — recomputed via assignCol's portable argmin — is
+    * MATERIALIZED to parquet; at 100 TB the index is a persisted
+    * artifact maintained alongside the corpus, never rebuilt inside a
+    * query (the round-1 judge flagged in-query training as the
     * anti-pattern). Returns (centroids, assignments path). */
-  private val ivfIndexCache =
+  private[graft] val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Array[Double]], String)]
 
   // synchronized: concurrent.Map.getOrElseUpdate may run the thunk in
@@ -355,14 +382,16 @@ object Vectors {
       val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cluster")
         .fit(e)
+      val centroids = model.clusterCenters.map(_.toArray)
       val path = graft.Scratch.overwritable("ivf_index", d)
       // written clustered BY cluster id: at scale candidate filtering
       // becomes partition pruning on the index table, not a full scan
-      model.transform(e)
-        .select(col("vec_id"), col("cluster"), col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          assignCol(centroids, col("embedding")).as("cluster"))
         .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(path)
-      (model.clusterCenters.map(_.toArray), path)
+      (centroids, path)
     }) }
 
   /** J7 scale path #2: IVF probe — nearest nprobe centroids are picked
@@ -402,7 +431,7 @@ object Vectors {
     * memory lever that lets a 100 TB embedding corpus live in RAM for
     * candidate generation. Codes are MATERIALIZED to parquet like the
     * IVF assignments (index = maintained artifact, never query work). */
-  private val pqIndexCache = scala.collection.concurrent.TrieMap
+  private[graft] val pqIndexCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Double]]], String)]
 
   private val PQ_M = 8
@@ -424,12 +453,15 @@ object Vectors {
           .setFeaturesCol(s"fv_$m").setPredictionCol(s"code_$m")
           .fit(withSubs)
       }
-      val encoded = models.zipWithIndex
-        .foldLeft(withSubs) { case (acc, (mod, _)) => mod.transform(acc) }
-        .select(col("vec_id") +: (0 until PQ_M).map(m => col(s"code_$m")): _*)
+      val books = models.map(_.clusterCenters.map(_.toArray).toArray).toArray
+      // codes recomputed from the trained codebooks via assignCol's
+      // portable argmin (see ivfIndex) — the encoding the oracle replays
+      val encoded = e.select(col("vec_id") +: (0 until PQ_M).map { m =>
+        assignCol(books(m), slice(col("embedding"), m * dsub + 1, dsub)).as(s"code_$m")
+      }: _*)
       val path = graft.Scratch.overwritable("pq_index", d)
       encoded.write.mode("overwrite").parquet(path)
-      (models.map(_.clusterCenters.map(_.toArray).toArray).toArray, path)
+      (books, path)
     }) }
 
   /** J7 scale path #3: PQ + ADC probe. The query vector builds M×K
@@ -456,7 +488,7 @@ object Vectors {
         col(s"code_$m") + 1)
     }
     val n2Terms = (0 until PQ_M).map { m =>
-      element_at(lut(m)(c => c.map(x => x * x).sum), col(s"code_$m") + 1)
+      element_at(lut(m)(sumSq), col(s"code_$m") + 1) // same fold the oracle's c2 literal splices
     }
     val adc = dotTerms.reduce(_ + _) / (lit(qn) * sqrt(n2Terms.reduce(_ + _)))
     val candidates = s.read.parquet(path)
@@ -669,10 +701,28 @@ object Vectors {
     "q_ann_pq"        -> annPq,
     "q_dedup_embedding" -> dedupEmbedding)
 
-  // q_ann_ivf / q_ann_pq stay rows-only (their indexes are trained by
-  // seeded iterative KMeans — not mirrorable in one SQL pass); recall
-  // vs the exact baseline is asserted in VectorsSpec.
-  val oracle: Map[String, String] = Map(
+  /** q_ann_ivf / q_ann_pq oracles appear only once their index has been
+    * trained in this session: Verify dumps oracle_sql.json AFTER running
+    * every query, at which point the seeded-KMeans model parameters are
+    * dumped as SQL literals — the HYPERPLANES technique — and the WHOLE
+    * probe (portable argmin assignment, coarse-cluster top-4 / ADC
+    * scoring, exact rerank) replays independently in DuckDB. A session
+    * that trained on several corpora can't know which one the dump is
+    * for → omit, and the driver falls back to the rows-only check.
+    * Accuracy (recall vs exact baseline) stays asserted in VectorsSpec. */
+  def oracle: Map[String, String] = {
+    val ivf = ivfIndexCache.values.toSeq match {
+      case Seq((cents, _)) => Map("q_ann_ivf" -> annIvfSql(cents))
+      case _ => Map.empty[String, String]
+    }
+    val pq = pqIndexCache.values.toSeq match {
+      case Seq((books, _)) => Map("q_ann_pq" -> annPqSql(books))
+      case _ => Map.empty[String, String]
+    }
+    staticOracle ++ ivf ++ pq
+  }
+
+  private lazy val staticOracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
     "q_embed_quantize" ->
       """WITH base AS (
@@ -887,5 +937,87 @@ object Vectors {
          FROM sig a JOIN sig b
            ON a.vec_id < b.vec_id
           AND (${(0 until BAND_TABLES).map(t => s"a.b$t = b.b$t").mkString(" OR ")}))"""
+  }
+
+  /** One trained centroid as a VALUES row `(id, [c...], ‖c‖²)` —
+    * Double.toString round-trips exactly, and ‖c‖² is the SAME Scala
+    * sequential fold (sumSq) the Spark assignment expression splices, so
+    * both engines' argmin compares identical doubles. */
+  private def centValues(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toString).mkString("[", ", ", "]")}, ${sumSq(c)})"
+    }.mkString(", ")
+
+  /** Mirror of annIvf from the trained centroids as literals: the same
+    * portable argmin assignment (score = ‖c‖² − 2·e·c, ties to the
+    * smaller cluster), the same top-4 coarse clusters by cosine (ties
+    * to the smaller cluster — Scala's stable sortBy), the same exact
+    * cosine rerank, top 10. */
+  private def annIvfSql(cents: Array[Array[Double]]): String =
+    s"""WITH cent(cluster, c, c2) AS (VALUES ${centValues(cents)}),
+       q AS (SELECT embedding AS qe,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+         FROM embeddings WHERE vec_id = 0),
+       top4 AS (
+         SELECT cluster FROM cent CROSS JOIN q
+         ORDER BY list_sum(list_transform(range(1, 65), j -> (c[j]) * CAST(qe[j] AS DOUBLE)))
+           / (sqrt(c2) * qn) DESC, cluster
+         LIMIT 4),
+       scored AS (
+         SELECT e.vec_id, e.embedding, c.cluster,
+           c.c2 - 2 * list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[j] AS DOUBLE) * (c.c[j]))) AS score
+         FROM embeddings e CROSS JOIN cent c
+         WHERE e.vec_id <> 0),
+       assign AS (
+         SELECT vec_id, embedding, cluster FROM (
+           SELECT vec_id, embedding, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score, cluster) AS rn
+           FROM scored) WHERE rn = 1)
+       SELECT a.vec_id,
+         round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 7) AS cos
+       FROM assign a CROSS JOIN q
+       WHERE a.cluster IN (SELECT cluster FROM top4)
+       ORDER BY cos DESC, a.vec_id LIMIT 10"""
+
+  /** Mirror of annPq from the trained codebooks as literals: per
+    * subspace the same portable argmin encoding, the chosen centroid's
+    * (q·c, ‖c‖²) carried through the argmin, ADC summed in explicit
+    * m-order (the pivot's left-associated `+` chain matches Spark's
+    * dotTerms.reduce), top-100 candidates, exact cosine rerank, top
+    * 10. */
+  private def annPqSql(books: Array[Array[Array[Double]]]): String = {
+    val vals = (for (m <- 0 until PQ_M; k <- 0 until PQ_K) yield {
+      val c = books(m)(k)
+      s"($m, $k, ${c.map(_.toString).mkString("[", ", ", "]")}, ${sumSq(c)})"
+    }).mkString(", ")
+    val dotSum = (0 until PQ_M).map(m => s"max(CASE WHEN c.m = $m THEN c.dotq END)").mkString(" + ")
+    val c2Sum = (0 until PQ_M).map(m => s"max(CASE WHEN c.m = $m THEN c.c2 END)").mkString(" + ")
+    s"""WITH cb(m, code, c, c2) AS (VALUES $vals),
+       q AS (SELECT embedding AS qe,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+         FROM embeddings WHERE vec_id = 0),
+       scored AS (
+         SELECT e.vec_id, b.m, b.code,
+           b.c2 - 2 * list_sum(list_transform(range(1, 9), j -> CAST(e.embedding[b.m * 8 + j] AS DOUBLE) * (b.c[j]))) AS score,
+           list_sum(list_transform(range(1, 9), j -> (b.c[j]) * CAST(q.qe[b.m * 8 + j] AS DOUBLE))) AS dotq,
+           b.c2
+         FROM embeddings e CROSS JOIN cb b CROSS JOIN q
+         WHERE e.vec_id <> 0),
+       chosen AS (
+         SELECT vec_id, m, dotq, c2 FROM (
+           SELECT vec_id, m, dotq, c2,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY score, code) AS rn
+           FROM scored) WHERE rn = 1),
+       adc AS (
+         SELECT c.vec_id,
+           ($dotSum) / (q.qn * sqrt($c2Sum)) AS adc
+         FROM chosen c CROSS JOIN q GROUP BY c.vec_id, q.qn),
+       cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 100)
+       SELECT e.vec_id,
+         round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 7) AS cos
+       FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+       ORDER BY cos DESC, e.vec_id LIMIT 10"""
   }
 }
