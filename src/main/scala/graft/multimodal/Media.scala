@@ -410,7 +410,9 @@ object Media {
     bits
   }
 
-  /** Driver-judged (rows-only) perceptual near-dup detection — the media
+  /** Driver-judged perceptual near-dup detection (hash-checked since
+    * round 8 — phashSql replays the float32 feature fold, the Gray
+    * bucketing and the signed nibble packing in DuckDB) — the media
     * dual of SimHash text near-dup: corrupted re-encodes (payload + one
     * trailing byte under a fresh id — bytes differ, so content-hash
     * dedup CANNOT see the pair) are recovered by banded phash matching.
@@ -580,7 +582,54 @@ object Media {
     "q_media_resize"    -> mediaResize,
     "q_batch_inference" -> batchInference)
 
+  /** Mirror of phashPairs over the text-payload fixture, arithmetic
+    * replayed END-TO-END in SQL: decodeStub's byte features are FLOAT32
+    * accumulations (REAL-cast at every add — IEEE float32 is the same
+    * arithmetic in the JVM and DuckDB), the bucket rounding is
+    * floor(x+0.5) (math.round's exact semantics — DuckDB round() is not
+    * guaranteed identical at FP half-boundaries), the Gray-coded nibble
+    * packing reproduces the JVM's SIGNED 64-bit wrap (g₁₅ << 60 sets the
+    * sign bit; naive g·2⁶⁰ addition overflows DuckDB's checked BIGINT),
+    * and band extraction relies on arithmetic-shift-then-mask yielding
+    * the original byte for negative hashes in both engines. This retires
+    * the last rows-only judged row. */
+  private lazy val phashSql: String = {
+    val fcols = (0 until 16).map { k =>
+      s"""CAST(list_reduce([CAST(0.0 AS REAL)] || list_transform(
+         |      range(${k + 1}, strlen(text) + 1, 16),
+         |      i -> CAST(unicode(text[CAST(i AS INT)]) AS REAL) / CAST(255.0 AS REAL)),
+         |    (a, b) -> CAST(a + b AS REAL))
+         |  / CAST(greatest(1, strlen(text) // 16) AS REAL) AS REAL) AS f$k""".stripMargin
+    }.mkString(",\n         ")
+    val fs = (0 until 16).map(k => s"CAST(f$k AS DOUBLE)").mkString(", ")
+    def g(j: Int) = {
+      val b = s"least(15, greatest(0, CAST(floor((CAST(f$j AS DOUBLE) - mn) / span * 15 + 0.5) AS BIGINT)))"
+      s"xor($b, $b // 2)"
+    }
+    val low = (0 until 15).map(j => s"${g(j)} * ${1L << (4 * j)}").mkString(" + ")
+    val top = s"(CASE WHEN ${g(15)} >= 8 THEN ${g(15)} - 16 ELSE ${g(15)} END) * ${1L << 60}"
+    s"""WITH docs AS (
+         SELECT doc_id AS media_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000000, text || ' ' FROM documents),
+       f AS (SELECT media_id, $fcols FROM docs),
+       s AS (SELECT *, least($fs) AS mn,
+         greatest(greatest($fs) - least($fs), 1e-9) AS span FROM f),
+       p AS (SELECT media_id, $low + $top AS phash FROM s),
+       bands AS (
+         SELECT media_id, phash, b, (phash >> (8 * b)) & 255 AS v
+         FROM p CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(b)),
+       cand AS (
+         SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
+           CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.v = r.v AND l.media_id < r.media_id)
+       SELECT id_a, id_b, hamming FROM cand
+       WHERE hamming <= 4 ORDER BY id_a, id_b"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_media_phash" -> phashSql,
     // pixel(x,y,f) = ((x + y + f + id) mod 2) * 255 in a
     // (8 + id%3*4) × (8 + id%2*4), (2 + id%4)-frame animated GIF
     "q_video_decode" ->
