@@ -287,6 +287,36 @@ object TableQueries {
           FROM $cname.db.orders_ext ORDER BY o_orderkey""")
   }
 
+  private val addfCowFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** add_files registration + CoW DELETE through the MIXED manifest:
+    * absolute scheme-less entries (the add_files form) and relative
+    * writer entries in the SAME table, then a copy-on-write delete whose
+    * scan-reported `file:…` URIs must canonicalize back onto BOTH entry
+    * spellings (matchAffected's round-7 HashSet probe — since round 8 a
+    * non-match THROWS instead of silently skipping the rewrite, and this
+    * judged query puts that path under the driver's hash gate; the unit
+    * coverage is ManifestScaleSpec). */
+  def tableAddFilesCow(s: SparkSession, d: String): DataFrame = {
+    val cname = registeredCatalog(addfCowFixtures, "graft_addfc_", s, d) { (cat, _) =>
+      val srcDir = graft.Scratch.fresh("addfiles_cow_src")
+      val src = Tables.orders(s, d)
+        .select(ordersSchema.map(c => col(c.name).cast(c.dataType).as(c.name)): _*)
+      src.coalesce(4).write.mode("overwrite").parquet(srcDir.toString)
+      val t = cat.createTable("db.orders_cow", ordersSchema)
+      t.addFiles(s, srcDir) // absolute-path manifest entries
+      t.append(src.select( // relative writer entries on top
+        (col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority")))
+      t.delete(s, col("o_orderstatus") === lit("F")) // CoW across both forms
+    }
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS price
+          FROM $cname.db.orders_cow ORDER BY o_orderkey""")
+  }
+
   /** One MUTABLE SQL warehouse per JVM for the DDL/DML lifecycle queries:
     * unlike the read fixture, these queries DROP + recreate their tables
     * per invocation, so state never leaks between runs — only the catalog
@@ -1049,6 +1079,7 @@ object TableQueries {
     "q_table_ctas"            -> tableCtas,
     "q_table_stats_join"      -> tableStatsJoin,
     "q_table_add_files"       -> tableAddFiles,
+    "q_table_addf_cow"        -> tableAddFilesCow,
     "q_table_mv_refresh"      -> tableMvRefresh,
     "q_table_mv_join_refresh" -> tableMvJoinRefresh,
     "q_table_scd2_apply"      -> tableScd2Apply,
@@ -1165,6 +1196,14 @@ object TableQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
          FROM orders ORDER BY o_orderkey""",
+    "q_table_addf_cow" ->
+      """WITH all_rows AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+         FROM all_rows WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""",
     "q_table_mv_refresh" ->
       """SELECT o_orderstatus,
          count(*) AS n_orders,
