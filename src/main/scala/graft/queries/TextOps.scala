@@ -566,6 +566,15 @@ object TextOps {
     * dedupPipeline and dedupIncremental: the signature is a min over
     * per-token hashes (token-order-independent), so it's identical
     * whichever consumer builds it first. */
+  /** The minhash INPUT rows — one (doc_id, 60-bit token hash) per
+    * distinct token, through the production toks/tokenHashCol path.
+    * Exposed for TextOpsSpec's NUM_PERM recall-curve sweep, which
+    * builds wider sketches (MinHashAggN) from the same rows. */
+  private[graft] def tokenHashRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
+
   private def minhashSigsArtifact(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
     val tmp = graft.Scratch.materializedOnce("minhash_sigs", d)(pth =>
