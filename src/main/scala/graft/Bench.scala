@@ -50,11 +50,14 @@ object Bench {
     // query is then attributable to a loaded window instead of argued
     // from BASELINE.md prose. range→hash→sum keeps it input-independent
     // (and inside long range under ANSI: |hash| < 2³¹, 2²⁴ rows).
-    def probeOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(1L << 24).selectExpr("sum(cast(hash(id) as bigint))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // try-wrapped like the query runs: a transient probe failure must
+    // not abort the bench and discard every per-query timing
+    def probeOnce(): Double =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(1L << 24).selectExpr("sum(cast(hash(id) as bigint))").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     probeOnce() // JIT/codegen warm; untimed
     val probes = scala.collection.mutable.ArrayBuffer(probeOnce())
     // two timed runs per query, report the min: steady-state throughput,
@@ -88,8 +91,10 @@ object Bench {
     // ones worth auditing) until the budget is spent.
     val detail = ok.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-    val noiseJson =
-      s""""noise":{"probe_min":${fmt(probes.min)},"probe_max":${fmt(probes.max)},"probe_spread":${fmt(probes.max / probes.min)}}"""
+    val okProbes = probes.filter(_ >= 0)
+    val noiseJson = if (okProbes.nonEmpty)
+      s""""noise":{"probe_min":${fmt(okProbes.min)},"probe_max":${fmt(okProbes.max)},"probe_spread":${fmt(okProbes.max / okProbes.min)}}"""
+    else """"noise":{"probe_min":-1,"probe_max":-1,"probe_spread":-1}"""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},$noiseJson,"errors":$errJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("target/bench_detail.json"), fullJson)
     catch { case _: Throwable => () }

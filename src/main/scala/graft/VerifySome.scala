@@ -28,6 +28,16 @@ object VerifySome {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[verify-some] dumped $name")
     }
+    // q_ann_ivf/q_ann_pq oracles exist only after their seeded index has
+    // been trained in this JVM (Vectors.oracle splices the centroids);
+    // run them untimed when not among the dumped names, otherwise this
+    // partial dump would overwrite a full run's oracle_sql.json with
+    // those two entries silently MISSING and downgrade them to
+    // rows-only at the driver.
+    Seq("q_ann_ivf", "q_ann_pq").filterNot(names).foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -35,8 +35,13 @@ object Sketches {
   /** Permutation POOL size: the judged NUM_PERM=64 sketches use the
     * prefix, and the seeded sequence draws constants in order, so
     * extending the pool keeps every existing constant byte-identical
-    * (the HYPERPLANES pattern). TextOpsSpec's NUM_PERM recall-curve
-    * sweep uses up to all 256. */
+    * (the HYPERPLANES pattern). NOTE the abs→floorMod fix that landed in
+    * the same round DID regenerate roughly half the first-64 constants
+    * (abs(x) % m ≠ floorMod(x, m) for negative draws) — a one-time,
+    * deliberate break from round-7 signatures; oracle parity holds
+    * because permValuesSql splices whatever this JVM computes. From here
+    * on, pool extensions are prefix-stable. TextOpsSpec's NUM_PERM
+    * recall-curve sweep uses up to all 256. */
   val MAX_PERM = 256
 
   /** Mersenne prime 2³¹−1: a_i·h + b_i with all operands < P stays under

@@ -402,7 +402,12 @@ object Media {
     var bits = 0L
     var j = 0
     while (j < feat.length) {
-      val b = math.min(15, math.max(0, math.round((feat(j) - mn) / span * 15).toInt))
+      // floor(x + 0.5), NOT math.round: JDK 7+ Math.round is exact
+      // half-up (no double-rounding at the +0.5 add), while the SQL
+      // oracle necessarily computes the FP add — mirror the FP form
+      // here so both engines agree even in the half-ulp window below
+      // a .5 boundary (the q_embed_quantize precedent)
+      val b = math.min(15, math.max(0, math.floor((feat(j) - mn) / span * 15 + 0.5).toInt))
       val g = b ^ (b >> 1)
       bits |= g.toLong << (j * 4)
       j += 1
@@ -585,9 +590,10 @@ object Media {
   /** Mirror of phashPairs over the text-payload fixture, arithmetic
     * replayed END-TO-END in SQL: decodeStub's byte features are FLOAT32
     * accumulations (REAL-cast at every add — IEEE float32 is the same
-    * arithmetic in the JVM and DuckDB), the bucket rounding is
-    * floor(x+0.5) (math.round's exact semantics — DuckDB round() is not
-    * guaranteed identical at FP half-boundaries), the Gray-coded nibble
+    * arithmetic in the JVM and DuckDB), the bucket rounding is the FP
+    * floor(x+0.5) BOTH sides compute identically (phashOf mirrors it;
+    * JDK Math.round's exact half-up and DuckDB round() can each differ
+    * from the FP add in the half-ulp window), the Gray-coded nibble
     * packing reproduces the JVM's SIGNED 64-bit wrap (g₁₅ << 60 sets the
     * sign bit; naive g·2⁶⁰ addition overflows DuckDB's checked BIGINT),
     * and band extraction relies on arithmetic-shift-then-mask yielding

@@ -560,12 +560,6 @@ object TextOps {
     }: _*))
   }
 
-  /** The per-doc minhash signature table as a session-materialized
-    * artifact — the 100 TB shape (a signature table is MAINTAINED next
-    * to the corpus, not rebuilt per query). Shared by minhashPairs,
-    * dedupPipeline and dedupIncremental: the signature is a min over
-    * per-token hashes (token-order-independent), so it's identical
-    * whichever consumer builds it first. */
   /** The minhash INPUT rows — one (doc_id, 60-bit token hash) per
     * distinct token, through the production toks/tokenHashCol path.
     * Exposed for TextOpsSpec's NUM_PERM recall-curve sweep, which
@@ -575,6 +569,12 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
       .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
 
+  /** The per-doc minhash signature table as a session-materialized
+    * artifact — the 100 TB shape (a signature table is MAINTAINED next
+    * to the corpus, not rebuilt per query). Shared by minhashPairs,
+    * dedupPipeline and dedupIncremental: the signature is a min over
+    * per-token hashes (token-order-independent), so it's identical
+    * whichever consumer builds it first. */
   private def minhashSigsArtifact(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(Sketches.MinHashAgg)
     val tmp = graft.Scratch.materializedOnce("minhash_sigs", d)(pth =>

@@ -147,14 +147,24 @@ object Vectors {
     * live for the recall/cost curve. */
   private[graft] def bandedPairs(s: SparkSession, d: String,
       tables: Int = BAND_TABLES): DataFrame =
-    if (tables == BAND_TABLES)
+    if (tables == BAND_TABLES) {
+      // the cell artifact is built BEFORE entering the pairs thunk:
+      // materializedOnce is a ConcurrentHashMap.computeIfAbsent, whose
+      // mapping function must not update the same map — a nested build
+      // here could throw "Recursive update" or silently unlink the
+      // inner entry
+      val cells = bandCellsPath(s, d)
       s.read.parquet(graft.Scratch.materializedOnce("banded_pairs_t" + tables, d) {
-        p => buildBandedPairs(s, d, tables).write.mode("overwrite").parquet(p)
+        p => buildBandedPairsFrom(s, d, cells, tables).write.mode("overwrite").parquet(p)
       })
-    else buildBandedPairs(s, d, tables)
+    } else buildBandedPairs(s, d, tables)
 
-  private[graft] def buildBandedPairs(s: SparkSession, d: String, tables: Int): DataFrame = {
-    val cells = s.read.parquet(bandCellsPath(s, d)).filter(col("t") < tables)
+  private[graft] def buildBandedPairs(s: SparkSession, d: String, tables: Int): DataFrame =
+    buildBandedPairsFrom(s, d, bandCellsPath(s, d), tables)
+
+  private def buildBandedPairsFrom(
+      s: SparkSession, d: String, cellsPath: String, tables: Int): DataFrame = {
+    val cells = s.read.parquet(cellsPath).filter(col("t") < tables)
     val cand = cells.select(col("vec_id").as("ia"), col("t"), col("b"))
       .join(cells.select(col("vec_id").as("ib"), col("t"), col("b")), Seq("t", "b"))
       .filter(col("ia") < col("ib"))
@@ -368,7 +378,7 @@ object Vectors {
     * artifact maintained alongside the corpus, never rebuilt inside a
     * query (the round-1 judge flagged in-query training as the
     * anti-pattern). Returns (centroids, assignments path). */
-  private[graft] val ivfIndexCache =
+  private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Array[Double]], String)]
 
   // synchronized: concurrent.Map.getOrElseUpdate may run the thunk in
@@ -431,7 +441,7 @@ object Vectors {
     * memory lever that lets a 100 TB embedding corpus live in RAM for
     * candidate generation. Codes are MATERIALIZED to parquet like the
     * IVF assignments (index = maintained artifact, never query work). */
-  private[graft] val pqIndexCache = scala.collection.concurrent.TrieMap
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Double]]], String)]
 
   private val PQ_M = 8
