@@ -565,6 +565,77 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** J6/J7 SEMANTIC dedup — the cluster-scoped flavor (SemDeDup,
+    * Abbas et al. 2023, arXiv:2303.09540, public paper): instead of
+    * LSH-banding the whole corpus, vectors are first bucketed by a
+    * trained coarse quantizer (the SAME materialized IVF index the ANN
+    * probe maintains — one artifact serves retrieval AND dedup), and
+    * near-duplicate pairs are verified only WITHIN each cluster. The
+    * keep rule is SemDeDup's: within a duplicate pair, the member
+    * FARTHEST from its cluster centroid survives (low centroid-cosine =
+    * the diverse outlier; the dense redundant core dies), ties to the
+    * smaller vec_id.
+    *
+    * Scale shape: the pair work is Σ|cell|² — bounded per cluster, and k
+    * scales with N (k ∝ N keeps |cell| constant, the SemDeDup recipe), so
+    * this is never all-pairs; the self-join is an ordinary shuffle join
+    * on the cluster key over an index table that ships (id, cluster,
+    * embedding) — and at 100 TB the index is partition-pruned per
+    * cluster, so each task sees one cell. vs dedupEmbedding (banded LSH):
+    * banding recalls by random hyperplane collision at a FIXED τ;
+    * clustering recalls by learned density — semantically-close pairs
+    * co-cluster even when their cosine sits below an LSH band's
+    * operating point. Both run from maintained artifacts.
+    *
+    * Every double is cross-engine portable: the assignment is assignCol's
+    * argmin over trained-centroid literals (the q_ann_ivf technique), the
+    * centroid cosine divides by sqrt(c2-literal) (sqrt is IEEE
+    * correctly-rounded — identical bits in both engines), and pair
+    * cosines round to 7 before the threshold — the oracle replays the
+    * ENTIRE pipeline from the same centroid literals. */
+  private[graft] val SEM_TAU = 0.42
+
+  /** (vec_id, cluster, embedding, nrm, cent_cos) for every corpus
+    * member, from the materialized IVF assignments — the working set
+    * semanticDedup's kill join runs over (also consumed directly by the
+    * soundness spec). */
+  private def semanticMembers(s: SparkSession, d: String): DataFrame = {
+    val (cents, indexPath) = ivfIndex(s, d)
+    // centroid j's vector + norm as literal arrays indexed by cluster id:
+    // ONE projection evaluates the member's centroid cosine with no join
+    val centVecs = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val centNorms = array(cents.map(c => lit(math.sqrt(sumSq(c)))): _*)
+    s.read.parquet(indexPath)
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+      .withColumn("cent_cos",
+        round(dot(element_at(centVecs, col("cluster") + 1), col("embedding")) /
+          (col("nrm") * element_at(centNorms, col("cluster") + 1)), 7))
+  }
+
+  private[graft] def semanticDedupMembers(s: SparkSession, d: String): DataFrame =
+    semanticMembers(s, d).select(col("vec_id"), col("cluster"), col("cent_cos"))
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val mem = semanticMembers(s, d)
+    val a = mem.select(col("vec_id").as("ia"), col("cluster"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("cent_cos").as("ca"))
+    val b = mem.select(col("vec_id").as("ib"), col("cluster"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("cent_cos").as("cb"))
+    // cluster equality is the equi-key (shuffle join, per-cell pair work);
+    // the cheap priority conjunct gates the expensive cosine (And
+    // short-circuits left→right), mirroring dedupEmbeddingExact
+    val killed = a.join(b,
+        a("cluster") === b("cluster") &&
+          (col("ca") < col("cb") ||
+            (col("ca") === col("cb") && col("ia") < col("ib"))) &&
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 7) >= SEM_TAU)
+      .select(col("ib")).distinct()
+    mem.join(killed, col("vec_id") === col("ib"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("cent_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** I15 array-manipulation battery beyond the HOF aggregates:
     * slice / sort / distinct / reverse / contains / position — all
     * row-side codegen'd, mirrored by DuckDB's list_* functions. */
@@ -709,7 +780,8 @@ object Vectors {
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
     "q_ann_pq"        -> annPq,
-    "q_dedup_embedding" -> dedupEmbedding)
+    "q_dedup_embedding" -> dedupEmbedding,
+    "q_semantic_dedup" -> semanticDedup)
 
   /** q_ann_ivf / q_ann_pq oracles appear only once their index has been
     * trained in this session: Verify dumps oracle_sql.json AFTER running
@@ -722,7 +794,9 @@ object Vectors {
     * Accuracy (recall vs exact baseline) stays asserted in VectorsSpec. */
   def oracle: Map[String, String] = {
     val ivf = ivfIndexCache.values.toSeq match {
-      case Seq((cents, _)) => Map("q_ann_ivf" -> annIvfSql(cents))
+      case Seq((cents, _)) => Map(
+        "q_ann_ivf" -> annIvfSql(cents),
+        "q_semantic_dedup" -> semanticDedupSql(cents))
       case _ => Map.empty[String, String]
     }
     val pq = pqIndexCache.values.toSeq match {
@@ -989,6 +1063,38 @@ object Vectors {
        FROM assign a CROSS JOIN q
        WHERE a.cluster IN (SELECT cluster FROM top4)
        ORDER BY cos DESC, a.vec_id LIMIT 10"""
+
+  /** Mirror of semanticDedup from the trained centroids as literals: the
+    * same portable argmin assignment (annIvfSql's CTEs), the same
+    * centroid cosine (÷ sqrt(c2) — correctly-rounded in both engines),
+    * the same within-cluster priority-kill join, survivors by NOT
+    * EXISTS. */
+  private def semanticDedupSql(cents: Array[Array[Double]]): String =
+    s"""WITH cent(cluster, c, c2) AS (VALUES ${centValues(cents)}),
+       scored AS (
+         SELECT e.vec_id, e.embedding, c.cluster,
+           c.c2 - 2 * list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[j] AS DOUBLE) * (c.c[j]))) AS score
+         FROM embeddings e CROSS JOIN cent c),
+       assign AS (
+         SELECT vec_id, embedding, cluster FROM (
+           SELECT vec_id, embedding, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score, cluster) AS rn
+           FROM scored) WHERE rn = 1),
+       mem AS (
+         SELECT a.vec_id, a.cluster, a.embedding,
+           sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+           round(list_sum(list_transform(range(1, 65), j -> (c.c[j]) * CAST(a.embedding[j] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(c.c2)), 7) AS cent_cos
+         FROM assign a JOIN cent c USING (cluster)),
+       killed AS (
+         SELECT DISTINCT b.vec_id FROM mem a JOIN mem b
+           ON a.cluster = b.cluster
+          AND (a.cent_cos < b.cent_cos OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+          AND round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm), 7) >= $SEM_TAU)
+       SELECT m.vec_id, m.cluster, m.cent_cos FROM mem m
+       WHERE NOT EXISTS (SELECT 1 FROM killed k WHERE k.vec_id = m.vec_id)
+       ORDER BY m.vec_id"""
 
   /** Mirror of annPq from the trained codebooks as literals: per
     * subspace the same portable argmin encoding, the chosen centroid's

@@ -132,4 +132,51 @@ class VectorsSpec extends SparkTestBase {
     assert(invented.count() == 0,
       s"banded pairs absent from exact scoring: ${invented.collect().mkString(",")}")
   }
+
+  test("semantic dedup: kill soundness, per-cluster outlier survival, non-vacuous") {
+    val survivors = Vectors.semanticDedup(spark, sfDir).collect()
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = survivors.map(_.getLong(0)).toSet
+    val killed = all -- kept
+    // the corpus's qualifying pairs co-cluster (that's the SemDeDup
+    // premise) — a vacuous run would hide a broken kill join
+    assert(killed.nonEmpty, "semantic dedup killed nothing — kill join broken?")
+    assert(kept.nonEmpty)
+    // SemDeDup invariant: each cluster's FARTHEST-from-centroid member
+    // (min cent_cos, ties to smaller id) has no better-priority
+    // neighbor by construction, so it can never die
+    val byCluster = survivors.groupBy(_.getInt(1))
+    // soundness: re-derive every kill from the exact within-cluster
+    // pairs — killed b must have a same-cluster neighbor a with
+    // round(cos,7) >= SEM_TAU and (a.cent_cos, a.id) < (b.cent_cos, b.id)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((s, i) => s + a(i) * a(i)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((s, i) => s + b(i) * b(i)))
+      BigDecimal(d / (na * nb)).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // cluster + cent_cos of EVERY member (survivor rows only carry
+    // survivors — recompute assignment via the query's own artifact)
+    val mem = Vectors.semanticDedupMembers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    killed.foreach { b =>
+      val (cb, ccb) = mem(b)
+      val hasKiller = mem.exists { case (ia, (ca, cca)) =>
+        ia != b && ca == cb &&
+          (cca < ccb || (cca == ccb && ia < b)) &&
+          cos(e(ia), e(b)) >= Vectors.SEM_TAU
+      }
+      assert(hasKiller, s"vec $b killed with no qualifying better-priority cluster-mate")
+    }
+    // and the per-cluster best-priority member survived
+    mem.groupBy(_._2._1).foreach { case (c, ms) =>
+      val best = ms.minBy { case (id, (_, cc)) => (cc, id) }._1
+      assert(kept.contains(best), s"cluster $c best-priority member $best was killed")
+    }
+    assert(byCluster.nonEmpty)
+  }
 }
