@@ -515,6 +515,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** J8 unigram-LM LIKELIHOOD filter — the model-based quality gate of
+    * the CCNet family (Wenzek et al. 2020, public paper: score documents
+    * under a language model, drop the out-of-distribution tail), next to
+    * qualityFilter's rule-based heuristics. The LM is the corpus's own
+    * unigram model p(t) = cnt(t)/total; a document scores its MEAN token
+    * probability Σ_t cnt(t) / (n_tok · total). Arithmetic-mean surrogate
+    * instead of log-perplexity BY POLICY: Math.log and DuckDB's log can
+    * diverge in the last ulp (the tfidf scaladoc's rationale), while
+    * this form is exact-integer end-to-end — the keep decision is the
+    * cross-multiplied integer comparison sum_cnt·1000 ≥ 33·n_tok·total
+    * (θ = 0.033, calibrated to drop the corpus's ~5–10% unlikely tail at
+    * every SF), and the only float is one final IEEE division for the
+    * reported score. Same ranking family: rare-token documents score
+    * low.
+    *
+    * Scale shape: one shuffle for the count table, token→count via a
+    * broadcast join (vocab-sized, the tfidf df pattern), one per-doc
+    * aggregate; `total` rides a 1-row broadcast (the bm25 pattern — no
+    * driver-side action at all). Token-less documents have no defined
+    * likelihood and are dropped by the inner count join — mirrored in
+    * the oracle. */
+  def lmFilter(s: SparkSession, d: String): DataFrame = {
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val cnt = toksDf.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    toksDf.join(broadcast(cnt), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("sum_cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sum_cnt") * lit(1000L) >= lit(33L) * col("n_tok") * col("total"))
+      .select(col("doc_id"), col("n_tok"), col("sum_cnt"),
+        (col("sum_cnt").cast(DoubleType) /
+          (col("n_tok") * col("total")).cast(DoubleType)).as("mean_tok_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic content-hash DOWNSAMPLING, reported per source: keep
     * the ~25% of docs whose md5 leads with nibble 0-3. Hashing the
     * CONTENT (not rand(), not partition-dependent ids) is what makes a
@@ -1347,6 +1385,7 @@ object TextOps {
     "q_dedup_cluster"    -> dedupCluster,
     "q_contamination"    -> contamination,
     "q_quality_filter"   -> qualityFilter,
+    "q_lm_filter"        -> lmFilter,
     "q_sample_hash"      -> sampleHash)
 
   /** Shared oracle CTE prefix: per-doc minhash signatures (the same
@@ -1811,6 +1850,22 @@ object TextOps {
       """SELECT source, count(*) AS n_docs,
            count(CASE WHEN substr(md5(text), 1, 1) <= '3' THEN 1 END) AS n_kept
          FROM documents GROUP BY source ORDER BY source""",
+    "q_lm_filter" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             t -> length(t) > 0)) AS term
+           FROM documents),
+         cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+         sc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(c) AS BIGINT) AS sum_cnt
+           FROM toks JOIN cnt USING (term) GROUP BY doc_id)
+         SELECT doc_id, n_tok, sum_cnt,
+           CAST(sum_cnt AS DOUBLE) / CAST(n_tok * total AS DOUBLE) AS mean_tok_p
+         FROM sc CROSS JOIN tot
+         WHERE sum_cnt * 1000 >= 33 * n_tok * total
+         ORDER BY doc_id""",
     "q_jaccard_prefix" ->
       """WITH sh AS (
            SELECT doc_id,

@@ -355,4 +355,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(a.map(r => (r.getLong(0), r.getString(1))).toSeq ===
       b.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
+
+  test("LM likelihood filter: exact-integer keep rule re-derived per document") {
+    val kept = TextOps.lmFilter(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent recomputation of the unigram model in plain Scala
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val cnt = docs.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val total = cnt.values.sum
+    var drops = 0
+    docs.foreach { case (id, toks) =>
+      if (toks.isEmpty) assert(!kept.contains(id), s"token-less doc $id has a score")
+      else {
+        val n = toks.size.toLong
+        val sumCnt = toks.map(cnt).sum
+        val keep = sumCnt * 1000L >= 33L * n * total
+        if (keep) {
+          assert(kept.get(id).contains((n, sumCnt)),
+            s"doc $id: expected kept with (n=$n, sum=$sumCnt), got ${kept.get(id)}")
+        } else {
+          assert(!kept.contains(id), s"doc $id below threshold but kept")
+          drops += 1
+        }
+      }
+    }
+    // the threshold must split the corpus non-trivially in both directions
+    assert(drops > 0, "LM filter dropped nothing — threshold vacuous")
+    assert(kept.nonEmpty)
+  }
 }
