@@ -636,6 +636,72 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** J7 retrieval-side MMR diversity rerank (maximal marginal relevance,
+    * Carbonell & Goldstein 1998 SIGIR — public paper; the de-dup-aware
+    * reranker RAG stacks run between retrieval and the context window):
+    * greedy selection of K_OUT = 10 from the cosine top-20 pool,
+    * step score = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) with
+    * λ = 0.7, ties to the smaller vec_id; the first pick's max-sim term
+    * is 0 (pure relevance).
+    *
+    * Scale shape: the DISTRIBUTED work is the corpus scan + TakeOrdered
+    * top-20 (the cosineTopK plan); the greedy loop then runs over a pool
+    * that is K-BOUNDED BY CONSTRUCTION — ≤ 20 (id, rel, embedding) rows
+    * on the driver (the annIvf nearestClusters precedent: bounded
+    * driver-side work over an already-reduced set, not a corpus
+    * collect). An O(K²) sequential dependency chain is inherent to MMR —
+    * each pick conditions the next — so the greedy is not distributable
+    * in any engine; bounding K is the scale lever.
+    *
+    * Cross-engine portability: rel and pairwise sims are rounded-7
+    * cosines (driver sims use the same sequential fold + HALF_UP
+    * rounding Spark's codegen'd round produces); the step score
+    * 0.7·rel − 0.3·maxsim is two IEEE multiplies and a subtract on
+    * identical doubles; the oracle unrolls the 10 greedy steps as
+    * chained CTEs (s1…s10), each an ORDER BY … LIMIT 1 argmax over the
+    * same arithmetic. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), norm2(col("embedding")).as("qn"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 7).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MMR_POOL)
+      .collect() // ≤ MMR_POOL rows by construction — bounded driver work
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    def round7(x: Double): Double =
+      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      round7(dp / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val embOf = pool.map { case (id, emb, _) => id -> emb }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map { case (id, _, rel) => id -> rel }: _*)
+    for (step <- 1 to MMR_K if remaining.nonEmpty) {
+      val (id, rel, mmr) = remaining.map { case (cid, rel) =>
+        val maxsim =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => cosD(embOf(cid), embOf(sel._2))).max
+        (cid, rel, 0.7 * rel - 0.3 * maxsim)
+      }.maxBy { case (cid, _, m) => (m, -cid) }
+      selected += ((step, id, rel, mmr))
+      remaining.remove(id)
+    }
+    import s.implicits._
+    selected.toSeq.toDF("rk", "vec_id", "rel", "mmr").orderBy(col("rk"))
+  }
+
+  private[graft] val MMR_POOL = 20
+  private[graft] val MMR_K = 10
+
   /** I15 array-manipulation battery beyond the HOF aggregates:
     * slice / sort / distinct / reverse / contains / position — all
     * row-side codegen'd, mirrored by DuckDB's list_* functions. */
@@ -781,7 +847,8 @@ object Vectors {
     "q_ann_ivf"       -> annIvf,
     "q_ann_pq"        -> annPq,
     "q_dedup_embedding" -> dedupEmbedding,
-    "q_semantic_dedup" -> semanticDedup)
+    "q_semantic_dedup" -> semanticDedup,
+    "q_mmr_rerank"    -> mmrRerank)
 
   /** q_ann_ivf / q_ann_pq oracles appear only once their index has been
     * trained in this session: Verify dumps oracle_sql.json AFTER running
@@ -808,6 +875,7 @@ object Vectors {
 
   private lazy val staticOracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
+    "q_mmr_rerank" -> mmrSql,
     "q_embed_quantize" ->
       """WITH base AS (
            SELECT vec_id, embedding AS e,
@@ -1063,6 +1131,52 @@ object Vectors {
        FROM assign a CROSS JOIN q
        WHERE a.cluster IN (SELECT cluster FROM top4)
        ORDER BY cos DESC, a.vec_id LIMIT 10"""
+
+  /** Mirror of mmrRerank: the same top-20 pool, the same rounded-7
+    * pairwise sims, and the 10 greedy steps UNROLLED as chained CTEs —
+    * each step an ORDER BY … LIMIT 1 argmax of 0.7·rel − 0.3·maxsim
+    * over the not-yet-picked pool (greedy selection is a sequential
+    * dependency chain; with K fixed the unrolled form is plain ANSI
+    * SQL — no recursive-CTE aggregation restrictions to fight). Every
+    * CTE is MATERIALIZED: p_i references p_{i-1} three times through
+    * s_i, so default CTE inlining expands the chain ~3^K times — enough
+    * re-opened parquet scans to exhaust the process's file-handle
+    * limit before any row is produced. */
+  private def mmrSql: String = {
+    val steps = (2 to MMR_K).map { i =>
+      s"""s$i AS MATERIALIZED (
+         SELECT c.vec_id, c.rel,
+           0.7 * c.rel - 0.3 * (SELECT max(s.s) FROM sim s
+             WHERE s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM p${i - 1})) AS mmr
+         FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p${i - 1})
+         ORDER BY mmr DESC, c.vec_id LIMIT 1),
+       p$i AS MATERIALIZED (SELECT vec_id FROM p${i - 1} UNION ALL SELECT vec_id FROM s$i)"""
+    }.mkString(",\n       ")
+    val out = (1 to MMR_K)
+      .map(i => s"SELECT $i AS rk, vec_id, rel, mmr FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS MATERIALIZED (SELECT embedding AS qe,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+         FROM embeddings WHERE vec_id = 0),
+       base AS MATERIALIZED (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings WHERE vec_id <> 0),
+       cand AS MATERIALIZED (
+         SELECT b.vec_id, b.embedding, b.nrm,
+           round(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+             / (b.nrm * q.qn), 7) AS rel
+         FROM base b CROSS JOIN q ORDER BY rel DESC, b.vec_id LIMIT $MMR_POOL),
+       sim AS MATERIALIZED (
+         SELECT a.vec_id AS ia, b.vec_id AS ib,
+           round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 7) AS s
+         FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       s1 AS MATERIALIZED (SELECT vec_id, rel, 0.7 * rel - 0.3 * 0.0 AS mmr
+         FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       p1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       $steps
+       SELECT * FROM ($out) ORDER BY rk"""
+  }
 
   /** Mirror of semanticDedup from the trained centroids as literals: the
     * same portable argmin assignment (annIvfSql's CTEs), the same

@@ -179,4 +179,45 @@ class VectorsSpec extends SparkTestBase {
     }
     assert(byCluster.nonEmpty)
   }
+
+  test("MMR rerank: greedy argmax invariant re-derived from first principles") {
+    val out = Vectors.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1 to Vectors.MMR_K), "ranks not 1..K")
+    assert(out.map(_._2).distinct.length == out.length, "duplicate picks")
+    // independent recomputation: embeddings read raw, cosines via the
+    // same sequential fold + HALF_UP round the query uses
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = e(0L)
+    val pool = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, rel) => (-rel, id) }
+      .take(Vectors.MMR_POOL)
+    // step 1 is pure relevance — must equal the pool's top row
+    assert(out.head._2 == pool.head._1, s"first pick ${out.head._2} != top-rel ${pool.head._1}")
+    assert(out.head._3 == pool.head._2)
+    // each later pick must dominate every candidate left at its step
+    // under mmr = 0.7·rel − 0.3·maxsim (ties to the smaller id)
+    out.indices.drop(1).foreach { k =>
+      val picked = out.take(k).map(_._2).toSet
+      def mmrOf(id: Long, rel: Double): Double = {
+        val maxsim = picked.map(p => cos(e(id), e(p))).max
+        0.7 * rel - 0.3 * maxsim
+      }
+      val stepScores = pool.filterNot(c => picked.contains(c._1))
+        .map { case (id, rel) => (id, mmrOf(id, rel)) }
+      val best = stepScores.minBy { case (id, m) => (-m, id) }
+      assert(best._1 == out(k)._2,
+        s"step ${k + 1}: expected pick ${best._1} (mmr=${best._2}), query picked ${out(k)._2}")
+      assert(best._2 == out(k)._4, s"step ${k + 1}: mmr score mismatch")
+    }
+  }
 }
