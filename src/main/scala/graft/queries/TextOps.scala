@@ -567,6 +567,121 @@ object TextOps {
         count(when(col("nib") <= "3", lit(1))).as("n_kept"))
       .orderBy(col("source"))
 
+  /** J6 exact duplicated-SUBSTRING detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the ExactSubstr method). The paper builds one
+    * suffix array over the concatenated corpus; the distributed
+    * re-formulation is a K-token rolling-gram hash table: every document
+    * emits (gram_hash, doc_id, pos) per K-gram, and a gram hash seen in
+    * ≥2 distinct documents marks a duplicated span. Per document we
+    * report gram / duplicated-gram counts and the token COVERAGE of
+    * duplicated spans (the size of the interval union of [i, i+K−1] over
+    * flagged positions) — the paper's "fraction of tokens in a duplicate
+    * substring" removal statistic. K = 8 here (the paper uses 50 BPE
+    * tokens; this corpus's documents are ~60 words).
+    *
+    * Scale shape: the gram table is n_tokens rows of (16-hex hash, id,
+    * int pos) — fixed width; raw text NEVER shuffles (grams hash
+    * row-side with codegen'd md5 before the exchange). Duplicate
+    * detection is one hash-shuffled aggregate on the gram key; flagged
+    * positions come back via a left-semi join on the same key; the
+    * coverage explode touches only FLAGGED grams (K× a duplicate-sized
+    * set, not the corpus). No stage is quadratic and no suffix array
+    * needs corpus-sized driver memory — this is the formulation that
+    * survives 100 TB where the in-memory suffix array cannot. */
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // Guard: Spark's sequence(1, n) with n < 1 INFERS STEP −1 and yields
+    // a descending range, not an empty one — short documents must take
+    // the otherwise(empty) branch or they would emit phantom positions.
+    val g = t
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= K,
+            sequence(lit(1), size(col("toks")) - (K - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        substring(md5(concat_ws(" ", slice(col("toks"), col("i"), lit(K)))), 1, 16)
+          .as("h"))
+    val dup = g.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val flagged = g.join(dup, Seq("h"), "left_semi")
+    val cov = flagged
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (K - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_cov_tok"))
+    g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams")),
+        Seq("doc_id"))
+      .join(cov, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("n_cov_tok"),
+        // exact integers up to here; one final IEEE division (policy)
+        (col("n_dup_grams").cast(DoubleType) / col("n_grams")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J8 DSIR-style hashed-n-gram IMPORTANCE WEIGHTS (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * its hashed-bigram features are under a TARGET distribution (here
+    * the corpus's `lang = 'en'` slice) than under the raw corpus, and
+    * keep documents with weight ≥ θ. Features are bigrams hashed into
+    * B = 4096 buckets (md5-slice, the Sketches idiom — 24 bits parses
+    * exactly in any engine); both distributions are add-one smoothed.
+    * BY POLICY the weight is the log-free arithmetic-mean surrogate of
+    * DSIR's product of ratios (the lmFilter rationale): with
+    * s_t = Σ_i (cnt_t(b_i)+1) and s_r = Σ_i (cnt_r(b_i)+1) over the
+    * document's bigram occurrences,
+    *   weight = [s_t · (total_r + B)] / [s_r · (total_t + B)]
+    * — exact-integer end-to-end, keep decision as the cross-multiplied
+    * integer comparison 8·s_t·(total_r+B) ≥ 7·s_r·(total_t+B)
+    * (θ = 7/8: add-one smoothing plus the heavily SHARED cross-language
+    * vocabulary of this corpus compress all weights into ~[0.75, 0.99],
+    * so θ = 1 would keep nothing — measured medians 0.89–0.91 for `en`
+    * vs 0.83–0.86 for the rest at every SF, and 7/8 splits the gap),
+    * ONE final IEEE division for the reported value.
+    * (At 100 TB the products approach 2⁶³; production would move to
+    * log-space doubles and give up bit-parity — documented trade.)
+    *
+    * Scale shape: one shuffle for the bucket counts (≤ B rows per
+    * distribution — broadcast back), per-doc aggregate, totals on 1-row
+    * broadcasts; the bucket table is corpus-size-INDEPENDENT, which is
+    * the entire point of hashed features in the paper. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 4096
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(when(size(col("toks")) >= 2, sequence(lit(1), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat_ws(" ",
+            element_at(col("toks"), col("i")),
+            element_at(col("toks"), col("i") + 1))), 1, 6), 16, 10)
+          .cast(LongType) % B).as("b"))
+    val cntRaw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val cntTgt = bg.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totRaw = cntRaw.agg((sum(col("cr")) + B).as("tot_r"))
+    val totTgt = cntTgt.agg((coalesce(sum(col("ct")), lit(0L)) + B).as("tot_t"))
+    bg.join(broadcast(cntRaw), Seq("b"))
+      .join(broadcast(cntTgt), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bg"),
+        sum(coalesce(col("ct"), lit(0L)) + 1L).as("s_t"),
+        sum(col("cr") + 1L).as("s_r"))
+      .crossJoin(broadcast(totRaw))
+      .crossJoin(broadcast(totTgt))
+      .filter(col("s_t") * col("tot_r") * 8L >= col("s_r") * col("tot_t") * 7L)
+      .select(col("doc_id"), col("n_bg"), col("s_t"), col("s_r"),
+        ((col("s_t") * col("tot_r")).cast(DoubleType) /
+          (col("s_r") * col("tot_t")).cast(DoubleType)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J6 MinHash near-dup: constant-size signatures (typed Aggregator),
     * banded candidate join, signature-match estimate. Scale design:
     * (a) blocking on `source` — near-dup search at corpus scale is
@@ -1386,6 +1501,8 @@ object TextOps {
     "q_contamination"    -> contamination,
     "q_quality_filter"   -> qualityFilter,
     "q_lm_filter"        -> lmFilter,
+    "q_substring_dedup"  -> substringDedup,
+    "q_dsir_weights"     -> dsirWeights,
     "q_sample_hash"      -> sampleHash)
 
   /** Shared oracle CTE prefix: per-doc minhash signatures (the same
@@ -1865,6 +1982,55 @@ object TextOps {
            CAST(sum_cnt AS DOUBLE) / CAST(n_tok * total AS DOUBLE) AS mean_tok_p
          FROM sc CROSS JOIN tot
          WHERE sum_cnt * 1000 >= 33 * n_tok * total
+         ORDER BY doc_id""",
+    // ExactSubstr mirrored gram-for-gram: same K=8 windows, same
+    // md5-slice gram hash, same >=2-distinct-docs duplicate rule, same
+    // interval-union coverage — the hash gate checks the full span
+    // pipeline cross-engine.
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM t WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, i,
+                 substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS h
+               FROM p),
+         dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         f AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h)),
+         cov AS (SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_cov_tok
+                 FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos FROM f)
+                 GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+         dupc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM f GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams, d.n_dup_grams, c.n_cov_tok,
+           CAST(d.n_dup_grams AS DOUBLE) / t.n_grams AS dup_ratio
+         FROM tot t JOIN dupc d USING (doc_id) JOIN cov c USING (doc_id)
+         ORDER BY doc_id""",
+    // DSIR mirrored bucket-for-bucket: same md5-slice 4096-bucket bigram
+    // hash, add-one smoothing, exact-integer cross-multiplied keep rule,
+    // one final IEEE division.
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT doc_id, lang, toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+               FROM t WHERE len(toks) >= 2),
+         bg AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 6)) AS BIGINT) % 4096 AS b
+                FROM p),
+         cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY b),
+         ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+         tr AS (SELECT CAST(sum(cr) AS BIGINT) + 4096 AS tot_r FROM cr),
+         tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) + 4096 AS tot_t FROM ct),
+         sc AS (
+           SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             CAST(sum(coalesce(ct.ct, 0) + 1) AS BIGINT) AS s_t,
+             CAST(sum(cr.cr + 1) AS BIGINT) AS s_r
+           FROM bg JOIN cr USING (b) LEFT JOIN ct USING (b)
+           GROUP BY bg.doc_id)
+         SELECT doc_id, n_bg, s_t, s_r,
+           CAST(s_t * tot_r AS DOUBLE) / CAST(s_r * tot_t AS DOUBLE) AS weight
+         FROM sc CROSS JOIN tr CROSS JOIN tt
+         WHERE s_t * tot_r * 8 >= s_r * tot_t * 7
          ORDER BY doc_id""",
     "q_jaccard_prefix" ->
       """WITH sh AS (

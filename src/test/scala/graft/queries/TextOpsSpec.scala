@@ -385,4 +385,84 @@ class TextOpsSpec extends SparkTestBase {
     assert(drops > 0, "LM filter dropped nothing — threshold vacuous")
     assert(kept.nonEmpty)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("ExactSubstr span dedup: counts and interval-union coverage re-derived per document") {
+    val K = 8
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    // plain-Scala re-derivation: K-gram strings -> docs containing them
+    val grams = docs.flatMap { case (id, toks) =>
+      toks.sliding(K).filter(_.size == K).zipWithIndex
+        .map { case (w, i) => (id, i + 1, w.mkString(" ")) }
+    }
+    val dupGrams = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = docs.flatMap { case (id, toks) =>
+      val all = toks.sliding(K).filter(_.size == K).zipWithIndex
+        .map { case (w, i) => (i + 1, w.mkString(" ")) }.toSeq
+      val flaggedPos = all.collect { case (i, g) if dupGrams(g) => i }
+      if (flaggedPos.isEmpty) None
+      else Some(id -> ((all.size.toLong, flaggedPos.size.toLong,
+        flaggedPos.flatMap(i => i until (i + K)).distinct.size.toLong)))
+    }.toMap
+    val got = TextOps.substringDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // non-vacuous on this corpus (near-dup docs share long exact spans)
+    assert(got.nonEmpty, "no duplicated spans found — K too large for the corpus?")
+    assert(got.size < docs.length, "every doc flagged — duplicate rule vacuous")
+    // coverage is an interval union: bounded by K x flagged count and by doc length
+    got.foreach { case (id, (nG, nD, cov)) =>
+      assert(nD <= nG && cov <= K.toLong * nD && cov >= nD + (K - 1),
+        s"doc $id: implausible coverage (nG=$nG nD=$nD cov=$cov)")
+    }
+  }
+
+  test("DSIR importance weights: exact-integer keep rule re-derived; target slice is enriched") {
+    val B = 4096
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    def buckets(toks: Seq[String]): Seq[Long] =
+      toks.sliding(2).filter(_.size == 2)
+        .map(w => java.lang.Long.parseLong(md5hex(w.mkString(" ")).take(6), 16) % B)
+        .toSeq
+    val all = docs.map { case (id, lang, toks) => (id, lang, buckets(toks)) }
+    val cr = all.flatMap(_._3).groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val ct = all.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val totR = cr.values.sum + B
+    val totT = ct.values.sum + B
+    val got = TextOps.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    var (keptEn, keptOther, dropEn, dropOther) = (0, 0, 0, 0)
+    all.foreach { case (id, lang, bs) =>
+      if (bs.isEmpty) assert(!got.contains(id))
+      else {
+        val sT = bs.map(b => ct.getOrElse(b, 0L) + 1L).sum
+        val sR = bs.map(b => cr(b) + 1L).sum
+        val keep = sT * totR * 8L >= sR * totT * 7L
+        if (keep) assert(got.get(id).contains((bs.size.toLong, sT, sR)),
+          s"doc $id: expected (${bs.size}, $sT, $sR), got ${got.get(id)}")
+        else assert(!got.contains(id), s"doc $id below weight 1 but kept")
+        (keep, lang == "en") match {
+          case (true, true)   => keptEn += 1
+          case (true, false)  => keptOther += 1
+          case (false, true)  => dropEn += 1
+          case (false, false) => dropOther += 1
+        }
+      }
+    }
+    assert(keptEn + keptOther > 0 && dropEn + dropOther > 0,
+      "weight threshold vacuous in one direction")
+    // the whole point of importance weighting: target-like docs are
+    // kept at a strictly higher rate than the rest of the raw corpus
+    val rateEn = keptEn.toDouble / (keptEn + dropEn)
+    val rateOther = keptOther.toDouble / (keptOther + dropOther)
+    assert(rateEn > rateOther, s"en keep-rate $rateEn !> other $rateOther")
+  }
 }
