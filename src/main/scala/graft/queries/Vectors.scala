@@ -636,6 +636,37 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** J7 cluster-BALANCED downsampling (the data-pruning metric of
+    * Sorscher et al. 2022, "Beyond neural scaling laws", arXiv:2206.14486
+    * — keep the examples FARTHEST from their cluster prototype — applied
+    * with a per-cluster budget so the kept set is balanced across the
+    * embedding space): every cluster keeps at most ⌈N/(2k)⌉ members
+    * (k = 16 ⇒ divisor 32 — the whole corpus prunes to ~50% with dense
+    * redundant clusters cut hard and sparse outlier clusters kept whole),
+    * priority = LOWEST centroid cosine first (the diverse outlier lives,
+    * exactly semanticDedup's survivor rule), ties to the smaller vec_id.
+    *
+    * Runs over the SAME materialized IVF assignments as q_ann_ivf /
+    * q_semantic_dedup — third consumer of one maintained index artifact.
+    * The rank is a per-cluster window (k-way parallel, no global sort of
+    * the corpus); the budget comparison rk·32 ≤ N+31 is the
+    * cross-multiplied integer form of rk ≤ ⌈N/32⌉ (no division
+    * anywhere), with N on a 1-row broadcast. */
+  def clusterBalance(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("cent_cos").asc, col("vec_id").asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val tot = Tables.embeddings(s, d).agg(count(lit(1)).as("n_total"))
+    semanticDedupMembers(s, d)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n_cluster", count(lit(1)).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("rk") * 32L <= col("n_total") + 31L)
+      .select(col("vec_id"), col("cluster"), col("cent_cos"), col("rk"),
+        col("n_cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** J7 retrieval-side MMR diversity rerank (maximal marginal relevance,
     * Carbonell & Goldstein 1998 SIGIR — public paper; the de-dup-aware
     * reranker RAG stacks run between retrieval and the context window):
@@ -848,6 +879,7 @@ object Vectors {
     "q_ann_pq"        -> annPq,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_semantic_dedup" -> semanticDedup,
+    "q_cluster_balance" -> clusterBalance,
     "q_mmr_rerank"    -> mmrRerank)
 
   /** q_ann_ivf / q_ann_pq oracles appear only once their index has been
@@ -863,7 +895,8 @@ object Vectors {
     val ivf = ivfIndexCache.values.toSeq match {
       case Seq((cents, _)) => Map(
         "q_ann_ivf" -> annIvfSql(cents),
-        "q_semantic_dedup" -> semanticDedupSql(cents))
+        "q_semantic_dedup" -> semanticDedupSql(cents),
+        "q_cluster_balance" -> clusterBalanceSql(cents))
       case _ => Map.empty[String, String]
     }
     val pq = pqIndexCache.values.toSeq match {
@@ -1183,8 +1216,13 @@ object Vectors {
     * centroid cosine (÷ sqrt(c2) — correctly-rounded in both engines),
     * the same within-cluster priority-kill join, survivors by NOT
     * EXISTS. */
-  private def semanticDedupSql(cents: Array[Array[Double]]): String =
-    s"""WITH cent(cluster, c, c2) AS (VALUES ${centValues(cents)}),
+  /** The shared `mem` CTE chain — portable argmin assignment over the
+    * trained-centroid literals + per-member rounded-7 centroid cosine —
+    * the SQL mirror of semanticMembers, consumed by BOTH
+    * semanticDedupSql and clusterBalanceSql (one source of truth: CTE
+    * drift between the two would silently break exactly one oracle). */
+  private def memCtes(cents: Array[Array[Double]]): String =
+    s"""cent(cluster, c, c2) AS (VALUES ${centValues(cents)}),
        scored AS (
          SELECT e.vec_id, e.embedding, c.cluster,
            c.c2 - 2 * list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[j] AS DOUBLE) * (c.c[j]))) AS score
@@ -1199,7 +1237,10 @@ object Vectors {
            sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
            round(list_sum(list_transform(range(1, 65), j -> (c.c[j]) * CAST(a.embedding[j] AS DOUBLE)))
              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(c.c2)), 7) AS cent_cos
-         FROM assign a JOIN cent c USING (cluster)),
+         FROM assign a JOIN cent c USING (cluster))"""
+
+  private def semanticDedupSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${memCtes(cents)},
        killed AS (
          SELECT DISTINCT b.vec_id FROM mem a JOIN mem b
            ON a.cluster = b.cluster
@@ -1209,6 +1250,21 @@ object Vectors {
        SELECT m.vec_id, m.cluster, m.cent_cos FROM mem m
        WHERE NOT EXISTS (SELECT 1 FROM killed k WHERE k.vec_id = m.vec_id)
        ORDER BY m.vec_id"""
+
+  // Balanced pruning mirrored on the shared mem CTEs: same per-cluster
+  // farthest-first rank, same integer budget comparison.
+  private def clusterBalanceSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${memCtes(cents)},
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings),
+       rk AS (
+         SELECT vec_id, cluster, cent_cos,
+           CAST(row_number() OVER (PARTITION BY cluster ORDER BY cent_cos, vec_id) AS BIGINT) AS rk,
+           CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster
+         FROM mem)
+       SELECT vec_id, cluster, cent_cos, rk, n_cluster
+       FROM rk CROSS JOIN tot
+       WHERE rk * 32 <= n_total + 31
+       ORDER BY vec_id"""
 
   /** Mirror of annPq from the trained codebooks as literals: per
     * subspace the same portable argmin encoding, the chosen centroid's

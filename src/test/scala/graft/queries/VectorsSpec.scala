@@ -180,6 +180,29 @@ class VectorsSpec extends SparkTestBase {
     assert(byCluster.nonEmpty)
   }
 
+  test("cluster balance: per-cluster farthest-first budget re-derived from the members") {
+    val mem = Vectors.semanticDedupMembers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val n = mem.length.toLong
+    val cap = (n + 31) / 32 // = ceil(N / 32), the integer budget
+    val expected = mem.groupBy(_._2).toSeq.flatMap { case (c, ms) =>
+      ms.sortBy { case (id, _, cc) => (cc, id) }.take(cap.toInt)
+        .zipWithIndex.map { case ((id, _, cc), i) =>
+          id -> ((c, cc, (i + 1).toLong, ms.length.toLong))
+        }
+    }.toMap
+    val got = Vectors.clusterBalance(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // non-vacuous: the budget actually prunes (some dense cluster got
+    // cut), and no cluster exceeds it
+    assert(got.size < mem.length, "budget pruned nothing — cap vacuous")
+    got.groupBy(_._2._1).foreach { case (c, ms) =>
+      assert(ms.size <= cap, s"cluster $c kept ${ms.size} > cap $cap")
+    }
+  }
+
   test("MMR rerank: greedy argmax invariant re-derived from first principles") {
     val out = Vectors.mmrRerank(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
