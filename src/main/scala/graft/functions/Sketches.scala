@@ -75,6 +75,27 @@ object Sketches {
   def tokenHashCol(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
 
+  /** Row-side token-hash ARRAY (distinct unigrams → 60-bit md5-slice,
+    * pre-reduced mod P31) — the streaming sketch-at-ingest entry point:
+    * a structured stream may run only ONE aggregation, so the signature
+    * must be computable per ROW (the whole document arrives as one row)
+    * rather than via the MinHashAgg group-by. Project THIS to a named
+    * column first, then feed the attribute to minhashSigFromHashes —
+    * inlining it there would re-run the md5s once per permutation (the
+    * round-7 codegen-cliff lesson: shared subexpressions live in their
+    * own projection). */
+  def tokenHashArrCol(text: Column): Column =
+    transform(array_distinct(split(text, " ")), t => tokenHashCol(t) % lit(P31))
+
+  /** Row-side MinHash signature over a pre-hashed token array: identical
+    * arithmetic to MinHashAggN (min over (a_i·hm + b_i) mod P31), so
+    * row-side streaming signatures and batch Aggregator signatures are
+    * byte-identical and share one SQL mirror (minhashSigCtes). */
+  def minhashSigFromHashes(ths: Column): Column =
+    array((0 until NUM_PERM).map { i =>
+      array_min(transform(ths, hm => (lit(permA(i)) * hm + lit(permB(i))) % lit(P31)))
+    }: _*)
+
   /** MinHash: signature(doc) = per-permutation min of h_i(tokenHash). The
     * fraction of matching coordinates between two signatures is an
     * unbiased estimate of the Jaccard similarity of the token sets.

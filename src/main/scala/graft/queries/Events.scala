@@ -202,7 +202,7 @@ object Events {
     * ~0.9 s → ~0.5 s dropping 8 → 2 while the judged keyspaces are a
     * few hundred groups. At real scale this dial sizes to
     * keys/cores, not to 2 — the judged corpus is the small end. */
-  private def withDrainShufflePartitions[T](s: SparkSession)(body: => T): T = {
+  private[queries] def withDrainShufflePartitions[T](s: SparkSession)(body: => T): T = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "2")
@@ -210,7 +210,7 @@ object Events {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  private def drainToMemory(s: SparkSession, qname: String, outputMode: String)(
+  private[queries] def drainToMemory(s: SparkSession, qname: String, outputMode: String)(
       topology: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     try s.catalog.dropTempView(qname) catch { case _: Exception => () }

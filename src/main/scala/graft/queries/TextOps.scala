@@ -682,6 +682,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** J4+J6 STREAMING near-dup suppression: documents replay as a file
+    * stream, each doc is sketched AT INGEST (row-side MinHash — a
+    * structured stream allows only one aggregation, so the signature
+    * comes from Sketches.minhashSigFromHashes over the row's own token
+    * array, byte-identical to the batch Aggregator), band cells explode
+    * row-side, and the ONE streaming aggregate maintains the band-bucket
+    * REGISTRY: min carrier doc_id per (band, bh), drained AvailableNow
+    * in complete mode. Survivors = docs that own ≥1 bucket; a doc all of
+    * whose buckets are owned by a smaller id is suppressed — the
+    * dedupIncremental kill rule, running continuously.
+    *
+    * Priority is doc_id (= arrival order of the replayed fixture); the
+    * min-aggregation makes the registry arrival-order-INDEPENDENT, so
+    * the drained result is deterministic under any micro-batch split —
+    * the property a distributed ingest needs and the reason the judged
+    * output is oracle-checkable at all. Scale shape: state = one row per
+    * distinct band bucket (the same registry dedupIncremental maintains
+    * as a batch artifact — here it IS the stream state); signatures are
+    * O(1) per doc; raw text never reaches the shuffle (cells are
+    * (band, md5, id) triples). At 100 TB the registry outgrows one
+    * state store and production shards it by bucket hash — exactly how
+    * this plan already partitions. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val docStream = s.readStream
+      .schema(Tables.documents(s, d).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val reg = docStream
+      .select(col("doc_id"), Sketches.tokenHashArrCol(col("text")).as("ths"))
+      .filter(size(col("ths")) > 0) // token-less docs have no signature (mirrors the tok CTE)
+      .select(col("doc_id"), Sketches.minhashSigFromHashes(col("ths")).as("sig"))
+      .select(col("doc_id"), minhashBandCells(2).as("cell"))
+      .select(col("doc_id"), col("cell.band").as("band"), col("cell.bh").as("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("keeper"))
+    Events.drainToMemory(s, "graft_stream_neardup", "complete")(reg)
+      .groupBy(col("keeper"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("keeper").as("doc_id"), col("n_buckets"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J6 MinHash near-dup: constant-size signatures (typed Aggregator),
     * banded candidate join, signature-match estimate. Scale design:
     * (a) blocking on `source` — near-dup search at corpus scale is
@@ -1503,6 +1545,7 @@ object TextOps {
     "q_lm_filter"        -> lmFilter,
     "q_substring_dedup"  -> substringDedup,
     "q_dsir_weights"     -> dsirWeights,
+    "q_stream_neardup"   -> streamNearDup,
     "q_sample_hash"      -> sampleHash)
 
   /** Shared oracle CTE prefix: per-doc minhash signatures (the same
@@ -2084,6 +2127,18 @@ object TextOps {
          SELECT ia, ib, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, ia, ib LIMIT 50""",
+    // The streaming registry drained to completion equals the batch
+    // min-per-bucket over the same banded CTE — signature arithmetic,
+    // band keys, and the ownership rule all shared with the batch
+    // mirrors (one source of truth).
+    "q_stream_neardup" -> s"""
+         WITH ${minhashSigCtes(withSource = false)},
+         reg AS (
+           SELECT band, bh, min(doc_id) AS keeper
+           FROM banded GROUP BY band, bh)
+         SELECT keeper AS doc_id, CAST(count(*) AS BIGINT) AS n_buckets
+         FROM reg GROUP BY keeper
+         ORDER BY doc_id""",
     // Incremental dedup mirrored on the shared signature CTEs: batch
     // docs probe all bands; kill candidates are corpus docs or
     // smaller-id batch docs; exact verify at τ=0.95; min duplicate id.

@@ -390,6 +390,33 @@ class TextOpsSpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("streaming near-dup registry equals an independent batch re-derivation") {
+    import graft.functions.Sketches
+    // independent path: raw text -> 60-bit hashes -> signatures ->
+    // band keys -> min-per-bucket registry, all in plain Scala
+    val sigs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val hms = r.getString(1).split(" ").distinct.toSeq
+          .map(t => java.lang.Long.parseLong(md5hex(t).take(15), 16) % Sketches.P31)
+        r.getLong(0) -> (0 until Sketches.NUM_PERM).map { i =>
+          hms.map(hm => (Sketches.permA(i) * hm + Sketches.permB(i)) % Sketches.P31).min
+        }
+      }
+    val registry = sigs.flatMap { case (id, sig) =>
+      (0 until 2).map(b =>
+        ((b, md5hex(sig.slice(b * 32, b * 32 + 32).mkString(",")))) -> id)
+    }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2).min }
+    val expected = registry.values.groupBy(identity)
+      .map { case (id, g) => id -> g.size.toLong }
+    val got = TextOps.streamNearDup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // suppression is non-vacuous and owners hold at most their 2 cells
+    assert(got.size < sigs.length, "no doc suppressed — registry vacuous")
+    assert(got.nonEmpty && got.values.forall(n => n >= 1 && n <= 2))
+  }
+
   test("ExactSubstr span dedup: counts and interval-union coverage re-derived per document") {
     val K = 8
     val docs = graft.Tables.documents(spark, sfDir)
