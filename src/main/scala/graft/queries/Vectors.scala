@@ -667,6 +667,38 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** J7 clustering-quality EVALUATION: per-cluster label PURITY of the
+    * materialized IVF index against the corpus's `label` column — the
+    * standard external cluster-evaluation metric (purity; Manning,
+    * Raghavan & Schütze, "Introduction to Information Retrieval" §16.3,
+    * public textbook), the health check a maintained 100 TB cluster
+    * index needs after every retrain. Majority label per cluster with
+    * deterministic ties (higher count, then smaller label); counts stay
+    * exact integers, each cluster's purity is one final IEEE division.
+    *
+    * Scale shape: fourth consumer of the one IVF artifact; the work is
+    * one (cluster, label) count aggregate — k×L rows — and a k-way
+    * partitioned window; labels join via a broadcast of the (vec_id,
+    * label) projection (the retrievalEval pattern), embeddings never
+    * move. */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n").desc, col("label").asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    semanticDedupMembers(s, d)
+      .join(broadcast(labels), Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", sum(col("n")).over(wc))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n_members"), col("label").as("top_label"),
+        col("n").as("top_label_n"),
+        (col("n").cast(DoubleType) / col("n_members")).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
   /** J7 retrieval-side MMR diversity rerank (maximal marginal relevance,
     * Carbonell & Goldstein 1998 SIGIR — public paper; the de-dup-aware
     * reranker RAG stacks run between retrieval and the context window):
@@ -880,6 +912,7 @@ object Vectors {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_semantic_dedup" -> semanticDedup,
     "q_cluster_balance" -> clusterBalance,
+    "q_cluster_purity" -> clusterPurity,
     "q_mmr_rerank"    -> mmrRerank)
 
   /** q_ann_ivf / q_ann_pq oracles appear only once their index has been
@@ -896,7 +929,8 @@ object Vectors {
       case Seq((cents, _)) => Map(
         "q_ann_ivf" -> annIvfSql(cents),
         "q_semantic_dedup" -> semanticDedupSql(cents),
-        "q_cluster_balance" -> clusterBalanceSql(cents))
+        "q_cluster_balance" -> clusterBalanceSql(cents),
+        "q_cluster_purity" -> clusterPuritySql(cents))
       case _ => Map.empty[String, String]
     }
     val pq = pqIndexCache.values.toSeq match {
@@ -1265,6 +1299,26 @@ object Vectors {
        FROM rk CROSS JOIN tot
        WHERE rk * 32 <= n_total + 31
        ORDER BY vec_id"""
+
+  // Purity mirrored on the shared mem CTEs: same majority-label rule
+  // (count desc, label asc), exact counts, one division per cluster.
+  private def clusterPuritySql(cents: Array[Array[Double]]): String =
+    s"""WITH ${memCtes(cents)},
+       lab AS (
+         SELECT m.vec_id, m.cluster, e.label
+         FROM mem m JOIN embeddings e USING (vec_id)),
+       cnt AS (
+         SELECT cluster, label, CAST(count(*) AS BIGINT) AS n
+         FROM lab GROUP BY cluster, label),
+       rk AS (
+         SELECT cluster, label, n,
+           row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk,
+           CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+         FROM cnt)
+       SELECT cluster, n_members, label AS top_label, n AS top_label_n,
+         CAST(n AS DOUBLE) / n_members AS purity
+       FROM rk WHERE rk = 1
+       ORDER BY cluster"""
 
   /** Mirror of annPq from the trained codebooks as literals: per
     * subspace the same portable argmin encoding, the chosen centroid's

@@ -203,6 +203,26 @@ class VectorsSpec extends SparkTestBase {
     }
   }
 
+  test("cluster purity: majority label and exact counts re-derived from members + labels") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mem = Vectors.semanticDedupMembers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val expected = mem.groupBy(_._2).map { case (c, ms) =>
+      val byLabel = ms.map(m => labels(m._1)).groupBy(identity)
+        .map { case (l, g) => (l, g.size.toLong) }
+      val (topL, topN) = byLabel.toSeq.minBy { case (l, n) => (-n, l) }
+      c -> ((ms.length.toLong, topL, topN))
+    }
+    val got = Vectors.clusterPurity(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // purity is a proper fraction and every cluster reports exactly once
+    assert(got.values.forall { case (n, _, topN) => topN >= 1 && topN <= n })
+    assert(got.keySet === mem.map(_._2).toSet)
+  }
+
   test("MMR rerank: greedy argmax invariant re-derived from first principles") {
     val out = Vectors.mmrRerank(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
