@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Vectors.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TableQueries.queries ++
+      graft.queries.Graphs.queries ++
       graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.Vectors.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.TableQueries.oracle ++
+      graft.queries.Graphs.oracle ++
       graft.multimodal.Media.oracle
 }

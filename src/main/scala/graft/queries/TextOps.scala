@@ -1027,7 +1027,9 @@ object TextOps {
     * top-k per doc is a bounded window. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count() // metadata-scale action: one number
+    // corpus size rides the plan as a 1-row broadcast (the bm25 pattern)
+    // rather than a driver-side count(): nothing leaves the executors.
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -1038,8 +1040,10 @@ object TextOps {
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
       .withColumn("tfidf",
-        col("tf").cast(DoubleType) * lit(nDocs.toDouble) / col("df").cast(DoubleType))
+        col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType) /
+          col("df").cast(DoubleType))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))

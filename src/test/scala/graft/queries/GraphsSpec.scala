@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRankOnEdges: star center dominates; exact mass conservation") {
+    // star: center 0 — leaves 1..8 (symmetric)
+    val edges = sym((1L to 8L).map(l => (0L, l)))
+    val ranks = Graphs.pageRankOnEdges(edges, Graphs.ITERS)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size === 9)
+    val leafRanks = (1L to 8L).map(ranks)
+    assert(leafRanks.distinct.size === 1, "symmetric leaves must tie exactly")
+    assert(ranks(0L) > leafRanks.head * 3,
+      "center absorbs every leaf's full contribution")
+    // integer floors only lose mass: Σr ∈ (SCALE·(1−1e-6), SCALE]
+    val mass = ranks.values.sum
+    assert(mass <= Graphs.SCALE && mass > Graphs.SCALE - Graphs.SCALE / 1000000)
+  }
+
+  test("pageRankOnEdges: regular ring is exactly uniform at every pass") {
+    val n = 6L
+    val ring = sym((0L until n).map(i => (i, (i + 1) % n)))
+    val ranks = Graphs.pageRankOnEdges(ring, 3).collect().map(_.getLong(1))
+    assert(ranks.distinct.length === 1, "2-regular ring: all ranks identical")
+  }
+
+  test("trianglesOnUndirected: K4 has every node in 3 triangles; path has none") {
+    val k4 = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)).toDF("x", "y")
+    val got = Graphs.trianglesOnUndirected(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    assert(Graphs.trianglesOnUndirected(path).count() === 0)
+  }
+
+  test("trianglesOnUndirected: matches the id-ordered enumeration on a skewed graph") {
+    // hub 0 joined to all of 1..10, plus a sparse ring among the spokes:
+    // exercises the degree-ordered orientation against brute force
+    val und = ((1L to 10L).map(l => (0L, l)) ++
+      (1L to 9L).map(i => (i, i + 1))).toDF("x", "y")
+    val byOrientation = Graphs.trianglesOnUndirected(und)
+      .agg(sum(col("n_tri"))).head().getLong(0)
+    val e = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var brute = 0L
+    for (a <- 0L to 10L; b <- a + 1 to 10L; c <- b + 1 to 10L)
+      if (e((a, b)) && e((b, c)) && e((a, c))) brute += 3 // 3 node slots each
+    assert(byOrientation === brute)
+  }
+
+  test("q_pagerank / q_triangle_count run on the corpus and rank plausibly") {
+    val pr = Graphs.pagerank(spark, sfDir).collect()
+    assert(pr.length === 20)
+    assert(pr.map(_.getLong(1)).toSeq === pr.map(_.getLong(1)).sortBy(-_).toSeq)
+    val tc = Graphs.triangleCount(spark, sfDir).collect()
+    assert(tc.length === 20)
+    assert(tc.forall(_.getLong(1) > 0))
+  }
+}
