@@ -162,9 +162,50 @@ object Graphs {
       .limit(20)
       .select(col("node").as("part_id"), col("n_tri"))
 
+  /** Association-rule mining (support / confidence / lift) over order
+    * baskets — Apriori level 2, the classic co-occurrence analytics on
+    * the same bipartite projection the graph ops use. Pair supports
+    * come from the basket-bounded self-join (k² per order, never
+    * corpus²) with min-support 2 pruning BEFORE the metric joins; item
+    * supports and the order count are node-sized broadcasts / a 1-row
+    * broadcast. Confidence and lift are single IEEE divisions of exact
+    * integer products (lift = n·sup(ab) / (sup(a)·sup(b))), so rows are
+    * bit-identical cross-engine. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = items.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemSup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+    val pairSup = items.toDF("o", "a").join(items.toDF("o", "b"), Seq("o"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= 2)
+    val dirs = pairSup
+      .select(col("a").as("ant"), col("b").as("cons"), col("sup_ab"))
+      .unionAll(pairSup
+        .select(col("b").as("ant"), col("a").as("cons"), col("sup_ab")))
+    dirs
+      .join(broadcast(itemSup.select(col("p").as("ant"), col("sup").as("sup_ant"))),
+        Seq("ant"))
+      .join(broadcast(itemSup.select(col("p").as("cons"), col("sup").as("sup_cons"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ant"), col("cons"), col("sup_ab"),
+        col("sup_ant"), col("sup_cons"),
+        (col("sup_ab").cast("double") / col("sup_ant").cast("double"))
+          .as("confidence"),
+        ((col("n_orders") * col("sup_ab")).cast("double") /
+          (col("sup_ant") * col("sup_cons")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("ant"), col("cons"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pagerank,
-    "q_triangle_count" -> triangleCount)
+    "q_triangle_count" -> triangleCount,
+    "q_assoc_rules" -> assocRules)
 
   /** Shared oracle prelude: the co-purchase edge CTEs. */
   private val edgeCtes =
@@ -207,6 +248,27 @@ object Graphs {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+         isup AS (SELECT p, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY 1),
+         psup AS (
+           SELECT a.p AS a, b.p AS b, CAST(count(*) AS BIGINT) AS sup_ab
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         dirs AS (
+           SELECT a AS ant, b AS cons, sup_ab FROM psup
+           UNION ALL SELECT b, a, sup_ab FROM psup)
+         SELECT d.ant, d.cons, d.sup_ab,
+           sa.sup AS sup_ant, sc.sup AS sup_cons,
+           CAST(d.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+           CAST(n.n_orders * d.sup_ab AS DOUBLE)
+             / CAST(sa.sup * sc.sup AS DOUBLE) AS lift
+         FROM dirs d
+         JOIN isup sa ON sa.p = d.ant
+         JOIN isup sc ON sc.p = d.cons, n
+         ORDER BY lift DESC, d.ant, d.cons LIMIT 30""",
     "q_pagerank" -> pagerankOracle,
     // id-ordered 3-join enumeration: a<b<c finds each triangle once —
     // a different (simpler, shuffle-heavier) plan than the degree-ordered

@@ -276,6 +276,48 @@ object Vectors {
       .orderBy(col("iq"))
   }
 
+  /** J7 extension — k-NN PSEUDO-LABELING (label spread): every
+    * unlabeled vector takes the majority label of its k=5 nearest
+    * LABELED neighbors by cosine — the semi-supervised bootstrap that
+    * turns a small curated seed set into training labels for a quality
+    * classifier (the fastText-teacher pattern of web-corpus pipelines).
+    * Seed = vec_id % 5 = 0 (the curated 20%); majority ties break to
+    * the smaller label (deterministic). `correct` compares against the
+    * held-back true label — the judged output carries its own
+    * evaluation column.
+    *
+    * Plan = the knnJoin shape with the sides swapped: the labeled seed
+    * set is the broadcast side BY CONSTRUCTION (curation is expensive —
+    * at 100 TB the seed is still ~10⁵ rows), the unlabeled corpus
+    * streams through ONE scan, and only narrow (id, label, cos) rows
+    * reach the per-vector top-k window (WindowGroupLimit partial top-k)
+    * and the vote aggregate. */
+  def labelSpread(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val seed = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("is"), col("label").as("s_label"),
+        col("embedding").as("se"), norm2(col("embedding")).as("ns"))
+    val scored = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("ue"),
+        norm2(col("embedding")).as("nu"))
+      .crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("label"), col("is"), col("s_label"),
+        round(dot(col("ue"), col("se")) / (col("nu") * col("ns")), 7).as("cos"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("is"))
+    val votes = scored.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 5)
+      .groupBy(col("vec_id"), col("label"), col("s_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("votes").desc, col("s_label"))
+    votes.withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("s_label").as("pred_label"), col("votes"),
+        (col("s_label") === col("label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Fixed random hyperplanes for sign-bit LSH: deterministic (seeded),
     * shared by build and probe side. Up to 12 tables × 4 bits (48
     * planes); annLsh uses the first 3 tables (planes 0–11 — the seeded
@@ -906,6 +948,7 @@ object Vectors {
     "q_cosine_pairs"  -> topKPairs,
     "q_knn_join"      -> knnJoin,
     "q_retrieval_eval" -> retrievalEval,
+    "q_label_spread"  -> labelSpread,
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
     "q_ann_pq"        -> annPq,
@@ -943,6 +986,37 @@ object Vectors {
   private lazy val staticOracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
     "q_mmr_rerank" -> mmrSql,
+    "q_label_spread" ->
+      """WITH seed AS (
+           SELECT vec_id AS "is", label AS s_label, embedding AS se,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ns
+           FROM embeddings WHERE vec_id % 5 = 0),
+         scored AS (
+           SELECT u.vec_id, u.label, seed."is", seed.s_label,
+             round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(u.embedding[i] AS DOUBLE) * CAST(se[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(u.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * ns), 7) AS cos
+           FROM embeddings u, seed WHERE u.vec_id % 5 <> 0),
+         topk AS (
+           SELECT vec_id, label, s_label FROM (
+             SELECT vec_id, label, s_label,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, "is") AS rk
+             FROM scored) WHERE rk <= 5),
+         votes AS (
+           SELECT vec_id, label, s_label,
+             CAST(count(*) AS BIGINT) AS votes
+           FROM topk GROUP BY 1, 2, 3)
+         SELECT vec_id, s_label AS pred_label, votes,
+           (s_label = label) AS correct
+         FROM (
+           SELECT vec_id, label, s_label, votes,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY votes DESC, s_label) AS vr
+           FROM votes) WHERE vr = 1
+         ORDER BY vec_id""",
     "q_embed_quantize" ->
       """WITH base AS (
            SELECT vec_id, embedding AS e,

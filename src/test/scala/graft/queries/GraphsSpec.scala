@@ -57,6 +57,28 @@ class GraphsSpec extends SparkTestBase {
     assert(byOrientation === brute)
   }
 
+  test("assoc rules: metric identities hold on every emitted rule") {
+    val rules = Graphs.assocRules(spark, sfDir).collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      val (supAb, supAnt, supCons) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (conf, lift) = (r.getDouble(5), r.getDouble(6))
+      assert(supAb >= 2 && supAb <= math.min(supAnt, supCons))
+      assert(conf === supAb.toDouble / supAnt.toDouble)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+    // lift is symmetric: where both directions of a pair surface in the
+    // top-30, their lifts must be identical
+    val byPair = rules.groupBy(r => {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b))
+    })
+    byPair.values.filter(_.length == 2).foreach { two =>
+      assert(two(0).getDouble(6) === two(1).getDouble(6))
+    }
+  }
+
   test("q_pagerank / q_triangle_count run on the corpus and rank plausibly") {
     val pr = Graphs.pagerank(spark, sfDir).collect()
     assert(pr.length === 20)

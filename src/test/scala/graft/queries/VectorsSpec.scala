@@ -223,6 +223,37 @@ class VectorsSpec extends SparkTestBase {
     assert(got.keySet === mem.map(_._2).toSet)
   }
 
+  test("label spread: knn majority vote re-derived from raw embeddings") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cosr(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt(a.indices.map(i => a(i).toDouble * a(i).toDouble).sum)
+      val nb = math.sqrt(b.indices.map(i => b(i).toDouble * b(i).toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val seed = e.filter(_._1 % 5 == 0)
+    val expected = e.filter(_._1 % 5 != 0).map { case (id, v, trueLab) =>
+      val top5 = seed.map { case (sid, sv, sl) => (cosr(v, sv), sid, sl) }
+        .sortBy { case (c, sid, _) => (-c, sid) }.take(5)
+      val (lab, votes) = top5.groupBy(_._3).view.mapValues(_.size).toSeq
+        .minBy { case (l, n) => (-n, l) }
+      (id, lab, votes.toLong, lab == trueLab)
+    }.sortBy(_._1)
+    val got = Vectors.labelSpread(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === expected.toSeq)
+    // No accuracy bar: MEASURED same-label vs cross-label cosine on this
+    // synthetic corpus is 0.004 vs −0.003 (sf0.001) — the labels are
+    // nearly decoupled from the geometry, so knn accuracy hovers at the
+    // 1/10 chance floor by construction. The operator contract is the
+    // exact vote re-derivation above plus full coverage below.
+    assert(got.length === e.count(_._1 % 5 != 0), "every unlabeled vector labeled")
+    assert(got.forall(g => g._3 >= 1 && g._3 <= 5))
+  }
+
   test("MMR rerank: greedy argmax invariant re-derived from first principles") {
     val out = Vectors.mmrRerank(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
