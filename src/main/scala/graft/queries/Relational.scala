@@ -711,7 +711,55 @@ object Relational {
         count_if(col("n") >= 5).as("keys_ge5"),
         count_if(col("n") >= 7).as("keys_ge7"))
 
+  /** 2-D SKYLINE (Pareto frontier): parts where no other part is both
+    * cheaper-or-equal and larger-or-equal with one strict — the
+    * multi-criteria shortlist operator (Börzsönyi et al., ICDE 2001).
+    *
+    * Spark-first shape instead of the textbook quadratic dominance
+    * anti-join: (1) per-price max size (one hash aggregate — the only
+    * possible skyline member at its price), (2) a DISTRIBUTED PREFIX-MAX
+    * over price order — range-partition, per-partition running max
+    * window, then the exclusive cross-partition prefix from a
+    * partition-count-sized broadcast — and (3) keep exactly the rows
+    * that rise above every strictly-cheaper point. No single global
+    * window over the data (the usual skyline scale-killer); the only
+    * single-partition step is over ONE ROW PER RANGE PARTITION. The
+    * oracle is the quadratic NOT EXISTS dominance definition, so the
+    * hash check cross-validates the decomposition against the
+    * definition itself. */
+  private[graft] def skylineOf(pts: DataFrame): DataFrame = {
+    val gmax = pts.groupBy(col("price")).agg(max(col("sz")).as("gmax"))
+    val parts = gmax.repartitionByRange(8, col("price"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("price"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = parts.withColumn("lmax", max(col("gmax")).over(wLoc))
+    val wPfx = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = parts.groupBy(col("pid")).agg(max(col("gmax")).as("pmax"))
+      .withColumn("pfx", max(col("pmax")).over(wPfx))
+    val keep = local
+      .join(broadcast(prefix.select(col("pid"), col("pfx"))), Seq("pid"))
+      .withColumn("prevmax",
+        greatest(coalesce(col("lmax"), lit(Int.MinValue)),
+          coalesce(col("pfx"), lit(Int.MinValue))))
+      .filter(col("gmax") > col("prevmax"))
+      .select(col("price"), col("gmax").as("sz"))
+    pts.join(keep, Seq("price", "sz"))
+  }
+
+  def skyline(s: SparkSession, d: String): DataFrame =
+    skylineOf(Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        col("p_retailprice").as("price"), col("p_size").as("sz")))
+      .select(col("id").as("p_partkey"),
+        col("price").as("p_retailprice"), col("sz").as("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline"            -> skyline,
     "q_skew_diag"          -> skewDiag,
     "q_date_parts"         -> dateParts,
     "q_arg_minmax"         -> argMinMax,
@@ -755,6 +803,15 @@ object Relational {
     "q_map_ops"            -> mapOps)
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size
+         FROM part a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part b
+           WHERE b.p_retailprice <= a.p_retailprice
+             AND b.p_size >= a.p_size
+             AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+         ORDER BY a.p_retailprice, a.p_partkey""",
     "q_skew_diag" ->
       """WITH per AS (
            SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)

@@ -1509,7 +1509,31 @@ object TextOps {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  /** Vocabulary build + coverage: the top-256 corpus tokens by frequency
+    * (ties lexicographic — deterministic truncation) and each document's
+    * out-of-vocabulary rate against that vocab — the first diagnostic a
+    * tokenizer-training loop runs (vocab truncation ↔ OOV trade-off).
+    * The vocab is a distributed TakeOrdered (global top-k, never a full
+    * sort) and joins back as a broadcast; per-doc stats are one
+    * map-side-combined aggregate; oov_rate is the single IEEE division
+    * of two exact counts. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(256)
+    toks
+      .join(broadcast(vocab.select(col("tok"), lit(1).as("iv"))), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), count_if(col("iv").isNull).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tok").cast(DoubleType)).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage"   -> vocabCoverage,
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
     "q_heavy_hitters"    -> heavyHitters,
@@ -1580,6 +1604,22 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, t AS tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE len(t) > 0),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+             ORDER BY cnt DESC, tok LIMIT 256))
+         SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+         GROUP BY 1 ORDER BY 1""",
     "q_phrase_search" ->
       """WITH docs AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

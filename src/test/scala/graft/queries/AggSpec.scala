@@ -37,4 +37,46 @@ class AggSpec extends SparkTestBase {
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).head().getDecimal(0)
     assert(total(1) === total(13))
   }
+
+  test("skyline: distributed prefix-max decomposition == brute-force dominance") {
+    import spark.implicits._
+    // planted staircase + dominated interior + duplicate frontier point
+    val pts = Seq(
+      (1L, 1.0, 1), (2L, 2.0, 3), (3L, 3.0, 5), // staircase (all frontier)
+      (4L, 2.5, 2), (5L, 3.0, 4),               // dominated interior
+      (6L, 2.0, 3),                             // duplicate of id 2 — both kept
+      (7L, 4.0, 5)                              // same size as 3, pricier — dominated
+    ).toDF("id", "price", "sz")
+    val got = Relational.skylineOf(pts).select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 6L))
+
+    // corpus parity vs brute force at sf0.001
+    val all = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = all.filter { case (_, p, s) =>
+      !all.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    val q = Relational.skyline(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(q === brute)
+  }
+
+  test("vocab coverage: vocab truncation and per-doc OOV re-derived") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val vocab = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(256)
+      .map(_._1).toSet
+    val got = TextOps.vocabCoverage(spark, sfDir).collect()
+    assert(got.length === docs.length)
+    got.foreach { r =>
+      val toks = docs.toMap.apply(r.getLong(0))
+      val oov = toks.count(!vocab(_))
+      assert(r.getLong(1) === toks.length.toLong)
+      assert(r.getLong(2) === oov.toLong)
+      assert(r.getDouble(3) === oov.toDouble / toks.length)
+    }
+  }
 }

@@ -57,6 +57,20 @@ class GraphsSpec extends SparkTestBase {
     assert(byOrientation === brute)
   }
 
+  test("kcoreOnEdges: planted core survives, chain cascade peels over rounds") {
+    // K10 (every node degree 9) with a pendant chain 0–10–11–12
+    val k10 = sym(for { a <- 0L to 9L; b <- 0L to 9L if a < b } yield (a, b))
+    val edges = k10.unionAll(sym(Seq((0L, 10L), (10L, 11L), (11L, 12L))))
+    val core = Graphs.kcoreOnEdges(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet === (0L to 9L).toSet, "chain peels, clique survives")
+    assert(core(0L) === 9L, "reported degree is WITHIN-core (chain edge gone)")
+    assert(core.values.forall(_ === 9L))
+    // a pure path at k=2 cascades two ends per round down to nothing
+    val path = sym((0L until 9L).map(i => (i, i + 1)))
+    assert(Graphs.kcoreOnEdges(path, 2).count() === 0)
+  }
+
   test("assoc rules: metric identities hold on every emitted rule") {
     val rules = Graphs.assocRules(spark, sfDir).collect()
     assert(rules.nonEmpty)
