@@ -750,6 +750,49 @@ object Relational {
     pts.join(keep, Seq("price", "sz"))
   }
 
+  /** WINSORIZATION (robust clipping): per order-priority, clip
+    * o_totalprice into its exact rank-based [p05, p95] band and report
+    * the clipped vs raw DECIMAL sums — the outlier-taming pass run
+    * before any mean-based metric on heavy-tailed data. Bound ranks are
+    * EXACT integers (lo = ⌈n/20⌉, hi = ⌈19n/20⌉ via integer div — no
+    * 0.05·n float), the rank order is total (price, orderkey tiebreak),
+    * and bound VALUES come from conditional aggregates at those ranks,
+    * so both engines pick identical bounds; sums are exact
+    * DECIMAL(18,2). Per-group windows parallelize across groups; the
+    * two shuffles are the rank window and the final aggregate, with the
+    * 5-row bounds table broadcast back for the clip pass. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    val ranked = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wN))
+    val bounds = ranked
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("n")).as("n_rows"),
+        max(when(col("rn") === expr("(n + 19) div 20"), col("o_totalprice"))).as("lo"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("o_totalprice"))).as("hi"))
+    Tables.orders(s, d)
+      .join(broadcast(bounds), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        max(col("lo")).as("p05"),
+        max(col("hi")).as("p95"),
+        // exact DECIMAL quantize, surfaced as DOUBLE (the established
+        // cross-engine idiom — the driver hashes dtypes)
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast(DoubleType).as("raw_sum"),
+        sum(least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+          .cast("decimal(18,2)")).cast(DoubleType).as("clipped_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def skyline(s: SparkSession, d: String): DataFrame =
     skylineOf(Tables.part(s, d).select(
         col("p_partkey").as("id"),
@@ -760,6 +803,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline"            -> skyline,
+    "q_winsorize"          -> winsorize,
     "q_skew_diag"          -> skewDiag,
     "q_date_parts"         -> dateParts,
     "q_arg_minmax"         -> argMinMax,
@@ -812,6 +856,25 @@ object Relational {
              AND b.p_size >= a.p_size
              AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
          ORDER BY a.p_retailprice, a.p_partkey""",
+    "q_winsorize" ->
+      """WITH ranked AS (
+           SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders),
+         bounds AS (
+           SELECT o_orderpriority,
+             CAST(max(n) AS BIGINT) AS n_rows,
+             max(CASE WHEN rn = (n + 19) // 20 THEN o_totalprice END) AS lo,
+             max(CASE WHEN rn = (19 * n + 19) // 20 THEN o_totalprice END) AS hi
+           FROM ranked GROUP BY 1)
+         SELECT o.o_orderpriority, b.n_rows, b.lo AS p05, b.hi AS p95,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS raw_sum,
+           CAST(sum(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+             AS DECIMAL(18,2))) AS DOUBLE) AS clipped_sum
+         FROM orders o JOIN bounds b USING (o_orderpriority)
+         GROUP BY 1, 2, 3, 4 ORDER BY 1""",
     "q_skew_diag" ->
       """WITH per AS (
            SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)

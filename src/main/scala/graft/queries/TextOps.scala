@@ -1509,6 +1509,46 @@ object TextOps {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  /** SOURCE DRIFT: pairwise TOTAL-VARIATION distance between the hashed
+    * token distributions of every source pair — the distribution-shift
+    * monitor a multi-source corpus runs before (re)setting mixture
+    * weights, and the exact-arithmetic cousin of KL drift (logs diverge
+    * cross-engine in the last ulp; TV doesn't need them).
+    * TV(a,b) = ½ Σᵢ |pᵢ − qᵢ| over B=1024 md5-hash buckets (the DSIR
+    * bucket idiom), computed as the EXACT BIGINT sum Σ|cᵃᵢ·Tᵇ − cᵇᵢ·Tᵃ|
+    * with ONE final IEEE division by 2·Tᵃ·Tᵇ (products stay under 2⁵³ —
+    * exact as doubles). The bucket table is corpus-size-independent
+    * (sources × 1024 dense grid, zero-count buckets included via the
+    * grid), so pair work never touches the corpus again. */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast(LongType) % B).as("b"))
+    val cnt = tok.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val dense = tot
+      .crossJoin(broadcast(s.range(B).select(col("id").as("b"))))
+      .join(cnt, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), col("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = dense.select(col("b"), col("source").as("sa"),
+      col("t").as("ta"), col("c").as("ca"))
+    val bb = dense.select(col("b"), col("source").as("sb"),
+      col("t").as("tb"), col("c").as("cb"))
+    a.join(bb, Seq("b")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(abs(col("ca") * col("tb") - col("cb") * col("ta"))).as("num"))
+      .select(col("sa"), col("sb"), col("ta"), col("tb"), col("num"),
+        (col("num").cast(DoubleType) /
+          (col("ta") * col("tb") * 2L).cast(DoubleType)).as("tv_distance"))
+      .orderBy(col("tv_distance").desc, col("sa"), col("sb"))
+  }
+
   /** Vocabulary build + coverage: the top-256 corpus tokens by frequency
     * (ties lexicographic — deterministic truncation) and each document's
     * out-of-vocabulary rate against that vocab — the first diagnostic a
@@ -1534,6 +1574,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage"   -> vocabCoverage,
+    "q_source_drift"     -> sourceDrift,
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
     "q_heavy_hitters"    -> heavyHitters,
@@ -1604,6 +1645,29 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_source_drift" ->
+      """WITH tok AS (
+           SELECT source,
+             CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 1024 AS b
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents) WHERE len(t) > 0),
+         cnt AS (
+           SELECT source, b, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+         tot AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         dense AS (
+           SELECT tot.source, g.b, tot.t, COALESCE(cnt.c, 0) AS c
+           FROM tot CROSS JOIN range(1024) g(b)
+           LEFT JOIN cnt ON cnt.source = tot.source AND cnt.b = g.b)
+         SELECT a.source AS sa, b.source AS sb,
+           max(a.t) AS ta, max(b.t) AS tb,
+           CAST(sum(abs(a.c * b.t - b.c * a.t)) AS BIGINT) AS num,
+           CAST(sum(abs(a.c * b.t - b.c * a.t)) AS DOUBLE)
+             / CAST(max(a.t) * max(b.t) * 2 AS DOUBLE) AS tv_distance
+         FROM dense a JOIN dense b ON a.b = b.b AND a.source < b.source
+         GROUP BY 1, 2
+         ORDER BY tv_distance DESC, sa, sb""",
     "q_vocab_coverage" ->
       """WITH tok AS (
            SELECT doc_id, t AS tok FROM (

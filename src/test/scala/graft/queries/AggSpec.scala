@@ -62,6 +62,27 @@ class AggSpec extends SparkTestBase {
     assert(q === brute)
   }
 
+  test("winsorize: exact rank bounds and clipped sums re-derived") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byPrio = orders.groupBy(_._1)
+    val got = Relational.winsorize(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === byPrio.keySet)
+    got.foreach { r =>
+      val rows = byPrio(r.getString(0)).sortBy(t => (t._3, t._2))
+      val n = rows.length
+      val (lo, hi) = (rows((n + 19) / 20 - 1)._3, rows((19 * n + 19) / 20 - 1)._3)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === lo && r.getDouble(3) === hi)
+      def dec(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(4) === rows.map(t => dec(t._3)).sum.toDouble)
+      assert(r.getDouble(5) ===
+        rows.map(t => dec(math.min(math.max(t._3, lo), hi))).sum.toDouble)
+      assert(lo <= hi)
+    }
+  }
+
   test("vocab coverage: vocab truncation and per-doc OOV re-derived") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

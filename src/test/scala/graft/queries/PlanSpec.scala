@@ -250,4 +250,33 @@ class PlanSpec extends SparkTestBase {
     assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty, p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("label spread broadcasts the seed set and bounds top-k (WindowGroupLimit)") {
+    val p = plan(Vectors.labelSpread(spark, sfDir))
+    // the curated seed side must be the broadcast build side — the
+    // corpus is scanned once, never shuffled against the seeds
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // rk <= 5 must prune shuffle input, not just filter after the window
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("vocab coverage: vocab is a distributed partial top-k, then broadcast back") {
+    val p = plan(TextOps.vocabCoverage(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p) // top-256, no full sort
+    assert(p.contains("BroadcastHashJoin"), p)     // vocab joins as broadcast
+  }
+
+  test("skyline runs no global single-partition window over the data") {
+    val p = plan(Relational.skylineOf(
+      graft.Tables.part(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("p_partkey").as("id"),
+        org.apache.spark.sql.functions.col("p_retailprice").as("price"),
+        org.apache.spark.sql.functions.col("p_size").as("sz"))))
+    // the only SinglePartition exchange feeds the partition-count-sized
+    // prefix table (one row per range partition), never the data: its
+    // input must come from a partial aggregate over pid
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 2, s"SinglePartition exchanges: $single\n$p") // toString prints plan twice
+    assert(p.contains("Exchange rangepartitioning"), p) // the distributed prefix scan
+  }
 }

@@ -492,4 +492,39 @@ class TextOpsSpec extends SparkTestBase {
     val rateOther = keptOther.toDouble / (keptOther + dropOther)
     assert(rateEn > rateOther, s"en keep-rate $rateEn !> other $rateOther")
   }
+
+  test("source drift: exact TV numerators re-derived bucket-for-bucket") {
+    import java.security.MessageDigest
+    def bucket(t: String): Long = {
+      val md = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text")).collect()
+    val counts = collection.mutable.Map[(String, Long), Long]().withDefaultValue(0L)
+    val tot = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { r =>
+      r.getString(1).split(" ").filter(_.nonEmpty).foreach { t =>
+        counts((r.getString(0), bucket(t))) += 1
+        tot(r.getString(0)) += 1
+      }
+    }
+    val sources = tot.keys.toSeq.sorted
+    val exp = (for { i <- sources.indices; j <- i + 1 until sources.size } yield {
+      val (sa, sb) = (sources(i), sources(j))
+      val num = (0L until 1024L)
+        .map(b => math.abs(counts((sa, b)) * tot(sb) - counts((sb, b)) * tot(sa))).sum
+      (sa, sb) -> ((num, num.toDouble / (tot(sa) * tot(sb) * 2).toDouble))
+    }).toMap
+    val got = TextOps.sourceDrift(spark, sfDir).collect()
+    assert(got.length === exp.size, "every source pair present")
+    got.foreach { r =>
+      val (num, tv) = exp((r.getString(0), r.getString(1)))
+      assert(r.getLong(4) === num)
+      assert(r.getDouble(5) === tv)
+      assert(tv >= 0.0 && tv <= 1.0)
+    }
+  }
 }
