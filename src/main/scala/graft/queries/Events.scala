@@ -603,7 +603,36 @@ object Events {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** SEQUENTIAL-PATTERN support ("a followed by b"): for every ordered
+    * event-type pair, the number of users with SOME a-event strictly
+    * before SOME b-event — the level-2 GSP/PrefixSpan measure behind
+    * next-action mining, computed without scanning any sequence twice:
+    * "∃ i<j: tᵢ=a ∧ tⱼ=b" ⇔ first(a) < last(b), so one per-(user, type)
+    * min/max aggregate (map-side combined) reduces each user to ≤|types|
+    * rows, and the pair join is |types|²-bounded per user, never
+    * event-count-bounded. "Before" is STRICT on the event timestamp
+    * (min/max of ts are exact, so both engines agree bit-for-bit);
+    * support is one exact division. */
+  def seqMining(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_occ"), max(col("ts")).as("last_occ"))
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val a = occ.select(col("user_id"), col("event_type").as("a"), col("first_occ"))
+    val b = occ.select(col("user_id"), col("event_type").as("b"), col("last_occ"))
+    a.join(b, Seq("user_id"))
+      .filter(col("a") =!= col("b") && col("first_occ") < col("last_occ"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_users_pat"))
+      .crossJoin(broadcast(users))
+      .select(col("a"), col("b"), col("n_users_pat"),
+        (col("n_users_pat").cast(DoubleType) / col("n_users").cast(DoubleType))
+          .as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_mining"       -> seqMining,
     "q_debounce"         -> debounce,
     "q_chisq_cells"      -> chisqCells,
     "q_ewma"             -> ewma,
@@ -630,6 +659,22 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_seq_mining" ->
+      """WITH occ AS (
+           SELECT user_id, event_type,
+             min(ts) AS first_occ, max(ts) AS last_occ
+           FROM events GROUP BY 1, 2),
+         n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+         pat AS (
+           SELECT a.event_type AS a, b.event_type AS b,
+             CAST(count(*) AS BIGINT) AS n_users_pat
+           FROM occ a JOIN occ b ON a.user_id = b.user_id
+             AND a.event_type <> b.event_type
+             AND a.first_occ < b.last_occ
+           GROUP BY 1, 2)
+         SELECT a, b, n_users_pat,
+           CAST(n_users_pat AS DOUBLE) / CAST(n.n_users AS DOUBLE) AS support
+         FROM pat, n ORDER BY a, b""",
     "q_debounce" ->
       """WITH g AS (
            SELECT event_id, ts, user_id, event_type,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Graph analytics over the part co-purchase graph (SURVEY.md §2 J8/J9
   * extensions — link-graph primitives a crawl/training-data pipeline
@@ -209,6 +210,46 @@ object Graphs {
       .select(col("node").as("part_id"), col("deg").as("core_deg"))
       .orderBy(col("part_id"))
 
+  /** Newman MODULARITY of the brand partition over the co-purchase
+    * graph — "are same-brand parts co-purchased more than a random
+    * rewiring predicts?" — the partition-quality metric behind
+    * community detection (Newman & Girvan 2004). Per community c:
+    * Q_c = E_c/m − (K_c/2m)², reported with the EXACT BIGINT numerator
+    * n_c = 4·E_c·m − K_c² over the common denominator 4m², so the only
+    * float per row is ONE IEEE division (and the grand total divides
+    * the exact Σn_c once — never a float sum). Everything is id-sized:
+    * edge→brand joins broadcast the part dimension, degrees and
+    * intra-edge counts are two aggregates. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val und = copurchaseEdges(s, d).filter(col("src") < col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
+    val brand = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val withBrands = und
+      .join(broadcast(brand.select(col("p_partkey").as("x"), col("p_brand").as("bx"))), Seq("x"))
+      .join(broadcast(brand.select(col("p_partkey").as("y"), col("p_brand").as("by"))), Seq("y"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val degByBrand = withBrands
+      .select(explode(array(col("bx"), col("by"))).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("k_c"))
+    val intra = withBrands.filter(col("bx") === col("by"))
+      .groupBy(col("bx").as("brand")).agg(count(lit(1)).as("e_c"))
+    val perBrand = degByBrand.join(intra, Seq("brand"), "left_outer")
+      .select(col("brand"), col("k_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("e_c"), col("k_c"), col("m"),
+        (lit(4L) * col("e_c") * col("m") - col("k_c") * col("k_c")).as("num"))
+    val total = perBrand.agg(sum(col("num")).as("tot_num"), max(col("m")).as("mm"))
+      .select((col("tot_num").cast(DoubleType) /
+        (lit(4L) * col("mm") * col("mm")).cast(DoubleType)).as("q_total"))
+    perBrand
+      .crossJoin(broadcast(total))
+      .select(col("brand"), col("e_c"), col("k_c"),
+        (col("num").cast(DoubleType) /
+          (lit(4L) * col("m") * col("m")).cast(DoubleType)).as("q_c"),
+        col("q_total"))
+      .orderBy(col("brand"))
+  }
+
   /** Association-rule mining (support / confidence / lift) over order
     * baskets — Apriori level 2, the classic co-occurrence analytics on
     * the same bipartite projection the graph ops use. Pair supports
@@ -253,6 +294,7 @@ object Graphs {
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
     "q_kcore" -> kcore,
+    "q_modularity" -> modularity,
     "q_assoc_rules" -> assocRules)
 
   /** Unrolled peel oracle: peeling is monotone and idempotent after the
@@ -342,6 +384,33 @@ object Graphs {
          ORDER BY lift DESC, d.ant, d.cons LIMIT 30""",
     "q_pagerank" -> pagerankOracle,
     "q_kcore" -> kcoreOracle,
+    "q_modularity" -> (edgeCtes +
+      """,
+       und AS MATERIALIZED (
+         SELECT e.src AS x, e.dst AS y, px.p_brand AS bx, py.p_brand AS by
+         FROM edges e
+         JOIN part px ON px.p_partkey = e.src
+         JOIN part py ON py.p_partkey = e.dst
+         WHERE e.src < e.dst),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       degb AS (
+         SELECT brand, CAST(count(*) AS BIGINT) AS k_c FROM (
+           SELECT bx AS brand FROM und UNION ALL SELECT by FROM und)
+         GROUP BY 1),
+       intra AS (
+         SELECT bx AS brand, CAST(count(*) AS BIGINT) AS e_c
+         FROM und WHERE bx = by GROUP BY 1),
+       per AS (
+         SELECT d.brand, COALESCE(i.e_c, 0) AS e_c, d.k_c,
+           4 * COALESCE(i.e_c, 0) * m.m - d.k_c * d.k_c AS num, m.m
+         FROM degb d LEFT JOIN intra i ON d.brand = i.brand, m),
+       tot AS (
+         SELECT CAST(sum(num) AS DOUBLE)
+           / CAST(4 * max(m) * max(m) AS DOUBLE) AS q_total FROM per)
+       SELECT brand, e_c, k_c,
+         CAST(num AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS q_c,
+         tot.q_total
+       FROM per, tot ORDER BY brand"""),
     // id-ordered 3-join enumeration: a<b<c finds each triangle once —
     // a different (simpler, shuffle-heavier) plan than the degree-ordered
     // Spark one, same triangle set by construction.

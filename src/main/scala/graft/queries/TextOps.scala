@@ -1509,6 +1509,37 @@ object TextOps {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  /** DATASET CARD: the per-source corpus report a training-data release
+    * ships — doc/unique/duplication counts, token and char volumes,
+    * language spread and the dominant language — one pass over the
+    * corpus (content identity via md5 digest, so text never shuffles
+    * for the distinct; the exact-dedup idiom), one tiny per-(source,
+    * lang) aggregate for the mode with deterministic ties (count desc,
+    * lang asc). dup_rate is the single derived float. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("n_tok"))
+    val per = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("h")).as("n_unique"),
+      sum(col("n_tok")).as("tot_tokens"),
+      sum(col("n_chars")).as("tot_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("nl").desc, col("lang"))
+    val top = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nl"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    per.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (lit(1.0) - col("n_unique").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"),
+        col("tot_tokens"), col("tot_chars"), col("n_langs"), col("top_lang"))
+      .orderBy(col("source"))
+  }
+
   /** SOURCE DRIFT: pairwise TOTAL-VARIATION distance between the hashed
     * token distributions of every source pair — the distribution-shift
     * monitor a multi-source corpus runs before (re)setting mixture
@@ -1575,6 +1606,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage"   -> vocabCoverage,
     "q_source_drift"     -> sourceDrift,
+    "q_dataset_card"     -> datasetCard,
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
     "q_heavy_hitters"    -> heavyHitters,
@@ -1645,6 +1677,28 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_card" ->
+      """WITH base AS (
+           SELECT source, lang, n_chars, md5(text) AS h,
+             len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tok
+           FROM documents),
+         per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+             CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           FROM base GROUP BY 1),
+         lm AS (SELECT source, lang, count(*) AS nl FROM base GROUP BY 1, 2),
+         top AS (
+           SELECT source, lang AS top_lang FROM (
+             SELECT source, lang, row_number() OVER (
+               PARTITION BY source ORDER BY nl DESC, lang) AS r
+             FROM lm) WHERE r = 1)
+         SELECT p.source, p.n_docs, p.n_unique,
+           1.0 - CAST(p.n_unique AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS dup_rate,
+           p.tot_tokens, p.tot_chars, p.n_langs, t.top_lang
+         FROM per p JOIN top t USING (source) ORDER BY p.source""",
     "q_source_drift" ->
       """WITH tok AS (
            SELECT source,

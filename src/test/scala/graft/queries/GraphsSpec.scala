@@ -93,6 +93,39 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("modularity: exact numerators re-derived from the corpus edge list") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val brand = graft.Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = und.size.toLong
+    val kc = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val ec = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    und.foreach { case (x, y) =>
+      kc(brand(x)) += 1; kc(brand(y)) += 1
+      if (brand(x) == brand(y)) ec(brand(x)) += 1
+    }
+    val got = Graphs.modularity(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === kc.keySet)
+    var sumQc = 0.0
+    got.foreach { r =>
+      val b = r.getString(0)
+      assert(r.getLong(1) === ec(b) && r.getLong(2) === kc(b))
+      val num = 4L * ec(b) * m - kc(b) * kc(b)
+      assert(r.getDouble(3) === num.toDouble / (4L * m * m).toDouble)
+      sumQc += r.getDouble(3)
+    }
+    assert(math.abs(got.head.getDouble(4) - sumQc) < 1e-9,
+      "q_total consistent with the per-brand contributions")
+    assert(kc.values.sum === 2 * m)
+  }
+
   test("q_pagerank / q_triangle_count run on the corpus and rank plausibly") {
     val pr = Graphs.pagerank(spark, sfDir).collect()
     assert(pr.length === 20)

@@ -31,4 +31,53 @@ class ResampleSpec extends SparkTestBase {
       .count()
     assert(bad == 0, s"$bad gap rows broke LOCF")
   }
+
+  test("seq mining: followed-by supports re-derived from raw event sequences") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    val expected = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    byUser.values.foreach { rows =>
+      val types = rows.map(_._2).distinct
+      for (a <- types; b <- types if a != b) {
+        val firstA = rows.filter(_._2 == a).map(_._3).min
+        val lastB = rows.filter(_._2 == b).map(_._3).max
+        if (firstA < lastB) expected((a, b)) += 1
+      }
+    }
+    val nUsers = byUser.size.toLong
+    val got = Events.seqMining(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val n = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === n)
+      assert(r.getDouble(3) === n.toDouble / nUsers.toDouble)
+    }
+  }
+
+  test("dataset card: every per-source stat re-derived") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val got = TextOps.datasetCard(spark, sfDir).collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(got.map(_.getString(0)).toSet === bySrc.keySet)
+    got.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getLong(2) === rows.map(t => md5hex(t._4)).distinct.length.toLong)
+      assert(r.getDouble(3) === 1.0 - r.getLong(2).toDouble / r.getLong(1).toDouble)
+      assert(r.getLong(4) === rows.map(_._4.split(" ").count(_.nonEmpty).toLong).sum)
+      assert(r.getLong(5) === rows.map(_._3).sum)
+      assert(r.getLong(6) === rows.map(_._2).distinct.length.toLong)
+      val topLang = rows.groupBy(_._2).view.mapValues(_.size).toSeq
+        .minBy { case (l, n) => (-n, l) }._1
+      assert(r.getString(7) === topLang)
+    }
+  }
 }
