@@ -631,7 +631,49 @@ object Events {
       .orderBy(col("a"), col("b"))
   }
 
+  /** A/B TEST readout: two-proportion z-test per event type with the
+    * deterministic variant split user_id % 2 — the experiment-analysis
+    * primitive (conversion = user emitted the type at least once).
+    * Counts are exact; the z statistic is a closed-form chain of IEEE
+    * div/mul/sqrt — all CORRECTLY-ROUNDED operations, so both engines
+    * produce bit-identical doubles (the same reason the determinism
+    * policy bans only libm log/exp). Distinct-user reductions are
+    * map-side combined; the per-variant totals ride a 2-row broadcast. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        (col("user_id") % 2).as("variant"))
+    val conv = ev.select(col("user_id"), col("event_type"), col("variant"))
+      .distinct()
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ev.select(col("user_id"), col("variant")).distinct()
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val a = conv.filter(col("variant") === 0)
+      .select(col("event_type"), col("c").as("c_a"))
+    val b = conv.filter(col("variant") === 1)
+      .select(col("event_type"), col("c").as("c_b"))
+    val nA = totals.filter(col("variant") === 0).select(col("n").as("n_a"))
+    val nB = totals.filter(col("variant") === 1).select(col("n").as("n_b"))
+    val pA = col("c_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val pB = col("c_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val pPool = (col("c_a") + col("c_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b")).cast(DoubleType)
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast(DoubleType) + lit(1.0) / col("n_b").cast(DoubleType)))
+    a.join(b, Seq("event_type"))
+      .crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .select(col("event_type"), col("c_a"), col("c_b"),
+        col("n_a"), col("n_b"),
+        pA.as("rate_a"), pB.as("rate_b"),
+        // degenerate SE (pooled rate 0 or 1) → NULL z on both engines
+        when(pPool > 0.0 && pPool < 1.0, (pA - pB) / se).as("z"))
+      .withColumn("significant", abs(col("z")) > 1.959963984540054)
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test"          -> abTest,
     "q_seq_mining"       -> seqMining,
     "q_debounce"         -> debounce,
     "q_chisq_cells"      -> chisqCells,
@@ -659,6 +701,44 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, event_type, user_id % 2 AS variant
+           FROM events),
+         conv AS (
+           SELECT event_type, variant, CAST(count(*) AS BIGINT) AS c
+           FROM ev GROUP BY 1, 2),
+         tot AS (
+           SELECT user_id % 2 AS variant,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT a.event_type, a.c AS c_a, b.c AS c_b, na.n AS n_a, nb.n AS n_b
+           FROM (SELECT event_type, c FROM conv WHERE variant = 0) a
+           JOIN (SELECT event_type, c FROM conv WHERE variant = 1) b
+             ON a.event_type = b.event_type
+           CROSS JOIN (SELECT n FROM tot WHERE variant = 0) na
+           CROSS JOIN (SELECT n FROM tot WHERE variant = 1) nb)
+         SELECT event_type, c_a, c_b, n_a, n_b,
+           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CASE WHEN CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0
+                 AND CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) < 1
+             THEN (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             END AS z,
+           abs(CASE WHEN CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0
+                 AND CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) < 1
+             THEN (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             END) > 1.959963984540054 AS significant
+         FROM j ORDER BY event_type""",
     "q_seq_mining" ->
       """WITH occ AS (
            SELECT user_id, event_type,

@@ -750,6 +750,75 @@ object Relational {
     pts.join(keep, Seq("price", "sz"))
   }
 
+  /** DETERMINISTIC POISSON BOOTSTRAP: a 95% CI for the mean order value
+    * from R=64 resampling replicas — the scale-out bootstrap (Poisson
+    * counts approximate multinomial resampling without coordinating a
+    * global n, the standard streaming/bootstrap trick) made
+    * REPRODUCIBLE: each row's per-replica weight comes from an md5
+    * counter hash mapped through the literal Poisson(1) inverse CDF, so
+    * both engines draw byte-identical "randomness". Replica means are
+    * exact DECIMAL sums ÷ exact counts (one IEEE division each); the CI
+    * picks rank 2 / rank 63 of the 64 means (order total on (mean, r)).
+    * Scale shape: one corpus scan fanned ×R row-side, map-side-combined
+    * into R partials — the only windows run over exactly R rows. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val R = 64
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    // one md5 per (row, 8-replica block): the 32 hex chars carve into
+    // eight independent 16-bit draws (u granularity 1/65536 — far finer
+    // than the CDF gaps), so the digest count is n·R/8, not n·R —
+    // measured 6.9 s → 2.6 s at sf0.1
+    val u = conv(col("h").substr(lit(1) + lit(4) * col("j"), lit(4)),
+      16, 10).cast("long").cast(DoubleType) / lit(65536.0)
+    // cumulative Poisson(1) CDF as exact double literals
+    val w = when(u < 0.3678794411714423, 0)
+      .when(u < 0.7357588823428846, 1)
+      .when(u < 0.9196986029286058, 2)
+      .when(u < 0.9810118431238462, 3)
+      .when(u < 0.9963401531726563, 4)
+      .when(u < 0.9994058151824183, 5)
+      .when(u < 0.9999167589384503, 6)
+      .otherwise(7)
+    // money as exact LONG cents: the decimal(18,2)·int product would
+    // leave Spark's compact-long decimal representation (precision 28 →
+    // per-row BigDecimal allocation — measured 10.9 s at sf0.1); integer
+    // cents keep the whole weighted sum in primitive codegen (1.9 s)
+    val means = o
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").multiply(lit(100))
+          .cast("long").as("cents"))
+      // the source is a one-split parquet — without this the whole ×R
+      // fan-out pipelines on a single core (the jaccardPrefix lesson)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("o_orderkey"), col("cents"), // cents BELOW the explodes: 1 decimal op per row, not per replica
+        explode(sequence(lit(0), lit(R / 8 - 1))).as("blk"))
+      .withColumn("h", md5(concat(
+        col("o_orderkey").cast("string"), lit(":"), col("blk").cast("string"))))
+      .select(col("cents"), col("blk"), col("h"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("r", col("blk") * 8 + col("j"))
+      .withColumn("w", w)
+      .groupBy(col("r"))
+      .agg((sum(col("cents") * col("w")).cast(DoubleType) /
+        (sum(col("w")) * lit(100L)).cast(DoubleType)).as("mean_r"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_r"), col("r"))
+    val ranked = means.withColumn("rn", row_number().over(wRank))
+    val full = o.agg(
+      count(lit(1)).as("n_rows"),
+      (sum(col("o_totalprice").cast("decimal(18,2)").multiply(lit(100))
+        .cast("long")).cast(DoubleType) /
+        (count(lit(1)) * lit(100L)).cast(DoubleType)).as("mean_full"))
+    full
+      .crossJoin(broadcast(ranked.filter(col("rn") === 2)
+        .select(col("mean_r").as("ci_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("rn") === R - 1)
+        .select(col("mean_r").as("ci_hi"))))
+      .select(col("n_rows"), col("mean_full"), col("ci_lo"), col("ci_hi"),
+        (col("ci_lo") <= col("mean_full") && col("mean_full") <= col("ci_hi"))
+          .as("mean_inside"))
+  }
+
   /** WINSORIZATION (robust clipping): per order-priority, clip
     * o_totalprice into its exact rank-based [p05, p95] band and report
     * the clipped vs raw DECIMAL sums — the outlier-taming pass run
@@ -804,6 +873,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline"            -> skyline,
     "q_winsorize"          -> winsorize,
+    "q_bootstrap_ci"       -> bootstrapCi,
     "q_skew_diag"          -> skewDiag,
     "q_date_parts"         -> dateParts,
     "q_arg_minmax"         -> argMinMax,
@@ -856,6 +926,43 @@ object Relational {
              AND b.p_size >= a.p_size
              AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
          ORDER BY a.p_retailprice, a.p_partkey""",
+    "q_bootstrap_ci" ->
+      """WITH rep AS (
+           SELECT o_orderkey, o_totalprice, g.blk * 8 + s.j AS r,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+               || CAST(g.blk AS VARCHAR)), 1 + 4 * s.j, 4)) AS BIGINT)
+               / 65536.0 AS u
+           FROM orders CROSS JOIN range(8) g(blk) CROSS JOIN range(8) s(j)),
+         wtd AS (
+           SELECT r,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN u < 0.3678794411714423 THEN 0
+                  WHEN u < 0.7357588823428846 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167589384503 THEN 6
+                  ELSE 7 END AS w
+           FROM rep),
+         means AS (
+           SELECT r,
+             CAST(sum(cents * w) AS DOUBLE)
+               / CAST(sum(w) * 100 AS DOUBLE) AS mean_r
+           FROM wtd GROUP BY 1),
+         ranked AS (
+           SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rn
+           FROM means),
+         overall AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS mean_full
+           FROM orders)
+         SELECT f.n_rows, f.mean_full, lo.mean_r AS ci_lo, hi.mean_r AS ci_hi,
+           (lo.mean_r <= f.mean_full AND f.mean_full <= hi.mean_r) AS mean_inside
+         FROM overall f
+         CROSS JOIN (SELECT mean_r FROM ranked WHERE rn = 2) lo
+         CROSS JOIN (SELECT mean_r FROM ranked WHERE rn = 63) hi""",
     "q_winsorize" ->
       """WITH ranked AS (
            SELECT o_orderpriority, o_totalprice,

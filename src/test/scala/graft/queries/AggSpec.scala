@@ -83,6 +83,40 @@ class AggSpec extends SparkTestBase {
     }
   }
 
+  test("bootstrap CI: replica weights and means re-derived through JVM md5") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cdf = Array(0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167589384503)
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val means = (0 until 64).map { rr =>
+      var num = 0L; var den = 0L
+      rows.foreach { case (k, cents) =>
+        val h = md5hex(s"$k:${rr / 8}")
+        val u = java.lang.Long.parseLong(
+          h.substring(4 * (rr % 8), 4 * (rr % 8) + 4), 16) / 65536.0
+        val w = cdf.indexWhere(u < _) match { case -1 => 7; case i => i }
+        num += cents * w; den += w
+      }
+      num.toDouble / (den * 100).toDouble
+    }
+    val sorted = means.zipWithIndex.sortBy { case (m, r) => (m, r) }.map(_._1)
+    val got = Relational.bootstrapCi(spark, sfDir).head()
+    assert(got.getLong(0) === rows.length.toLong)
+    assert(got.getDouble(1) ===
+      rows.map(_._2).sum.toDouble / (rows.length * 100).toDouble)
+    assert(got.getDouble(2) === sorted(1), "ci_lo = rank-2 replica mean")
+    assert(got.getDouble(3) === sorted(62), "ci_hi = rank-63 replica mean")
+    assert(got.getDouble(2) < got.getDouble(3))
+  }
+
   test("vocab coverage: vocab truncation and per-doc OOV re-derived") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

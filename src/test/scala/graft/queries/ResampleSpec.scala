@@ -56,6 +56,34 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("ab test: counts, rates and z statistic re-derived per event type") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.map(_._1).distinct
+    val nA = users.count(_ % 2 == 0).toLong
+    val nB = users.count(_ % 2 == 1).toLong
+    val got = Events.abTest(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val convUsers = ev.filter(_._2 == t).map(_._1).distinct
+      val (cA, cB) = (convUsers.count(_ % 2 == 0).toLong,
+        convUsers.count(_ % 2 == 1).toLong)
+      assert(r.getLong(1) === cA && r.getLong(2) === cB)
+      assert(r.getLong(3) === nA && r.getLong(4) === nB)
+      val (pA, pB) = (cA.toDouble / nA, cB.toDouble / nB)
+      assert(r.getDouble(5) === pA && r.getDouble(6) === pB)
+      val pPool = (cA + cB).toDouble / (nA + nB)
+      if (pPool > 0.0 && pPool < 1.0) {
+        val z = (pA - pB) /
+          math.sqrt(pPool * (1.0 - pPool) * (1.0 / nA + 1.0 / nB))
+        assert(r.getDouble(7) === z)
+        assert(r.getBoolean(8) === (math.abs(z) > 1.959963984540054))
+      } else assert(r.isNullAt(7))
+    }
+  }
+
   test("dataset card: every per-source stat re-derived") {
     import java.security.MessageDigest
     def md5hex(t: String): String =
