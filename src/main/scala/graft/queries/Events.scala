@@ -672,7 +672,28 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** CLICKSTREAM PATH MINING: the top-20 most common per-(user, day)
+    * event-type paths — the sequence histogram behind funnel discovery
+    * and UX analysis. The path string is built ORDER-DETERMINISTICALLY
+    * on both engines: Spark sorts the (ts, event_id, type) struct array
+    * inside the per-group aggregate ((ts, event_id) is a total order),
+    * DuckDB uses string_agg's ORDER BY — different mechanisms, same
+    * string. One aggregate per (user, day) (map-side combinable
+    * collect), one count aggregate over path strings, TakeOrdered
+    * top-20. Paths are day-bounded, so state per group is bounded. */
+  def sessionPath(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("evs"))
+      .select(array_join(
+        transform(array_sort(col("evs")), e => e.getField("event_type")),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_path"     -> sessionPath,
     "q_ab_test"          -> abTest,
     "q_seq_mining"       -> seqMining,
     "q_debounce"         -> debounce,
@@ -701,6 +722,13 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_session_path" ->
+      """WITH paths AS (
+           SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY user_id, CAST(ts AS DATE))
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM paths GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
     "q_ab_test" ->
       """WITH ev AS (
            SELECT DISTINCT user_id, event_type, user_id % 2 AS variant

@@ -1509,6 +1509,43 @@ object TextOps {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  /** COUNT-MIN SKETCH point queries (Cormode & Muthukrishnan 2005):
+    * a D=4 × W=1024 counter sketch of the corpus token frequencies —
+    * the mergeable, fixed-size structure streaming frequency estimation
+    * runs — judged against its own guarantee: for the top-20 exact
+    * tokens, estimate = min over the 4 rows of the hashed-bucket
+    * counters, and estimate ≥ exact ALWAYS (one-sided error is the CM
+    * contract; the judged output carries the flag per token). Counters
+    * are exact integers (row hashes = salted md5, the Sketches idiom),
+    * the 4096-cell sketch is a corpus-size-independent broadcast, and
+    * estimates are integer mins — every column hash-checks. */
+  def countMin(s: SparkSession, d: String): DataFrame = {
+    val D = 4
+    val W = 1024
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val top = exact.orderBy(col("exact_n").desc, col("tok")).limit(20)
+    def bucket(salt: Column, tok: Column): Column =
+      conv(substring(md5(concat(salt.cast("string"), lit(":"), tok)), 1, 6),
+        16, 10).cast(LongType) % W
+    val cells = toks
+      .select(col("tok"), explode(sequence(lit(0), lit(D - 1))).as("dd"))
+      .select(col("dd"), bucket(col("dd"), col("tok")).as("b"))
+      .groupBy(col("dd"), col("b")).agg(count(lit(1)).as("c"))
+    top
+      .select(col("tok"), col("exact_n"),
+        explode(sequence(lit(0), lit(D - 1))).as("dd"))
+      .withColumn("b", bucket(col("dd"), col("tok")))
+      .join(broadcast(cells), Seq("dd", "b"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("c")).as("cm_estimate"))
+      .select(col("tok"), col("exact_n"), col("cm_estimate"),
+        (col("cm_estimate") >= col("exact_n")).as("overestimates"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
   /** DATASET CARD: the per-source corpus report a training-data release
     * ships — doc/unique/duplication counts, token and char volumes,
     * language spread and the dominant language — one pass over the
@@ -1607,6 +1644,7 @@ object TextOps {
     "q_vocab_coverage"   -> vocabCoverage,
     "q_source_drift"     -> sourceDrift,
     "q_dataset_card"     -> datasetCard,
+    "q_countmin"         -> countMin,
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
     "q_heavy_hitters"    -> heavyHitters,
@@ -1677,6 +1715,33 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_countmin" ->
+      """WITH tok AS (
+           SELECT t AS tok FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE len(t) > 0),
+         exact AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+           FROM tok GROUP BY 1),
+         top AS (
+           SELECT tok, exact_n FROM exact
+           ORDER BY exact_n DESC, tok LIMIT 20),
+         cells AS (
+           SELECT dd, CAST(('0x' || substr(md5(CAST(dd AS VARCHAR) || ':' || tok), 1, 6))
+             AS BIGINT) % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+           FROM tok CROSS JOIN range(4) g(dd)
+           GROUP BY 1, 2),
+         probes AS (
+           SELECT t.tok, t.exact_n, g.dd,
+             CAST(('0x' || substr(md5(CAST(g.dd AS VARCHAR) || ':' || t.tok), 1, 6))
+               AS BIGINT) % 1024 AS b
+           FROM top t CROSS JOIN range(4) g(dd))
+         SELECT p.tok, p.exact_n,
+           CAST(min(c.c) AS BIGINT) AS cm_estimate,
+           (CAST(min(c.c) AS BIGINT) >= p.exact_n) AS overestimates
+         FROM probes p JOIN cells c ON c.dd = p.dd AND c.b = p.b
+         GROUP BY 1, 2
+         ORDER BY p.exact_n DESC, p.tok""",
     "q_dataset_card" ->
       """WITH base AS (
            SELECT source, lang, n_chars, md5(text) AS h,

@@ -56,6 +56,20 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("session path: top paths re-derived from ordered raw events") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(t => (t._1, t._2.toLocalDateTime.toLocalDate))
+      .values.map(_.sortBy(t => (t._2.getTime, t._3)).map(_._4).mkString(">"))
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Events.sessionPath(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === counts)
+  }
+
   test("ab test: counts, rates and z statistic re-derived per event type") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).collect()

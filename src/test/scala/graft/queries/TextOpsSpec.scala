@@ -493,6 +493,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(rateEn > rateOther, s"en keep-rate $rateEn !> other $rateOther")
   }
 
+  test("count-min: estimates re-derived through JVM md5; one-sided error holds") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(dd: Int, tok: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$dd:$tok").substring(0, 6), 16) % 1024
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    toks.foreach(t => (0 until 4).foreach(dd => cells((dd, bucket(dd, t))) += 1))
+    val got = TextOps.countMin(spark, sfDir).collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val est = (0 until 4).map(dd => cells((dd, bucket(dd, t)))).min
+      assert(r.getLong(1) === exact(t))
+      assert(r.getLong(2) === est)
+      assert(r.getBoolean(3) && est >= exact(t), "CM one-sided error violated")
+    }
+  }
+
   test("source drift: exact TV numerators re-derived bucket-for-bucket") {
     import java.security.MessageDigest
     def bucket(t: String): Long = {
