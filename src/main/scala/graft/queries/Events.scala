@@ -692,7 +692,49 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)
 
+  /** ROBUST anomaly detection: median/MAD outlier scores on the daily
+    * event counts — the heavy-tail-safe cousin of q_anomaly_zscore
+    * (one wild day inflates a mean+stddev gate into missing the next
+    * three; the median absolute deviation doesn't move). Both the
+    * median and the MAD are EXACT rank statistics (lower median at rank
+    * ⌈n/2⌉ via integer div, total order (value, day)), so the only
+    * float is the single robust-z division; mad = 0 groups emit NULL
+    * explicitly on both engines. Two window passes + two 1-row-per-type
+    * broadcast joins — the winsorize shape applied twice. */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wMed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("x"), col("day"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("x"))).as("med"))
+    val withDev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val wMad = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("dev"), col("day"))
+    val mad = withDev
+      .withColumn("rn", row_number().over(wMad))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day").cast(TimestampType).as("day_ts"),
+        col("x"), col("med"), col("mad"),
+        when(col("mad") > 0,
+          (col("x") - col("med")).cast(DoubleType) / col("mad").cast(DoubleType))
+          .as("robust_z"))
+      .withColumn("anomalous", abs(col("robust_z")) > lit(3.5))
+      .orderBy(col("event_type"), col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad"      -> anomalyMad,
     "q_session_path"     -> sessionPath,
     "q_ab_test"          -> abTest,
     "q_seq_mining"       -> seqMining,
@@ -722,6 +764,41 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+         med AS (
+           SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med
+           FROM rk GROUP BY 1),
+         dev AS (
+           SELECT d.event_type, d.day, d.x, m.med, abs(d.x - m.med) AS dev
+           FROM daily d JOIN med m USING (event_type)),
+         rk2 AS (
+           SELECT event_type, day, dev,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+         mad AS (
+           SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+           FROM rk2 GROUP BY 1)
+         SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day_ts,
+           d.x, d.med, m.mad,
+           CASE WHEN m.mad > 0
+             THEN CAST(d.x - d.med AS DOUBLE) / CAST(m.mad AS DOUBLE) END AS robust_z,
+           abs(CASE WHEN m.mad > 0
+             THEN CAST(d.x - d.med AS DOUBLE) / CAST(m.mad AS DOUBLE) END) > 3.5
+             AS anomalous
+         FROM dev d JOIN mad m USING (event_type)
+         ORDER BY d.event_type, day_ts""",
     "q_session_path" ->
       """WITH paths AS (
            SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path

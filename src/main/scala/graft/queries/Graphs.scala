@@ -290,7 +290,43 @@ object Graphs {
       .limit(30)
   }
 
+  /** ITEM-ITEM COLLABORATIVE FILTERING: top-5 recommendations for each
+    * of the 20 most-purchased parts, scored by co-occurrence cosine
+    * cooc(a,b)/√(pop(a)·pop(b)) — the classic neighborhood recommender
+    * (Sarwar et al., WWW 2001) on the same basket projection the graph
+    * ops use. Pair counts are basket-bounded; popularity is a
+    * node-sized broadcast; the query-item set (top-20) is a broadcast
+    * semi-join so only their candidate rows reach the per-item top-k
+    * window (WindowGroupLimit). √ is correctly-rounded IEEE — the score
+    * is exact-integer work plus one sqrt and one division. */
+  def recommend(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pop = items.groupBy(col("p")).agg(count(lit(1)).as("pop"))
+    val top20 = pop.orderBy(col("pop").desc, col("p")).limit(20)
+      .select(col("p").as("a"))
+    val cooc = items.toDF("o", "a").join(items.toDF("o", "b"), Seq("o"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(top20), Seq("a"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
+    val scored = cooc
+      .join(broadcast(pop.select(col("p").as("a"), col("pop").as("pop_a"))), Seq("a"))
+      .join(broadcast(pop.select(col("p").as("b"), col("pop").as("pop_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("cooc"), col("pop_a"), col("pop_b"),
+        (col("cooc").cast(DoubleType) /
+          sqrt((col("pop_a") * col("pop_b")).cast(DoubleType))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("score").desc, col("b"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("a").as("item"), col("rk"), col("b").as("rec"),
+        col("cooc"), col("score"))
+      .orderBy(col("item"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recommend" -> recommend,
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
     "q_kcore" -> kcore,
@@ -361,6 +397,29 @@ object Graphs {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_recommend" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pop AS (SELECT p, CAST(count(*) AS BIGINT) AS pop FROM items GROUP BY 1),
+         top20 AS (SELECT p AS a FROM pop ORDER BY pop DESC, p LIMIT 20),
+         cooc AS (
+           SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS cooc
+           FROM items x JOIN items y ON x.o = y.o AND x.p <> y.p
+           WHERE x.p IN (SELECT a FROM top20)
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT c.a, c.b, c.cooc, pa.pop AS pop_a, pb.pop AS pop_b,
+             CAST(c.cooc AS DOUBLE)
+               / sqrt(CAST(pa.pop * pb.pop AS DOUBLE)) AS score
+           FROM cooc c
+           JOIN pop pa ON pa.p = c.a
+           JOIN pop pb ON pb.p = c.b)
+         SELECT a AS item, rk, b AS rec, cooc, score FROM (
+           SELECT a, b, cooc, score,
+             CAST(row_number() OVER (PARTITION BY a
+               ORDER BY score DESC, b) AS INT) AS rk
+           FROM scored) WHERE rk <= 5
+         ORDER BY item, rk""",
     "q_assoc_rules" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

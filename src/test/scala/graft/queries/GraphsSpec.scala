@@ -93,6 +93,35 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("recommend: scores and rankings re-derived from raw baskets") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSet).toMap
+    val pop = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val cooc = collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      ps.foreach(p => pop(p) += 1)
+      for (a <- ps; b <- ps if a != b) cooc((a, b)) += 1
+    }
+    val top20 = pop.toSeq.sortBy { case (p, n) => (-n, p) }.take(20).map(_._1).toSet
+    val got = Graphs.recommend(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet === top20)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(2))
+      assert(r.getLong(3) === cooc((a, b)))
+      assert(r.getDouble(4) ===
+        cooc((a, b)).toDouble / math.sqrt((pop(a) * pop(b)).toDouble))
+    }
+    // per-item ranking: exactly 5 recs, rank-ordered by (score desc, id)
+    got.groupBy(_.getLong(0)).values.foreach { recs =>
+      val sorted = recs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val keys = sorted.map(r => (-r.getDouble(4), r.getLong(2)))
+      assert(keys.toSeq === keys.sorted.toSeq)
+    }
+  }
+
   test("modularity: exact numerators re-derived from the corpus edge list") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).collect()

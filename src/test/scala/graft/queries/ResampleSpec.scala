@@ -56,6 +56,29 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("anomaly MAD: exact rank medians re-derived per event type") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val got = Events.anomalyMad(spark, sfDir).collect()
+    assert(got.length === daily.length)
+    got.foreach { r =>
+      val rows = byType(r.getString(0))
+      val n = rows.length
+      val med = rows.map(t => (t._3, t._2.toString)).sorted.apply((n + 1) / 2 - 1)._1
+      val mad = rows.map(t => (math.abs(t._3 - med), t._2.toString))
+        .sorted.apply((n + 1) / 2 - 1)._1
+      assert(r.getLong(3) === med && r.getLong(4) === mad)
+      if (mad > 0) {
+        val rz = (r.getLong(2) - med).toDouble / mad.toDouble
+        assert(r.getDouble(5) === rz)
+        assert(r.getBoolean(6) === (math.abs(rz) > 3.5))
+      } else assert(r.isNullAt(5))
+    }
+  }
+
   test("session path: top paths re-derived from ordered raw events") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
