@@ -619,6 +619,36 @@ object TableQueries {
     s.sql(s"SELECT * FROM $c.db.call_t ORDER BY o_orderkey")
   }
 
+  /** `CALL system.rollback_to_snapshot` as a JUDGED query (the
+    * append-discard direction — q_table_sql_call's doc notes the
+    * undo-delete direction is redundant there): append the even-key
+    * half (snapshot 1), append the odd-key half (snapshot 2), ROLL BACK
+    * to snapshot 1, read. The oracle is the even-key filter over the
+    * source — the rollback must discard exactly the second append while
+    * leaving snapshot 1's files untouched (O(metadata) pointer move, no
+    * data rewrite). */
+  def tableRollback(s: SparkSession, d: String): DataFrame = {
+    val c = mutableCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $c.db.rb_t")
+    s.sql(
+      s"""CREATE TABLE $c.db.rb_t (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_orders")
+    s.sql(
+      s"""INSERT INTO $c.db.rb_t
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE), o_orderdate, o_orderpriority
+          FROM graft_src_orders WHERE o_orderkey % 2 = 0""")
+    s.sql(
+      s"""INSERT INTO $c.db.rb_t
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE), o_orderdate, o_orderpriority
+          FROM graft_src_orders WHERE o_orderkey % 2 = 1""")
+    s.sql(s"CALL $c.system.rollback_to_snapshot(table => 'db.rb_t', snapshot_id => 1)")
+    s.sql(s"SELECT * FROM $c.db.rb_t ORDER BY o_orderkey")
+  }
+
   /** SQL time travel (`VERSION AS OF`, README.md:252-258): after an
     * insert (snapshot 1) and a delete (snapshot 2), reading snapshot 1 by
     * SQL must reproduce the FULL source — the reference's time-travel
@@ -1065,6 +1095,7 @@ object TableQueries {
     "q_table_sql_partition_evolve" -> tableSqlPartitionEvolve,
     "q_table_sql_ddl"         -> tableSqlDdl,
     "q_table_sql_call"        -> tableSqlCall,
+    "q_table_rollback"        -> tableRollback,
     "q_table_partitions"      -> tablePartitions,
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete,
@@ -1366,6 +1397,11 @@ object TableQueries {
     "q_table_sql_ddl" ->
       """SELECT o_orderkey, o_orderstatus AS status, CAST(NULL AS VARCHAR) AS channel
          FROM orders ORDER BY o_orderkey""",
+    "q_table_rollback" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
     "q_table_sql_call" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
