@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.DoubleType
   * PageRank is the standard synchronous Pregel loop re-expressed as
   * joins: each pass shuffles edge-count contribution rows into
   * node-count partials, lineage bounded per pass with localCheckpoint
-  * (the ccPointerDoubling pattern). Triangle enumeration uses
-  * DEGREE-ORDERED orientation (each undirected edge directed from its
-  * (deg, id)-smaller endpoint), which bounds wedge fan-out by
-  * O(E^{3/2}) total regardless of skew — the max-degree hub generates
-  * no wedges at all — the standard distributed triangle-count trick.
+  * (the ccPointerDoubling pattern). Triangle counting is PER-EDGE
+  * COMMON-NEIGHBOR intersection over node-bounded sorted adjacency
+  * arrays — chosen over wedge enumeration after measuring both at
+  * sf0.1 (details on the method) — so its per-edge work is
+  * degree-bounded streaming comparisons, never a materialized wedge
+  * set.
   *
   * Determinism policy: PageRank runs in EXACT BIGINT arithmetic (ranks
   * are integers scaled by 10¹², every division an integral `div`), so
@@ -42,15 +43,32 @@ object Graphs {
   private[graft] val SCALE = 1000000000000L
   private[graft] val ITERS = 5
 
+  /** The distinct (order, part) basket projection, materialized once per
+    * corpus — the common first stage of every operator in this file
+    * (edge derivation, association rules, the recommender), so the
+    * lineitem scan + distinct is paid once per session, not per query
+    * (review finding, round 8). */
+  private def basketItems(s: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Scratch.materializedOnce("basket_items", d) { pth =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(pth)
+    }
+    s.read.parquet(tmp)
+  }
+
   /** Directed co-purchase edges (src, dst, outdeg), both directions
     * present, distinct, with the source's out-degree DENORMALIZED onto
     * each edge at build time (PageRank then needs no per-pass degree
     * join), materialized once per corpus. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    // resolve the items artifact BEFORE entering the edge build:
+    // materializedOnce is a computeIfAbsent, and nesting one inside
+    // another on the same map risks its documented recursive-update
+    // failure mode
+    val items = basketItems(s, d)
     val tmp = graft.Scratch.materializedOnce("copurch_edges", d) { pth =>
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val edges = items.toDF("o", "src")
         .join(items.toDF("o", "dst"), Seq("o"))
         .filter(col("src") =!= col("dst"))
@@ -196,7 +214,12 @@ object Graphs {
       n = m
       alive = nxt.select(col("node"))
       if (stable) alive = nxt
-      require(rounds <= KCORE_ROUNDS,
+      // Spark detects the fixpoint one round AFTER it first appears
+      // (pass r confirms a_r == a_{r-1}); the oracle's a_KCORE_ROUNDS is
+      // exact iff the fixpoint arrives by round KCORE_ROUNDS, i.e.
+      // detection by round KCORE_ROUNDS+1 — the +1 is the confirming
+      // pass, not extra slack (review finding, round 8)
+      require(rounds <= KCORE_ROUNDS + 1,
         s"k-core did not converge within $KCORE_ROUNDS rounds — widen the oracle unroll")
     }
     // final pass re-reports each survivor's in-core degree
@@ -260,9 +283,7 @@ object Graphs {
     * integer products (lift = n·sup(ab) / (sup(a)·sup(b))), so rows are
     * bit-identical cross-engine. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    val items = basketItems(s, d)
     val nOrders = items.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemSup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
@@ -300,9 +321,7 @@ object Graphs {
     * window (WindowGroupLimit). √ is correctly-rounded IEEE — the score
     * is exact-integer work plus one sqrt and one division. */
   def recommend(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    val items = basketItems(s, d)
     val pop = items.groupBy(col("p")).agg(count(lit(1)).as("pop"))
     val top20 = pop.orderBy(col("pop").desc, col("p")).limit(20)
       .select(col("p").as("a"))

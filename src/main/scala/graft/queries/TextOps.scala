@@ -1596,7 +1596,19 @@ object TextOps {
       .select(col("source"),
         (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast(LongType) % B).as("b"))
     val cnt = tok.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
-    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    // LOUD overflow envelope (the chunkDedup raise_error idiom): the TV
+    // numerator Σ|cᵃ·Tᵇ − cᵇ·Tᵃ| is bounded by 2·Tᵃ·Tᵇ, so int64
+    // exactness needs T < √(2⁶²) ≈ 2.1e9 tokens per source. Beyond that
+    // Spark's non-ANSI mul would wrap silently while DuckDB errors —
+    // fail identically and loudly instead (shard sources or widen to
+    // DECIMAL at that scale).
+    val tot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("t0"))
+      .select(col("source"),
+        when(col("t0") <= 2000000000L, col("t0"))
+          .otherwise(raise_error(concat(
+            lit("sourceDrift: per-source token total exceeds the exact-int64 envelope: "),
+            col("t0")))).as("t"))
     val dense = tot
       .crossJoin(broadcast(s.range(B).select(col("id").as("b"))))
       .join(cnt, Seq("source", "b"), "left")
