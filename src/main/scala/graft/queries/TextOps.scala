@@ -1519,21 +1519,30 @@ object TextOps {
     * are exact integers (row hashes = salted md5, the Sketches idiom),
     * the 4096-cell sketch is a corpus-size-independent broadcast, and
     * estimates are integer mins — every column hash-checks. */
+  /** The count-min row hash — ONE implementation for the batch build,
+    * the streaming maintenance and (via the mirrored SQL) both oracles:
+    * drift between them would silently break exactly one parity check
+    * (the minhashBandCells lesson). */
+  private def cmBucket(salt: Column, tok: Column): Column =
+    conv(substring(md5(concat(salt.cast("string"), lit(":"), tok)), 1, 6),
+      16, 10).cast(LongType) % 1024
+
+  /** tokens → the D=4 × W=1024 count-min cell table (exact integers). */
+  private def cmCells(toks: DataFrame): DataFrame =
+    toks
+      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("dd"))
+      .select(col("dd"), cmBucket(col("dd"), col("tok")).as("b"))
+      .groupBy(col("dd"), col("b")).agg(count(lit(1)).as("c"))
+
   def countMin(s: SparkSession, d: String): DataFrame = {
     val D = 4
-    val W = 1024
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
     val top = exact.orderBy(col("exact_n").desc, col("tok")).limit(20)
-    def bucket(salt: Column, tok: Column): Column =
-      conv(substring(md5(concat(salt.cast("string"), lit(":"), tok)), 1, 6),
-        16, 10).cast(LongType) % W
-    val cells = toks
-      .select(col("tok"), explode(sequence(lit(0), lit(D - 1))).as("dd"))
-      .select(col("dd"), bucket(col("dd"), col("tok")).as("b"))
-      .groupBy(col("dd"), col("b")).agg(count(lit(1)).as("c"))
+    def bucket(salt: Column, tok: Column): Column = cmBucket(salt, tok)
+    val cells = cmCells(toks)
     top
       .select(col("tok"), col("exact_n"),
         explode(sequence(lit(0), lit(D - 1))).as("dd"))
@@ -1544,6 +1553,29 @@ object TextOps {
       .select(col("tok"), col("exact_n"), col("cm_estimate"),
         (col("cm_estimate") >= col("exact_n")).as("overestimates"))
       .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  /** STREAMING count-min maintenance: the same D×W sketch as q_countmin
+    * kept up to date by a streaming aggregate while documents arrive as
+    * a file stream — the ingest-side half of streaming frequency
+    * estimation (the batch query is the probe side). Cell counts are
+    * ADDITIVE, so the drained registry is deterministic under any
+    * micro-batch split — which is what makes a streaming sketch
+    * oracle-checkable — and state is bounded at D·W cells regardless of
+    * stream length. Judged output = the top-20 heaviest cells; the
+    * oracle builds the identical cells from the batch table (shared
+    * cmBucket — one hash implementation for all four sides). */
+  def streamCountMin(s: SparkSession, d: String): DataFrame = {
+    val docStream = s.readStream
+      .schema(Tables.documents(s, d).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val cells = cmCells(docStream
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0))
+    Events.drainToMemory(s, "graft_stream_countmin", "complete")(cells)
+      .orderBy(col("c").desc, col("dd"), col("b"))
+      .limit(20)
   }
 
   /** DATASET CARD: the per-source corpus report a training-data release
@@ -1657,6 +1689,7 @@ object TextOps {
     "q_source_drift"     -> sourceDrift,
     "q_dataset_card"     -> datasetCard,
     "q_countmin"         -> countMin,
+    "q_stream_countmin"  -> streamCountMin,
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
     "q_heavy_hitters"    -> heavyHitters,
@@ -1727,6 +1760,18 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_stream_countmin" ->
+      """WITH tok AS (
+           SELECT t AS tok FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE len(t) > 0),
+         cells AS (
+           SELECT dd, CAST(('0x' || substr(md5(CAST(dd AS VARCHAR) || ':' || tok), 1, 6))
+             AS BIGINT) % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+           FROM tok CROSS JOIN range(4) g(dd)
+           GROUP BY 1, 2)
+         SELECT dd, b, c FROM cells
+         ORDER BY c DESC, dd, b LIMIT 20""",
     "q_countmin" ->
       """WITH tok AS (
            SELECT t AS tok FROM (

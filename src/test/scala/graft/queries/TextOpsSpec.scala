@@ -517,6 +517,29 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming count-min drains to exactly the batch sketch's top cells") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val cells = collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    toks.foreach { t =>
+      (0 until 4).foreach { dd =>
+        val b = java.lang.Long.parseLong(md5hex(s"$dd:$t").substring(0, 6), 16) % 1024
+        cells((dd, b)) += 1
+      }
+    }
+    val expected = cells.toSeq
+      .sortBy { case ((dd, b), c) => (-c, dd, b) }.take(20)
+      .map { case ((dd, b), c) => (dd, b, c) }
+    val got = TextOps.streamCountMin(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+  }
+
   test("source drift: exact TV numerators re-derived bucket-for-bucket") {
     import java.security.MessageDigest
     def bucket(t: String): Long = {
