@@ -33,6 +33,35 @@ class GraftTestFs extends RawLocalFileSystem {
 
   override def listStatus(f: HPath): Array[org.apache.hadoop.fs.FileStatus] =
     super.listStatus(f).map(eager)
+
+  // RawLocalFileSystem's create(overwrite=false) is CHECK-then-create —
+  // S3-class semantics, under which multi-writer CAS is the DOCUMENTED
+  // GraftIO caveat (use a catalog CAS / conditional writes). This mock
+  // stands in for the HDFS class of store, where create(overwrite=false)
+  // is an atomic namespace insert — so make it actually atomic
+  // (CREATE_NEW is one OS-level exclusive op) instead of intermittently
+  // losing one of two racing committers to the TOCTOU window, which made
+  // the concurrent-committer spec flake (~1 in dozens of runs).
+  override def create(
+      f: HPath, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      val local = java.nio.file.Paths.get(f.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try java.nio.file.Files
+        .newByteChannel(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        .close()
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      }
+    }
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  }
 }
 
 /** SURVEY §2 A2: the reference's warehouse is an S3-compatible object
