@@ -344,7 +344,55 @@ object Graphs {
       .orderBy(col("item"), col("rk"))
   }
 
+  /** Multi-source BFS hop distance — the reachability / shortest-path
+    * primitive next to PageRank's quality prior and k-core's density
+    * peel (the hop-from-seed feature crawl pipelines compute to rank
+    * discovered pages by distance from trusted seeds). Fixed-pass
+    * synchronous Bellman–Ford min-relaxation with unit weights: the
+    * reached set starts at the seeds with dist 0, and each pass relaxes
+    * every edge out of a reached node, keeping the per-node MIN —
+    * min over BIGINTs is order-free, so the capped hop distance is
+    * bit-identical cross-engine at any parallelism (the q_pagerank
+    * determinism argument, with min in place of sum).
+    *
+    * Scale shape: the reached table is ≤ node-count rows; each pass is
+    * ONE edge scan joined against the broadcast reached set into
+    * node-count min-partials (map-side combine), lineage
+    * localCheckpoint-bounded — same per-pass cost envelope as a
+    * PageRank pass, and past ~10⁷ reached nodes the broadcast falls
+    * back to a plain shuffle join on src (AQE picks the shape). The
+    * judged semantic is "hop distance capped at BFS_HOPS", a fixed
+    * pass count like q_pagerank's ITERS — no convergence detection
+    * needed for oracle equality. */
+  private[graft] val BFS_HOPS = 4
+  private[graft] val BFS_SEEDS = 5
+  private[graft] def bfsOnEdges(edges: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to hops) {
+      dist = dist
+        .unionAll(edges
+          .join(broadcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** q_bfs: hop distance from the BFS_SEEDS smallest part ids in the
+    * co-purchase graph, capped at BFS_HOPS (unreached nodes absent). */
+  def bfs(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(BFS_SEEDS)
+    bfsOnEdges(edges, seeds, BFS_HOPS)
+      .select(col("node").as("part_id"), col("dist").as("hop"))
+      .orderBy(col("hop"), col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs" -> bfs,
     "q_recommend" -> recommend,
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
@@ -415,7 +463,33 @@ object Graphs {
        ORDER BY r DESC, node LIMIT 20"""
   }
 
+  /** Unrolled min-relaxation oracle: BFS_HOPS chained passes, each the
+    * UNION ALL of the previous reached set with every one-hop
+    * relaxation, min per node. MATERIALIZED — each pass references its
+    * predecessor twice, so default inlining would expand the chain
+    * 2^BFS_HOPS-fold (the q_mmr_rerank lesson). */
+  private def bfsOracle: String = {
+    def pass(i: Int) =
+      s""", d$i AS MATERIALIZED (
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           SELECT node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.dst AS node, p.dist + 1 AS dist
+           FROM edges e JOIN d${i - 1} p ON e.src = p.node)
+         GROUP BY 1)"""
+    edgeCtes +
+      s""",
+       d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM
+                (SELECT DISTINCT src AS node FROM edges)
+              ORDER BY node LIMIT $BFS_SEEDS)""" +
+      (1 to BFS_HOPS).map(pass).mkString +
+      s"""
+       SELECT node AS part_id, dist AS hop FROM d$BFS_HOPS
+       ORDER BY hop, part_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bfs" -> bfsOracle,
     "q_recommend" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -71,6 +71,30 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.kcoreOnEdges(path, 2).count() === 0)
   }
 
+  test("bfsOnEdges: path distances exact, cap enforced, islands unreached") {
+    import spark.implicits._
+    // path 0–1–…–7 plus an island 100–101; seed {0}
+    val edges = sym((0L until 7L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+    val seeds = Seq(0L).toDF("node")
+    val dist = Graphs.bfsOnEdges(edges, seeds, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly nodes 0..4 reached within 4 hops, each at its path index
+    assert(dist === (0L to 4L).map(i => i -> i).toMap)
+    // multi-source takes the min over seeds: seeding both ends halves it
+    val both = Graphs.bfsOnEdges(edges, Seq(0L, 7L).toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both(3L) === 3L && both(4L) === 3L && both.size === 8)
+  }
+
+  test("q_bfs: seeds at hop 0, every hop level non-empty up to the cap") {
+    val rows = Graphs.bfs(spark, sfDir).collect()
+    val byHop = rows.groupBy(_.getLong(1)).map { case (h, rs) => h -> rs.length }
+    assert(byHop(0L) === Graphs.BFS_SEEDS)
+    assert(byHop.keySet.max <= Graphs.BFS_HOPS)
+    // dense co-purchase graph: the 1-hop frontier dwarfs the seed set
+    assert(byHop(1L) > Graphs.BFS_SEEDS)
+  }
+
   test("assoc rules: metric identities hold on every emitted rule") {
     val rules = Graphs.assocRules(spark, sfDir).collect()
     assert(rules.nonEmpty)
