@@ -391,7 +391,66 @@ object Graphs {
       .orderBy(col("hop"), col("part_id"))
   }
 
+  /** Integer-weighted single-source shortest path — BFS's min-relaxation
+    * generalized to weighted edges (Bellman–Ford), the "how strongly
+    * connected is everything to this anchor product" analytic. Edge
+    * weight = co-purchase RARITY, 10⁶ div cooc(a,b): parts co-bought in
+    * many orders are close, one-off pairings are far — so path distance
+    * is a BIGINT sum of exact integer weights and min-relaxation stays
+    * order-free / bit-identical cross-engine (the q_bfs argument with
+    * weighted hops). Judged semantic: cheapest path reachable within
+    * SSSP_PASSES hops (a fixed relaxation count like BFS_HOPS — exact
+    * whenever the true shortest path uses ≤ SSSP_PASSES edges).
+    *
+    * Scale shape: identical per-pass envelope to q_bfs/q_pagerank (one
+    * edge scan vs the broadcast reached set into node-count min
+    * partials); the weighted edge artifact replaces the distinct with a
+    * basket-bounded groupBy count, still O(|lineitem|·k), materialized
+    * once per corpus. */
+  private[graft] val SSSP_PASSES = 6
+  private[graft] def ssspOnEdges(edges: DataFrame, seeds: DataFrame,
+      passes: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to passes) {
+      dist = dist
+        .unionAll(edges
+          .join(broadcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Directed co-purchase edges with the rarity weight, materialized
+    * once per corpus (separate artifact from copurch_edges — that one
+    * is distinct+outdeg-shaped and shared by three consumers; widening
+    * it in place would invalidate cross-session cached parquet). */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val items = basketItems(s, d)
+    val tmp = graft.Scratch.materializedOnce("copurch_wedges", d) { pth =>
+      items.toDF("o", "src").join(items.toDF("o", "dst"), Seq("o"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cooc"))
+        .select(col("src"), col("dst"), expr("1000000L div cooc").as("w"))
+        .write.mode("overwrite").parquet(pth)
+    }
+    s.read.parquet(tmp)
+  }
+
+  /** q_sssp: rarity-weighted shortest distance from the smallest part id
+    * within SSSP_PASSES hops (unreached nodes absent). */
+  def sssp(s: SparkSession, d: String): DataFrame = {
+    val edges = weightedEdges(s, d)
+    val seed = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(1)
+    ssspOnEdges(edges, seed, SSSP_PASSES)
+      .select(col("node").as("part_id"), col("dist").as("dist_scaled"))
+      .orderBy(col("dist_scaled"), col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp" -> sssp,
     "q_bfs" -> bfs,
     "q_recommend" -> recommend,
     "q_pagerank" -> pagerank,
@@ -488,7 +547,36 @@ object Graphs {
        ORDER BY hop, part_id"""
   }
 
+  /** Unrolled weighted min-relaxation oracle (the bfsOracle shape with
+    * per-edge weights; `//` floors like Spark's `div` on positive
+    * BIGINTs, the q_pagerank dialect note). */
+  private def ssspOracle: String = {
+    def pass(i: Int) =
+      s""", d$i AS MATERIALIZED (
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           SELECT node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.dst AS node, p.dist + e.w AS dist
+           FROM wedges e JOIN d${i - 1} p ON e.src = p.node)
+         GROUP BY 1)"""
+    s"""WITH items AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       wedges AS MATERIALIZED (
+         SELECT a.p AS src, b.p AS dst,
+           CAST(1000000 // count(*) AS BIGINT) AS w
+         FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+         GROUP BY 1, 2),
+       d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM
+                (SELECT DISTINCT src AS node FROM wedges)
+              ORDER BY node LIMIT 1)""" +
+      (1 to SSSP_PASSES).map(pass).mkString +
+      s"""
+       SELECT node AS part_id, dist AS dist_scaled FROM d$SSSP_PASSES
+       ORDER BY dist_scaled, part_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sssp" -> ssspOracle,
     "q_bfs" -> bfsOracle,
     "q_recommend" ->
       """WITH items AS (

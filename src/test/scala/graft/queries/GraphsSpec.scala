@@ -95,6 +95,29 @@ class GraphsSpec extends SparkTestBase {
     assert(byHop(1L) > Graphs.BFS_SEEDS)
   }
 
+  test("ssspOnEdges: light 2-hop path beats heavy direct edge; cap binds") {
+    import spark.implicits._
+    // 0→1 costs 10 direct, but 0→2→1 costs 2+3=5
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 2L), (2L, 1L, 3L),
+      // long cheap chain 0→3→4→5, each hop 1 — 5 is 3 hops out
+      (0L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val d = Graphs.ssspOnEdges(edges, seeds, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 5L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // with only 1 relaxation pass, the relay through 2 is out of reach
+    val one = Graphs.ssspOnEdges(edges, seeds, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(1L) === 10L && !one.contains(4L))
+  }
+
+  test("q_sssp: seed at 0; distances positive, monotone under rarity weights") {
+    val rows = Graphs.sssp(spark, sfDir).collect()
+    assert(rows.head.getLong(1) === 0L, "seed distance is 0")
+    assert(rows.tail.forall(_.getLong(1) > 0L))
+    assert(rows.length > 1, "dense graph: seed reaches beyond itself")
+  }
+
   test("assoc rules: metric identities hold on every emitted rule") {
     val rules = Graphs.assocRules(spark, sfDir).collect()
     assert(rules.nonEmpty)
