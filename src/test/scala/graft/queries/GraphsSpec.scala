@@ -210,4 +210,61 @@ class GraphsSpec extends SparkTestBase {
     assert(tc.length === 20)
     assert(tc.forall(_.getLong(1) > 0))
   }
+
+  test("broadcast gate: hint under the bound, shuffle-join shape above it") {
+    // VERDICT r8 #1: an explicit broadcast() hint is honored regardless
+    // of size, so at 100× the node table must NOT carry the hint — the
+    // fallback must be a plain shuffle join, and it must be the plan
+    // Spark actually picks when the hint is absent. Pin both shapes of
+    // the production helper (exactly what the iteration loops call).
+    val edges = sym((1L to 8L).map(l => (0L, l))).localCheckpoint()
+    val rhs = edges.select(col("src").as("node"), lit(1L).as("r")).distinct()
+    def shape(gate: Long): String = {
+      val j = edges.join(
+        Graphs.maybeBroadcast(rhs.withColumnRenamed("node", "src"), 9L, gate),
+        Seq("src"))
+      j.collect() // finalize under AQE
+      j.queryExecution.executedPlan.toString
+    }
+    // an UNGATED tiny table still auto-broadcasts (cost-based choice,
+    // which is the point: Spark picks) — to see the 100× shape, mimic a
+    // too-big build side by turning the auto threshold off for the
+    // fallback probe
+    def withAutoBroadcastOff[T](body: => T): T = {
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, "-1"))
+      try body
+      finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val hinted = withAutoBroadcastOff(shape(gate = Graphs.BROADCAST_MAX_ROWS))
+    assert(hinted.contains("BroadcastHashJoin"), hinted) // the HINT, not auto
+    val fallback = withAutoBroadcastOff(shape(gate = 0L))
+    assert(!fallback.contains("BroadcastHashJoin"), fallback)
+    assert(fallback.contains("SortMergeJoin") || fallback.contains("ShuffledHashJoin"),
+      fallback)
+  }
+
+  test("broadcast gate off: iteration loops produce identical results") {
+    // the ungated path is the 100×-scale plan — it must be semantically
+    // identical, not just shaped right (integer min/sum arithmetic is
+    // order-free, so this equality is exact)
+    val edges = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (3L, 4L)))
+    val seeds = Seq(0L).toDF("node")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(sorted(Graphs.pageRankOnEdges(edges, 3, broadcastGate = 0L))
+      === sorted(Graphs.pageRankOnEdges(edges, 3)))
+    assert(sorted(Graphs.bfsOnEdges(edges, seeds, 3, broadcastGate = 0L))
+      === sorted(Graphs.bfsOnEdges(edges, seeds, 3)))
+    val wedges = edges.withColumn("w", col("src") * 10L + col("dst") + 1L)
+    assert(sorted(Graphs.ssspOnEdges(wedges, seeds, 3, broadcastGate = 0L))
+      === sorted(Graphs.ssspOnEdges(wedges, seeds, 3)))
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
+    assert(sorted(Graphs.trianglesOnUndirected(und, broadcastGate = 0L))
+      === sorted(Graphs.trianglesOnUndirected(und)))
+  }
 }
