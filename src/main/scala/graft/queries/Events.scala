@@ -661,7 +661,14 @@ object Events {
       (col("n_a") + col("n_b")).cast(DoubleType)
     val se = sqrt(pPool * (lit(1.0) - pPool) *
       (lit(1.0) / col("n_a").cast(DoubleType) + lit(1.0) / col("n_b").cast(DoubleType)))
-    a.join(b, Seq("event_type"))
+    // FULL OUTER on event_type (ADVICE r8): an event type with zero
+    // converting users in one variant must still appear in the readout
+    // with a 0 count / 0 rate, not be silently dropped — one-sided
+    // lifts are exactly the rows an A/B readout exists to surface
+    a.join(b, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
       .crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
       .select(col("event_type"), col("c_a"), col("c_b"),
         col("n_a"), col("n_b"),
@@ -818,9 +825,11 @@ object Events {
              CAST(count(DISTINCT user_id) AS BIGINT) AS n
            FROM events GROUP BY 1),
          j AS (
-           SELECT a.event_type, a.c AS c_a, b.c AS c_b, na.n AS n_a, nb.n AS n_b
+           SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(a.c, 0) AS c_a, COALESCE(b.c, 0) AS c_b,
+             na.n AS n_a, nb.n AS n_b
            FROM (SELECT event_type, c FROM conv WHERE variant = 0) a
-           JOIN (SELECT event_type, c FROM conv WHERE variant = 1) b
+           FULL OUTER JOIN (SELECT event_type, c FROM conv WHERE variant = 1) b
              ON a.event_type = b.event_type
            CROSS JOIN (SELECT n FROM tot WHERE variant = 0) na
            CROSS JOIN (SELECT n FROM tot WHERE variant = 1) nb)

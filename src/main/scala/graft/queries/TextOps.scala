@@ -1626,8 +1626,14 @@ object TextOps {
     * cross-engine in the last ulp; TV doesn't need them).
     * TV(a,b) = ½ Σᵢ |pᵢ − qᵢ| over B=1024 md5-hash buckets (the DSIR
     * bucket idiom), computed as the EXACT BIGINT sum Σ|cᵃᵢ·Tᵇ − cᵇᵢ·Tᵃ|
-    * with ONE final IEEE division by 2·Tᵃ·Tᵇ (products stay under 2⁵³ —
-    * exact as doubles). The bucket table is corpus-size-independent
+    * with ONE final IEEE division by 2·Tᵃ·Tᵇ. NOTE (ADVICE r8): within
+    * the guard's envelope (T ≤ 2e9) the BIGINT numerator/denominator
+    * can exceed 2⁵³ (up to ~8e18), so the final doubles are NOT exact —
+    * cross-engine parity holds because both engines apply the identical
+    * correctly-rounded long→double cast to identical integers before
+    * one identical IEEE division. The integer SUMS are what's exact;
+    * the division is merely deterministic. The bucket table is
+    * corpus-size-independent
     * (sources × 1024 dense grid, zero-count buckets included via the
     * grid), so pair work never touches the corpus again. */
   def sourceDrift(s: SparkSession, d: String): DataFrame = {

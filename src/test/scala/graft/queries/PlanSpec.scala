@@ -274,9 +274,16 @@ class PlanSpec extends SparkTestBase {
         org.apache.spark.sql.functions.col("p_size").as("sz"))))
     // the only SinglePartition exchange feeds the partition-count-sized
     // prefix table (one row per range partition), never the data: its
-    // input must come from a partial aggregate over pid
-    val single = "Exchange SinglePartition".r.findAllIn(p).size
-    assert(single <= 2, s"SinglePartition exchanges: $single\n$p") // toString prints plan twice
-    assert(p.contains("Exchange rangepartitioning"), p) // the distributed prefix scan
+    // input must come from a partial aggregate over pid. Count inside
+    // ONE plan section (AQE's toString prints Final + Initial; a format
+    // change to a single print must not silently double the bound —
+    // ADVICE r8), so slice off everything from the Initial marker.
+    val oneSection = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    val single = "Exchange SinglePartition".r.findAllIn(oneSection).size
+    assert(single <= 1, s"SinglePartition exchanges: $single\n$p")
+    assert(oneSection.contains("Exchange rangepartitioning"), p) // the distributed prefix scan
   }
 }
