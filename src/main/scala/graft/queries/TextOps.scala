@@ -553,6 +553,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BIGRAM LM quality gate — q_lm_filter's CCNet-style idea taken to
+    * second order, where LM filters actually differ: the per-position
+    * statistic is the ADD-ONE-SMOOTHED conditional bigram probability
+    *   P(tᵢ | tᵢ₋₁) = (c(tᵢ₋₁,tᵢ) + 1) / (c(tᵢ₋₁·) + V)
+    * (Laplace smoothing over the unigram vocabulary V — unseen
+    * continuations get mass 1/(c+V), not zero, so the gate scores rare
+    * transitions instead of crashing on them). The determinism policy
+    * bans per-row float sums, and unlike q_lm_filter the denominator
+    * varies per position — so each position is FLOOR-QUANTIZED to
+    * fixed point first: vᵢ = (c(bg)+1)·10⁹ div (c(left)+V), a BIGINT
+    * both engines floor identically, making the per-doc sum order-free
+    * and bit-identical. Keep rule (cross-multiplied, exact ints):
+    * Σv ≥ 33·10⁶ · n_bg, i.e. mean smoothed P ≥ 0.033 — measured to
+    * drop the 7–12% unlikely tail at every SF (sf0.001/0.01/0.1 keep
+    * 463/465/4430 of 500/500/5000).
+    *
+    * Scale shape: bigrams assemble ROW-SIDE (zip_with over the token
+    * array — raw text never shuffles); the bigram-count and left-count
+    * joins are plain equi-joins with NO broadcast hint — vocab² grows
+    * with the corpus, so the optimizer must stay free to pick shuffle
+    * (auto-broadcast picks the hash join at small SF on its own); V
+    * rides a 1-row broadcast. Overflow guard (the sourceDrift idiom):
+    * (c+1)·10⁹ wraps silently past c ≈ 9.2e9 under non-ANSI mul while
+    * DuckDB errors — fail loudly and identically instead. */
+  def lmBigram(s: SparkSession, d: String): DataFrame = {
+    val SCALE = 1000000000L
+    val theta = 33000000L // keep: Σv ≥ θ·n_bg  ⇔  mean smoothed P ≥ 0.033
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // successor pairing via two slices (greatest guards the <2-token
+    // case — slice with negative length errors); empty tokens drop at
+    // the BIGRAM level, mirroring the oracle's position-join filter
+    val n1 = greatest(size(col("t")) - 1, lit(0))
+    val bg = toks
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+      .filter(length(col("l")) > 0 && length(col("r")) > 0)
+    val cbg = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c0"))
+      .select(col("l"), col("r"),
+        when(col("c0") < lit(Long.MaxValue / SCALE), col("c0"))
+          .otherwise(raise_error(lit(
+            "lmBigram: bigram count overflows the 10^9 fixed-point scale — widen to DECIMAL")))
+          .as("c"))
+    val cl = bg.groupBy(col("l")).agg(count(lit(1)).as("cl"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(count_distinct(col("tok")).as("v"))
+    bg.join(cbg, Seq("l", "r"))
+      .join(cl, Seq("l"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr(s"(c + 1L) * ${SCALE}L div (cl + v)").as("vi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("vi")).as("sum_v"))
+      .filter(col("sum_v") >= lit(theta) * col("n_bg"))
+      .select(col("doc_id"), col("n_bg"), col("sum_v"),
+        (col("sum_v").cast(DoubleType) /
+          (col("n_bg") * lit(SCALE)).cast(DoubleType)).as("mean_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic content-hash DOWNSAMPLING, reported per source: keep
     * the ~25% of docs whose md5 leads with nibble 0-3. Hashing the
     * CONTENT (not rand(), not partition-dependent ids) is what makes a
@@ -1743,6 +1806,7 @@ object TextOps {
     "q_contamination"    -> contamination,
     "q_quality_filter"   -> qualityFilter,
     "q_lm_filter"        -> lmFilter,
+    "q_lm_bigram"        -> lmBigram,
     "q_substring_dedup"  -> substringDedup,
     "q_dsir_weights"     -> dsirWeights,
     "q_stream_neardup"   -> streamNearDup,
@@ -2325,6 +2389,37 @@ object TextOps {
            CAST(sum_cnt AS DOUBLE) / CAST(n_tok * total AS DOUBLE) AS mean_tok_p
          FROM sc CROSS JOIN tot
          WHERE sum_cnt * 1000 >= 33 * n_tok * total
+         ORDER BY doc_id""",
+    // Bigram gate mirrored stage-for-stage: same position-adjacency
+    // bigrams, same add-one numerator/denominator, same 10^9 floor
+    // quantization (`//` floors like Spark's `div` on positive
+    // BIGINTs), same cross-multiplied keep rule.
+    "q_lm_bigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i
+           FROM t),
+         bg AS (
+           SELECT a.doc_id, a.tok AS l, b.tok AS r
+           FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           WHERE length(a.tok) > 0 AND length(b.tok) > 0),
+         cbg AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+         cl AS (SELECT l, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+               FROM pos WHERE length(tok) > 0),
+         sc AS (
+           SELECT b.doc_id,
+             CAST((cbg.c + 1) * 1000000000 // (cl.cl + v.v) AS BIGINT) AS vi
+           FROM bg b JOIN cbg ON b.l = cbg.l AND b.r = cbg.r
+           JOIN cl ON b.l = cl.l CROSS JOIN v),
+         per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             CAST(sum(vi) AS BIGINT) AS sum_v
+           FROM sc GROUP BY 1)
+         SELECT doc_id, n_bg, sum_v,
+           CAST(sum_v AS DOUBLE) / CAST(n_bg * 1000000000 AS DOUBLE) AS mean_bigram_p
+         FROM per WHERE sum_v >= 33000000 * n_bg
          ORDER BY doc_id""",
     // ExactSubstr mirrored gram-for-gram: same K=8 windows, same
     // md5-slice gram hash, same >=2-distinct-docs duplicate rule, same

@@ -386,6 +386,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(kept.nonEmpty)
   }
 
+  test("bigram LM gate: smoothed fixed-point keep rule re-derived per document") {
+    val kept = TextOps.lmBigram(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent recomputation: raw text -> position bigrams -> add-one
+    // smoothed conditional -> 10^9 floor quantization -> keep rule
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    def bigramsOf(toks: Seq[String]) =
+      toks.zip(toks.drop(1)).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    val allBg = docs.flatMap(d => bigramsOf(d._2))
+    val cbg = allBg.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val cl = allBg.groupBy(_._1).map { case (l, g) => l -> g.size.toLong }
+    val v = docs.flatMap(_._2).filter(_.nonEmpty).distinct.size.toLong
+    var drops = 0
+    docs.foreach { case (id, toks) =>
+      val bgs = bigramsOf(toks)
+      if (bgs.isEmpty) assert(!kept.contains(id), s"bigram-less doc $id scored")
+      else {
+        val sumV = bgs.map(b => (cbg(b) + 1L) * 1000000000L / (cl(b._1) + v)).sum
+        val n = bgs.size.toLong
+        if (sumV >= 33000000L * n)
+          assert(kept.get(id).contains((n, sumV)),
+            s"doc $id: expected kept with (n=$n, sum=$sumV), got ${kept.get(id)}")
+        else { assert(!kept.contains(id), s"doc $id below threshold but kept"); drops += 1 }
+      }
+    }
+    assert(drops > 0, "bigram gate dropped nothing — threshold vacuous")
+    assert(kept.nonEmpty)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
