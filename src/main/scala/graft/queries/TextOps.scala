@@ -1455,6 +1455,70 @@ object TextOps {
       .limit(20)
   }
 
+  /** BPE MERGE TRAINING — the tokenizer-training loop itself (Sennrich
+    * et al. 2016), BPE_ROUNDS rounds of (count adjacent symbol pairs →
+    * argmax → merge everywhere → recount), where q_bpe_pairs judges
+    * only round 0's statistic. Judged output: the merge table — one row
+    * per round with the chosen pair and its weighted count — the
+    * artifact a tokenizer ships.
+    *
+    * State is the WORD-FREQUENCY table (distinct words + counts), the
+    * standard trick that makes BPE training corpus-size-independent:
+    * the corpus is scanned once for word counts; every round after
+    * operates on vocab-sized rows. Symbol sequences are encoded as
+    * strings with a strict separator invariant — one space at each
+    * end, TWO spaces between symbols — so the greedy left-to-right
+    * non-overlapping merge is exactly `replace(seq, ' a  b ', ' ab ')`:
+    * each match consumes one of the two boundary spaces on each side,
+    * so back-to-back occurrences still match after the scan resumes,
+    * while overlapping ones ("a a a" under (a,a)) correctly do not —
+    * and Spark's replace and DuckDB's replace share the same
+    * all-occurrences left-to-right contract, making every round
+    * bit-identical cross-engine. The argmax is a total order
+    * (count DESC, pair ASC); pair counts are position counts (overlaps
+    * counted), the standard BPE statistic, summed as exact BIGINTs.
+    *
+    * Scale shape: one corpus scan for word counts; each round is a
+    * vocab-sized pair explode + one aggregate + a 1-row broadcast merge
+    * join, lineage localCheckpoint-bounded per round (the pageRank
+    * pattern). The driver holds only the per-round 1-row argmax. */
+  private[graft] val BPE_ROUNDS = 5
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var state = words.select(
+      concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"), "  "),
+        lit(" ")).as("seq"),
+      col("n")).localCheckpoint()
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to BPE_ROUNDS) {
+      val pairs = state
+        .select(col("n"), split(trim(col("seq")), "  ").as("syms"))
+        .filter(size(col("syms")) >= 2) // sequence(1, 0) infers step −1 (the substringDedup guard)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      merges = merges :+ best.select(lit(r).as("round"), col("a"), col("b"), col("c"))
+      state = state.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(expr(
+          "replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')").as("seq"),
+          col("n"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionAll _)
+      .select(col("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("c"))
+      .orderBy(col("round"))
+  }
+
   /** Positional inverted-index phrase search: occurrences of the exact
     * 2-token phrase "table part". Each word's postings are (doc_id,
     * position) pairs; the phrase is a hash EQUI-join of the two posting
@@ -1771,6 +1835,7 @@ object TextOps {
     "q_stream_countmin"  -> streamCountMin,
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
+    "q_bpe_train"        -> bpeTrain,
     "q_heavy_hitters"    -> heavyHitters,
     "q_dedup_priority"   -> dedupPriority,
     "q_span_contamination" -> spanContamination,
@@ -1839,7 +1904,47 @@ object TextOps {
            FROM sigl CROSS JOIN (VALUES ${(0 until BANDS).map(b => s"($b)").mkString(", ")}) bands(band))"""
   }
 
+  /** The unrolled BPE-training oracle: BPE_ROUNDS chained MATERIALIZED
+    * (pairs → argmax → replace-merge) CTEs — the kcore/mmr unrolling
+    * technique applied to the tokenizer loop. Pair positions come from
+    * an (seq, i)-keyed self-join (seqs are injective encodings of
+    * distinct words, so the key is unique per row); the merge is the
+    * SAME double-separator replace() the Spark side runs. */
+  private def bpeTrainOracle: String = {
+    def round(i: Int) =
+      s""", s$i AS (
+           SELECT seq, n, unnest(syms) AS sym, generate_subscripts(syms, 1) AS i
+           FROM (SELECT seq, n, string_split(trim(seq), '  ') AS syms FROM w${i - 1})),
+         p$i AS (
+           SELECT x.sym AS a, y.sym AS b, CAST(sum(x.n) AS BIGINT) AS c
+           FROM s$i x JOIN s$i y ON x.seq = y.seq AND y.i = x.i + 1
+           GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         w$i AS MATERIALIZED (
+           SELECT replace(seq, ' ' || b$i.a || '  ' || b$i.b || ' ',
+                          ' ' || b$i.a || b$i.b || ' ') AS seq, n
+           FROM w${i - 1} CROSS JOIN b$i)"""
+    s"""WITH words AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) > 0 GROUP BY w),
+       w0 AS MATERIALIZED (
+         SELECT ' ' || array_to_string(
+             list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)),
+             '  ') || ' ' AS seq, n
+         FROM words)""" +
+      (1 to BPE_ROUNDS).map(round).mkString +
+      (1 to BPE_ROUNDS).map(i =>
+        s"""
+         SELECT CAST($i AS INTEGER) AS round, a, b, a || b AS merged, c FROM b$i""")
+        .mkString("", " UNION ALL", "") +
+      """
+       ORDER BY round"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle,
     "q_stream_countmin" ->
       """WITH tok AS (
            SELECT t AS tok FROM (

@@ -417,6 +417,43 @@ class TextOpsSpec extends SparkTestBase {
     assert(kept.nonEmpty)
   }
 
+  test("BPE training: every merge choice re-derived by an independent greedy BPE") {
+    val got = TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq === (1 to TextOps.BPE_ROUNDS))
+    // independent reference: list-of-symbols BPE with position-counted
+    // pairs and greedy left-to-right non-overlapping merges — no string
+    // encoding, no replace(); agreement pins the separator invariant
+    var wordTab: Map[Vector[String], Long] = graft.Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    got.foreach { case (round, a, b, merged, c) =>
+      assert(merged === a + b, s"round $round merged column")
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- wordTab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val best = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      assert((best._1._1, best._1._2, best._2) === ((a, b, c)),
+        s"round $round: reference argmax $best vs query ($a, $b, $c)")
+      def mergeWord(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      wordTab = wordTab.groupBy { case (syms, _) => mergeWord(syms) }
+        .map { case (m, g) => m -> g.values.sum }
+    }
+    // the 5 merges must be non-trivial (counts positive and non-increasing
+    // is NOT required by BPE, but every chosen pair must actually occur)
+    assert(got.forall(_._5 > 0))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
