@@ -326,6 +326,102 @@ object Events {
     t.read(s).orderBy(col("user_id"))
   }
 
+  /** STREAMING LATE-DATA ACCOUNTING, judged: a watermark that PROVABLY
+    * drops a planted late cohort, with per-window accepted/dropped
+    * counts — the reconciliation report a streaming ingest runs against
+    * its batch recount. The replay is made batch-split-DETERMINISTIC
+    * (the q_stream_countmin requirement, here load-bearing rather than
+    * sidestepped by additivity) by planting the micro-batch boundaries
+    * themselves: the source dir holds exactly three single-file
+    * parquets drained with maxFilesPerTrigger=1 in mtime order —
+    *   batch 1 `a`: the full events table (watermark starts at −∞, so
+    *     nothing drops; afterwards wm = max(ts) − 1h),
+    *   batch 2 `m`: ONE sentinel row at max(ts)+3 days. During this
+    *     batch the wm from batch 1 EVICTS every window except the last
+    *     day's (emitted, append mode); afterwards wm = sentinel − 1h,
+    *     past every real window end. The eviction ordering is the
+    *     load-bearing step: a watermark only GUARANTEES dropping rows
+    *     whose window state is already gone — while state lives, late
+    *     rows "may or may not" be dropped (Spark merges them, measured
+    *     here before the sentinel batch was split out),
+    *   batch 3 `b`: the earliest DAY's events re-keyed — every ts sits
+    *     a full corpus-span below wm and every target window is
+    *     evicted → ALL dropped, none re-emitted; the last day's window
+    *     flushes in this batch under the sentinel watermark. The
+    *     sentinel's own window stays above the watermark and is never
+    *     emitted.
+    * Accepted counts come from the DRAIN; totals from the same cohort
+    * construction in batch; dropped = total − accepted. The builder
+    * REQUIREs the late-cohort margin loudly instead of letting a
+    * short-span corpus silently turn the test vacuous. Scale shape:
+    * state is live-window-count-sized, the drop is an O(1) per-row
+    * watermark filter, and the accounting join is window-count-sized. */
+  def streamLate(s: SparkSession, d: String): DataFrame = {
+    val replayDir = graft.Scratch.materializedOnce("stream_late_replay", d) { pth =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val Array(row) = ev.agg(max(col("ts")).as("mx"),
+        to_date(min(col("ts"))).as("d0")).collect()
+      val (mx, d0) = (row.getTimestamp(0), row.getDate(1))
+      val late = ev.filter(to_date(col("ts")) === lit(d0))
+        .select(col("event_id") + lit(10000000L), col("event_type"), col("ts"))
+      val lateMax = late.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      require(lateMax.getTime < mx.getTime - 3600 * 1000L,
+        s"streamLate: corpus span too short — late cohort max $lateMax not " +
+          s"an hour under the watermark anchor $mx; the planted drop would be vacuous")
+      val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+        lit("sentinel").as("event_type"),
+        lit(mx).cast(TimestampType) + expr("INTERVAL 3 DAYS"))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = pth + "_build_" + name
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"streamLate: no part file in $tmp"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pth))
+        val dest = new java.io.File(pth, name + ".parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(dest.setLastModified(mtime), s"streamLate: cannot set mtime on $dest")
+      }
+      // mtimes force the file-source order (it sorts by timestamp): the
+      // on-time file MUST be batch 1 and the sentinel MUST precede the
+      // late cohort — a watermark only GUARANTEES dropping rows whose
+      // window state was already evicted ("may or may not be dropped"
+      // while state lives), so the sentinel batch runs first to evict
+      // every real window before the late batch arrives
+      val t0 = System.currentTimeMillis() - 300000L
+      writeOne(ev, "a", t0)
+      writeOne(sentinel.toDF("event_id", "event_type", "ts"), "m", t0 + 60000L)
+      writeOne(late.toDF("event_id", "event_type", "ts"), "b", t0 + 120000L)
+    }
+    val src = s.readStream
+      .schema(s.read.parquet(replayDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+    val accepted = drainToMemory(s, "graft_stream_late", "append")(
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_accepted"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n_accepted")))
+    // batch recount from the SAME cohort construction (not the replay
+    // files — a builder bug then shows up as a loud stream/batch
+    // mismatch instead of propagating into both sides)
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"))
+    val d0 = to_date(min(col("ts")))
+    val firstDay = ev.agg(d0.as("d0"))
+    val total = ev
+      .unionAll(ev.join(broadcast(firstDay), to_date(col("ts")) === col("d0"))
+        .select(col("event_type"), col("ts")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_total"))
+    total.join(accepted, Seq("ws", "event_type"))
+      .select(col("ws"), col("event_type"), col("n_total"), col("n_accepted"),
+        (col("n_total") - col("n_accepted")).as("n_dropped"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   /** J4 custom stateful operator, judged: flatMapGroupsWithState
     * sessionization (streaming.EventStreams.sessionize) run in batch mode
     * — output must equal the session_window query row for row (same
@@ -756,6 +852,7 @@ object Events {
     "q_variant"         -> variantExtract,
     "q_resample"        -> resampleDaily,
     "q_stream_tumbling" -> streamTumbling,
+    "q_stream_late"     -> streamLate,
     "q_stream_session"  -> streamSession,
     "q_stream_dedup"    -> streamDedup,
     "q_stream_join"     -> streamJoin,
@@ -1024,6 +1121,30 @@ object Events {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf_value
          FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
          ORDER BY g.user_id, g.day""",
+    // The planted two-batch replay is fully determined by the corpus:
+    // batch 1 = all events (nothing late), batch 2 = the earliest day
+    // re-keyed (ALL late, watermark = max(ts) − 1h) + a sentinel that
+    // only flushes windows. So accepted = the plain per-day counts,
+    // total = counts over events ∪ earliest-day replay, dropped = diff.
+    "q_stream_late" ->
+      """WITH ev AS (SELECT event_type, ts FROM events),
+         d0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM ev),
+         rep AS (
+           SELECT event_type, ts FROM ev
+           UNION ALL
+           SELECT event_type, ts FROM ev, d0 WHERE CAST(ts AS DATE) = d0.d0),
+         tot AS (
+           SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_total
+           FROM rep GROUP BY 1, 2),
+         acc AS (
+           SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_accepted
+           FROM ev GROUP BY 1, 2)
+         SELECT ws, event_type, n_total, n_accepted,
+           n_total - n_accepted AS n_dropped
+         FROM tot JOIN acc USING (ws, event_type)
+         ORDER BY ws, event_type""",
     // the streaming run must produce exactly the batch result
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,

@@ -194,6 +194,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q_stream_late: drops land exactly on the planted day; accounting closes") {
+    val rows = graft.queries.Events.streamLate(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // accepted + dropped = total on every row, and no window double-emits
+    rows.foreach { case (ws, et, total, acc, dropped) =>
+      assert(acc + dropped === total, s"($ws, $et) accounting broken")
+      assert(dropped >= 0 && acc > 0)
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length,
+      "a window emitted twice — late rows re-created evicted state")
+    // the planted late cohort is the earliest day's replay: exactly that
+    // day shows drops, equal to its accepted count; all other days zero
+    val d0 = rows.map(_._1).min
+    rows.foreach { case (ws, et, _, acc, dropped) =>
+      if (ws == d0) assert(dropped === acc, s"planted day ($ws, $et): dropped != replay size")
+      else assert(dropped === 0L, s"un-planted day ($ws, $et) dropped $dropped")
+    }
+    // the drop is non-vacuous
+    assert(rows.filter(_._1 == d0).map(_._5).sum > 0)
+  }
+
   test("streaming sink into a Graft table: content == source, snapshots per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
