@@ -1483,40 +1483,80 @@ object TextOps {
     * join, lineage localCheckpoint-bounded per round (the pageRank
     * pattern). The driver holds only the per-round 1-row argmax. */
   private[graft] val BPE_ROUNDS = 5
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    var state = words.select(
-      concat(lit(" "),
-        array_join(expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"), "  "),
-        lit(" ")).as("seq"),
-      col("n")).localCheckpoint()
-    var merges = Vector.empty[DataFrame]
-    for (r <- 1 to BPE_ROUNDS) {
-      val pairs = state
-        .select(col("n"), split(trim(col("seq")), "  ").as("syms"))
-        .filter(size(col("syms")) >= 2) // sequence(1, 0) infers step −1 (the substringDedup guard)
-        .select(col("n"), explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("c"))
-      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint()
-      merges = merges :+ best.select(lit(r).as("round"), col("a"), col("b"), col("c"))
-      state = state.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .select(expr(
-          "replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')").as("seq"),
-          col("n"))
-        .localCheckpoint()
+
+  /** Run the BPE training loop once per session (Scratch artifact) and
+    * return (merge table, final word→sequence state). The state carries
+    * the original word so the ENCODE side can apply the fitted
+    * tokenizer by a vocab-sized join — the classic fit/transform split,
+    * both halves judged (q_bpe_train / q_bpe_encode). */
+  private def bpeFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = graft.Scratch.materializedOnce("bpe_fit", d) { pth =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      var state = words.select(
+        col("w"),
+        concat(lit(" "),
+          array_join(expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"), "  "),
+          lit(" ")).as("seq"),
+        col("n")).localCheckpoint()
+      var merges = Vector.empty[DataFrame]
+      for (r <- 1 to BPE_ROUNDS) {
+        val pairs = state
+          .select(col("n"), split(trim(col("seq")), "  ").as("syms"))
+          .filter(size(col("syms")) >= 2) // sequence(1, 0) infers step −1 (the substringDedup guard)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("c"))
+        val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+          .localCheckpoint()
+        merges = merges :+ best.select(lit(r).as("round"), col("a"), col("b"), col("c"))
+        state = state.crossJoin(broadcast(best.select(col("a"), col("b"))))
+          .select(col("w"), expr(
+            "replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')").as("seq"),
+            col("n"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionAll _).coalesce(1)
+        .write.mode("overwrite").parquet(pth + "/merges")
+      state.write.mode("overwrite").parquet(pth + "/state")
     }
-    merges.reduce(_ unionAll _)
+    (s.read.parquet(root + "/merges"), s.read.parquet(root + "/state"))
+  }
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeFit(s, d)._1
       .select(col("round"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("c"))
       .orderBy(col("round"))
+
+  /** BPE ENCODE — apply the fitted merge table to the corpus (the
+    * transform half of q_bpe_train's fit): per document, the word→final-
+    * sequence state joins back by word (vocab-sized broadcast-able
+    * dimension — the corpus never re-tokenizes through the merge loop)
+    * and reports character/token volumes and the achieved compression.
+    * One judged float (tokens-per-100-chars style ratio as a single
+    * IEEE division of exact BIGINTs). */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val enc = bpeFit(s, d)._2
+      .select(col("w"), length(col("w")).cast(LongType).as("n_chars"),
+        size(split(trim(col("seq")), "  ")).cast(LongType).as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
 
   /** Positional inverted-index phrase search: occurrences of the exact
@@ -1836,6 +1876,7 @@ object TextOps {
     "q_phrase_search"    -> phraseSearch,
     "q_bpe_pairs"        -> bpePairs,
     "q_bpe_train"        -> bpeTrain,
+    "q_bpe_encode"       -> bpeEncode,
     "q_heavy_hitters"    -> heavyHitters,
     "q_dedup_priority"   -> dedupPriority,
     "q_span_contamination" -> spanContamination,
@@ -1910,19 +1951,19 @@ object TextOps {
     * an (seq, i)-keyed self-join (seqs are injective encodings of
     * distinct words, so the key is unique per row); the merge is the
     * SAME double-separator replace() the Spark side runs. */
-  private def bpeTrainOracle: String = {
+  private def bpeChainCtes: String = {
     def round(i: Int) =
       s""", s$i AS (
-           SELECT seq, n, unnest(syms) AS sym, generate_subscripts(syms, 1) AS i
-           FROM (SELECT seq, n, string_split(trim(seq), '  ') AS syms FROM w${i - 1})),
+           SELECT w, n, unnest(syms) AS sym, generate_subscripts(syms, 1) AS i
+           FROM (SELECT w, n, string_split(trim(seq), '  ') AS syms FROM w${i - 1})),
          p$i AS (
            SELECT x.sym AS a, y.sym AS b, CAST(sum(x.n) AS BIGINT) AS c
-           FROM s$i x JOIN s$i y ON x.seq = y.seq AND y.i = x.i + 1
+           FROM s$i x JOIN s$i y ON x.w = y.w AND y.i = x.i + 1
            GROUP BY 1, 2),
          b$i AS MATERIALIZED (
            SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
          w$i AS MATERIALIZED (
-           SELECT replace(seq, ' ' || b$i.a || '  ' || b$i.b || ' ',
+           SELECT w, replace(seq, ' ' || b$i.a || '  ' || b$i.b || ' ',
                           ' ' || b$i.a || b$i.b || ' ') AS seq, n
            FROM w${i - 1} CROSS JOIN b$i)"""
     s"""WITH words AS MATERIALIZED (
@@ -1930,21 +1971,46 @@ object TextOps {
            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          WHERE length(w) > 0 GROUP BY w),
        w0 AS MATERIALIZED (
-         SELECT ' ' || array_to_string(
+         SELECT w, ' ' || array_to_string(
              list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)),
              '  ') || ' ' AS seq, n
          FROM words)""" +
-      (1 to BPE_ROUNDS).map(round).mkString +
+      (1 to BPE_ROUNDS).map(round).mkString
+  }
+
+  private def bpeTrainOracle: String =
+    bpeChainCtes +
       (1 to BPE_ROUNDS).map(i =>
         s"""
          SELECT CAST($i AS INTEGER) AS round, a, b, a || b AS merged, c FROM b$i""")
         .mkString("", " UNION ALL", "") +
       """
        ORDER BY round"""
-  }
+
+  /** The encode oracle re-runs the same fit chain, then joins documents
+    * back to the final per-word sequences and reports volumes. */
+  private def bpeEncodeOracle: String =
+    bpeChainCtes +
+      s""",
+       enc AS (
+         SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+           CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sym
+         FROM w$BPE_ROUNDS),
+       dw AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) > 0)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+         CAST(sum(e.n_chars) AS DOUBLE) / CAST(sum(e.n_sym) AS DOUBLE)
+           AS chars_per_token
+       FROM dw JOIN enc e USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_stream_countmin" ->
       """WITH tok AS (
            SELECT t AS tok FROM (

@@ -452,6 +452,24 @@ class TextOpsSpec extends SparkTestBase {
     // the 5 merges must be non-trivial (counts positive and non-increasing
     // is NOT required by BPE, but every chosen pair must actually occur)
     assert(got.forall(_._5 > 0))
+
+    // ENCODE against the same reference fit: per-doc token volumes equal
+    // re-encoding every document's words through the reference word table
+    val encRef = wordTab.map { case (syms, _) => syms.mkString -> syms.size.toLong }
+    val enc = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docWords = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    docWords.foreach { case (id, ws) =>
+      if (ws.isEmpty) assert(!enc.contains(id))
+      else {
+        val exp = (ws.size.toLong, ws.map(_.length.toLong).sum, ws.map(encRef).sum)
+        assert(enc.get(id).contains(exp), s"doc $id: $exp vs ${enc.get(id)}")
+      }
+    }
+    // merges actually compress: some document has n_tokens < n_chars
+    assert(enc.values.exists(v => v._3 < v._2), "encode compressed nothing")
   }
 
   private def md5hex(s: String): String =
