@@ -1345,6 +1345,50 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** MIXTURE RESAMPLE — EXECUTE the flattening q_mix_weights only
+    * prices: per-language deterministic content-hash downsampling to a
+    * uniform target share, the operator that actually materializes a
+    * training mixture. Each doc draws a reproducible uniform from its
+    * md5 (first 5 nibbles, 2²⁰ granularity — the q_sample_hash
+    * principle: hashing identity, not rand(), survives re-runs and
+    * repartitioning) and is kept iff
+    *   h · n_langs · n_docs(lang) < 2²⁰ · total_docs
+    * — the cross-multiplied exact-integer form of u < target_rate, with
+    * over-represented languages thinned toward total/n_langs and
+    * under-represented ones passing whole (rate ≥ 1 ⇒ RHS ≥ 2²⁰ > h).
+    * Judged output is the per-language accounting (kept vs target);
+    * the keep decision itself is the per-row predicate. Overflow guard
+    * (the sourceDrift idiom): the LHS wraps past n_langs·n_docs ≈ 2⁴³ —
+    * fail loudly and identically on both engines, shard beyond that. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("total_docs"),
+      count(lit(1)).as("n_langs"))
+    val h = conv(substring(
+      md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 5), 16, 10)
+      .cast(LongType)
+    val guarded = when(col("n_langs") * col("n_docs") < lit(1L << 43),
+      col("n_langs") * col("n_docs"))
+      .otherwise(raise_error(lit(
+        "mixtureSample: n_langs * n_docs overflows the 2^20 hash scale — shard the resample")))
+    val keep = h * guarded < lit(1L << 20) * col("total_docs")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(per), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(when(keep, lit(1))).as("n_kept"),
+        max(col("total_docs")).as("total_docs"),
+        max(col("n_langs")).as("n_langs"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        least(lit(1.0), col("total_docs").cast(DoubleType) /
+          (col("n_langs") * col("n_docs")).cast(DoubleType)).as("target_rate"),
+        (col("n_kept").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("achieved_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Boilerplate stripping: remove function-word noise ('a'/'the' as
     * whole words), collapse runs of whitespace, trim — the regex-scrub
     * shape every web-corpus cleaning stage uses (both engines run the
@@ -1887,6 +1931,7 @@ object TextOps {
     "q_char_diversity"   -> charDiversity,
     "q_bm25"             -> bm25,
     "q_sample_stratified" -> sampleStratified,
+    "q_mixture_sample"   -> mixtureSample,
     "q_mix_weights"      -> mixWeights,
     "q_repetition"       -> repetition,
     "q_train_shuffle"    -> trainShuffle,
@@ -2292,6 +2337,27 @@ object TextOps {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY lang, rn""",
+    // same 5-nibble md5 uniform, same cross-multiplied keep rule — the
+    // conv/from-hex parse is the only dialect difference.
+    "q_mixture_sample" ->
+      """WITH per AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(count(*) AS BIGINT) AS n_langs FROM per),
+         marked AS (
+           SELECT d.lang, p.n_docs, t.total_docs, t.n_langs,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
+                    * t.n_langs * p.n_docs < 1048576 * t.total_docs
+               THEN 1 ELSE 0 END AS keep
+           FROM documents d JOIN per p USING (lang) CROSS JOIN tot t)
+         SELECT lang, n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+           least(1.0, CAST(total_docs AS DOUBLE)
+             / CAST(n_langs * n_docs AS DOUBLE)) AS target_rate,
+           CAST(sum(keep) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS achieved_rate
+         FROM marked GROUP BY lang, n_docs, total_docs, n_langs
+         ORDER BY lang""",
     "q_mix_weights" ->
       """WITH per AS (
            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_tot

@@ -472,6 +472,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(enc.values.exists(v => v._3 < v._2), "encode compressed nothing")
   }
 
+  test("mixture resample: per-language keep counts re-derived from raw md5 draws") {
+    val got = TextOps.mixtureSample(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val per = docs.groupBy(_._2).map { case (l, g) => l -> g.length.toLong }
+    val (total, nLangs) = (docs.length.toLong, per.size.toLong)
+    val expected = docs.groupBy(_._2).map { case (l, g) =>
+      l -> g.count { case (id, _) =>
+        java.lang.Long.parseLong(md5hex(id.toString).take(5), 16) *
+          nLangs * per(l) < (1L << 20) * total
+      }.toLong
+    }
+    assert(got.view.mapValues(_._2).toMap === expected)
+    assert(got.view.mapValues(_._1).toMap === per)
+    // non-vacuous: the dominant language is actually thinned
+    assert(expected.exists { case (l, k) => k < per(l) }, "no language thinned")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
