@@ -494,7 +494,36 @@ object Graphs {
       .orderBy(col("dist_scaled"), col("part_id"))
   }
 
+  /** CONNECTED COMPONENTS over the CONFIDENT co-purchase graph — the
+    * entity-resolution primitive (cluster things that co-occur
+    * repeatedly), judged standalone after living inside q_dedup_cluster
+    * / q_dedup_pipeline as a stage. Edges are thresholded at
+    * cooc ≥ 2 — read off the existing weighted-edge artifact
+    * (w = 10⁶ div cooc ⇒ w ≤ 500000) — which fragments the basket
+    * graph into real components at every SF instead of the one dense
+    * blob the unthresholded projection gives. Labels propagate with
+    * TextOps.ccPointerDoubling (pointer-doubling min-label, O(log
+    * diameter) passes — the dedup-family implementation, one CC for
+    * every consumer). Output: per-node component assignment plus its
+    * component size. The DuckDB oracle is the recursive-CTE
+    * transitive closure with min-reachable labels (the q_dedup_cluster
+    * formulation on a different edge derivation). */
+  def graphCC(s: SparkSession, d: String): DataFrame = {
+    val edges = weightedEdges(s, d).filter(col("w") <= 500000L)
+      .select(col("src"), col("dst"))
+    val vertices = edges.select(col("src").as("doc_id")).distinct()
+    val labels = TextOps.ccPointerDoubling(vertices,
+        edges.select(col("src").as("src"), col("dst").as("dst")))
+      .select(col("doc_id").as("part_id"), col("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("part_id"), col("cluster_id"), col("n_members"))
+      .orderBy(col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_cc" -> graphCC,
     "q_sssp" -> sssp,
     "q_bfs" -> bfs,
     "q_recommend" -> recommend,
@@ -621,6 +650,30 @@ object Graphs {
   }
 
   val oracle: Map[String, String] = Map(
+    // recursive-CTE transitive closure with min-reachable labels (the
+    // q_dedup_cluster formulation) over the cooc>=2 confident edges.
+    "q_graph_cc" ->
+      """WITH RECURSIVE items AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.p AS src, b.p AS dst
+           FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         w(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT w.src, e.dst FROM w JOIN e ON w.dst = e.src),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         lab AS (
+           SELECT n.node,
+             LEAST(n.node, coalesce(min(w.dst), n.node)) AS cluster_id
+           FROM nodes n LEFT JOIN w ON w.src = n.node
+           GROUP BY n.node),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+                FROM lab GROUP BY 1)
+         SELECT node AS part_id, cluster_id, n_members
+         FROM lab JOIN sz USING (cluster_id)
+         ORDER BY part_id""",
     "q_sssp" -> ssspOracle,
     "q_bfs" -> bfsOracle,
     "q_recommend" ->

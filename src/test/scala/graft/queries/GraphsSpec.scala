@@ -211,6 +211,43 @@ class GraphsSpec extends SparkTestBase {
     assert(tc.forall(_.getLong(1) > 0))
   }
 
+  test("q_graph_cc: labels are a valid CC labeling of the thresholded graph") {
+    val rows = Graphs.graphCC(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // independent edge re-derivation: cooc >= 2 on distinct baskets
+    val items = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).values.map(_.map(_._2).toSeq)
+    val cooc = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (ps <- byOrder; a <- ps; b <- ps if a != b)
+      cooc((a, b)) = cooc.getOrElse((a, b), 0) + 1
+    val edges = cooc.filter(_._2 >= 2).keys.toSeq
+    // 1. every edge endpoint labeled, both endpoints share a label
+    edges.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b))
+      assert(label(a) === label(b), s"edge ($a,$b) crosses components")
+    }
+    // 2. labels are the component MIN (min over a BFS closure from each
+    //    label's members never escapes — checked via label minimality)
+    val adj = edges.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._1).min === cl, s"component $cl not min-labeled")
+      // component is edge-connected: every member reaches the label node
+      val mset = members.map(_._1).toSet
+      var frontier = Set(cl); var seen = Set(cl)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+        seen ++= nxt; frontier = nxt
+      }
+      assert(mset.subsetOf(seen), s"component $cl has unreachable members")
+      // 3. sizes consistent
+      members.foreach(m => assert(m._3 === members.size.toLong))
+    }
+  }
+
   test("broadcast gate: hint under the bound, shuffle-join shape above it") {
     // VERDICT r8 #1: an explicit broadcast() hint is honored regardless
     // of size, so at 100× the node table must NOT carry the hint — the
