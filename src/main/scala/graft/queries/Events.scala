@@ -775,6 +775,35 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** DAY-OF-WEEK SEASONALITY decomposition: per (event_type, weekday)
+    * mean daily volume plus the peak day — the weekly-profile baseline
+    * behind traffic anomaly triage (q_anomaly_* flag days; this names
+    * the expected shape they deviate from). Weekday is computed as
+    * pmod(days-since-a-known-Sunday, 7) — PORTABLE, because Spark's
+    * dayofweek() is 1-based-Sunday while DuckDB's is 0-based: deriving
+    * from epoch-day arithmetic sidesteps the dialect trap entirely.
+    * Counts are exact; the mean is one IEEE division; the peak is an
+    * argmax over the total order (count, day DESC→earliest? no —
+    * max(struct(x, day)) picks the LATEST day on count ties, mirrored
+    * exactly by the oracle's ORDER BY x DESC, day DESC LIMIT 1). */
+  def seasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("pmod(datediff(day, DATE '2024-01-07'), 7)").cast(IntegerType))
+    daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
+        max(struct(col("x"), col("day"))).as("pk"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("total"),
+        (col("total").cast(DoubleType) /
+          col("n_days").cast(DoubleType)).as("mean_per_day"),
+        col("pk.x").as("peak_x"),
+        // TimestampType for the driver's pandas dtype hash (the day_ts
+        // idiom — DuckDB DATE surfaces as datetime64 in pandas)
+        col("pk.day").cast(TimestampType).as("peak_day"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** CLICKSTREAM PATH MINING: the top-20 most common per-(user, day)
     * event-type paths — the sequence histogram behind funnel discovery
     * and UX analysis. The path string is built ORDER-DETERMINISTICALLY
@@ -839,6 +868,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anomaly_mad"      -> anomalyMad,
     "q_session_path"     -> sessionPath,
+    "q_seasonality"      -> seasonality,
     "q_ab_test"          -> abTest,
     "q_seq_mining"       -> seqMining,
     "q_debounce"         -> debounce,
@@ -903,6 +933,33 @@ object Events {
              AS anomalous
          FROM dev d JOIN mad m USING (event_type)
          ORDER BY d.event_type, day_ts""",
+    // weekday from epoch-day arithmetic (Spark dayofweek is 1-based
+    // Sunday, DuckDB's 0-based — pmod sidesteps the dialect); peak tie
+    // breaks to the LATEST day, matching max(struct(x, day)).
+    "q_seasonality" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         dowd AS (
+           SELECT event_type, day, x,
+             CAST(((day - DATE '2024-01-07') % 7 + 7) % 7 AS INTEGER) AS dow
+           FROM daily),
+         agg AS (
+           SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS total
+           FROM dowd GROUP BY 1, 2),
+         pk AS (
+           SELECT event_type, dow, x AS peak_x, day AS peak_day
+           FROM (SELECT event_type, dow, x, day,
+                   row_number() OVER (PARTITION BY event_type, dow
+                     ORDER BY x DESC, day DESC) AS rn
+                 FROM dowd) WHERE rn = 1)
+         SELECT a.event_type, a.dow, a.n_days, a.total,
+           CAST(a.total AS DOUBLE) / CAST(a.n_days AS DOUBLE) AS mean_per_day,
+           p.peak_x, p.peak_day
+         FROM agg a JOIN pk p USING (event_type, dow)
+         ORDER BY a.event_type, a.dow""",
     "q_session_path" ->
       """WITH paths AS (
            SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path

@@ -121,6 +121,35 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("seasonality: per-dow means and peaks re-derived from raw daily counts") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = Events.seasonality(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // dow convention: days since Sunday 2024-01-07 mod 7 ⇒ Sunday = 0
+    def dowOf(d: java.time.LocalDate): Int =
+      java.lang.Math.floorMod(
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(2024, 1, 7), d), 7L).toInt
+    val byKey = daily.groupBy(t => (t._1, dowOf(t._2)))
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSet === byKey.keySet)
+    got.foreach { r =>
+      val g = byKey((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) === g.length.toLong)
+      assert(r.getLong(3) === g.map(_._3).sum)
+      assert(r.getDouble(4) === g.map(_._3).sum.toDouble / g.length)
+      val peak = g.maxBy(t => (t._3, t._2.toEpochDay))
+      assert(r.getLong(5) === peak._3)
+      assert(r.getTimestamp(6).toLocalDateTime.toLocalDate === peak._2)
+    }
+    // the dow convention itself: 2024-01-07 was a Sunday
+    assert(dowOf(java.time.LocalDate.of(2024, 1, 7)) === 0)
+    assert(java.time.LocalDate.of(2024, 1, 7).getDayOfWeek
+      === java.time.DayOfWeek.SUNDAY)
+  }
+
   test("dataset card: every per-source stat re-derived") {
     import java.security.MessageDigest
     def md5hex(t: String): String =
