@@ -522,7 +522,139 @@ object Graphs {
       .orderBy(col("part_id"))
   }
 
+  /** The customer→part bipartite purchase graph (c bought p at least
+    * once), materialized once per corpus — the two-mode graph underlying
+    * the co-purchase projection, used directly by HITS. Derivation is
+    * one orders⋈lineitem equi-join (orderkey) + distinct: O(|lineitem|),
+    * never corpus². */
+  private def custPartEdges(s: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Scratch.materializedOnce("custpart_edges", d) { pth =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(pth)
+    }
+    s.read.parquet(tmp)
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the customer→part
+    * bipartite graph — the link-analysis dual of PageRank's quality
+    * prior: hub score of a customer = Σ authority of the parts they buy,
+    * authority of a part = Σ hub of its buyers. Run UNNORMALIZED for a
+    * fixed two half-iterations per side: the per-pass normalization of
+    * textbook HITS is a global positive scalar, so the unnormalized
+    * scores give the IDENTICAL ranking at every step while staying exact
+    * BIGINTs (they count alternating paths in the bipartite graph —
+    * a2(p) = # of c'→p'→c→p walks ending at p). Sums of BIGINTs are
+    * order-free ⇒ bit-identical cross-engine at any parallelism (the
+    * q_pagerank determinism argument without even a div).
+    *
+    * Scale shape: each half-pass is ONE edge scan joined with the
+    * node-sized score table (size-gated broadcast, VERDICT r8 #1
+    * discipline) into map-side-combined node partials. Overflow
+    * envelope: a2 ≤ maxdeg(p)·maxdeg(c)·maxdeg(p)… concretely h2 ≤
+    * basket·a2max where basket (parts per customer) is bounded by
+    * purchase behavior, not corpus size — guarded LOUDLY at 2⁶⁰ so a
+    * 100× run fails with a message, not silent wraparound. */
+  def hits(s: SparkSession, d: String): DataFrame =
+    hitsOnBipartite(custPartEdges(s, d))
+
+  private[graft] def hitsOnBipartite(e: DataFrame): DataFrame = {
+    val guard = (c: Column, who: String) =>
+      when(c < lit(1L << 60), c).otherwise(raise_error(lit(
+        s"hits: $who exceeds the 2^60 overflow envelope — move scores to DECIMAL(38,0)")))
+    val nParts = e.select(col("p")).distinct().count()
+    val nCust = e.select(col("c")).distinct().count()
+    // a1(p) = indegree (Σ of unit hubs); h1(c) = Σ_{p ∈ basket(c)} a1(p);
+    // a2(p) = Σ_{c→p} h1(c); h2(c) = Σ_{p ∈ basket(c)} a2(p)
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = e.join(maybeBroadcast(a1, nParts, BROADCAST_MAX_ROWS), Seq("p"))
+      .groupBy(col("c")).agg(guard(sum(col("a1")), "h1").as("h1"))
+    val a2 = e.join(maybeBroadcast(h1, nCust, BROADCAST_MAX_ROWS), Seq("c"))
+      .groupBy(col("p")).agg(guard(sum(col("h1")), "a2").as("a2"))
+    val h2 = e.join(maybeBroadcast(a2.select(col("p"), col("a2")), nParts,
+        BROADCAST_MAX_ROWS), Seq("p"))
+      .groupBy(col("c")).agg(guard(sum(col("a2")), "h2").as("h2"))
+    val topAuth = a1.join(a2, Seq("p"))
+      .orderBy(col("a2").desc, col("p")).limit(20)
+      .select(lit("authority").as("kind"), col("p").as("node_id"),
+        col("a1").as("score1"), col("a2").as("score2"))
+    val topHub = h1.join(h2, Seq("c"))
+      .orderBy(col("h2").desc, col("c")).limit(20)
+      .select(lit("hub").as("kind"), col("c").as("node_id"),
+        col("h1").as("score1"), col("h2").as("score2"))
+    topAuth.unionAll(topHub).orderBy(col("kind"), col("score2").desc, col("node_id"))
+  }
+
+  /** Neighborhood Jaccard similarity of ADJACENT node pairs — the
+    * link-prediction / role-similarity score sim(x,y) =
+    * |N(x)∩N(y)| / |N(x)∪N(y)| evaluated on observed edges (the
+    * candidate set that makes it sub-quadratic: pairs COME FROM the edge
+    * table, never an all-pairs scan — the same candidate-generation
+    * discipline as the dedup family). Reuses the per-edge
+    * common-neighbor machinery of q_triangle_count (sorted adjacency
+    * arrays, codegen'd array_intersect); degrees read off the same
+    * arrays; the score is exact-integer work plus ONE IEEE division, so
+    * rows are bit-identical cross-engine. */
+  def graphJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardOnUndirected(
+      copurchaseEdges(s, d).filter(col("src") < col("dst"))
+        .select(col("src").as("x"), col("dst").as("y")))
+
+  private[graft] def jaccardOnUndirected(und: DataFrame): DataFrame = {
+    val both = und.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+    // gate counts CELLS like trianglesOnUndirected (adjacency rows are
+    // degree-wide arrays; a row-count gate would under-price them)
+    val nCells = 2L * und.count()
+    val adj = both.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    und
+      .join(maybeBroadcast(adj.select(col("a").as("x"), col("nbrs").as("nx")),
+        nCells, BROADCAST_MAX_ROWS), Seq("x"))
+      .join(maybeBroadcast(adj.select(col("a").as("y"), col("nbrs").as("ny")),
+        nCells, BROADCAST_MAX_ROWS), Seq("y"))
+      .select(col("x"), col("y"),
+        size(array_intersect(col("nx"), col("ny"))).cast("long").as("cn"),
+        size(col("nx")).cast("long").as("deg_x"),
+        size(col("ny")).cast("long").as("deg_y"))
+      .select(col("x"), col("y"), col("cn"), col("deg_x"), col("deg_y"),
+        (col("cn").cast(DoubleType) /
+          (col("deg_x") + col("deg_y") - col("cn")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(30)
+
+  }
+
+  /** Degree distribution of the co-purchase graph in power-of-two
+    * buckets — the structural health check run on every link graph (a
+    * heavy-tailed web graph and a basket projection land in visibly
+    * different histograms). Bucket = largest 2^k ≤ degree, computed by a
+    * 63-row broadcast powers table (range join against a constant-sized
+    * side — exact at any degree, unlike float log2); two aggregates
+    * total, both node-sized. */
+  def degreeDist(s: SparkSession, d: String): DataFrame =
+    degreeDistOnEdges(copurchaseEdges(s, d))
+
+  private[graft] def degreeDistOnEdges(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val powers = deg.sparkSession.range(0, 63)
+      .select(expr("shiftleft(1L, cast(id as int))").as("pw"))
+    deg.join(broadcast(powers), col("pw") <= col("deg"))
+      .groupBy(col("node"), col("deg")).agg(max(col("pw")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> hits,
+    "q_graph_jaccard" -> graphJaccard,
+    "q_degree_dist" -> degreeDist,
     "q_graph_cc" -> graphCC,
     "q_sssp" -> sssp,
     "q_bfs" -> bfs,
@@ -650,6 +782,66 @@ object Graphs {
   }
 
   val oracle: Map[String, String] = Map(
+    // unnormalized bipartite HITS = exact alternating-path counts; two
+    // half-iterations per side, mirrored join-for-join.
+    "q_hits" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY 1),
+         h1 AS (SELECT e.c, CAST(sum(a1.a1) AS BIGINT) AS h1
+                FROM e JOIN a1 ON e.p = a1.p GROUP BY 1),
+         a2 AS (SELECT e.p, CAST(sum(h1.h1) AS BIGINT) AS a2
+                FROM e JOIN h1 ON e.c = h1.c GROUP BY 1),
+         h2 AS (SELECT e.c, CAST(sum(a2.a2) AS BIGINT) AS h2
+                FROM e JOIN a2 ON e.p = a2.p GROUP BY 1),
+         ta AS (SELECT 'authority' AS kind, a1.p AS node_id,
+                  a1.a1 AS score1, a2.a2 AS score2
+                FROM a1 JOIN a2 ON a1.p = a2.p
+                ORDER BY a2.a2 DESC, a1.p LIMIT 20),
+         th AS (SELECT 'hub' AS kind, h1.c AS node_id,
+                  h1.h1 AS score1, h2.h2 AS score2
+                FROM h1 JOIN h2 ON h1.c = h2.c
+                ORDER BY h2.h2 DESC, h1.c LIMIT 20)
+         SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         ORDER BY kind, score2 DESC, node_id""",
+    // common neighbors per observed edge via the 2-hop self-join — a
+    // different (shuffle-heavier) plan than Spark's adjacency-array
+    // intersections, same pair set by construction.
+    "q_graph_jaccard" -> (edgeCtes +
+      """,
+       und AS (SELECT src AS x, dst AS y FROM edges WHERE src < dst),
+       deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY 1),
+       cn AS (
+         SELECT u.x, u.y, CAST(count(*) AS BIGINT) AS cn
+         FROM und u
+         JOIN edges e1 ON e1.src = u.x
+         JOIN edges e2 ON e2.src = u.y AND e2.dst = e1.dst
+         GROUP BY 1, 2)
+       SELECT u.x, u.y, COALESCE(c.cn, 0) AS cn,
+         dx.deg AS deg_x, dy.deg AS deg_y,
+         CAST(COALESCE(c.cn, 0) AS DOUBLE)
+           / CAST(dx.deg + dy.deg - COALESCE(c.cn, 0) AS DOUBLE) AS jaccard
+       FROM und u
+       LEFT JOIN cn c ON c.x = u.x AND c.y = u.y
+       JOIN deg dx ON dx.node = u.x
+       JOIN deg dy ON dy.node = u.y
+       ORDER BY jaccard DESC, u.x, u.y LIMIT 30"""),
+    "q_degree_dist" -> (edgeCtes +
+      """,
+       deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY 1),
+       powers AS (SELECT CAST(1::BIGINT << CAST(range AS INT) AS BIGINT) AS pw
+                  FROM range(0, 63)),
+       bucketed AS (
+         SELECT node, deg, CAST(max(pw) AS BIGINT) AS bucket
+         FROM deg JOIN powers ON pw <= deg
+         GROUP BY 1, 2)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(min(deg) AS BIGINT) AS min_deg,
+         CAST(max(deg) AS BIGINT) AS max_deg
+       FROM bucketed GROUP BY 1 ORDER BY bucket"""),
     // recursive-CTE transitive closure with min-reachable labels (the
     // q_dedup_cluster formulation) over the cooc>=2 confident edges.
     "q_graph_cc" ->

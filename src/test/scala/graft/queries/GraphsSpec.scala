@@ -284,6 +284,77 @@ class GraphsSpec extends SparkTestBase {
       fallback)
   }
 
+  test("hitsOnBipartite: scores are exact alternating-path counts") {
+    // customers 1,2,3; parts 10,11,12:
+    //   1 → {10, 11};  2 → {10};  3 → {12}
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L)).toDF("c", "p")
+    val rows = Graphs.hitsOnBipartite(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // a1 = indegree: 10→2, 11→1, 12→1
+    // h1(c) = Σ a1 over basket: 1→(2+1)=3, 2→2, 3→1
+    // a2(p) = Σ h1 over buyers: 10→(3+2)=5, 11→3, 12→1
+    // h2(c) = Σ a2 over basket: 1→(5+3)=8, 2→5, 3→1
+    assert(rows(("authority", 10L)) === (2L, 5L))
+    assert(rows(("authority", 11L)) === (1L, 3L))
+    assert(rows(("authority", 12L)) === (1L, 1L))
+    assert(rows(("hub", 1L)) === (3L, 8L))
+    assert(rows(("hub", 2L)) === (2L, 5L))
+    assert(rows(("hub", 3L)) === (1L, 1L))
+  }
+
+  test("hitsOnBipartite: unnormalized ranking equals normalized-HITS ranking") {
+    // the judged semantics claim: per-pass normalization is a global
+    // scalar, so rankings agree — re-derive normalized HITS in plain
+    // Scala doubles on a small random-ish graph and compare orderings
+    val pairs = for { c <- 1L to 6L; p <- 1L to 5L
+      if (c * 7 + p * 13) % 3 != 0 } yield (c, p)
+    val e = pairs.toDF("c", "p")
+    val got = Graphs.hitsOnBipartite(e).collect()
+      .filter(_.getString(0) == "authority")
+      .map(r => r.getLong(1) -> r.getLong(3)) // (part, a2)
+    // plain-Scala normalized HITS, 2 iterations
+    val byC = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byP = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var h = byC.keys.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      val ar = byP.map { case (p, cs) => p -> cs.map(h).sum }
+      val an = math.sqrt(ar.values.map(x => x * x).sum)
+      a = ar.view.mapValues(_ / an).toMap
+      val hr = byC.map { case (c, ps) => c -> ps.map(a).sum }
+      val hn = math.sqrt(hr.values.map(x => x * x).sum)
+      h = hr.view.mapValues(_ / hn).toMap
+    }
+    val wantOrder = a.toSeq.sortBy { case (p, s) => (-s, p) }.map(_._1)
+    val gotOrder = got.sortBy { case (p, s) => (-s, p) }.map(_._1).toSeq
+    assert(gotOrder === wantOrder)
+  }
+
+  test("jaccardOnUndirected: triangle-plus-tail closed forms") {
+    // triangle 1-2-3 plus pendant 4 attached to 3
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val rows = Graphs.jaccardOnUndirected(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    // edge (1,2): cn={3} → 1/(2+2-1)=1/3
+    assert(rows((1L, 2L)) === ((1L, 2L, 2L, 1.0 / 3.0)))
+    // edge (1,3): cn={2} → 1/(2+3-1)=1/4
+    assert(rows((1L, 3L)) === ((1L, 2L, 3L, 0.25)))
+    // edge (3,4): cn={} → 0
+    assert(rows((3L, 4L)) === ((0L, 3L, 1L, 0.0)))
+  }
+
+  test("degreeDistOnEdges: power-of-two buckets are exact") {
+    // star with 9 leaves: center deg 9 (bucket 8), leaves deg 1 (bucket 1)
+    val edges = sym((1L to 9L).map(l => (0L, l)))
+    val rows = Graphs.degreeDistOnEdges(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows === Map(1L -> ((9L, 1L, 1L)), 8L -> ((1L, 9L, 9L))))
+  }
+
   test("broadcast gate off: iteration loops produce identical results") {
     // the ungated path is the 100×-scale plan — it must be semantically
     // identical, not just shaped right (integer min/sum arithmetic is
