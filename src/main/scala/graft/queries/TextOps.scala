@@ -1006,6 +1006,72 @@ object TextOps {
     ccPointerDoubling(tokenSetsArtifact(s, d).select(col("doc_id")), edges)
   }
 
+  /** J6 TRAIN/TEST SPLIT LEAKAGE audit — the evaluation-integrity check
+    * a training pipeline runs after splitting: hash-split the corpus
+    * (test = md5(text) leading nibble ≤ '1', the q_sample_hash
+    * content-hash idiom — reproducible across re-runs and cluster
+    * sizes), then find every TEST document with a near-duplicate
+    * (exact Jaccard ≥ 0.95 on verified band-collision candidates) in
+    * the TRAIN side. Distinct from q_contamination (which screens
+    * against an EXTERNAL benchmark set): this is within-corpus leakage
+    * across the split boundary — the effect Lee et al. 2022
+    * (arXiv:2107.06499 §6.2) measure when near-dups straddle splits and
+    * inflate eval scores. Output: one row per leaked test doc with its
+    * earliest train duplicate and the duplicate count.
+    *
+    * Scale shape: rides the session signature + token-set artifacts
+    * (built once for the whole dedup family); candidates come from the
+    * shared 4×32 band join RESTRICTED test-side-left/train-side-right
+    * before the exchange (ids only); exact verify touches only
+    * colliding pairs. Cost is O(test × collisions), never
+    * O(test × train). */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val split = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (substring(md5(col("text")), 1, 1) <= "1").as("is_test"))
+    val sigs = minhashSigsArtifact(s, d).select(col("doc_id"), col("sig"))
+    val banded = sigs.select(col("doc_id"), minhashBandCells.as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .join(split, Seq("doc_id"))
+    val cand = banded.filter(col("is_test"))
+      .select(col("doc_id").as("ia"), col("band"), col("bh"))
+      .join(banded.filter(!col("is_test"))
+        .select(col("doc_id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
+      .select(col("ia"), col("ib")).distinct()
+    verifyExact(cand, tokenSetsArtifact(s, d), tau = 0.95)
+      .groupBy(col("ia"))
+      .agg(count(lit(1)).as("n_train_dups"), min(col("ib")).as("dup_of"))
+      .select(col("ia").as("doc_id"), col("n_train_dups"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J8 windowed co-occurrence counts — the word2vec/GloVe
+    * preprocessing table (Mikolov et al. 2013; Pennington et al. 2014):
+    * for every token position i, count the unordered pair
+    * (w_i, w_j) for each j within the W=3 following positions. Pairs
+    * assemble ROW-SIDE with nested higher-order transforms over the
+    * token array (no positional self-join, so raw text never shuffles
+    * and no per-doc join blows up on long documents); the unordered
+    * orientation is least/greatest string compare (binary collation on
+    * both engines). One hash aggregate over fixed-width pair rows;
+    * counts are exact BIGINTs; top-30 by (count, pair) total order. */
+  def coocWindow(s: SparkSession, d: String): DataFrame = {
+    val W = 3
+    val t = col("t")
+    Tables.documents(s, d)
+      .select(filter(split(col("text"), " "), x => length(x) > 0).as("t"))
+      .select(explode(when(size(t) >= 2,
+          flatten(transform(sequence(lit(1), size(t) - 1), i =>
+            transform(slice(t, i + 1, lit(W)), nb =>
+              struct(least(element_at(t, i), nb).as("w1"),
+                greatest(element_at(t, i), nb).as("w2"))))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   /** J6 SimHash near-dup: 60-bit signatures (the md5-slice hash width),
     * candidates from 4×15-bit band join, Hamming distance ≤ 8 filter.
     * Fully mirrored in the DuckDB oracle (same md5-derived bit votes) —
@@ -1961,7 +2027,9 @@ object TextOps {
     "q_substring_dedup"  -> substringDedup,
     "q_dsir_weights"     -> dsirWeights,
     "q_stream_neardup"   -> streamNearDup,
-    "q_sample_hash"      -> sampleHash)
+    "q_sample_hash"      -> sampleHash,
+    "q_split_leakage"    -> splitLeakage,
+    "q_cooc_window"      -> coocWindow)
 
   /** Shared oracle CTE prefix: per-doc minhash signatures (the same
     * permutation table this JVM uses) down to the banded (band, bh)
@@ -2759,6 +2827,48 @@ object TextOps {
          SELECT ia, ib, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, ia, ib LIMIT 50""",
+    // Split leakage mirrored on the shared signature CTEs: the same
+    // md5-nibble split rule, band candidates restricted test×train,
+    // exact verify at τ=0.95, earliest train duplicate per test doc.
+    "q_split_leakage" -> s"""
+         WITH ${minhashSigCtes(withSource = false)},
+         split AS (
+           SELECT doc_id, substr(md5(text), 1, 1) <= '1' AS is_test
+           FROM documents),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x
+           JOIN split sx ON sx.doc_id = x.doc_id AND sx.is_test
+           JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           JOIN split sy ON sy.doc_id = y.doc_id AND NOT sy.is_test),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents)
+         SELECT c.ia AS doc_id, CAST(count(*) AS BIGINT) AS n_train_dups,
+           min(c.ib) AS dup_of
+         FROM cand c
+         JOIN sets a ON a.doc_id = c.ia
+         JOIN sets b ON b.doc_id = c.ib
+         WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95
+         GROUP BY c.ia
+         ORDER BY doc_id""",
+    // Windowed co-occurrence via the positional self-join (a different
+    // plan than Spark's row-side nested transforms — same pair
+    // multiset by construction: j ∈ (i, i+W]).
+    "q_cooc_window" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+           FROM documents),
+         pos AS (
+           SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+           FROM tok)
+         SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+           CAST(count(*) AS BIGINT) AS n_cooc
+         FROM pos a JOIN pos b
+           ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
+         GROUP BY 1, 2
+         ORDER BY n_cooc DESC, w1, w2 LIMIT 30""",
     // The streaming registry drained to completion equals the batch
     // min-per-bucket over the same banded CTE — signature arithmetic,
     // band keys, and the ownership rule all shared with the batch

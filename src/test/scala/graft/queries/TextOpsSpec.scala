@@ -681,4 +681,66 @@ class TextOpsSpec extends SparkTestBase {
       assert(tv >= 0.0 && tv <= 1.0)
     }
   }
+
+  test("splitLeakage: sound, cross-split, and certainty-complete") {
+    def md5nib(s: String): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      "%02x".format(d(0) & 0xff).charAt(0)
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val isTest = docs.map { case (id, t) => id -> (md5nib(t) <= '1') }
+    val sets = docs.map { case (id, t) => id -> t.split(" ").distinct.toSet }
+    def jac(a: Long, b: Long): Double =
+      sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+    val out = TextOps.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, dup) =>
+      assert(isTest(id), s"$id reported but not a test doc")
+      assert(!isTest(dup), s"dup $dup of $id is not a train doc")
+      assert(jac(id, dup) >= 0.95, s"($id,$dup) jaccard ${jac(id, dup)}")
+      assert(n >= 1L)
+    }
+    // identical token sets collide in EVERY band -> certainty recall:
+    // each test doc with an identical-set train doc MUST be reported,
+    // and its dup_of can be no later than the earliest such train doc
+    val reported = out.map(t => t._1 -> t._3).toMap
+    val certain = for {
+      (id, s) <- sets.toSeq if isTest(id)
+      trainSame = sets.collect {
+        case (j, sj) if !isTest(j) && sj == s => j }
+      if trainSame.nonEmpty
+    } yield id -> trainSame.min
+    assert(certain.nonEmpty, "no identical-set cross-split docs - vacuous")
+    certain.foreach { case (id, firstSame) =>
+      assert(reported.contains(id), s"certain leak $id missing")
+      assert(reported(id) <= firstSame)
+    }
+  }
+
+  test("coocWindow: exact top-30 equals a plain-Scala rederivation") {
+    val W = 3
+    val counts = collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    graft.Tables.documents(spark, sfDir).select(col("text")).collect()
+      .foreach { r =>
+        val t = r.getString(0).split(" ").filter(_.nonEmpty)
+        for {
+          i <- t.indices
+          j <- (i + 1) until math.min(i + W + 1, t.length)
+        } {
+          val k = if (t(i) <= t(j)) (t(i), t(j)) else (t(j), t(i))
+          counts(k) += 1
+        }
+      }
+    val want = counts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(30)
+      .map { case ((a, b), c) => (a, b, c) }
+    val got = TextOps.coocWindow(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
 }
