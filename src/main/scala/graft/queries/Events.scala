@@ -865,7 +865,93 @@ object Events {
       .orderBy(col("event_type"), col("day_ts"))
   }
 
+  /** CUSUM CHANGEPOINT detection on the per-type daily volume series
+    * (Page 1954): C_i = Σ_{j≤i}(x_j − x̄) peaks at the day the mean
+    * shifts — reported per event_type as the argmax of |C| (ties →
+    * earliest day). All arithmetic is the cross-multiplied exact-integer
+    * form the family uses (y_j = N·x_j − T avoids the float mean;
+    * C is an exact BIGINT cumulative sum, order-fixed by the unique
+    * day sequence), so rows are bit-identical cross-engine; the one
+    * IEEE division is the normalized `frac` readout.
+    *
+    * Scale shape: the corpus reduces to day×type cardinality in the
+    * FIRST aggregate (bounded by the calendar, not corpus size — 100 TB
+    * of events is still ~4k days), so the per-type cumulative window is
+    * a few thousand rows per partition by construction. Overflow
+    * envelope: |C| ≤ N·T guarded LOUDLY at 2⁶⁰ (N ≤ 4k days ⇒ holds to
+    * ~10¹⁴ events per type; beyond that move C to DECIMAL(38,0)). */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cusum = daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("c0", sum(col("n_days") * col("x") - col("total")).over(wCum))
+      .withColumn("c", when(abs(col("c0")) < lit(1L << 60), col("c0"))
+        .otherwise(raise_error(lit(
+          "changepoint: |cusum| exceeds the 2^60 envelope — move C to DECIMAL(38,0)"))))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(abs(col("c")).desc, col("day"))
+    cusum.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("day").cast(TimestampType).as("cp_day"),
+        col("x").as("cp_x"), col("c").as("cusum"),
+        (col("c").cast(DoubleType) /
+          (col("n_days") * col("total")).cast(DoubleType)).as("frac"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Lag-k AUTOCORRELATION (ACF, lags 1–14) of the total daily event
+    * volume — the periodicity detector behind q_seasonality's
+    * decomposition (a weekly cycle surfaces as an acf peak at lag 7).
+    * r_k = Σ y_i·y_{i+k} / Σ y_i² needs NO square root, so with
+    * y_i = N·x_i − T (cross-multiplied exact integers) the numerator
+    * and denominator are exact BIGINTs and the only float is the final
+    * division. Positions come from row_number over the day order; the
+    * lag pairing is an EQUI-join (the lag table replicates the right
+    * side shifted by k — never a theta join).
+    *
+    * Scale shape: day-cardinality everywhere after the first aggregate
+    * (the q_changepoint argument); the single-partition window is over
+    * ≤~4k calendar days by construction. Overflow: |y| guarded loudly
+    * at 2²⁵ so Σy² < 4k·2⁵⁰ < 2⁶² — holds to ~33M total daily
+    * deviation·N; beyond, DECIMAL(38,0). */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val K = 14
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val y = daily.withColumn("i", row_number().over(w))
+      .crossJoin(broadcast(stats))
+      .select(col("i"),
+        when(abs(col("n") * col("x") - col("t")) < lit(1L << 25),
+          col("n") * col("x") - col("t"))
+          .otherwise(raise_error(lit(
+            "autocorr: |y| exceeds the 2^25 envelope — move sums to DECIMAL(38,0)")))
+          .as("y"))
+    val den = y.agg(sum(col("y") * col("y")).as("den"))
+    val lags = s.range(1, K + 1).select(col("id").cast(IntegerType).as("lag"))
+    val shifted = y.crossJoin(broadcast(lags))
+      .select((col("i") - col("lag")).as("i"), col("lag"), col("y").as("y2"))
+    y.join(shifted, Seq("i"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("y") * col("y2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint"      -> changepoint,
+    "q_autocorr"         -> autocorr,
     "q_anomaly_mad"      -> anomalyMad,
     "q_session_path"     -> sessionPath,
     "q_seasonality"      -> seasonality,
