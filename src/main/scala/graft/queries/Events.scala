@@ -984,6 +984,59 @@ object Events {
     "q_json_extract"    -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    // Mirrors changepoint exactly: the cross-multiplied deviation
+    // y = n_days*x - total keeps the cumulative sum an exact BIGINT in
+    // both engines; DuckDB widens SUM(BIGINT) to HUGEINT (→ float64 in
+    // pandas), so every aggregate is CAST back to BIGINT.
+    "q_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS total
+           FROM daily GROUP BY 1),
+         cusum AS (
+           SELECT d.event_type, d.day, d.x, s.n_days, s.total,
+             CAST(sum(s.n_days * d.x - s.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+           FROM daily d JOIN stats s USING (event_type)),
+         pick AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(c) DESC, day) AS rn
+           FROM cusum)
+         SELECT event_type, n_days, total,
+           CAST(day AS TIMESTAMP) AS cp_day, x AS cp_x, c AS cusum,
+           CAST(c AS DOUBLE) / CAST(n_days * total AS DOUBLE) AS frac
+         FROM pick WHERE rn = 1 ORDER BY event_type""",
+    // Same exact-integer policy: y = n*x - t per day, numerator and
+    // denominator are exact BIGINT sums, the only float is the final
+    // division. Lag pairing replays the equi-join on shifted positions.
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+           FROM daily),
+         y AS (
+           SELECT row_number() OVER (ORDER BY d.day) AS i,
+             CAST(s.n * d.x - s.t AS BIGINT) AS y
+           FROM daily d CROSS JOIN stats s),
+         den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+         lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 15)),
+         pairs AS (
+           SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.y * b.y) AS BIGINT) AS num
+           FROM lags l
+           JOIN y a ON TRUE
+           JOIN y b ON b.i = a.i + l.lag
+           GROUP BY 1)
+         SELECT p.lag, p.n_pairs, p.num, d.den,
+           CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf
+         FROM pairs p CROSS JOIN den d ORDER BY p.lag""",
     "q_anomaly_mad" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

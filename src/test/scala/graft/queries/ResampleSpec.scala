@@ -174,4 +174,55 @@ class ResampleSpec extends SparkTestBase {
       assert(r.getString(7) === topLang)
     }
   }
+
+  test("changepoint: CUSUM argmax re-derived per event type from raw daily counts") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = Events.changepoint(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === daily.map(_._1).toSet)
+    got.foreach { r =>
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2.toEpochDay)
+      val n = series.length.toLong
+      val total = series.map(_._3).sum
+      assert(r.getLong(1) === n && r.getLong(2) === total)
+      // exact-integer cumulative deviations; argmax |C|, ties → earliest day
+      val cs = series.scanLeft(0L) { case (c, (_, _, x)) => c + n * x - total }.tail
+      val best = series.zip(cs).minBy { case ((_, d, _), c) =>
+        (-math.abs(c), d.toEpochDay)
+      }
+      assert(r.getTimestamp(3).toLocalDateTime.toLocalDate === best._1._2)
+      assert(r.getLong(4) === best._1._3)
+      assert(r.getLong(5) === best._2)
+      assert(r.getDouble(6) === best._2.toDouble / (n * total).toDouble)
+      // the deviation series telescopes to zero — the CUSUM invariant
+      assert(cs.last === 0L)
+    }
+  }
+
+  test("autocorr: lag-k products re-derived from the ordered daily total series") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val n = daily.length.toLong
+    val t = daily.map(_._2).sum
+    val y = daily.map { case (_, x) => n * x - t }
+    val den = y.map(v => v * v).sum
+    val got = Events.autocorr(spark, sfDir).collect()
+    assert(got.map(_.getInt(0)).toSeq === (1 to 14))
+    got.foreach { r =>
+      val k = r.getInt(0)
+      val pairs = y.dropRight(k).zip(y.drop(k))
+      assert(r.getLong(1) === pairs.length.toLong)
+      val num = pairs.map { case (a, b) => a * b }.sum
+      assert(r.getLong(2) === num)
+      assert(r.getLong(3) === den)
+      assert(r.getDouble(4) === num.toDouble / den.toDouble)
+    }
+    // Cauchy–Schwarz: |Σ y_i·y_{i+k}| ≤ Σ y_i² ⇒ every acf in [-1, 1]
+    got.foreach(r => assert(math.abs(r.getDouble(4)) <= 1.0))
+  }
 }
