@@ -1392,6 +1392,89 @@ object TextOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** SYSTEMATIC PPS SAMPLING (probability-proportional-to-size): walk
+    * the corpus in doc_id order accumulating token counts; a document
+    * is drawn once for every multiple of the stride that falls inside
+    * its token span — kept iff cum div stride > (cum − w) div stride,
+    * with multiplicity (cum div stride) − ((cum − w) div stride). This
+    * is the classic cumulative-size systematic draw (Madow 1949):
+    * inclusion probability exactly proportional to document length,
+    * every document longer than the stride included with certainty,
+    * ZERO randomness — entirely integer arithmetic, so the sample is
+    * bit-reproducible across engines, re-runs, and cluster sizes (the
+    * q_sample_hash principle taken to weighted sampling; the op a
+    * token-budgeted eval-set or ablation draw actually needs, where
+    * q_sample_stratified's per-doc draw would under-represent long
+    * documents' tokens). Stride = per-source token total div 40;
+    * degenerate strata (total < 40 tokens) fail LOUDLY rather than
+    * sample everything (div-0 guard).
+    *
+    * Scale shape: the running sum is a per-SOURCE window — strata
+    * parallelize, but each stratum's prefix sum is one task (the
+    * winsorize/quantileBuckets documented trade: exact prefix
+    * statistics need a sort somewhere). At 100 TB swap to the two-pass
+    * distributed prefix sum — range-repartition by (source, doc_id),
+    * per-partition token subtotals to the driver (one row per
+    * partition), broadcast the per-partition base offsets back, window
+    * WITHIN partitions — same exact integers, no single-task stratum. */
+  def sampleSystematic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast(LongType).as("w"))
+    val tot = docs.groupBy(col("source")).agg(sum(col("w")).as("total"))
+      .select(col("source"),
+        when(col("total") >= 40L, expr("total div 40L"))
+          .otherwise(raise_error(lit(
+            "sampleSystematic: stratum under 40 tokens — stride would be 0")))
+          .as("stride"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(tot), Seq("source"))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("n_hits",
+        expr("cum div stride - (cum - w) div stride"))
+      .filter(col("n_hits") > 0)
+      .select(col("source"), col("doc_id"), col("w"), col("cum"), col("n_hits"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** SIMPSON DIVERSITY of each source's token distribution — the
+    * log-free concentration index (Simpson 1949): λ = Σ nᵢ(nᵢ−1) /
+    * (N(N−1)) is the exact probability two tokens drawn without
+    * replacement are the same type; 1−λ is the diversity the dataset
+    * card should carry next to q_char_diversity's per-doc entropy.
+    * Chosen over Shannon BY POLICY: entropy needs per-term logs whose
+    * last-ulp behavior differs across engines, while λ is exact-integer
+    * end-to-end — numerator and denominator are BIGINTs, the single
+    * float is the final reported division. Overflow envelope guarded
+    * LOUDLY (the sourceDrift idiom): Σ nᵢ(nᵢ−1) ≤ N², so N < 2³¹ keeps
+    * the sum under 2⁶²; past ~2e9 tokens per source move the two sums
+    * to DECIMAL(38,0).
+    *
+    * Scale shape: one token-count shuffle (source × term cells), one
+    * per-source fold of fixed-width count rows — raw text never
+    * shuffles; output is O(sources). */
+  def simpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_tok"),
+        sum(col("c") * (col("c") - 1L)).as("num"))
+      .select(col("source"), col("n_terms"),
+        when(col("n_tok") < lit(1L << 31), col("n_tok"))
+          .otherwise(raise_error(lit(
+            "simpsonDiversity: source exceeds 2^31 tokens — move sums to DECIMAL(38,0)")))
+          .as("n_tok"),
+        col("num"))
+      .withColumn("den", col("n_tok") * (col("n_tok") - 1L))
+      .withColumn("simpson",
+        lit(1.0) - col("num").cast(DoubleType) / col("den").cast(DoubleType))
+      .orderBy(col("source"))
+  }
+
   /** Training-mixture reweighting: per-language corpus share vs a
     * uniform target, emitting the sampling weight that flattens the
     * distribution (the DoReMi/data-mixing primitive). Pure integer
@@ -1997,6 +2080,8 @@ object TextOps {
     "q_char_diversity"   -> charDiversity,
     "q_bm25"             -> bm25,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_systematic" -> sampleSystematic,
+    "q_simpson_diversity" -> simpsonDiversity,
     "q_mixture_sample"   -> mixtureSample,
     "q_mix_weights"      -> mixWeights,
     "q_repetition"       -> repetition,
@@ -2405,6 +2490,44 @@ object TextOps {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY lang, rn""",
+    // same cumulative-token walk, same integer-div hit rule; DuckDB's
+    // // is the same floor division on non-negative BIGINTs.
+    "q_sample_systematic" ->
+      """WITH docs AS (
+           SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> length(x) > 0)) AS BIGINT) AS w
+           FROM documents),
+         strd AS (
+           SELECT source, CAST(sum(w) // 40 AS BIGINT) AS stride
+           FROM docs GROUP BY 1),
+         cums AS (
+           SELECT d.source, d.doc_id, d.w, s.stride,
+             CAST(sum(d.w) OVER (PARTITION BY d.source ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM docs d JOIN strd s USING (source))
+         SELECT source, doc_id, w, cum,
+           CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_hits
+         FROM cums
+         WHERE cum // stride > (cum - w) // stride
+         ORDER BY source, doc_id""",
+    // identical exact-integer numerator/denominator; the one float is
+    // the final division on both engines.
+    "q_simpson_diversity" ->
+      """WITH cnt AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE length(tok) > 0 GROUP BY 1, 2),
+         agg AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS num
+           FROM cnt GROUP BY 1)
+         SELECT source, n_terms, n_tok, num,
+           n_tok * (n_tok - 1) AS den,
+           1.0 - CAST(num AS DOUBLE) / CAST(n_tok * (n_tok - 1) AS DOUBLE) AS simpson
+         FROM agg ORDER BY source""",
     // same 5-nibble md5 uniform, same cross-multiplied keep rule — the
     // conv/from-hex parse is the only dialect difference.
     "q_mixture_sample" ->

@@ -743,4 +743,55 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === want)
   }
+
+  test("systematic PPS sample: hits re-derived from the cumulative walk; long docs certain") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    val got = TextOps.sampleSystematic(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    var expected = Map.empty[(String, Long), (Long, Long, Long)]
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val stride = ordered.map(_._3).sum / 40
+      assert(stride > 0, s"stratum $src too small — fixture can't exercise the walk")
+      var cum = 0L
+      ordered.foreach { case (_, id, w) =>
+        cum += w
+        val hits = cum / stride - (cum - w) / stride
+        if (hits > 0) expected += ((src, id) -> (w, cum, hits))
+        // a doc spanning more than a stride can NEVER be skipped
+        if (w >= stride) assert(hits > 0, s"doc $id (w=$w >= stride=$stride) skipped")
+      }
+      // per-stratum draw count is exactly cum div stride (multiplicity-weighted)
+      val drawn = expected.collect { case ((s2, _), (_, _, h)) if s2 == src => h }.sum
+      assert(drawn === cum / stride)
+    }
+    assert(got === expected)
+  }
+
+  test("simpson diversity: exact numerators re-derived; uniform corpus bound holds") {
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map((r.getString(0), _)))
+    val got = TextOps.simpsonDiversity(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === toks.map(_._1).toSet)
+    got.foreach { r =>
+      val cnt = toks.filter(_._1 == r.getString(0)).groupBy(_._2)
+        .view.mapValues(_.size.toLong).toMap
+      val n = cnt.values.sum
+      val num = cnt.values.map(c => c * (c - 1)).sum
+      assert(r.getLong(1) === cnt.size.toLong)
+      assert(r.getLong(2) === n)
+      assert(r.getLong(3) === num)
+      assert(r.getLong(4) === n * (n - 1))
+      assert(r.getDouble(5) === 1.0 - num.toDouble / (n * (n - 1)).toDouble)
+      // λ ≥ the perfectly-uniform lower bound Σ over k types
+      val k = cnt.size.toLong
+      assert(num * k >= n * (n - k),
+        "concentration below the uniform-distribution lower bound — arithmetic broken")
+    }
+  }
 }
