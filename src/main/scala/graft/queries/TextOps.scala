@@ -1045,6 +1045,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** J6 LEAKAGE-FREE SPLIT ASSIGNMENT — the FIX to the defect
+    * q_split_leakage audits: split on the near-dup CLUSTER, not the
+    * document. Every doc gets its dedup-pipeline component label, and
+    * the whole component is hashed to a side (test = leading md5
+    * nibble of the cluster id ≤ '1', the content-hash split idiom) —
+    * so no verified near-dup pair can straddle the boundary BY
+    * CONSTRUCTION (both endpoints share a cluster, a cluster shares a
+    * hash). This is the Lee et al. 2022 §6.2 remediation: dedup-aware
+    * splitting removes the eval inflation the audit measures on the
+    * naive per-doc split.
+    *
+    * Scale shape: rides the whole dedup family's session artifacts
+    * (signatures, band cells, token sets) + the pointer-doubling CC —
+    * identical cost profile to q_dedup_pipeline; the split hash itself
+    * is one row-side md5 over label-sized rows. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    dedupPipeline(s, d)
+      .select(col("doc_id"), col("cluster_id"),
+        (substring(md5(col("cluster_id").cast(StringType)), 1, 1) <= "1")
+          .as("is_test"))
+      .orderBy(col("doc_id"))
+
   /** J8 windowed co-occurrence counts — the word2vec/GloVe
     * preprocessing table (Mikolov et al. 2013; Pennington et al. 2014):
     * for every token position i, count the unordered pair
@@ -2114,6 +2136,7 @@ object TextOps {
     "q_stream_neardup"   -> streamNearDup,
     "q_sample_hash"      -> sampleHash,
     "q_split_leakage"    -> splitLeakage,
+    "q_split_assign"     -> splitAssign,
     "q_cooc_window"      -> coocWindow)
 
   /** Shared oracle CTE prefix: per-doc minhash signatures (the same
@@ -3064,6 +3087,39 @@ object TextOps {
            (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS keep
          FROM documents d LEFT JOIN lab ON lab.a = d.doc_id
          ORDER BY d.doc_id""",
+    // the q_dedup_pipeline closure verbatim; the final projection hashes
+    // the CLUSTER id to a side, so the whole component lands together
+    "q_split_assign" -> s"""
+         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id < y.doc_id),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         edges0 AS (
+           SELECT c.ia, c.ib
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.ia
+           JOIN sets b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95),
+         edges AS (
+           SELECT ia AS src, ib AS dst FROM edges0
+           UNION ALL SELECT ib, ia FROM edges0),
+         r(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
+         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a),
+         asg AS (
+           SELECT d.doc_id,
+             least(d.doc_id, coalesce(lab.mn, d.doc_id)) AS cluster_id
+           FROM documents d LEFT JOIN lab ON lab.a = d.doc_id)
+         SELECT doc_id, cluster_id,
+           substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= '1' AS is_test
+         FROM asg ORDER BY doc_id""",
     // SimHash mirrored end-to-end: same md5-slice hash, tf-weighted
     // ±1 bit votes over 60 bits, 4×15-bit band join, Hamming re-rank.
     "q_simhash_pairs" ->

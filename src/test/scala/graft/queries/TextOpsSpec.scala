@@ -744,6 +744,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("splitAssign: zero leakage across the cluster split; naive split leaks; md5 rule re-derived") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val asg = TextOps.splitAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // split rule re-derived from the cluster id alone
+    asg.values.foreach { case (cl, isTest) =>
+      assert(isTest === (md5hex(cl.toString).head <= '1'))
+    }
+    // every verified near-dup edge stays on one side — zero leakage
+    val edges = TextOps.dedupPipelineEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture has no near-dup pairs — invariant is vacuous")
+    edges.foreach { case (a, b) =>
+      assert(asg(a)._1 === asg(b)._1, s"pair ($a,$b) split across clusters")
+      assert(asg(a)._2 === asg(b)._2, s"pair ($a,$b) leaks across the split")
+    }
+    // the audited defect is REAL on this fixture: the naive per-doc
+    // content-hash split does straddle at least one verified pair
+    val leaked = TextOps.splitLeakage(spark, sfDir).count()
+    assert(leaked > 0, "naive split shows no leakage — the fix proves nothing here")
+    // both sides populated (the split is a split, not a constant)
+    assert(asg.values.exists(_._2) && asg.values.exists(!_._2))
+  }
+
   test("systematic PPS sample: hits re-derived from the cumulative walk; long docs certain") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), col("text")).collect()
