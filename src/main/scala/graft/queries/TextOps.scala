@@ -616,6 +616,88 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TRIGRAM STUPID-BACKOFF scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the third rung of the
+    * LM-gate ladder (q_lm_filter unigram, q_lm_bigram add-one bigram):
+    * the model is fit on the TRAIN side of the content-hash split and
+    * scores the TEST side, so the backoff chain genuinely fires —
+    * self-scoring would see every trigram and never back off. Per
+    * position (a,b,w):
+    *   S = c₃(a,b,w)/c₂(a,b)            if the trigram was seen,
+    *   S = α·c₂(b,w)/c₁(b)              else if the bigram was seen,
+    *   S = α²·c₁(w)/total               else if the word was seen,
+    *   S = 0                            for out-of-vocabulary w,
+    * with α = 0.4 = 2/5 EXACT RATIONAL, so each rung is the
+    * floor-quantized BIGINT (the q_lm_bigram fixed-point policy):
+    * 10⁹·c₃ div c₂, 2·10⁹·c₂ div (5·c₁), 4·10⁹·c₁ div (25·total) —
+    * per-position values both engines floor identically, making the
+    * per-doc sum order-free. Counts are RAW train n-gram frequencies
+    * (c₃ ≤ c₂(a,b), c₂(b,w) ≤ c₁(b) hold by containment, so every
+    * denominator on a taken branch is positive). Judged output: per
+    * test doc, positions per backoff level + the fixed-point sum — the
+    * readout a perplexity-style corpus-vs-heldout drift monitor needs.
+    *
+    * Scale shape: n-gram tables assemble row-side then shuffle
+    * fixed-width count rows; scoring joins are plain equi-joins with
+    * NO broadcast hint (vocab³ grows with the corpus — the optimizer
+    * stays free, the lmBigram rationale); `total` rides a 1-row
+    * broadcast. Overflow guarded LOUDLY at total < 2⁶³/(25·10⁹) ≈
+    * 7.4e8 train tokens — past that move the fixed point to
+    * DECIMAL(38,0). */
+  def lmBackoff(s: SparkSession, d: String): DataFrame = {
+    val SCALE = 1000000000L
+    val t = col("t")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("t"),
+        (substring(md5(col("text")), 1, 1) <= "1").as("is_test"))
+    def grams(n: Int) = docs.select(col("doc_id"), col("is_test"),
+      explode(when(size(t) >= n, transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          array((0 until n).map(k => element_at(t, i + k)): _*)))
+        .otherwise(array().cast("array<array<string>>"))).as("g"))
+    val tri = grams(3).select(col("doc_id"), col("is_test"),
+      col("g")(0).as("a"), col("g")(1).as("b"), col("g")(2).as("w"))
+    val bi = grams(2).select(col("is_test"), col("g")(0).as("x"), col("g")(1).as("y"))
+    val uni = docs.select(col("is_test"), explode(t).as("u"))
+    val c3 = tri.filter(!col("is_test"))
+      .groupBy(col("a"), col("b"), col("w")).agg(count(lit(1)).as("c3n"))
+    val c2 = bi.filter(!col("is_test"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c2n"))
+    val c1 = uni.filter(!col("is_test"))
+      .groupBy(col("u")).agg(count(lit(1)).as("c1n"))
+    val tot = c1.agg(sum(col("c1n")).as("total0"))
+      .select(when(col("total0") < lit(Long.MaxValue / SCALE / 25), col("total0"))
+        .otherwise(raise_error(lit(
+          "lmBackoff: train corpus exceeds the 10^9 fixed-point envelope — widen to DECIMAL")))
+        .as("total"))
+    tri.filter(col("is_test"))
+      .join(c3, Seq("a", "b", "w"), "left_outer")
+      .join(c2.toDF("a", "b", "c2ab"), Seq("a", "b"), "left_outer")
+      .join(c2.toDF("b", "w", "c2bw"), Seq("b", "w"), "left_outer")
+      .join(c1.toDF("b", "c1b"), Seq("b"), "left_outer")
+      .join(c1.toDF("w", "c1w"), Seq("w"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c3n").isNotNull, lit(0))
+          .when(col("c2bw").isNotNull, lit(1))
+          .when(col("c1w").isNotNull, lit(2))
+          .otherwise(lit(3)).as("lvl"),
+        when(col("c3n").isNotNull, expr(s"${SCALE}L * c3n div c2ab"))
+          .when(col("c2bw").isNotNull, expr(s"2L * ${SCALE}L * c2bw div (5L * c1b)"))
+          .when(col("c1w").isNotNull, expr(s"4L * ${SCALE}L * c1w div (25L * total)"))
+          .otherwise(lit(0L)).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("v")).as("sum_v"))
+      .withColumn("mean_p",
+        col("sum_v").cast(DoubleType) / (col("n_pos") * lit(SCALE)).cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic content-hash DOWNSAMPLING, reported per source: keep
     * the ~25% of docs whose md5 leads with nibble 0-3. Hashing the
     * CONTENT (not rand(), not partition-dependent ids) is what makes a
@@ -2131,6 +2213,7 @@ object TextOps {
     "q_quality_filter"   -> qualityFilter,
     "q_lm_filter"        -> lmFilter,
     "q_lm_bigram"        -> lmBigram,
+    "q_lm_backoff"       -> lmBackoff,
     "q_substring_dedup"  -> substringDedup,
     "q_dsir_weights"     -> dsirWeights,
     "q_stream_neardup"   -> streamNearDup,
@@ -2872,6 +2955,63 @@ object TextOps {
            CAST(sum_v AS DOUBLE) / CAST(n_bg * 1000000000 AS DOUBLE) AS mean_bigram_p
          FROM per WHERE sum_v >= 33000000 * n_bg
          ORDER BY doc_id""",
+    // same raw train n-gram counts, same exact-rational backoff rungs
+    // (alpha = 2/5), same per-position floor quantization; DuckDB //
+    // is the identical floor division on the non-negative operands.
+    "q_lm_backoff" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk,
+             substr(md5(text), 1, 1) <= '1' AS is_test
+           FROM documents),
+         pos AS (
+           SELECT doc_id, is_test, unnest(tk) AS tok,
+             generate_subscripts(tk, 1) AS i
+           FROM t),
+         tri AS (
+           SELECT p1.doc_id, p1.is_test, p1.tok AS a, p2.tok AS b, p3.tok AS w
+           FROM pos p1
+           JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+           JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.i = p1.i + 2),
+         bi AS (
+           SELECT p1.is_test, p1.tok AS x, p2.tok AS y
+           FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1),
+         c3 AS (SELECT a, b, w, CAST(count(*) AS BIGINT) AS c3n
+                FROM tri WHERE NOT is_test GROUP BY 1, 2, 3),
+         c2 AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c2n
+                FROM bi WHERE NOT is_test GROUP BY 1, 2),
+         c1 AS (SELECT tok AS u, CAST(count(*) AS BIGINT) AS c1n
+                FROM pos WHERE NOT is_test GROUP BY 1),
+         tot AS (SELECT CAST(sum(c1n) AS BIGINT) AS total FROM c1),
+         sc AS (
+           SELECT tr.doc_id,
+             CASE WHEN g3.c3n IS NOT NULL THEN 0
+                  WHEN gbw.c2n IS NOT NULL THEN 1
+                  WHEN gw.c1n IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+             CASE WHEN g3.c3n IS NOT NULL
+                    THEN CAST(1000000000 AS BIGINT) * g3.c3n // gab.c2n
+                  WHEN gbw.c2n IS NOT NULL
+                    THEN CAST(2000000000 AS BIGINT) * gbw.c2n // (5 * gb.c1n)
+                  WHEN gw.c1n IS NOT NULL
+                    THEN CAST(4000000000 AS BIGINT) * gw.c1n // (25 * tot.total)
+                  ELSE 0 END AS v
+           FROM tri tr
+           LEFT JOIN c3 g3 ON g3.a = tr.a AND g3.b = tr.b AND g3.w = tr.w
+           LEFT JOIN c2 gab ON gab.x = tr.a AND gab.y = tr.b
+           LEFT JOIN c2 gbw ON gbw.x = tr.b AND gbw.y = tr.w
+           LEFT JOIN c1 gb ON gb.u = tr.b
+           LEFT JOIN c1 gw ON gw.u = tr.w
+           CROSS JOIN tot
+           WHERE tr.is_test)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(sum(v) AS DOUBLE)
+             / CAST(count(*) * 1000000000 AS DOUBLE) AS mean_p
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
     // ExactSubstr mirrored gram-for-gram: same K=8 windows, same
     // md5-slice gram hash, same >=2-distinct-docs duplicate rule, same
     // interval-union coverage — the hash gate checks the full span

@@ -744,6 +744,52 @@ class TextOpsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("stupid backoff: every rung re-derived from raw train n-gram counts") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val SCALE = 1000000000L
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq,
+        md5hex(r.getString(1)).head <= '1'))
+    val trn = docs.filter(!_._3)
+    def cnt[K](xs: Iterable[K]): Map[K, Long] =
+      xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3 = cnt(trn.flatMap(_._2.sliding(3).filter(_.length == 3).map(_.toList)))
+    val c2 = cnt(trn.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.toList)))
+    val c1 = cnt(trn.flatMap(_._2))
+    val total = c1.values.sum
+    val expected = docs.filter(_._3).flatMap { case (id, tk, _) =>
+      val scores = tk.sliding(3).filter(_.length == 3).toSeq.map { g =>
+        val (a, b, w) = (g(0), g(1), g(2))
+        if (c3.contains(List(a, b, w)))
+          (0, SCALE * c3(List(a, b, w)) / c2(List(a, b)))
+        else if (c2.contains(List(b, w)))
+          (1, 2L * SCALE * c2(List(b, w)) / (5L * c1(b)))
+        else if (c1.contains(w))
+          (2, 4L * SCALE * c1(w) / (25L * total))
+        else (3, 0L)
+      }
+      if (scores.isEmpty) None
+      else Some(id -> (scores.size.toLong,
+        scores.count(_._1 == 0).toLong, scores.count(_._1 == 1).toLong,
+        scores.count(_._1 == 2).toLong, scores.count(_._1 == 3).toLong,
+        scores.map(_._2).sum))
+    }.toMap
+    val got = TextOps.lmBackoff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got === expected)
+    // the split must make backoff REAL: both the trigram rung and at
+    // least one fallback rung fire somewhere in the fixture
+    val lvls = expected.values.toSeq
+    assert(lvls.map(_._2).sum > 0, "no trigram hits — model fit broken")
+    assert(lvls.map(_._3).sum + lvls.map(_._4).sum + lvls.map(_._5).sum > 0,
+      "backoff never fired — the op degenerates to a trigram ML score")
+  }
+
   test("splitAssign: zero leakage across the cluster split; naive split leaks; md5 rule re-derived") {
     import java.security.MessageDigest
     def md5hex(t: String): String =
