@@ -582,10 +582,34 @@ object Events {
     * integer component sums (n, Σx, Σx²) via the closed form, so the
     * scores are bit-identical at any parallelism (stddev_samp's running
     * double accumulation is not; same policy as q_regr_agg). */
-  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def anomalyZscore(s: SparkSession, d: String): DataFrame =
+    zscoreReadout(Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** STREAMING anomaly detection: the per-(type, day) count registry is
+    * maintained by a streaming aggregate while events arrive as a file
+    * stream; the z-score readout runs on the drained registry. Counts
+    * are ADDITIVE, so the registry is deterministic under ANY
+    * micro-batch split (the q_stream_countmin argument) and equals the
+    * batch daily table exactly — which is what makes a streaming
+    * anomaly monitor oracle-checkable: the oracle is q_anomaly_zscore's
+    * batch SQL verbatim. State is bounded at types × days — calendar-
+    * bounded, never corpus-bounded (100 TB of events is still ~4k
+    * days); the readout's closed form from exact (n, Σx, Σx²) keeps
+    * every emitted double deterministic. */
+  def streamAnomaly(s: SparkSession, d: String): DataFrame =
+    // localCheckpoint breaks the memory-sink lineage: the readout
+    // self-joins the registry, and Catalyst cannot deduplicate the
+    // MemoryPlan leaf's attributes (INTERNAL_ERROR conflicting refs) —
+    // a LogicalRDD leaf deduplicates fine; the registry is types×days
+    // rows, so materializing it is metadata-sized
+    zscoreReadout(drainToMemory(s, "graft_stream_anomaly", "complete")(
+      eventStream(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))).localCheckpoint())
+
+  private def zscoreReadout(daily: DataFrame): DataFrame = {
     val stats = daily.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_days"),
@@ -962,6 +986,7 @@ object Events {
     "q_ewma"             -> ewma,
     "q_transitions"      -> transitions,
     "q_anomaly_zscore"   -> anomalyZscore,
+    "q_stream_anomaly"   -> streamAnomaly,
     "q_cohort_retention" -> cohortRetention,
     "q_gap_fill"         -> gapFill,
     "q_funnel" -> funnel,
@@ -1221,30 +1246,10 @@ object Events {
            CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM pairs JOIN totals USING (prev_type)
          ORDER BY prev_type, event_type""",
-    "q_anomaly_zscore" ->
-      """WITH daily AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
-           FROM events GROUP BY 1, 2),
-         stats AS (
-           SELECT event_type, count(*) AS n_days,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-           FROM daily GROUP BY 1),
-         v AS (
-           SELECT event_type, n_days, sx,
-             (CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)) AS var_s
-           FROM stats),
-         scored AS (
-           SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day_ts, d.x,
-             CASE WHEN n_days >= 2 AND var_s > 0 THEN
-               (CAST(d.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
-                 / sqrt(var_s)
-             END AS z
-           FROM daily d JOIN v USING (event_type))
-         SELECT event_type, day_ts, x, z, abs(z) > 2.0 AS anomalous
-         FROM scored ORDER BY event_type, day_ts""",
+    "q_anomaly_zscore" -> zscoreOracleSql,
+    // the streaming registry drains to exactly the batch daily table
+    // (additive counts), so the batch z-score SQL is the oracle verbatim
+    "q_stream_anomaly" -> zscoreOracleSql,
     "q_cohort_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
          c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
@@ -1478,4 +1483,29 @@ object Events {
          min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
          max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""")
+
+  private lazy val zscoreOracleSql: String =
+    """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, count(*) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1),
+         v AS (
+           SELECT event_type, n_days, sx,
+             (CAST(sxx AS DOUBLE) * CAST(n_days AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)) AS var_s
+           FROM stats),
+         scored AS (
+           SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day_ts, d.x,
+             CASE WHEN n_days >= 2 AND var_s > 0 THEN
+               (CAST(d.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / sqrt(var_s)
+             END AS z
+           FROM daily d JOIN v USING (event_type))
+         SELECT event_type, day_ts, x, z, abs(z) > 2.0 AS anomalous
+         FROM scored ORDER BY event_type, day_ts"""
 }

@@ -279,4 +279,16 @@ class StreamingSpec extends SparkTestBase {
     // the retired watermark records the max expired batchId per query
     assert(t.meta.retiredStreamBatches.exists(_.get("q1").exists(_ >= 0L)))
   }
+
+  test("streaming anomaly registry drains to exactly the batch z-score readout") {
+    val got = graft.queries.Events.streamAnomaly(spark, sfDir).collect()
+    val want = graft.queries.Events.anomalyZscore(spark, sfDir).collect()
+    assert(got.length === want.length && got.length > 0)
+    // bit-identical rows including the closed-form doubles: the drained
+    // (type, day) registry equals the batch daily table, and every
+    // float downstream is a fixed dag over those exact integers
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    // non-vacuous: at least one defined z and one anomalous day exist
+    assert(want.exists(r => !r.isNullAt(3)))
+  }
 }
