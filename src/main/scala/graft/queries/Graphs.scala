@@ -651,7 +651,63 @@ object Graphs {
       .orderBy(col("bucket"))
   }
 
+  /** LABEL PROPAGATION community detection (Raghavan et al. 2007) —
+    * the near-linear community finder next to q_modularity's quality
+    * metric and q_graph_cc's connectivity: each node starts as its own
+    * label and, for LP_PASSES synchronous rounds, adopts its neighbor
+    * MAJORITY label (ties → smallest label — the deterministic variant;
+    * the paper's random tie-break would not be oracle-checkable).
+    * Judged output: the 20 largest communities after the fixed rounds
+    * (synchronous LPA may oscillate on near-bipartite structure, so a
+    * fixed pass count IS the semantics, the q_pagerank framing).
+    *
+    * Scale shape: per pass = one edge scan joined to the node-sized
+    * label table (broadcast under the gate, shuffle join above it) into
+    * a (node × candidate-label) vote aggregate — majority via ONE
+    * struct-max agg, no window; labels localCheckpoint per pass to
+    * bound lineage. All counts exact BIGINTs; no floats anywhere. */
+  private[graft] val LP_PASSES = 4
+  private[graft] def labelPropOnEdges(edges: DataFrame, passes: Int,
+      broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to passes) {
+      labels = edges
+        .join(maybeBroadcast(labels.withColumnRenamed("node", "src"), nNodes,
+          broadcastGate), Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (votes desc, label asc) as one struct-max: negating
+        // the label turns min-label into max-struct — no window shuffle
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q_label_prop runs on the CONFIDENT (cooc ≥ 2) graph — the
+    * q_graph_cc edge set: the full basket projection is so dense that
+    * LPA collapses to one giant label in a round (measured: 2
+    * communities at sf0.01); the confident subgraph keeps genuine
+    * cluster structure. Read off the weighted-edge artifact
+    * (w = 10⁶ div cooc ⇒ cooc ≥ 2 ⇔ w ≤ 500000). */
+  def labelProp(s: SparkSession, d: String): DataFrame =
+    labelPropOnEdges(
+      weightedEdges(s, d).filter(col("w") <= 500000L)
+        .select(col("src"), col("dst")),
+      LP_PASSES)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_member"), max(col("node")).as("max_member"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop" -> labelProp,
     "q_hits" -> hits,
     "q_graph_jaccard" -> graphJaccard,
     "q_degree_dist" -> degreeDist,
@@ -686,6 +742,36 @@ object Graphs {
       s"""
        SELECT node AS part_id, deg AS core_deg FROM a$KCORE_ROUNDS
        ORDER BY part_id"""
+  }
+
+  /** Unrolled synchronous LPA oracle: LP_PASSES chained vote/argmax
+    * rounds; row_number (cnt DESC, lbl) replays the struct-max
+    * tie-break exactly. MATERIALIZED — each round feeds the next. */
+  private def labelPropOracle: String = {
+    def pass(i: Int) =
+      s""", v$i AS MATERIALIZED (
+         SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+         FROM cedges e JOIN l${i - 1} l ON e.src = l.node
+         GROUP BY 1, 2),
+       l$i AS MATERIALIZED (
+         SELECT node, lbl FROM (
+           SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+               ORDER BY cnt DESC, lbl) AS rn
+           FROM v$i) WHERE rn = 1)"""
+    edgeCtes +
+      """,
+       cedges AS MATERIALIZED (
+         SELECT a.p AS src, b.p AS dst
+         FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM cedges)""" +
+      (1 to LP_PASSES).map(pass).mkString +
+      s"""
+       SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         min(node) AS min_member, max(node) AS max_member
+       FROM l$LP_PASSES GROUP BY 1
+       ORDER BY n_members DESC, community LIMIT 20"""
   }
 
   /** Shared oracle prelude: the co-purchase edge CTEs. */
@@ -914,6 +1000,7 @@ object Graphs {
          ORDER BY lift DESC, d.ant, d.cons LIMIT 30""",
     "q_pagerank" -> pagerankOracle,
     "q_kcore" -> kcoreOracle,
+    "q_label_prop" -> labelPropOracle,
     "q_modularity" -> (edgeCtes +
       """,
        und AS MATERIALIZED (

@@ -374,5 +374,36 @@ class GraphsSpec extends SparkTestBase {
       .select(col("src").as("x"), col("dst").as("y"))
     assert(sorted(Graphs.trianglesOnUndirected(und, broadcastGate = 0L))
       === sorted(Graphs.trianglesOnUndirected(und)))
+    assert(sorted(Graphs.labelPropOnEdges(edges, 3, broadcastGate = 0L))
+      === sorted(Graphs.labelPropOnEdges(edges, 3)))
+  }
+
+  test("labelPropOnEdges: two cliques with a bridge settle to two communities") {
+    // K4 on 0-3, K4 on 10-13, one bridge 3—10: majority voting keeps
+    // each clique on its own minimum label despite the bridge
+    val k1 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val k2 = for { a <- 10L to 13L; b <- 10L to 13L if a < b } yield (a, b)
+    val edges = sym(k1 ++ k2 :+ (3L, 10L))
+    val labels = Graphs.labelPropOnEdges(edges, Graphs.LP_PASSES).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 3L).foreach(n => assert(labels(n) === 0L, s"node $n left clique 1"))
+    (10L to 13L).foreach(n => assert(labels(n) === 10L, s"node $n left clique 2"))
+  }
+
+  test("labelPropOnEdges: one synchronous pass equals plain-Scala majority voting") {
+    // skewed graph, deterministic tie-breaks exercised (equal votes →
+    // smaller label): re-derive pass 1 exactly
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L))
+    val edges = sym(pairs)
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = adj.map { case (n, nbrs) =>
+      val votes = nbrs.groupBy(identity).view.mapValues(_.size).toSeq
+      n -> votes.minBy { case (l, c) => (-c, l) }._1
+    }
+    val got = Graphs.labelPropOnEdges(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
   }
 }
