@@ -861,6 +861,37 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** SIGNED RANDOM PROJECTION to K=16 dimensions (Achlioptas 2003: a
+    * dense ±1 sign matrix satisfies Johnson–Lindenstrauss like a
+    * Gaussian one) — the cheap dimensionality reducer in front of
+    * clustering/visualization, and the dense cousin of the LSH
+    * hyperplane signs q_ann_lsh thresholds. The "random" matrix is
+    * DERIVED, not drawn: s(i,j) = +1 iff the leading md5 nibble of
+    * "i:j" ≤ '7' (unbiased, reproducible across engines, re-runs, and
+    * cluster sizes — the content-hash sampling principle applied to
+    * matrix entries, which is what makes a float-output projection
+    * oracle-checkable at all). y_j = Σᵢ xᵢ·s(i,j) folds row-side in
+    * fixed element order; output is one row per (vec, j) coordinate
+    * rounded to 5 dp (the cosine family's float-association absorber —
+    * 64-term double sums agree across engines well past 5 dp).
+    *
+    * Scale shape: embarrassingly row-parallel — one scan, no shuffle
+    * but the final presentation sort; 16 sequential 64-term folds per
+    * vector, no per-row intermediate arrays beyond the sign lookups. */
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("e"),
+        explode(sequence(lit(0), lit(K - 1))).as("j"))
+      .select(col("vec_id"), col("j"),
+        round(aggregate(sequence(lit(1), lit(64)), lit(0.0d),
+          (acc, i) => acc + element_at(col("e"), i).cast(DoubleType) *
+            when(substring(md5(concat(i.cast(StringType), lit(":"),
+              col("j").cast(StringType))), 1, 1) <= "7", lit(1.0d))
+              .otherwise(lit(-1.0d))), 5).as("y"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   /** Hybrid-retrieval rank fusion (RRF): the dense ranking (cosine over
     * embeddings, query vec 0 — q_cosine_topk's scoring) and the sparse
     * ranking (BM25 over documents for {spark, table} — q_bm25's scoring)
@@ -940,6 +971,7 @@ object Vectors {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_fusion"   -> rankFusion,
+    "q_random_projection" -> randomProjection,
     "q_embed_quantize" -> embedQuantize,
     "q_pos_explode"   -> posExplode,
     "q_array_ops"     -> arrayOps,
@@ -1017,6 +1049,16 @@ object Vectors {
                ORDER BY votes DESC, s_label) AS vr
            FROM votes) WHERE vr = 1
          ORDER BY vec_id""",
+    // same md5-derived sign matrix, same fixed-order 64-term fold; the
+    // 5-dp round absorbs list_sum vs sequential-fold association.
+    "q_random_projection" ->
+      """SELECT vec_id, CAST(j AS INT) AS j,
+           round(list_sum(list_transform(range(1, 65), i ->
+             CAST(embedding[i] AS DOUBLE) *
+             CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+                  THEN 1.0 ELSE -1.0 END)), 5) AS y
+         FROM embeddings, range(0, 16) r(j)
+         ORDER BY vec_id, j""",
     "q_embed_quantize" ->
       """WITH base AS (
            SELECT vec_id, embedding AS e,

@@ -294,4 +294,36 @@ class VectorsSpec extends SparkTestBase {
       assert(best._2 == out(k)._4, s"step ${k + 1}: mmr score mismatch")
     }
   }
+
+  test("random projection: coordinates re-derived by the identical sequential fold; JL norm ratio sane") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sign(i: Int, j: Int): Double =
+      if (md5hex(s"$i:$j").head <= '7') 1.0 else -1.0
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val got = Vectors.randomProjection(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    var ratios = List.empty[Double]
+    vecs.foreach { case (id, x) =>
+      var ny = 0.0
+      (0 until 16).foreach { j =>
+        var acc = 0.0 // the exact fold order of the Spark aggregate HOF
+        (1 to 64).foreach(i => acc += x(i - 1).toDouble * sign(i, j))
+        val want = BigDecimal(acc)
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((id, j)) === want, s"vec $id coord $j")
+        ny += acc * acc
+      }
+      val nx = x.map(v => v.toDouble * v.toDouble).sum
+      if (nx > 0) ratios ::= ny / (16.0 * nx)
+    }
+    // E[||y||^2] = K*||x||^2 for +-1 signs: the corpus mean ratio must
+    // sit near 1 or the sign matrix is biased/broken
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"JL mean norm ratio $mean")
+  }
 }
