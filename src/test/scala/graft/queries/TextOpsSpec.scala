@@ -472,6 +472,71 @@ class TextOpsSpec extends SparkTestBase {
     assert(enc.values.exists(v => v._3 < v._2), "encode compressed nothing")
   }
 
+  test("tokenizer fertility: per-language volumes re-derived through an independent BPE fit") {
+    // independent fit (the bpeTrain spec's reference encoder)
+    var wordTab: Map[Vector[String], Long] = graft.Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    (1 to TextOps.BPE_ROUNDS).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- wordTab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      def mergeWord(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      wordTab = wordTab.groupBy { case (syms, _) => mergeWord(syms) }
+        .map { case (m, g) => m -> g.values.sum }
+    }
+    val encRef = wordTab.map { case (syms, _) => syms.mkString -> syms.size.toLong }
+    val perLang = graft.Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map((r.getString(0), _)))
+      .groupBy(_._1).view.mapValues { ws =>
+        val words = ws.map(_._2)
+        (words.size.toLong, words.map(_.length.toLong).sum, words.map(encRef).sum)
+      }.toMap
+    val got = TextOps.tokFertility(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === perLang.keySet)
+    got.foreach { r =>
+      val (nw, nc, nt) = perLang(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nw, nc, nt)))
+      assert(r.getDouble(4) === nt.toDouble / nw.toDouble)
+      assert(r.getDouble(5) === nc.toDouble / nt.toDouble)
+    }
+    // fertility is >= 1 by construction (a word is at least one token)
+    assert(got.forall(_.getDouble(4) >= 1.0))
+  }
+
+  test("gini of doc lengths: exact rank sums re-derived; bounds hold") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    val got = TextOps.giniLength(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === docs.map(_._1).toSet)
+    got.foreach { r =>
+      val xs = docs.filter(_._1 == r.getString(0)).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      assert(r.getLong(1) === n && r.getLong(2) === sx && r.getLong(3) === six)
+      val num = 2L * six - (n + 1L) * sx
+      assert(r.getLong(4) === num)
+      assert(r.getDouble(5) === num.toDouble / (n * sx).toDouble)
+      // 0 <= G < 1 for non-negative data with a positive total
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+  }
+
   test("mixture resample: per-language keep counts re-derived from raw md5 draws") {
     val got = TextOps.mixtureSample(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
