@@ -286,4 +286,31 @@ class PlanSpec extends SparkTestBase {
     assert(single <= 1, s"SinglePartition exchanges: $single\n$p")
     assert(oneSection.contains("Exchange rangepartitioning"), p) // the distributed prefix scan
   }
+
+  test("systematic sample's prefix walk partitions by source — no global window") {
+    val p = plan(TextOps.sampleSystematic(spark, sfDir))
+    val oneSection = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    // the cumulative-sum window must ride hashpartitioning(source…), and
+    // the only SinglePartition exchange allowed is the final presentation
+    // sort's collect (orderBy plans as rangepartitioning, so: none)
+    assert(oneSection.contains("hashpartitioning(source"), p)
+    val single = "Exchange SinglePartition".r.findAllIn(oneSection).size
+    assert(single === 0, s"SinglePartition exchanges: $single\n$p")
+  }
+
+  test("random projection is scan + project — no exchange before the presentation sort") {
+    val p = plan(Vectors.randomProjection(spark, sfDir))
+    val oneSection = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    // row-parallel by construction: the ONLY exchange is the final
+    // orderBy's rangepartitioning; no hash shuffle, no broadcast
+    val exchanges = "Exchange ".r.findAllIn(oneSection).size
+    val range = "Exchange rangepartitioning".r.findAllIn(oneSection).size
+    assert(exchanges === range, s"non-sort exchanges in a map-only op:\n$p")
+  }
 }
