@@ -2178,14 +2178,41 @@ object TextOps {
     * corpus-size-independent
     * (sources × 1024 dense grid, zero-count buckets included via the
     * grid), so pair work never touches the corpus again. */
-  def sourceDrift(s: SparkSession, d: String): DataFrame = {
-    val B = 1024
-    val tok = Tables.documents(s, d)
+  def sourceDrift(s: SparkSession, d: String): DataFrame =
+    tvReadout(s, driftCells(Tables.documents(s, d)))
+
+  /** STREAMING drift monitor: the same (source × 1024-bucket) token
+    * registry maintained by a streaming aggregate while documents
+    * arrive as a file stream, drained into the identical pairwise-TV
+    * readout — the ONLINE half of q_source_drift (a mixture monitor
+    * runs continuously, not per release). Bucket counts are ADDITIVE,
+    * so the drained registry is deterministic under any micro-batch
+    * split (the q_stream_countmin/q_stream_anomaly argument) and equals
+    * the batch cell table exactly — the batch SQL is the oracle
+    * verbatim. State is bounded at sources × 1024 cells regardless of
+    * stream length; localCheckpoint breaks the MemoryPlan lineage
+    * before the readout's self-join (the q_stream_anomaly finding). */
+  def streamDrift(s: SparkSession, d: String): DataFrame = {
+    val docStream = s.readStream
+      .schema(Tables.documents(s, d).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    tvReadout(s, Events.drainToMemory(s, "graft_stream_drift", "complete")(
+      driftCells(docStream)).localCheckpoint())
+  }
+
+  private val DRIFT_B = 1024
+
+  private def driftCells(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("source"),
-        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast(LongType) % B).as("b"))
-    val cnt = tok.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast(LongType) % DRIFT_B).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+
+  private def tvReadout(s: SparkSession, cnt: DataFrame): DataFrame = {
+    val B = DRIFT_B
     // LOUD overflow envelope (the chunkDedup raise_error idiom): the TV
     // numerator Σ|cᵃ·Tᵇ − cᵇ·Tᵃ| is bounded by 2·Tᵃ·Tᵇ, so int64
     // exactness needs T < √(2⁶²) ≈ 2.1e9 tokens per source. Beyond that
@@ -2245,6 +2272,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage"   -> vocabCoverage,
     "q_source_drift"     -> sourceDrift,
+    "q_stream_drift"     -> streamDrift,
     "q_dataset_card"     -> datasetCard,
     "q_countmin"         -> countMin,
     "q_stream_countmin"  -> streamCountMin,
@@ -2501,29 +2529,10 @@ object TextOps {
            1.0 - CAST(p.n_unique AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS dup_rate,
            p.tot_tokens, p.tot_chars, p.n_langs, t.top_lang
          FROM per p JOIN top t USING (source) ORDER BY p.source""",
-    "q_source_drift" ->
-      """WITH tok AS (
-           SELECT source,
-             CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 1024 AS b
-           FROM (SELECT source, unnest(string_split(text, ' ')) AS t
-                 FROM documents) WHERE len(t) > 0),
-         cnt AS (
-           SELECT source, b, CAST(count(*) AS BIGINT) AS c
-           FROM tok GROUP BY 1, 2),
-         tot AS (
-           SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
-         dense AS (
-           SELECT tot.source, g.b, tot.t, COALESCE(cnt.c, 0) AS c
-           FROM tot CROSS JOIN range(1024) g(b)
-           LEFT JOIN cnt ON cnt.source = tot.source AND cnt.b = g.b)
-         SELECT a.source AS sa, b.source AS sb,
-           max(a.t) AS ta, max(b.t) AS tb,
-           CAST(sum(abs(a.c * b.t - b.c * a.t)) AS BIGINT) AS num,
-           CAST(sum(abs(a.c * b.t - b.c * a.t)) AS DOUBLE)
-             / CAST(max(a.t) * max(b.t) * 2 AS DOUBLE) AS tv_distance
-         FROM dense a JOIN dense b ON a.b = b.b AND a.source < b.source
-         GROUP BY 1, 2
-         ORDER BY tv_distance DESC, sa, sb""",
+    "q_source_drift" -> sourceDriftOracleSql,
+    // the streaming registry drains to exactly the batch cell table
+    // (additive bucket counts), so the batch TV SQL is the oracle
+    "q_stream_drift" -> sourceDriftOracleSql,
     "q_vocab_coverage" ->
       """WITH tok AS (
            SELECT doc_id, t AS tok FROM (
@@ -3412,4 +3421,28 @@ object TextOps {
          SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 8
          ORDER BY hamming, ia, ib LIMIT 100""")
+
+  private lazy val sourceDriftOracleSql: String =
+    """WITH tok AS (
+           SELECT source,
+             CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 1024 AS b
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents) WHERE len(t) > 0),
+         cnt AS (
+           SELECT source, b, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+         tot AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         dense AS (
+           SELECT tot.source, g.b, tot.t, COALESCE(cnt.c, 0) AS c
+           FROM tot CROSS JOIN range(1024) g(b)
+           LEFT JOIN cnt ON cnt.source = tot.source AND cnt.b = g.b)
+         SELECT a.source AS sa, b.source AS sb,
+           max(a.t) AS ta, max(b.t) AS tb,
+           CAST(sum(abs(a.c * b.t - b.c * a.t)) AS BIGINT) AS num,
+           CAST(sum(abs(a.c * b.t - b.c * a.t)) AS DOUBLE)
+             / CAST(max(a.t) * max(b.t) * 2 AS DOUBLE) AS tv_distance
+         FROM dense a JOIN dense b ON a.b = b.b AND a.source < b.source
+         GROUP BY 1, 2
+         ORDER BY tv_distance DESC, sa, sb"""
 }

@@ -280,6 +280,13 @@ class StreamingSpec extends SparkTestBase {
     assert(t.meta.retiredStreamBatches.exists(_.get("q1").exists(_ >= 0L)))
   }
 
+  test("streaming drift registry drains to exactly the batch pairwise-TV readout") {
+    val got = graft.queries.TextOps.streamDrift(spark, sfDir).collect()
+    val want = graft.queries.TextOps.sourceDrift(spark, sfDir).collect()
+    assert(got.length === want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("streaming anomaly registry drains to exactly the batch z-score readout") {
     val got = graft.queries.Events.streamAnomaly(spark, sfDir).collect()
     val want = graft.queries.Events.anomalyZscore(spark, sfDir).collect()
