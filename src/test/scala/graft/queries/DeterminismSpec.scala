@@ -22,7 +22,15 @@ class DeterminismSpec extends SparkTestBase {
     "q_anomaly_zscore" -> Events.anomalyZscore _,
     "q_transitions"    -> Events.transitions _,
     "q_knn_join"       -> Vectors.knnJoin _,
-    "q_table_stats_join" -> TableQueries.tableStatsJoin _)
+    "q_table_stats_join" -> TableQueries.tableStatsJoin _,
+    // round-9 continuation: every new float-bearing op joins the battery
+    "q_changepoint"    -> Events.changepoint _,
+    "q_autocorr"       -> Events.autocorr _,
+    "q_simpson_diversity" -> TextOps.simpsonDiversity _,
+    "q_lm_backoff"     -> TextOps.lmBackoff _,
+    "q_tok_fertility"  -> TextOps.tokFertility _,
+    "q_gini_length"    -> TextOps.giniLength _,
+    "q_random_projection" -> Vectors.randomProjection _)
 
   test("float-bearing queries are bit-identical at 1 vs 7 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"
