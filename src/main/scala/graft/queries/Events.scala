@@ -837,6 +837,58 @@ object Events {
     * string. One aggregate per (user, day) (map-side combinable
     * collect), one count aggregate over path strings, TakeOrdered
     * top-20. Paths are day-bounded, so state per group is bounded. */
+  /** BURSTINESS (Fano factor / index of dispersion) of the daily
+    * volume per event type: VMR = s²/x̄ = (n·Σx² − (Σx)²) / ((n−1)·Σx).
+    * A Poisson-arrival stream sits at 1; >1 is overdispersed (bursty
+    * traffic, retry storms, campaign spikes — the prior q_changepoint
+    * then localizes), <1 is under-dispersed (rate-limited/scheduled).
+    * Numerator and denominator are exact BIGINTs from the same
+    * (n, Σx, Σx²) moments q_anomaly_zscore folds; the one float is the
+    * final division. Degenerate groups (single day) emit NULL
+    * explicitly on both engines (the zscore NULL policy). Overflow
+    * guarded LOUDLY at n·Σx² < 2⁶² (the daily grid is calendar-bounded,
+    * so this holds to ~10⁹ events/day over 4k days; widen to
+    * DECIMAL(38,0) past that). */
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sx"),
+        when(col("n_days") * col("sxx") < lit(1L << 62), col("sxx"))
+          .otherwise(raise_error(lit(
+            "burstiness: n*sum(x^2) exceeds 2^62 — move the moments to DECIMAL(38,0)")))
+          .as("sxx"))
+      .withColumn("num", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den", (col("n_days") - 1L) * col("sx"))
+      .withColumn("vmr", when(col("den") > 0L,
+        col("num").cast(DoubleType) / col("den").cast(DoubleType)))
+      .withColumn("overdispersed", col("vmr") > lit(1.0))
+      .orderBy(col("event_type"))
+
+  /** FIRST-TOUCH ATTRIBUTION over (user, day) sessions — the
+    * conversion-credit readout next to q_funnel's ordered steps: each
+    * session credits its FIRST event type (total order (ts, event_id) —
+    * unique, so the argmin is deterministic) and converts iff it
+    * contains a purchase. One struct-min aggregate per session instead
+    * of a window pass (same shuffle key, no sort-within-partition), one
+    * tiny per-type rollup; conversion rate is the single float. Session
+    * convention matches q_session_path's (user, day) grouping. */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cv"))
+      .groupBy(col("f.event_type").as("first_touch"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("cv")).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast(DoubleType) / col("n_sessions").cast(DoubleType))
+      .orderBy(col("first_touch"))
+
   def sessionPath(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -977,6 +1029,8 @@ object Events {
     "q_changepoint"      -> changepoint,
     "q_autocorr"         -> autocorr,
     "q_anomaly_mad"      -> anomalyMad,
+    "q_burstiness"       -> burstiness,
+    "q_attribution"      -> attribution,
     "q_session_path"     -> sessionPath,
     "q_seasonality"      -> seasonality,
     "q_ab_test"          -> abTest,
@@ -1250,6 +1304,46 @@ object Events {
     // the streaming registry drains to exactly the batch daily table
     // (additive counts), so the batch z-score SQL is the oracle verbatim
     "q_stream_anomaly" -> zscoreOracleSql,
+    "q_burstiness" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days, sx, sxx,
+           n_days * sxx - sx * sx AS num,
+           (n_days - 1) * sx AS den,
+           CASE WHEN (n_days - 1) * sx > 0 THEN
+             CAST(n_days * sxx - sx * sx AS DOUBLE)
+               / CAST((n_days - 1) * sx AS DOUBLE) END AS vmr,
+           CASE WHEN (n_days - 1) * sx > 0 THEN
+             CAST(n_days * sxx - sx * sx AS DOUBLE)
+               / CAST((n_days - 1) * sx AS DOUBLE) > 1.0 END AS overdispersed
+         FROM m ORDER BY event_type""",
+    "q_attribution" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+           FROM events),
+         fs AS (
+           SELECT user_id, day, event_type AS first_touch FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, day
+               ORDER BY ts, event_id) AS rn FROM ev)
+           WHERE rn = 1),
+         cv AS (
+           SELECT user_id, day,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS converted
+           FROM ev GROUP BY 1, 2)
+         SELECT f.first_touch, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(c.converted) AS BIGINT) AS n_converted,
+           CAST(sum(c.converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS conv_rate
+         FROM fs f JOIN cv c USING (user_id, day)
+         GROUP BY 1 ORDER BY first_touch""",
     "q_cohort_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
          c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

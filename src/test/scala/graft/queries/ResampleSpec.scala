@@ -175,6 +175,58 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("burstiness: exact moments re-derived; VMR sign agrees with plain variance/mean") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val got = Events.burstiness(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === daily.map(_._1).toSet)
+    got.foreach { r =>
+      val xs = daily.filter(_._1 == r.getString(0)).map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val sxx = xs.map(x => x * x).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, sx, sxx)))
+      assert(r.getLong(4) === n * sxx - sx * sx)
+      assert(r.getLong(5) === (n - 1) * sx)
+      if (n >= 2 && sx > 0) {
+        val vmr = (n * sxx - sx * sx).toDouble / ((n - 1) * sx).toDouble
+        assert(r.getDouble(6) === vmr)
+        // cross-check against the textbook variance/mean form
+        val mean = sx.toDouble / n
+        val variance = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+        assert(math.abs(vmr - variance / mean) < 1e-6)
+        assert(r.getBoolean(7) === (vmr > 1.0))
+      } else assert(r.isNullAt(6) && r.isNullAt(7))
+    }
+  }
+
+  test("attribution: first-touch credit and conversions re-derived per (user, day) session") {
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val sessions = evs.groupBy(e => (e._1,
+        e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      .toSeq // BEFORE mapping to pairs — a Map of 2-tuples deduplicates
+      .map { case (_, rows) =>
+        val first = rows.minBy(e => (e._2.getTime, e._3))._4
+        (first, rows.exists(_._4 == "purchase"))
+      }
+    val want = sessions.groupBy(_._1).map { case (ft, g) =>
+      ft -> (g.size.toLong, g.count(_._2).toLong)
+    }
+    val got = Events.attribution(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === want.keySet)
+    got.foreach { r =>
+      val (ns, nc) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) === ((ns, nc)))
+      assert(r.getDouble(3) === nc.toDouble / ns.toDouble)
+    }
+    // accounting closes: session totals match across credit buckets
+    assert(got.map(_.getLong(1)).sum === sessions.size.toLong)
+  }
+
   test("changepoint: CUSUM argmax re-derived per event type from raw daily counts") {
     val daily = graft.Tables.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
