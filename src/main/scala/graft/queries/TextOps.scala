@@ -698,6 +698,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END CLEANING PIPELINE — the composite the dedup family's
+    * q_dedup_pipeline is for text hygiene: every document routed
+    * through the ORDERED drop rules a pre-training corpus actually
+    * runs, first failing rule names the verdict (the qualityFilter CASE
+    * idiom extended across stages):
+    *   1. rule-based quality (too_short / repetitive / stopword_heavy —
+    *      q_quality_filter's exact thresholds),
+    *   2. exact duplicate (content-hash keep-first: not the md5-min
+    *      doc_id of its hash group),
+    *   3. near duplicate (not its dedup-pipeline cluster's survivor —
+    *      reads the SESSION-ARTIFACT CC labels, so this stage is a
+    *      label join, not a pipeline re-run),
+    *   4. keep.
+    * Judged output: per (source, verdict) doc and token accounting —
+    * the loss table a dataset card publishes for the cleaning pass.
+    *
+    * Scale shape: stage 1 is row-side; stage 2 one hash-group aggregate
+    * over digests (text never shuffles); stage 3 a label-sized join;
+    * the verdict CASE collapses everything into one tiny rollup. An
+    * exact dup is also a near dup (jaccard 1) — the CASE order decides,
+    * and both engines evaluate the same order. */
+  def cleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val t = col("t")
+    val base = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)).cast(DoubleType) / size(t)).as("uniq_ratio"),
+        (size(filter(t, x => x.isin("a", "the"))).cast(DoubleType) / size(t))
+          .as("stop_ratio"))
+    val firstOfHash = base.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val nd = dedupPipeline(s, d).select(col("doc_id"), col("keep").as("nd_keep"))
+    base.join(firstOfHash, Seq("h"))
+      .join(nd, Seq("doc_id"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "repetitive")
+          .when(col("stop_ratio") > 0.1, "stopword_heavy")
+          .when(col("doc_id") =!= col("first_id"), "exact_dup")
+          .when(!col("nd_keep"), "near_dup")
+          .otherwise("keep"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("n_tokens"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
   /** Deterministic content-hash DOWNSAMPLING, reported per source: keep
     * the ~25% of docs whose md5 leads with nibble 0-3. Hashing the
     * CONTENT (not rand(), not partition-dependent ids) is what makes a
@@ -2328,6 +2375,7 @@ object TextOps {
     "q_sample_hash"      -> sampleHash,
     "q_split_leakage"    -> splitLeakage,
     "q_split_assign"     -> splitAssign,
+    "q_clean_pipeline"   -> cleanPipeline,
     "q_cooc_window"      -> coocWindow)
 
   /** Shared oracle CTE prefix: per-doc minhash signatures (the same
@@ -3361,6 +3409,59 @@ object TextOps {
            (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS keep
          FROM documents d LEFT JOIN lab ON lab.a = d.doc_id
          ORDER BY d.doc_id""",
+    // the q_dedup_pipeline closure again; verdicts route through the
+    // SAME ordered CASE both engines evaluate identically
+    "q_clean_pipeline" -> s"""
+         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id < y.doc_id),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         edges0 AS (
+           SELECT c.ia, c.ib
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.ia
+           JOIN sets b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95),
+         edges AS (
+           SELECT ia AS src, ib AS dst FROM edges0
+           UNION ALL SELECT ib, ia FROM edges0),
+         r(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
+         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a),
+         ndk AS (
+           SELECT d.doc_id,
+             (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS nd_keep
+           FROM documents d LEFT JOIN lab ON lab.a = d.doc_id),
+         q AS (
+           SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('a', 'the'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+         fh AS (SELECT h, min(doc_id) AS first_id FROM q GROUP BY 1),
+         v AS (
+           SELECT q.source,
+             CASE WHEN q.n_tokens < 20 THEN 'too_short'
+                  WHEN q.uniq_ratio < 0.3 THEN 'repetitive'
+                  WHEN q.stop_ratio > 0.1 THEN 'stopword_heavy'
+                  WHEN q.doc_id <> fh.first_id THEN 'exact_dup'
+                  WHEN NOT ndk.nd_keep THEN 'near_dup'
+                  ELSE 'keep' END AS verdict,
+             q.n_tokens
+           FROM q JOIN fh USING (h) JOIN ndk USING (doc_id))
+         SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM v GROUP BY 1, 2 ORDER BY source, verdict""",
     // the q_dedup_pipeline closure verbatim; the final projection hashes
     // the CLUSTER id to a side, so the whole component lands together
     "q_split_assign" -> s"""

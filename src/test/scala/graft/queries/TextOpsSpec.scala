@@ -855,6 +855,46 @@ class TextOpsSpec extends SparkTestBase {
       "backoff never fired — the op degenerates to a trigram ML score")
   }
 
+  test("cleanPipeline: staged verdicts re-derived; accounting closes over the corpus") {
+    import java.security.MessageDigest
+    def md5hex(t: String): String =
+      MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ndKeep = TextOps.dedupPipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val firstOfHash = docs.groupBy(d => md5hex(d._3))
+      .map { case (h, g) => h -> g.map(_._1).min }
+    val verdicts = docs.map { case (id, src, text) =>
+      val t = text.split(" ", -1) // Spark split keeps empty trailing/inner tokens
+      val n = t.length
+      val uniq = t.distinct.length.toDouble / n
+      val stop = t.count(x => x == "a" || x == "the").toDouble / n
+      val v =
+        if (n < 20) "too_short"
+        else if (uniq < 0.3) "repetitive"
+        else if (stop > 0.1) "stopword_heavy"
+        else if (id != firstOfHash(md5hex(text))) "exact_dup"
+        else if (!ndKeep(id)) "near_dup"
+        else "keep"
+      (src, v, n.toLong)
+    }
+    val want = verdicts.groupBy(x => (x._1, x._2))
+      .map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum) }
+    val got = TextOps.cleanPipeline(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    // accounting closes: every document lands in exactly one verdict
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+    // the pipeline is non-vacuous: quality, near-dup, and keep all fire
+    val fired = got.keys.map(_._2).toSet
+    assert(fired.contains("keep") && fired.contains("near_dup") &&
+      (fired.contains("too_short") || fired.contains("repetitive") ||
+        fired.contains("stopword_heavy")))
+  }
+
   test("splitAssign: zero leakage across the cluster split; naive split leaks; md5 rule re-derived") {
     import java.security.MessageDigest
     def md5hex(t: String): String =
