@@ -1569,14 +1569,16 @@ object TextOps {
     * degenerate strata (total < 40 tokens) fail LOUDLY rather than
     * sample everything (div-0 guard).
     *
-    * Scale shape: the running sum is a per-SOURCE window — strata
-    * parallelize, but each stratum's prefix sum is one task (the
-    * winsorize/quantileBuckets documented trade: exact prefix
-    * statistics need a sort somewhere). At 100 TB swap to the two-pass
-    * distributed prefix sum — range-repartition by (source, doc_id),
-    * per-partition token subtotals to the driver (one row per
-    * partition), broadcast the per-partition base offsets back, window
-    * WITHIN partitions — same exact integers, no single-task stratum. */
+    * Scale shape: the running sum is a TWO-LEVEL DISTRIBUTED PREFIX
+    * SUM, not a per-stratum window — shard = doc_id div ⌈max_id/64⌉
+    * splits each source into 64 contiguous doc_id ranges; per-(source,
+    * shard) subtotals roll into base offsets with one window over the
+    * sources×64 METADATA-SIZED offsets table, and the heavy per-row
+    * window partitions by (source, shard), so the biggest single task
+    * is 1/64th of a stratum (dial the shard count up with the corpus —
+    * the exact integers are identical at any shard count, so this is
+    * pure parallelism, zero semantics). This removes the single-task-
+    * per-stratum trade winsorize/quantileBuckets document. */
   def sampleSystematic(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
@@ -1588,10 +1590,23 @@ object TextOps {
           .otherwise(raise_error(lit(
             "sampleSystematic: stratum under 40 tokens — stride would be 0")))
           .as("stride"))
-    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val sharded = docs.crossJoin(broadcast(mx))
+      .withColumn("shard", expr("doc_id div (mx div 64 + 1L)"))
+      .drop("mx")
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("source"), col("shard"))
+      .agg(sum(col("w")).as("sw"))
+      .withColumn("off", coalesce(sum(col("sw")).over(wOff), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    val wIn = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    docs.join(broadcast(tot), Seq("source"))
-      .withColumn("cum", sum(col("w")).over(wCum))
+    sharded
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .join(broadcast(tot), Seq("source"))
+      .withColumn("cum", col("off") + sum(col("w")).over(wIn))
       .withColumn("n_hits",
         expr("cum div stride - (cum - w) div stride"))
       .filter(col("n_hits") > 0)

@@ -293,12 +293,17 @@ class PlanSpec extends SparkTestBase {
       case -1 => p
       case i  => p.substring(0, i)
     }
-    // the cumulative-sum window must ride hashpartitioning(source…), and
-    // the only SinglePartition exchange allowed is the final presentation
-    // sort's collect (orderBy plans as rangepartitioning, so: none)
+    // the heavy per-row window must ride hashpartitioning(source, shard)
+    // — the two-level prefix sum's 64-way split of each stratum — and no
+    // SinglePartition exchange may appear anywhere (the offsets table's
+    // per-source window is metadata-sized but still hash-partitioned)
     assert(oneSection.contains("hashpartitioning(source"), p)
+    assert("hashpartitioning\\(source#\\d+, shard#\\d+".r
+      .findFirstIn(oneSection).isDefined, s"per-row window not sharded:\n$p")
+    // the ONLY SinglePartition exchange allowed is the 1-ROW global
+    // max(doc_id) aggregate that derives the shard width — never the data
     val single = "Exchange SinglePartition".r.findAllIn(oneSection).size
-    assert(single === 0, s"SinglePartition exchanges: $single\n$p")
+    assert(single <= 1, s"SinglePartition exchanges: $single\n$p")
   }
 
   test("random projection is scan + project — no exchange before the presentation sort") {
