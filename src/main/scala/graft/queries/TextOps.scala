@@ -1971,16 +1971,33 @@ object TextOps {
     * division. Overflow guarded LOUDLY: Σ i·x ≤ n·Σx < 2⁶² requires
     * n·Σx under ~4.6e18 — past that move both sums to DECIMAL(38,0).
     *
-    * Scale shape: per-source rank windows (the winsorize/quantileBuckets
-    * documented trade: exact rank statistics need a sort somewhere; at
-    * 100 TB swap to the two-pass range-partitioned prefix rank). */
+    * Scale shape: ranks come from the TWO-LEVEL SHARDED PREFIX COUNT
+    * (the sampleSystematic pattern, sharding on the SORT KEY): shard =
+    * x div ⌈max_x/64⌉ gives contiguous length ranges, per-(source,
+    * shard) counts roll into rank offsets over the metadata-sized
+    * offsets table, and the heavy row_number window partitions by
+    * (source, shard) — equal lengths always land in one shard, so the
+    * global rank is exact; biggest single task is one length-band of
+    * one stratum. */
   def giniLength(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         size(filter(split(col("text"), " "), x => length(x) > 0))
           .cast(LongType).as("x"))
-    val w = Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id"))
-    docs.withColumn("i", row_number().over(w).cast(LongType))
+    val mx = docs.agg(max(col("x")).as("mx"))
+    val sharded = docs.crossJoin(broadcast(mx))
+      .withColumn("shard", expr("x div (mx div 64 + 1L)"))
+      .drop("mx")
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offc", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("source"), col("shard"), col("offc"))
+    val wIn = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("x"), col("doc_id"))
+    sharded.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("i", col("offc") + row_number().over(wIn).cast(LongType))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("i") * col("x")).as("six"))
