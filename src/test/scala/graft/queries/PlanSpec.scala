@@ -306,6 +306,19 @@ class PlanSpec extends SparkTestBase {
     assert(single <= 1, s"SinglePartition exchanges: $single\n$p")
   }
 
+  test("winsorize ranks ride the sharded window — never one task per priority group") {
+    val p = plan(Relational.winsorize(spark, sfDir))
+    val oneSection = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    assert("hashpartitioning\\(o_orderpriority#\\d+, shard#\\d+".r
+      .findFirstIn(oneSection).isDefined, s"rank window not sharded:\n$p")
+    // only the 1-row max(price) shard-width aggregate may single-partition
+    val single = "Exchange SinglePartition".r.findAllIn(oneSection).size
+    assert(single <= 1, s"SinglePartition exchanges: $single\n$p")
+  }
+
   test("random projection is scan + project — no exchange before the presentation sort") {
     val p = plan(Vectors.randomProjection(spark, sfDir))
     val oneSection = p.indexOf("== Initial Plan ==") match {
