@@ -328,7 +328,11 @@ object Relational {
     * The window partitions by return flag, so it parallelizes by key; a
     * GLOBAL equi-depth profile at 100 TB would instead take
     * approx_percentile boundaries (one pass) and range-join rows to
-    * buckets — this query is the per-group shape both build on. */
+    * buckets — or, for EXACT deciles at scale, the sharded two-level
+    * prefix-rank pattern winsorize/sampleSystematic now IMPLEMENT
+    * (shard on the sort key, offsets over a metadata-sized table,
+    * ntile re-derived from the global rank). This query keeps the
+    * plain per-group shape both build on. */
   def quantileBuckets(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_returnflag"))
