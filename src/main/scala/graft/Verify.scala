@@ -10,6 +10,11 @@ object Verify {
     // optional extra args: run only these query names (local iteration;
     // the driver always calls with exactly two args → full run)
     val only = args.drop(2).toSet
+    // fail LOUDLY on typo'd names: a silently-dropped unknown name would
+    // make a zero-query run look like a green subset run
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()

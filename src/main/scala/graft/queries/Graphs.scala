@@ -665,7 +665,13 @@ object Graphs {
     * label table (broadcast under the gate, shuffle join above it) into
     * a (node × candidate-label) vote aggregate — majority via ONE
     * struct-max agg, no window; labels localCheckpoint per pass to
-    * bound lineage. All counts exact BIGINTs; no floats anywhere. */
+    * bound lineage. All counts exact BIGINTs; no floats anywhere.
+    *
+    * CONTRACT (the ccPointerDoubling framing): `edges` must carry BOTH
+    * directions of every undirected edge — the node set derives from
+    * `src` alone and votes flow src→dst, so a one-directional edge set
+    * would silently drop sink-only nodes from the label table. Every
+    * caller passes the symmetric weightedEdges artifact. */
   private[graft] val LP_PASSES = 4
   private[graft] def labelPropOnEdges(edges: DataFrame, passes: Int,
       broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {

@@ -642,7 +642,8 @@ object TextOps {
     * NO broadcast hint (vocab³ grows with the corpus — the optimizer
     * stays free, the lmBigram rationale); `total` rides a 1-row
     * broadcast. Overflow guarded LOUDLY at total < 2⁶³/(25·10⁹) ≈
-    * 7.4e8 train tokens — past that move the fixed point to
+    * 3.7e8 train tokens (the guard is the c₁-rung bound, the tightest
+    * of the three products) — past that move the fixed point to
     * DECIMAL(38,0). */
   def lmBackoff(s: SparkSession, d: String): DataFrame = {
     val SCALE = 1000000000L
@@ -1645,8 +1646,13 @@ object TextOps {
           .as("n_tok"),
         col("num"))
       .withColumn("den", col("n_tok") * (col("n_tok") - 1L))
+      // degenerate lower end: a 1-token source has den = 0 and num = 0;
+      // 0/0 NaN handling differs cross-engine, so emit explicit NULL
+      // (the burstiness degenerate-group policy)
       .withColumn("simpson",
-        lit(1.0) - col("num").cast(DoubleType) / col("den").cast(DoubleType))
+        when(col("n_tok") < 2L, lit(null).cast(DoubleType))
+          .otherwise(lit(1.0) -
+            col("num").cast(DoubleType) / col("den").cast(DoubleType)))
       .orderBy(col("source"))
   }
 
@@ -2846,7 +2852,9 @@ object TextOps {
            FROM cnt GROUP BY 1)
          SELECT source, n_terms, n_tok, num,
            n_tok * (n_tok - 1) AS den,
-           1.0 - CAST(num AS DOUBLE) / CAST(n_tok * (n_tok - 1) AS DOUBLE) AS simpson
+           CASE WHEN n_tok < 2 THEN NULL
+                ELSE 1.0 - CAST(num AS DOUBLE) / CAST(n_tok * (n_tok - 1) AS DOUBLE)
+           END AS simpson
          FROM agg ORDER BY source""",
     // same 5-nibble md5 uniform, same cross-multiplied keep rule — the
     // conv/from-hex parse is the only dialect difference.
