@@ -712,7 +712,146 @@ object Graphs {
       .orderBy(col("n_members").desc, col("community"))
       .limit(20)
 
+  /** BUTTERFLY (bipartite 4-cycle) counting over the customer–part
+    * purchase graph — the bipartite clustering primitive next to
+    * q_triangle_count's unipartite one (Sanei-Mehri et al. 2018,
+    * "Butterfly Counting in Bipartite Networks"): a butterfly is two
+    * customers sharing two parts, the smallest unit of co-purchase
+    * redundancy. Per part pair with c common customers the pair sits in
+    * C(c,2) butterflies — so the whole count reduces to ONE wedge
+    * aggregate (pairs from each customer's adjacency, p1 < p2) and a
+    * closed form; no 4-cycle is ever enumerated. Judged output: the 20
+    * most butterfly-dense part pairs.
+    *
+    * Scale shape: wedge generation is the per-customer self-join,
+    * bounded by customer degree d (Σ C(d,2) rows) with map-side
+    * combine into (p1, p2) partials — the paper's vertex-priority
+    * refinement (generate wedges from the LOWER-degree side, here
+    * customers: parts-per-customer is purchase-bounded while
+    * customers-per-part grows with the corpus) is exactly this
+    * derivation. A whale customer inflates wedges quadratically; the
+    * mitigation at scale is degree-capping/salting that customer's
+    * adjacency before the self-join, not a different algorithm.
+    * Overflow: c ≤ |customers| < 2³¹ keeps c·(c−1) under 2⁶². */
+  def butterfly(s: SparkSession, d: String): DataFrame = {
+    val e = custPartEdges(s, d)
+    e.toDF("c", "p1").join(e.toDF("c", "p2"), Seq("c"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+      .select(col("p1"), col("p2"), col("n_common"),
+        expr("n_common * (n_common - 1L) div 2L").as("butterflies"))
+      .orderBy(col("butterflies").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  /** TRUNCATED HARMONIC CENTRALITY (Boldi & Vigna 2014) of the
+    * HARMONIC_SEEDS smallest parts in the co-purchase graph: H(s) =
+    * Σ_{v≠s} 1/d(s,v) over nodes within HARMONIC_HOPS hops — the
+    * centrality that handles disconnected graphs without q_bfs's
+    * unreached-node dropout (unreached terms are simply 0). Distances
+    * come from one MULTI-SOURCE BFS carrying (seed, node) state — the
+    * per-seed generalization of bfsOnEdges, |seeds|× the state rows but
+    * the same per-pass join shape. Per-term values are the exact
+    * integers 10⁶ div d (d ∈ 1..HOPS, non-negative div — both engines
+    * floor identically), so H is an order-free BIGINT sum.
+    *
+    * Scale shape: each pass = one edge scan joined to the reached set
+    * (size-gated broadcast, re-gated per pass as it grows) into
+    * (seed, node) min partials; seed count is the multiplier on state,
+    * chosen fixed (8) so reached-set rows stay ≤ 8·|V|. */
+  private[graft] val HARMONIC_HOPS = 4
+  private[graft] val HARMONIC_SEEDS = 8
+  def harmonic(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d).select(col("src"), col("dst"))
+    val seeds = edges.select(col("src").as("seed")).distinct()
+      .orderBy(col("seed")).limit(HARMONIC_SEEDS)
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist")).localCheckpoint()
+    var nReached = dist.count()
+    for (_ <- 1 to HARMONIC_HOPS) {
+      dist = dist
+        .unionAll(edges
+          .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
+            nReached, BROADCAST_MAX_ROWS), Seq("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("dist") + lit(1L)).as("dist")))
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      nReached = dist.count()
+    }
+    dist.filter(col("dist") > 0L)
+      .groupBy(col("seed").as("part_id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div dist")).as("harmonic_q"))
+      .orderBy(col("harmonic_q").desc, col("part_id"))
+  }
+
+  /** BRADLEY–TERRY preference rating (Bradley & Terry 1952) fit by
+    * BT_ITERS rounds of the MM algorithm (Hunter 2004) — the
+    * pairwise-comparison primitive an RLHF/eval pipeline runs over
+    * preference data. Duels are synthesized deterministically: within
+    * each order, brand A beats brand B when A's summed quantity is
+    * strictly larger (ties are no contest). MM update π'ᵢ =
+    * Wᵢ / Σⱼ gᵢⱼ/(πᵢ+πⱼ) runs in 10⁶ fixed point: each pair term is
+    * the exact integer (gᵢⱼ·10¹²) div (πᵢ+πⱼ) — floored identically on
+    * both engines BEFORE the per-brand sum, which is what keeps the
+    * sum order-free — and π' = (Wᵢ·10¹²) div Σ, floored again. BT is
+    * scale-invariant, so the unnormalized fixed point ranks exactly as
+    * the normalized one. Measured envelope at sf0.1: π ∈ [0.98·10⁶,
+    * 1.02·10⁶]; overflow bound g·10¹² < 2⁶³ holds to ~9M duels per
+    * pair. greatest(1) guards are for the degenerate all-losses brand
+    * (π pins to the floor instead of 0-dividing next round).
+    *
+    * Scale shape: duels are the per-order brand self-join (bounded by
+    * brands-per-order, the basketItems argument); `games` collapses to
+    * O(brands²) rows — a FIXED-cardinality table (≤ B², B = 25 here),
+    * so every MM pass is a join over a tiny broadcastable table no
+    * matter the corpus size; the corpus-sized work is the one duel
+    * aggregation up front. */
+  private[graft] val BT_ITERS = 3
+  def bradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val bq = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val games = bq.toDF("o", "b1", "q1")
+      .join(bq.toDF("o", "b2", "q2"), Seq("o"))
+      .filter(col("b1") < col("b2") && col("q1") =!= col("q2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("g"),
+        sum(when(col("q1") > col("q2"), 1L).otherwise(0L)).as("w1"))
+      .localCheckpoint() // O(B²) rows; every pass reads it twice
+    val wins = games.select(col("b1").as("b"), col("w1").as("w"), col("g"))
+      .unionAll(games.select(col("b2").as("b"),
+        (col("g") - col("w1")).as("w"), col("g")))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("wins"), sum(col("g")).as("games"))
+      .localCheckpoint()
+    var pi = wins.select(col("b"), lit(1000000L).as("pi"))
+    for (_ <- 1 to BT_ITERS) {
+      val j = games
+        .join(broadcast(pi.toDF("b1", "pi1")), Seq("b1"))
+        .join(broadcast(pi.toDF("b2", "pi2")), Seq("b2"))
+        .withColumn("t", expr("(g * 1000000000000L) div (pi1 + pi2)"))
+      val sden = j.select(col("b1").as("b"), col("t"))
+        .unionAll(j.select(col("b2").as("b"), col("t")))
+        .groupBy(col("b")).agg(sum(col("t")).as("sden"))
+      pi = wins.join(sden, Seq("b"))
+        .select(col("b"), greatest(lit(1L),
+          expr("(wins * 1000000000000L) div greatest(sden, 1L)")).as("pi"))
+        .localCheckpoint()
+    }
+    wins.join(pi, Seq("b"))
+      .select(col("b").as("brand"), col("wins"), col("games"),
+        col("pi").as("rating_q"))
+      .orderBy(col("rating_q").desc, col("brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_butterfly" -> butterfly,
+    "q_harmonic" -> harmonic,
+    "q_bradley_terry" -> bradleyTerry,
     "q_label_prop" -> labelProp,
     "q_hits" -> hits,
     "q_graph_jaccard" -> graphJaccard,
@@ -873,7 +1012,84 @@ object Graphs {
        ORDER BY dist_scaled, part_id"""
   }
 
+  /** Unrolled multi-source BFS oracle (the bfsOracle shape with a seed
+    * column carried through every pass), folded to 10⁶ div d terms. */
+  private def harmonicOracle: String = {
+    def pass(i: Int) =
+      s""", d$i AS MATERIALIZED (
+         SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           SELECT seed, node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT p.seed, e.dst AS node, p.dist + 1 AS dist
+           FROM edges e JOIN d${i - 1} p ON e.src = p.node)
+         GROUP BY 1, 2)"""
+    edgeCtes +
+      s""",
+       d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM
+                (SELECT DISTINCT src AS node FROM edges)
+              ORDER BY node LIMIT $HARMONIC_SEEDS)""" +
+      (1 to HARMONIC_HOPS).map(pass).mkString +
+      s"""
+       SELECT seed AS part_id, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_q
+       FROM d$HARMONIC_HOPS WHERE dist > 0
+       GROUP BY 1 ORDER BY harmonic_q DESC, part_id"""
+  }
+
+  /** Unrolled MM oracle for Bradley–Terry: BT_ITERS chained pair-term /
+    * rating CTEs, `//` ≡ `div` on these all-positive BIGINTs. */
+  private def bradleyTerryOracle: String = {
+    def pass(i: Int) =
+      s""", p$i AS MATERIALIZED (
+         SELECT w.b, greatest(1, (w.wins * 1000000000000) // greatest(s.sden, 1)) AS pi
+         FROM wins w JOIN (
+           SELECT b, CAST(sum(t) AS BIGINT) AS sden FROM (
+             SELECT g.b1 AS b, (g.g * 1000000000000) // (pa.pi + pb.pi) AS t
+             FROM games g JOIN p${i - 1} pa ON pa.b = g.b1
+               JOIN p${i - 1} pb ON pb.b = g.b2
+             UNION ALL
+             SELECT g.b2, (g.g * 1000000000000) // (pa.pi + pb.pi)
+             FROM games g JOIN p${i - 1} pa ON pa.b = g.b1
+               JOIN p${i - 1} pb ON pb.b = g.b2) GROUP BY 1) s
+         ON s.b = w.b)"""
+    s"""WITH bq AS MATERIALIZED (
+         SELECT l_orderkey AS o, p_brand AS b,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+       games AS MATERIALIZED (
+         SELECT a.b AS b1, b.b AS b2, CAST(count(*) AS BIGINT) AS g,
+           CAST(count(*) FILTER (a.q > b.q) AS BIGINT) AS w1
+         FROM bq a JOIN bq b ON a.o = b.o AND a.b < b.b AND a.q <> b.q
+         GROUP BY 1, 2),
+       wins AS MATERIALIZED (
+         SELECT b, CAST(sum(w) AS BIGINT) AS wins,
+           CAST(sum(g) AS BIGINT) AS games FROM (
+           SELECT b1 AS b, w1 AS w, g FROM games
+           UNION ALL SELECT b2, g - w1, g FROM games) GROUP BY 1),
+       p0 AS (SELECT b, CAST(1000000 AS BIGINT) AS pi FROM wins)""" +
+      (1 to BT_ITERS).map(pass).mkString +
+      s"""
+       SELECT w.b AS brand, w.wins, w.games, p.pi AS rating_q
+       FROM wins w JOIN p$BT_ITERS p USING (b)
+       ORDER BY rating_q DESC, brand"""
+  }
+
   val oracle: Map[String, String] = Map(
+    // one wedge aggregate + the C(c,2) closed form — no 4-cycle is
+    // enumerated on either engine.
+    "q_butterfly" ->
+      """WITH cp AS MATERIALIZED (
+           SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         pc AS (
+           SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_common
+           FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p1, p2, n_common,
+           CAST(n_common * (n_common - 1) // 2 AS BIGINT) AS butterflies
+         FROM pc ORDER BY butterflies DESC, p1, p2 LIMIT 20""",
+    "q_harmonic" -> harmonicOracle,
+    "q_bradley_terry" -> bradleyTerryOracle,
     // unnormalized bipartite HITS = exact alternating-path counts; two
     // half-iterations per side, mirrored join-for-join.
     "q_hits" ->

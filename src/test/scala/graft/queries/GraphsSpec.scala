@@ -406,4 +406,92 @@ class GraphsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("butterfly: top pairs re-derived from raw (customer, part) edges") {
+    val cp = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = cp.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byCust.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        common((ps(i), ps(j))) = common.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val want = common.toSeq.collect { case ((a, b), c) if c >= 2 =>
+      (a, b, c, c * (c - 1) / 2)
+    }.sortBy { case (a, b, _, bf) => (-bf, a, b) }.take(20)
+    val got = Graphs.butterfly(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
+  test("harmonic: per-seed sums re-derived from a plain-Scala BFS") {
+    val cp = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = cp.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keys.toSeq.sorted.take(Graphs.HARMONIC_SEEDS)
+    val want = seeds.map { s0 =>
+      var dist = Map(s0 -> 0)
+      for (h <- 1 to Graphs.HARMONIC_HOPS) {
+        val next = dist.collect { case (n, d) if d == h - 1 => n }
+          .flatMap(n => adj.getOrElse(n, Set.empty)).toSet -- dist.keySet
+        dist = dist ++ next.map(_ -> h)
+      }
+      val reached = dist.filter(_._2 > 0)
+      (s0, reached.size.toLong,
+        reached.values.map(d => 1000000L / d).sum)
+    }.sortBy { case (s0, _, h) => (-h, s0) }
+    val got = Graphs.harmonic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("bradleyTerry: MM fixed-point ratings re-derived in plain Scala") {
+    val bq = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val games = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    bq.groupBy(_._1).values.foreach { rows =>
+      val m = rows.map(r => r._2 -> r._3)
+      for ((a, qa) <- m; (b, qb) <- m if a < b && qa != qb) {
+        val (g, w1) = games.getOrElse((a, b), (0L, 0L))
+        games((a, b)) = (g + 1, w1 + (if (qa > qb) 1 else 0))
+      }
+    }
+    val brands = games.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val wins = brands.map { b =>
+      b -> games.collect {
+        case ((x, y), (g, w1)) if x == b => w1
+        case ((x, y), (g, w1)) if y == b => g - w1
+      }.sum
+    }.toMap
+    val nGames = brands.map { b =>
+      b -> games.collect { case ((x, y), (g, _)) if x == b || y == b => g }.sum
+    }.toMap
+    var pi = brands.map(_ -> 1000000L).toMap
+    for (_ <- 1 to Graphs.BT_ITERS) {
+      val sden = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      games.foreach { case ((a, b), (g, _)) =>
+        val t = g * 1000000000000L / (pi(a) + pi(b))
+        sden(a) += t; sden(b) += t
+      }
+      pi = brands.map(b =>
+        b -> math.max(1L, wins(b) * 1000000000000L / math.max(sden(b), 1L))).toMap
+    }
+    val want = brands.map(b => (b, wins(b), nGames(b), pi(b)))
+      .sortBy { case (b, _, _, r) => (-r, b) }
+    val got = Graphs.bradleyTerry(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
 }
