@@ -969,7 +969,73 @@ object Vectors {
         col("id"))
   }
 
+  /** K-MEANS (Lloyd 1982) run for a fixed KMEANS_ITERS rounds in EXACT
+    * INTEGER arithmetic — the oracle-checkable formulation of the
+    * clustering step the IVF/PQ indexes train with MLlib (ivfIndex/
+    * pqIndex keep MLlib for the index artifacts; this is the judged
+    * semantics). Embeddings quantize once to 10⁶ fixed point
+    * (floor(x·10⁶+0.5), the embedQuantize portability idiom); distances
+    * are BIGINT Σ(v−c)², argmin ties break to the smallest centroid id
+    * (struct-min ≡ the oracle's row_number), and centroid updates are
+    * the element-wise FLOORED integer mean — computed as
+    * (Σv + OFF·n) div n − OFF with OFF = 2·10⁶ ≥ |v|max so the
+    * numerator is non-negative and Spark's truncating `div` equals
+    * DuckDB's flooring `//` (the established non-negative-div policy).
+    * Seeds = the first K vectors by vec_id (deterministic init; k-means++
+    * would need oracle-side randomness). Empty clusters keep their old
+    * centroid. Judged output: per-cluster size, exact inertia, and the
+    * centroid component sum (a bit-exact centroid signature).
+    *
+    * Scale shape: the centroid table is K×dim rows — FIXED size, always
+    * broadcast — so assignment is one map-side join + (vec, cid)
+    * partial aggregate, and the update is one (cid, pos) aggregate of
+    * K·dim cells; per-iteration cost is two scans of the long-form
+    * quantized table regardless of corpus size. Overflow: d2 ≤
+    * 64·(2.1·10⁶)² ≈ 2.8·10¹⁴, inertia sums stay under 2⁶³ to ~3·10⁴
+    * billion vectors. */
+  private[graft] val KMEANS_K = 8
+  private[graft] val KMEANS_ITERS = 3
+  private def kmeansAssign(qlong: DataFrame, cent: DataFrame): DataFrame =
+    qlong.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val qlong = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("v"))
+      .localCheckpoint()
+    var cent = qlong.filter(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cid"), col("pos"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to KMEANS_ITERS) {
+      val assign = kmeansAssign(qlong, cent)
+      val upd = assign.join(qlong, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          expr("(sv + 2000000L * n) div n - 2000000L").as("nv"))
+      cent = cent.join(upd, Seq("cid", "pos"), "left_outer")
+        .select(col("cid"), col("pos"),
+          coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    val centSum = cent.groupBy(col("cid")).agg(sum(col("cv")).as("cent_sum"))
+    kmeansAssign(qlong, cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia_q"))
+      .join(centSum, Seq("cid"))
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("inertia_q"), col("cent_sum"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans"        -> kmeans,
     "q_rank_fusion"   -> rankFusion,
     "q_random_projection" -> randomProjection,
     "q_embed_quantize" -> embedQuantize,
@@ -1015,7 +1081,53 @@ object Vectors {
     staticOracle ++ ivf ++ pq
   }
 
+  /** Unrolled Lloyd oracle: KMEANS_ITERS chained assign/update CTE
+    * pairs over the quantized long form; row_number (d2, cid) replays
+    * the struct-min tie-break, `//` on the OFF-shifted non-negative
+    * numerator replays `div`. */
+  private def kmeansOracle: String = {
+    def pass(t: Int) =
+      s""", dist$t AS MATERIALIZED (
+         SELECT q.vec_id, c.cid, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+         FROM q JOIN c${t - 1} c USING (pos) GROUP BY 1, 2),
+       a$t AS MATERIALIZED (
+         SELECT vec_id, cid, d2 FROM (
+           SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           FROM dist$t) WHERE rn = 1),
+       c$t AS MATERIALIZED (
+         SELECT c.cid, c.pos, CAST(coalesce(u.nv, c.cv) AS BIGINT) AS cv
+         FROM c${t - 1} c LEFT JOIN (
+           SELECT a.cid, q.pos,
+             (sum(q.v) + 2000000 * count(*)) // count(*) - 2000000 AS nv
+           FROM a$t a JOIN q USING (vec_id) GROUP BY 1, 2) u
+         ON u.cid = c.cid AND u.pos = c.pos)"""
+    val f = KMEANS_ITERS + 1
+    s"""WITH q AS MATERIALIZED (
+         SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+         FROM embeddings, range(1, 65) t(i)),
+       c0 AS MATERIALIZED (
+         SELECT vec_id AS cid, pos, v AS cv FROM q WHERE vec_id < $KMEANS_K)""" +
+      (1 to KMEANS_ITERS).map(pass).mkString +
+      s""", dist$f AS MATERIALIZED (
+         SELECT q.vec_id, c.cid, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+         FROM q JOIN c$KMEANS_ITERS c USING (pos) GROUP BY 1, 2),
+       a$f AS (
+         SELECT vec_id, cid, d2 FROM (
+           SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           FROM dist$f) WHERE rn = 1),
+       cs AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS cent_sum
+              FROM c$KMEANS_ITERS GROUP BY 1)
+       SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(a.d2) AS BIGINT) AS inertia_q, cs.cent_sum
+       FROM a$f a JOIN cs ON cs.cid = a.cid
+       GROUP BY 1, cs.cent_sum ORDER BY cluster_id"""
+  }
+
   private lazy val staticOracle: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracle,
     "q_ann_lsh" -> annLshSql,
     "q_mmr_rerank" -> mmrSql,
     "q_label_spread" ->

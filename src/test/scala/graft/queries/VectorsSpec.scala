@@ -326,4 +326,42 @@ class VectorsSpec extends SparkTestBase {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.8 && mean < 1.2, s"JL mean norm ratio $mean")
   }
+
+  test("kmeans: every Lloyd round re-derived in plain Scala integers") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val K = Vectors.KMEANS_K
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cent: Map[Long, Array[Long]]) = vecs.map { case (id, v) =>
+      val (cid, dd) = cent.toSeq
+        .map { case (c, cv) => (c, d2(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, cid, dd)
+    }
+    var cent = vecs.take(K).map { case (id, v) => id -> v.clone() }.toMap
+    for (_ <- 1 to Vectors.KMEANS_ITERS) {
+      val a = assign(cent)
+      val byId = vecs.toMap
+      val upd = a.groupBy(_._2).map { case (cid, members) =>
+        val vs = members.map(m => byId(m._1))
+        val n = vs.length.toLong
+        cid -> Array.tabulate(64) { i =>
+          (vs.map(_(i)).sum + 2000000L * n) / n - 2000000L
+        }
+      }
+      cent = cent.map { case (c, old) => c -> upd.getOrElse(c, old) }
+    }
+    val fin = assign(cent)
+    val want = fin.groupBy(_._2).map { case (cid, ms) =>
+      (cid, ms.length.toLong, ms.map(_._3).sum, cent(cid).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Vectors.kmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
 }
