@@ -1034,7 +1034,68 @@ object Vectors {
       .orderBy(col("cluster_id"))
   }
 
+  /** DBSCAN (Ester et al. 1996) over the quantized embedding space —
+    * the density clusterer next to q_kmeans's centroid one: a point
+    * with ≥ DBSCAN_MINPTS neighbors (self included) inside the
+    * DBSCAN_EPS2 squared-distance ball is CORE; core points within eps
+    * of each other share a cluster (connected components — reusing the
+    * dedup family's pointer-doubling CC); non-core points with a core
+    * neighbor are BORDER (deterministically attached to the SMALLEST
+    * adjacent core cluster — textbook DBSCAN's order-dependent
+    * attachment is not oracle-checkable); the rest is NOISE. All
+    * distances exact BIGINTs (the kmeans quantization), eps chosen at
+    * the measured 1st-percentile pair distance so the corpus splits
+    * into genuine core/border/noise strata at judged SF.
+    *
+    * Scale shape: the ε-pair stage here is the exact all-pairs
+    * baseline (one self-join under a < b, the topKPairs envelope —
+    * fine to ~10⁴ vectors). At 100 TB the pair generation swaps to
+    * blocked candidate generation — the annLsh band-bucket join for
+    * approximate recall, or an eps-grid cell join (floor(v/eps) cell
+    * key, compare only adjacent cells) for exact recall — and
+    * everything downstream (degree count, core filter, CC, border
+    * attach) is unchanged: those stages shuffle edge/label-sized rows,
+    * never vectors. */
+  private[graft] val DBSCAN_EPS2 = 1450000000000L
+  private[graft] val DBSCAN_MINPTS = 10L
+  def dbscan(s: SparkSession, d: String): DataFrame = {
+    val qe = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000000.0 + 0.5).cast("long")).as("q"))
+      .localCheckpoint()
+    val und = qe.toDF("ia", "qa").join(qe.toDF("ib", "qb"), col("ia") < col("ib"))
+      .filter(aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, z) => acc + z) <= DBSCAN_EPS2)
+      .select(col("ia"), col("ib")).localCheckpoint()
+    val edges = und.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionAll(und.select(col("ib").as("src"), col("ia").as("dst")))
+    val nn = edges.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("n"))
+    val pts = qe.select(col("vec_id"))
+      .join(nn, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), (coalesce(col("n"), lit(0L)) + 1L).as("n_nbr"))
+    val core = pts.filter(col("n_nbr") >= DBSCAN_MINPTS).select(col("vec_id"))
+    val ce = edges
+      .join(core.toDF("src"), Seq("src"))
+      .join(core.toDF("dst"), Seq("dst"))
+      .select(col("src"), col("dst"))
+    val lab = TextOps.ccPointerDoubling(core.toDF("doc_id"), ce)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("core_cl"))
+    val border = edges
+      .join(lab.toDF("dst", "cl"), Seq("dst"))
+      .join(core.toDF("src"), Seq("src"), "left_anti")
+      .groupBy(col("src").as("vec_id")).agg(min(col("cl")).as("b_cl"))
+    pts.join(lab, Seq("vec_id"), "left_outer")
+      .join(border, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("n_nbr"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("b_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("b_cl")).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan"        -> dbscan,
     "q_kmeans"        -> kmeans,
     "q_rank_fusion"   -> rankFusion,
     "q_random_projection" -> randomProjection,
@@ -1127,6 +1188,56 @@ object Vectors {
   }
 
   private lazy val staticOracle: Map[String, String] = Map(
+    // eps-pairs by exact BIGINT distance, core by neighbor count,
+    // clusters by recursive-CTE closure with min-reachable labels (the
+    // q_graph_cc formulation), border attach = min adjacent core label.
+    "q_dbscan" ->
+      s"""WITH RECURSIVE qe AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         und AS MATERIALIZED (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+           WHERE CAST(list_sum(list_transform(range(1, 65),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT)
+             <= $DBSCAN_EPS2),
+         edges AS MATERIALIZED (
+           SELECT ia AS src, ib AS dst FROM und
+           UNION ALL SELECT ib, ia FROM und),
+         nn AS (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS n
+                FROM edges GROUP BY 1),
+         pts AS MATERIALIZED (
+           SELECT e.vec_id, coalesce(nn.n, 0) + 1 AS n_nbr
+           FROM embeddings e LEFT JOIN nn USING (vec_id)),
+         core AS MATERIALIZED (
+           SELECT vec_id FROM pts WHERE n_nbr >= $DBSCAN_MINPTS),
+         ce AS MATERIALIZED (
+           SELECT e.src, e.dst FROM edges e
+           JOIN core a ON a.vec_id = e.src
+           JOIN core b ON b.vec_id = e.dst),
+         w(src, dst) AS (
+           SELECT src, dst FROM ce
+           UNION
+           SELECT w.src, ce.dst FROM w JOIN ce ON w.dst = ce.src),
+         lab AS MATERIALIZED (
+           SELECT c.vec_id,
+             LEAST(c.vec_id, coalesce(min(w.dst), c.vec_id)) AS core_cl
+           FROM core c LEFT JOIN w ON w.src = c.vec_id GROUP BY 1),
+         border AS (
+           SELECT e.src AS vec_id, CAST(min(l.core_cl) AS BIGINT) AS b_cl
+           FROM edges e JOIN lab l ON l.vec_id = e.dst
+           WHERE e.src NOT IN (SELECT vec_id FROM core)
+           GROUP BY 1)
+         SELECT p.vec_id, p.n_nbr,
+           CASE WHEN l.vec_id IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(l.core_cl, b.b_cl) AS cluster_id
+         FROM pts p
+         LEFT JOIN lab l USING (vec_id)
+         LEFT JOIN border b USING (vec_id)
+         ORDER BY p.vec_id""",
     "q_kmeans" -> kmeansOracle,
     "q_ann_lsh" -> annLshSql,
     "q_mmr_rerank" -> mmrSql,

@@ -364,4 +364,46 @@ class VectorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === want)
   }
+
+  test("dbscan: roles and min-label clusters re-derived in plain Scala") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray).toMap
+    val ids = vecs.keys.toSeq.sorted
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val nbrs = ids.map { i =>
+      i -> ids.filter(j => j != i && d2(vecs(i), vecs(j)) <= Vectors.DBSCAN_EPS2).toSet
+    }.toMap
+    val core = ids.filter(i => nbrs(i).size + 1 >= Vectors.DBSCAN_MINPTS).toSet
+    // min-reachable label over the core-core subgraph
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    core.toSeq.sorted.foreach { s0 =>
+      if (!label.contains(s0)) {
+        var comp = Set(s0); var frontier = Set(s0)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(n => nbrs(n).filter(core)) -- comp
+          comp ++= frontier
+        }
+        comp.foreach(n => label(n) = comp.min)
+      }
+    }
+    val want = ids.map { i =>
+      val cnt = nbrs(i).size + 1L
+      if (core(i)) (i, cnt, "core", Some(label(i)))
+      else {
+        val coreNbrs = nbrs(i).filter(core)
+        if (coreNbrs.nonEmpty) (i, cnt, "border", Some(coreNbrs.map(label).min))
+        else (i, cnt, "noise", None)
+      }
+    }
+    val got = Vectors.dbscan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got === want)
+    assert(want.exists(_._3 == "core") && want.exists(_._3 == "noise"),
+      "fixture should exercise more than one role")
+  }
 }
