@@ -1553,6 +1553,91 @@ object TextOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** LARGEST-REMAINDER (Hamilton) QUOTA ALLOCATION: apportion a fixed
+    * sampling budget across language strata proportionally, with the
+    * leftover seats awarded to the largest fractional remainders (ties
+    * → stratum name asc) — the exact-integer apportionment a mixture
+    * builder uses to hit a target doc/token budget ("sample 100 docs
+    * matching the corpus language mix") where per-stratum rounding
+    * would over- or under-shoot. Quotas are qᵢ = ⌊B·nᵢ/N⌋ + extra, all
+    * BIGINT (`div`/`%` on non-negative operands, the portable pair);
+    * the draw itself is the per-stratum md5-order pick
+    * (sampleStratified's reproducible order), and the judged output
+    * reconciles quota vs drawn count plus a selection signature
+    * (Σ doc_id of the picks — order-free, exact).
+    *
+    * Scale shape: allocation arithmetic runs on the STRATA table (one
+    * row per language — trivially broadcast; the ranking window is
+    * over strata, not documents); the draw is one per-stratum
+    * rank-and-filter, the sampleStratified shuffle. */
+  private[graft] val QUOTA_BUDGET = 100L
+  def quotaSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("total"))
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr(s"(${QUOTA_BUDGET}L * n_docs) div total").as("q_floor"),
+        expr(s"(${QUOTA_BUDGET}L * n_docs) % total").as("rem_num"))
+    val k = base.agg((lit(QUOTA_BUDGET) - sum(col("q_floor"))).as("n_extra"))
+    val wR = Window.orderBy(col("rem_num").desc, col("lang"))
+    val quotas = base.crossJoin(broadcast(k))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("lang"), col("n_docs"), col("q_floor"), col("rem_num"),
+        (col("q_floor") +
+          when(col("rk") <= col("n_extra"), 1L).otherwise(0L)).as("quota"))
+    val h = md5(col("doc_id").cast(StringType).cast(BinaryType))
+    val wS = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    val picked = docs.withColumn("rn", row_number().over(wS))
+      .join(broadcast(quotas.select(col("lang"), col("quota"))), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_doc_id"))
+    quotas.join(picked, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("q_floor"), col("rem_num"),
+        col("quota"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sum_doc_id"), lit(0L)).as("sum_doc_id"))
+      .orderBy(col("lang"))
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic between the en and zh
+    * document-length distributions — the distribution-shift gate next
+    * to q_changepoint's time-axis monitor and q_source_drift's
+    * frequency deltas: D = max |F₁(x) − F₂(x)| over the merged
+    * support, kept EXACT by cross-multiplying the empirical CDFs —
+    * d_num = max |n₂·cum₁(x) − n₁·cum₂(x)|, D = d_num/(n₁n₂) — so the
+    * argmax and numerator are BIGINTs both engines agree on bit-for-bit
+    * (the q_autocorr cross-multiplication policy). Argmax ties break
+    * to the SMALLEST length via the negated-value struct-max. Overflow:
+    * n₁, n₂ < 2³¹ keeps the cross product under 2⁶².
+    *
+    * Scale shape: one histogram aggregate over (value → side counts) —
+    * raw docs never shuffle twice — then a cumulative window over the
+    * VALUE DOMAIN (distinct lengths: bounded and tiny relative to the
+    * corpus; for an unbounded domain the swap is the sampleSystematic
+    * sharded prefix-sum), and a 1-row argmax fold. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
+    val hist = docs.groupBy(col("n_chars"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("c2"))
+    val tot = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val wC = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum1", sum(col("c1")).over(wC))
+      .withColumn("cum2", sum(col("c2")).over(wC))
+      .crossJoin(broadcast(tot))
+      .select(col("n_chars"), col("n1"), col("n2"),
+        abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("d_num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(struct(col("d_num"), (-col("n_chars")).as("nv"))).as("m"))
+      .select(col("n1"), col("n2"), (-col("m.nv")).as("at_value"),
+        col("m.d_num").as("d_num"), (col("n1") * col("n2")).as("d_den"),
+        round(col("m.d_num").cast(DoubleType) /
+          (col("n1") * col("n2")).cast(DoubleType), 7).as("ks"))
+  }
+
   /** SYSTEMATIC PPS SAMPLING (probability-proportional-to-size): walk
     * the corpus in doc_id order accumulating token counts; a document
     * is drawn once for every multiple of the stride that falls inside
@@ -2375,6 +2460,8 @@ object TextOps {
     "q_char_diversity"   -> charDiversity,
     "q_bm25"             -> bm25,
     "q_sample_stratified" -> sampleStratified,
+    "q_quota_sample"     -> quotaSample,
+    "q_ks_test"          -> ksTest,
     "q_sample_systematic" -> sampleSystematic,
     "q_simpson_diversity" -> simpsonDiversity,
     "q_mixture_sample"   -> mixtureSample,
@@ -2808,6 +2895,64 @@ object TextOps {
          SELECT doc_id, count(*) AS n_terms_hit, sum(score_t) AS score
          FROM scored GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 25""",
+    // same floor/remainder split, same md5 draw order; row_number over
+    // the 5-row strata table replays the remainder ranking exactly.
+    "q_quota_sample" ->
+      s"""WITH per AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per),
+         base AS (
+           SELECT lang, n_docs,
+             CAST(($QUOTA_BUDGET * n_docs) // total AS BIGINT) AS q_floor,
+             CAST(($QUOTA_BUDGET * n_docs) % total AS BIGINT) AS rem_num
+           FROM per CROSS JOIN tot),
+         k AS (SELECT $QUOTA_BUDGET - CAST(sum(q_floor) AS BIGINT) AS n_extra
+               FROM base),
+         quotas AS (
+           SELECT lang, n_docs, q_floor, rem_num,
+             q_floor + CASE WHEN
+               row_number() OVER (ORDER BY rem_num DESC, lang) <= k.n_extra
+               THEN 1 ELSE 0 END AS quota
+           FROM base CROSS JOIN k),
+         ranked AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents),
+         picked AS (
+           SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id
+           FROM ranked r JOIN quotas q ON q.lang = r.lang AND r.rn <= q.quota
+           GROUP BY 1)
+         SELECT q.lang, q.n_docs, q.q_floor, q.rem_num, q.quota,
+           coalesce(p.n_sampled, 0) AS n_sampled,
+           coalesce(p.sum_doc_id, 0) AS sum_doc_id
+         FROM quotas q LEFT JOIN picked p ON p.lang = q.lang
+         ORDER BY q.lang""",
+    // identical cross-multiplied CDF numerators; the one float is the
+    // final reported division on both engines.
+    "q_ks_test" ->
+      """WITH hist AS (
+           SELECT n_chars,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c1,
+             CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS c2
+           FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                        CAST(sum(c2) AS BIGINT) AS n2 FROM hist),
+         cums AS (
+           SELECT n_chars,
+             CAST(sum(c1) OVER (ORDER BY n_chars) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY n_chars) AS BIGINT) AS cum2
+           FROM hist),
+         d AS (
+           SELECT c.n_chars, t.n1, t.n2,
+             abs(t.n2 * c.cum1 - t.n1 * c.cum2) AS d_num
+           FROM cums c CROSS JOIN tot t)
+         SELECT n1, n2, n_chars AS at_value, d_num,
+           n1 * n2 AS d_den,
+           round(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 7) AS ks
+         FROM d ORDER BY d_num DESC, n_chars LIMIT 1""",
     "q_sample_stratified" ->
       """SELECT lang, rn, doc_id FROM (
            SELECT lang, doc_id,

@@ -972,4 +972,52 @@ class TextOpsSpec extends SparkTestBase {
         "concentration below the uniform-distribution lower bound — arithmetic broken")
     }
   }
+
+  test("quotaSample: Hamilton apportionment re-derived; budget hit exactly") {
+    val langCounts = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = langCounts.values.sum
+    val B = TextOps.QUOTA_BUDGET
+    val floors = langCounts.view.mapValues(n => B * n / total).toMap
+    val rems = langCounts.view.mapValues(n => B * n % total).toMap
+    val nExtra = (B - floors.values.sum).toInt
+    val extras = langCounts.keys.toSeq
+      .sortBy(l => (-rems(l), l)).take(nExtra).toSet
+    val want = langCounts.keys.toSeq.sorted.map { l =>
+      (l, langCounts(l), floors(l), rems(l),
+        floors(l) + (if (extras(l)) 1L else 0L))
+    }
+    val rows = TextOps.quotaSample(spark, sfDir).collect()
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(rows.map(_.getLong(4)).sum === B, "quotas must sum to the budget")
+    rows.foreach(r => assert(r.getLong(5) === r.getLong(4),
+      s"stratum ${r.getString(0)}: drawn ${r.getLong(5)} != quota ${r.getLong(4)}"))
+  }
+
+  test("ksTest: exact D statistic re-derived from raw lengths") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("lang").isin("en", "zh"))
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val en = docs.filter(_._1 == "en").map(_._2).sorted
+    val zh = docs.filter(_._1 == "zh").map(_._2).sorted
+    val (n1, n2) = (en.length.toLong, zh.length.toLong)
+    val support = (en ++ zh).distinct.sorted
+    val cands = support.map { x =>
+      val c1 = en.count(_ <= x).toLong
+      val c2 = zh.count(_ <= x).toLong
+      (x, math.abs(n2 * c1 - n1 * c2))
+    }
+    val dMax = cands.map(_._2).max
+    val atValue = cands.filter(_._2 == dMax).map(_._1).min
+    val r = TextOps.ksTest(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1)) === ((n1, n2)))
+    assert(r(0).getLong(2) === atValue)
+    assert(r(0).getLong(3) === dMax)
+    assert(r(0).getLong(4) === n1 * n2)
+  }
 }
