@@ -42,15 +42,35 @@ object Scratch {
     * function of (kind, key) — all current callers derive it from the
     * immutable test corpus. Synchronized: two racing writers on one
     * overwrite path could interleave with a concurrent reader. */
-  // computeIfAbsent = per-key build-once with per-key blocking: two
-  // racing builders of the SAME artifact serialize (required — an
-  // overwrite racing a reader corrupts), while different artifacts
-  // build concurrently and cache hits don't block behind a build (a
-  // single global lock would stall every caller for a full Spark write)
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Per-key build-once with per-key blocking: two racing builders of
+  // the SAME artifact serialize (required — an overwrite racing a
+  // reader corrupts), while different artifacts build concurrently and
+  // cache hits don't block behind a build. Deliberately NOT
+  // computeIfAbsent: a builder that itself resolves another artifact
+  // (dedup_cc_labels → signatures/token sets) re-enters this map, and
+  // ConcurrentHashMap throws "Recursive update" when the nested key
+  // lands in the same bin — an ORDER-DEPENDENT failure that only fired
+  // when no earlier query had pre-built the inner artifact (the
+  // round-9 q_clean_pipeline bench transient). putIfAbsent + future
+  // keeps per-key serialization without holding any map bin during the
+  // build; a failed build removes its entry so a later caller retries
+  // instead of joining a dead future. Cycles between artifacts would
+  // deadlock — none exist (the dependency graph is a DAG by
+  // construction: composites depend on leaf tables only).
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
   def materializedOnce(kind: String, key: String)(write: String => Unit): String = {
     val path = overwritable(kind, key)
-    built.computeIfAbsent(path, p => { write(p); p })
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val existing = built.putIfAbsent(path, fresh)
+    if (existing == null) {
+      try { write(path); fresh.complete(path); path }
+      catch { case e: Throwable =>
+        built.remove(path, fresh)
+        fresh.completeExceptionally(e)
+        throw e
+      }
+    } else existing.join()
   }
 
   private def deleteRecursively(p: Path): Unit =
