@@ -1094,7 +1094,43 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** MAXSIM LATE-INTERACTION scoring (Khattab & Zaharia 2020, ColBERT):
+    * score(q, d) = Σᵢ maxⱼ qᵢ·dⱼ over per-token vectors — the
+    * multi-vector retrieval scorer between bi-encoder cosine
+    * (q_cosine_topk) and a cross-encoder. This corpus carries one
+    * 64-dim vector per id, so each embedding is viewed as M=8
+    * sub-vectors of 8 dims (the pqIndex subspace split) standing in
+    * for token vectors — the plumbing (per-sub-vector dot, row-side
+    * max, fixed-order sum) is the real operator shape. All folds are
+    * fixed-order doubles (k, then j-max — exact under IEEE comparison
+    * — then i), so the 7-dp round absorbs only sub-ulp noise, the
+    * cosine-family policy.
+    *
+    * Scale shape: one scan with a 1-row broadcast query; scoring is
+    * entirely row-side HOF codegen (64 multiplies + 8 maxes per
+    * candidate), then TakeOrdered(20) — no shuffle of vectors. At real
+    * multi-vector cardinality (32–128 vectors/doc) the same plan reads
+    * a (doc_id, token_pos, vec) long table and the j-max becomes a
+    * per-doc aggregate; candidate generation stays the ANN family's
+    * job. */
+  def maxsim(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(aggregate(sequence(lit(0), lit(7)), lit(0.0d), (acc, i) =>
+          acc + array_max(transform(sequence(lit(0), lit(7)), j =>
+            aggregate(sequence(lit(1), lit(8)), lit(0.0d), (a, k) =>
+              a + element_at(col("qe"), i * 8 + k).cast(DoubleType) *
+                element_at(col("embedding"), j * 8 + k).cast(DoubleType))))),
+          7).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_maxsim"        -> maxsim,
     "q_dbscan"        -> dbscan,
     "q_kmeans"        -> kmeans,
     "q_rank_fusion"   -> rankFusion,
@@ -1188,6 +1224,19 @@ object Vectors {
   }
 
   private lazy val staticOracle: Map[String, String] = Map(
+    // same fixed-order folds: k-dot inside j-max inside i-sum; the one
+    // rounding is the final 7-dp absorber on both engines.
+    "q_maxsim" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_sum(list_transform(range(0, 8), i ->
+             list_max(list_transform(range(0, 8), j ->
+               list_sum(list_transform(range(1, 9), k ->
+                 CAST(q.qe[i * 8 + k] AS DOUBLE) *
+                 CAST(e.embedding[j * 8 + k] AS DOUBLE))))))), 7) AS maxsim
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> 0
+         ORDER BY maxsim DESC, e.vec_id LIMIT 20""",
     // eps-pairs by exact BIGINT distance, core by neighbor count,
     // clusters by recursive-CTE closure with min-reachable labels (the
     // q_graph_cc formulation), border attach = min adjacent core label.

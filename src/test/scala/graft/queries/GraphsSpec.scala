@@ -494,4 +494,38 @@ class GraphsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === want)
   }
+
+  test("randomWalk: md5-derived transitions re-derived in plain Scala") {
+    val items = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cooc = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    items.groupBy(_._1).values.foreach { basket =>
+      val ps = basket.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b)
+        cooc((a, b)) = cooc.getOrElse((a, b), 0) + 1
+    }
+    // .iterator first: collect on a Map of pair-values would rebuild a
+    // Map and silently collapse each src to a single dst
+    val adj = cooc.iterator.collect { case ((a, b), c) if c >= 2 => (a, b) }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def md5hex6(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(3).map("%02x".format(_)).mkString, 16)
+    }
+    val seeds = adj.keys.toSeq.sorted.take(Graphs.RW_SEEDS)
+    val want = seeds.flatMap { s0 =>
+      var node = s0
+      (s0, 0, s0) +: (1 to Graphs.WALK_STEPS).map { t =>
+        val nbrs = adj(node)
+        val idx = (md5hex6(s"$s0:$node:$t") % nbrs.length).toInt
+        node = nbrs(idx)
+        (s0, t, node)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Graphs.randomWalk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
 }

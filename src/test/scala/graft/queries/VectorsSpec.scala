@@ -406,4 +406,27 @@ class VectorsSpec extends SparkTestBase {
     assert(want.exists(_._3 == "core") && want.exists(_._3 == "noise"),
       "fixture should exercise more than one role")
   }
+
+  test("maxsim: sub-vector late-interaction scores re-derived in plain Scala") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = vecs(0L)
+    def score(d: Array[Float]): Double =
+      (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          var a = 0.0
+          (0 until 8).foreach(k => a += q(i * 8 + k).toDouble * d(j * 8 + k).toDouble)
+          a
+        }.max
+      }.sum
+    val want = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(score(v)).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = Vectors.maxsim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
 }
