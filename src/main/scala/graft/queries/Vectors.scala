@@ -1028,7 +1028,7 @@ object Vectors {
     kmeansAssign(qlong, cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia_q"))
-      .join(centSum, Seq("cid"))
+      .join(broadcast(centSum), Seq("cid")) // K rows by construction
       .select(col("cid").as("cluster_id"), col("n_members"),
         col("inertia_q"), col("cent_sum"))
       .orderBy(col("cluster_id"))

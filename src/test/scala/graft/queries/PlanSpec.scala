@@ -331,4 +331,33 @@ class PlanSpec extends SparkTestBase {
     val range = "Exchange rangepartitioning".r.findAllIn(oneSection).size
     assert(exchanges === range, s"non-sort exchanges in a map-only op:\n$p")
   }
+
+  test("kmeans assignment broadcasts the KxDim centroid table (map-side join)") {
+    val p = plan(Vectors.kmeans(spark, sfDir))
+    val finalSection = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    // the final assignment join against the fixed-size centroid table
+    // must be a broadcast hash join — a shuffled join here would move
+    // the corpus-sized long form per iteration at scale
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"centroid join degraded to SMJ:\n$p")
+  }
+
+  test("maxsim is scan + broadcast query + TakeOrdered — no vector shuffle") {
+    val p = plan(Vectors.maxsim(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-side scorer must not hash-shuffle the vectors:\n$p")
+  }
+
+  test("butterfly wedge count is equi-join + partial/final aggregate, no cartesian") {
+    val p = plan(Graphs.butterfly(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 never full-sorts
+  }
 }
