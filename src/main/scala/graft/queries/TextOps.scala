@@ -1616,6 +1616,43 @@ object TextOps {
     * VALUE DOMAIN (distinct lengths: bounded and tiny relative to the
     * corpus; for an unbounded domain the swap is the sampleSystematic
     * sharded prefix-sum), and a 1-row argmax fold. */
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) between the same en/zh length
+    * distributions q_ks_test gates on — the effect-size companion: KS
+    * finds WHERE the CDFs diverge, U/n₁n₂ is the probability a random
+    * en doc is longer than a random zh doc (the AUC reading). Ranks are
+    * tie-corrected AVERAGE ranks kept exact by working in DOUBLED rank
+    * units: for a value with cnt ties after cumBefore smaller values,
+    * 2·avgRank = 2·cumBefore + cnt + 1 — an integer — so the doubled
+    * rank-sum R₁ₓ₂ = Σ c₁(v)·(2·cumBefore+cnt+1) and U₁ₓ₂ = R₁ₓ₂ −
+    * n₁(n₁+1) are exact BIGINTs on both engines; AUC = U₁ₓ₂/(2n₁n₂) is
+    * the single final float. U₁+U₂ = n₁n₂ is asserted by the spec.
+    * Overflow: R₁ₓ₂ ≤ n₁·(2N+1), safe under 2⁶³ to N ≈ 2³⁰ rows.
+    *
+    * Scale shape: identical to q_ks_test — one histogram aggregate,
+    * one cumulative window over the value domain, a 1-row fold. */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
+    val hist = docs.groupBy(col("n_chars"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("c2"))
+    val wC = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before",
+        coalesce(sum(col("c1") + col("c2")).over(wC), lit(0L)))
+      .select(col("c1"), col("c2"),
+        (lit(2L) * col("cum_before") + col("c1") + col("c2") + 1L).as("r2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("r2")).as("r1_x2"))
+      .select(col("n1"), col("n2"), col("r1_x2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"))
+      .select(col("n1"), col("n2"), col("r1_x2"), col("u1_x2"),
+        (lit(2L) * col("n1") * col("n2") - col("u1_x2")).as("u2_x2"),
+        round(col("u1_x2").cast(DoubleType) /
+          (lit(2.0) * col("n1").cast(DoubleType) * col("n2").cast(DoubleType)),
+          7).as("auc"))
+  }
+
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
     val hist = docs.groupBy(col("n_chars"))
@@ -2462,6 +2499,7 @@ object TextOps {
     "q_sample_stratified" -> sampleStratified,
     "q_quota_sample"     -> quotaSample,
     "q_ks_test"          -> ksTest,
+    "q_mann_whitney"     -> mannWhitney,
     "q_sample_systematic" -> sampleSystematic,
     "q_simpson_diversity" -> simpsonDiversity,
     "q_mixture_sample"   -> mixtureSample,
@@ -2930,6 +2968,30 @@ object TextOps {
            coalesce(p.sum_doc_id, 0) AS sum_doc_id
          FROM quotas q LEFT JOIN picked p ON p.lang = q.lang
          ORDER BY q.lang""",
+    // identical doubled-average-rank integers; AUC is the one float.
+    "q_mann_whitney" ->
+      """WITH hist AS (
+           SELECT n_chars,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c1,
+             CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS c2
+           FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1),
+         ranked AS (
+           SELECT c1, c2,
+             2 * coalesce(sum(c1 + c2) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c1 + c2 + 1 AS r2
+           FROM hist),
+         agg AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * r2) AS BIGINT) AS r1_x2
+           FROM ranked)
+         SELECT n1, n2, r1_x2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+           round(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 7) AS auc
+         FROM agg""",
     // identical cross-multiplied CDF numerators; the one float is the
     // final reported division on both engines.
     "q_ks_test" ->

@@ -1020,4 +1020,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(r(0).getLong(3) === dMax)
     assert(r(0).getLong(4) === n1 * n2)
   }
+
+  test("mannWhitney: doubled tie-corrected rank-sum re-derived; U1+U2=n1*n2") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("lang").isin("en", "zh"))
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2).sorted
+    val n1 = docs.count(_._1 == "en").toLong
+    val n2 = docs.count(_._1 == "zh").toLong
+    // average rank of each value over the merged sample, doubled
+    val rank2 = all.distinct.map { v =>
+      val before = all.count(_ < v).toLong
+      val ties = all.count(_ == v).toLong
+      v -> (2 * before + ties + 1)
+    }.toMap
+    val r1x2 = docs.collect { case ("en", v) => rank2(v) }.sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val r = TextOps.mannWhitney(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1)) === ((n1, n2)))
+    assert(r(0).getLong(2) === r1x2)
+    assert(r(0).getLong(3) === u1x2)
+    assert(r(0).getLong(4) === 2 * n1 * n2 - u1x2)
+    assert(r(0).getLong(3) + r(0).getLong(4) === 2 * n1 * n2,
+      "U1 + U2 must equal n1*n2 (doubled)")
+  }
 }
