@@ -576,7 +576,106 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** Shared WAV writer for caller-supplied 8-bit PCM (encodeWavPcm8's
+    * container path with the sample formula factored out). */
+  def encodeWavPcm8Samples(pcm: Array[Byte], rateHz: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rateHz.toFloat, 8, 1, 1, rateHz.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Amplitude-modulated VAD fixture: every third frame ((f + id) % 3 =
+    * 0) carries the loud sawtooth (3i+id) mod 256, the rest sit near
+    * the 128 midline with ±2 of "room tone" — real RIFF/WAVE payloads
+    * whose every decoded sample is closed-form doc-id arithmetic for
+    * the SQL oracle (the audioTable contract, modulated). */
+  private[multimodal] val VAD_W = 160
+  private[multimodal] val VAD_THRESH = 100000L
+  def audioVadTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (1600 + (id % 5) * 320).toInt
+          val pcm = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            val f = i / VAD_W
+            val s = if ((f + id) % 3 == 0) ((3L * i + id) % 256).toInt
+            else 128 + (i % 3)
+            pcm(i) = s.toByte
+            i += 1
+          }
+          MediaRow(id, MediaMeta("audio", 0, 0, 16000, 1),
+            encodeWavPcm8Samples(pcm, 16000))
+        }
+      }
+  }
+
+  /** VOICE-ACTIVITY SEGMENTATION over real decoded PCM — the ASR
+    * training-data primitive after q_audio_decode's codec check: frame
+    * the samples at VAD_W (10 ms at 16 kHz), per-frame energy =
+    * Σ (s−128)² (exact BIGINT), threshold into voiced/unvoiced, then
+    * gaps-and-islands (f − row_number per (media, voiced) — the
+    * q_sessionize idiom on a frame axis) for voiced-run structure.
+    * Judged output per clip: frame/voiced counts, voiced-run count,
+    * longest run, total energy — the segmentation manifest an audio
+    * pipeline materializes before cutting training clips.
+    *
+    * Scale shape: decode + framing are narrow per-partition transforms
+    * (payloads never shuffle — the Media topology); only fixed-width
+    * (media, frame, energy) rows enter the window, partitioned BY
+    * MEDIA ID so island detection is per-clip local, never global. */
+  def audioVad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val energies = audioVadTable(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, samples) = decodeWav(r.payload).getOrElse(
+          throw new IllegalStateException(
+            s"media ${r.media_id}: payload is not decodable WAV"))
+        val nf = samples.length / VAD_W
+        (0 until nf).iterator.map { f =>
+          var e = 0L
+          var k = 0
+          while (k < VAD_W) {
+            val d = samples(f * VAD_W + k) - 128L
+            e += d * d
+            k += 1
+          }
+          (r.media_id, f, e)
+        }
+      }
+    }.toDF("media_id", "f", "energy")
+    val isl = energies
+      .withColumn("voiced", col("energy") >= VAD_THRESH)
+      .withColumn("grp", col("f") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id"), col("voiced")).orderBy(col("f"))))
+    val runs = isl.filter(col("voiced"))
+      .groupBy(col("media_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+    val perRun = runs.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_voiced_runs"),
+        max(col("run_len")).as("longest_voiced_run"))
+    isl.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
+        sum(col("energy")).as("sum_energy"))
+      .join(perRun, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_frames"), col("n_voiced"),
+        coalesce(col("n_voiced_runs"), lit(0L)).as("n_voiced_runs"),
+        coalesce(col("longest_voiced_run"), lit(0L)).as("longest_voiced_run"),
+        col("sum_energy"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_vad"       -> audioVad,
     "q_image_decode"    -> imageDecode,
     "q_audio_decode"    -> audioDecode,
     "q_video_decode"    -> videoDecode,
@@ -635,6 +734,47 @@ object Media {
   }
 
   val oracle: Map[String, String] = Map(
+    // closed-form sample reconstruction ((3i+id) mod 256 loud frames,
+    // 128 + i mod 3 room tone), same energy integers, same
+    // gaps-and-islands row_number arithmetic.
+    "q_audio_vad" ->
+      s"""WITH ids AS (SELECT doc_id AS media_id FROM documents),
+         frames AS MATERIALIZED (
+           SELECT media_id, CAST(f.range AS INT) AS f
+           FROM ids, range(0, 18) f
+           WHERE f.range < (1600 + (media_id % 5) * 320) // $VAD_W),
+         energy AS MATERIALIZED (
+           SELECT fr.media_id, fr.f,
+             CAST(sum(CASE WHEN (fr.f + fr.media_id) % 3 = 0
+               THEN ((3 * (fr.f * $VAD_W + k.range) + fr.media_id) % 256 - 128)
+                    * ((3 * (fr.f * $VAD_W + k.range) + fr.media_id) % 256 - 128)
+               ELSE ((fr.f * $VAD_W + k.range) % 3)
+                    * ((fr.f * $VAD_W + k.range) % 3)
+               END) AS BIGINT) AS energy
+           FROM frames fr, range(0, $VAD_W) k GROUP BY 1, 2),
+         isl AS MATERIALIZED (
+           SELECT media_id, f, energy, energy >= $VAD_THRESH AS voiced,
+             f - row_number() OVER (
+               PARTITION BY media_id, energy >= $VAD_THRESH ORDER BY f) AS grp
+           FROM energy),
+         runs AS (
+           SELECT media_id, grp, CAST(count(*) AS BIGINT) AS run_len
+           FROM isl WHERE voiced GROUP BY 1, 2),
+         pr AS (
+           SELECT media_id, CAST(count(*) AS BIGINT) AS n_voiced_runs,
+             CAST(max(run_len) AS BIGINT) AS longest_voiced_run
+           FROM runs GROUP BY 1),
+         per AS (
+           SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(count(*) FILTER (voiced) AS BIGINT) AS n_voiced,
+             CAST(sum(energy) AS BIGINT) AS sum_energy
+           FROM isl GROUP BY 1)
+         SELECT p.media_id, p.n_frames, p.n_voiced,
+           coalesce(r.n_voiced_runs, 0) AS n_voiced_runs,
+           coalesce(r.longest_voiced_run, 0) AS longest_voiced_run,
+           p.sum_energy
+         FROM per p LEFT JOIN pr r USING (media_id)
+         ORDER BY p.media_id""",
     "q_media_phash" -> phashSql,
     // pixel(x,y,f) = ((x + y + f + id) mod 2) * 255 in a
     // (8 + id%3*4) × (8 + id%2*4), (2 + id%4)-frame animated GIF

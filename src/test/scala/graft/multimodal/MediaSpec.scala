@@ -154,4 +154,38 @@ class MediaSpec extends SparkTestBase {
       ids.head == 0 && ids.forall(i => i % 10 == 0) && ids.forall(_ < r.getAs[Int]("n_frames"))
     })
   }
+
+  test("audioVad: WAV round-trip + segmentation re-derived from the closed form") {
+    val W = 160
+    val rows = Media.audioVad(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (1600 + (id % 5) * 320).toInt
+      val nf = n / W
+      def sample(i: Int): Int =
+        if ((i / W + id) % 3 == 0) ((3L * i + id) % 256).toInt else 128 + (i % 3)
+      val energies = (0 until nf).map { f =>
+        (f * W until (f + 1) * W).map { i =>
+          val d = sample(i) - 128L; d * d
+        }.sum
+      }
+      val voiced = energies.map(_ >= 100000L)
+      // islands: count and longest run of consecutive voiced frames
+      val runs = voiced.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) if acc.nonEmpty && acc.head > 0 => 0 :: acc
+        case (acc, false) => acc
+      }.filter(_ > 0)
+      assert(r.getLong(1) === nf.toLong, s"id $id n_frames")
+      assert(r.getLong(2) === voiced.count(identity).toLong, s"id $id n_voiced")
+      assert(r.getLong(3) === runs.length.toLong, s"id $id n_voiced_runs")
+      assert(r.getLong(4) === (if (runs.isEmpty) 0L else runs.max.toLong),
+        s"id $id longest run")
+      assert(r.getLong(5) === energies.sum, s"id $id sum_energy")
+      // the modulation plants voiced ≈ every third frame
+      assert(r.getLong(2) >= nf / 3 && r.getLong(2) <= nf / 3 + 1, s"id $id cadence")
+    }
+  }
 }
