@@ -28,9 +28,17 @@ object Scratch {
   def fresh(prefix: String): Path = Files.createTempDirectory(root, prefix)
 
   /** Stable per-(kind, key) path under the managed root; caller writes
-    * with overwrite mode. */
+    * with overwrite mode. MD5 hex, not hashCode: two corpus dirs that
+    * collide on 32-bit hashCode would silently share an artifact path,
+    * and materializedOnce's cache would serve corpus A's artifact to
+    * corpus B (the hazard the bucketed-join fixture's digest suffix in
+    * Joins.scala documents — same idiom here). */
   def overwritable(kind: String, key: String): String =
-    root.resolve(kind + "_" + math.abs(key.hashCode).toString).toString
+    root.resolve(kind + "_" + digest(key)).toString
+
+  private def digest(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Build-once-per-(kind, key) materialized artifact: the first caller
     * runs `write` against the stable path; later callers reuse the

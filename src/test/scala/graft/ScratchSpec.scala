@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the artifact-keying contract of Scratch: distinct keys (e.g.
+  * two corpus dirs in one JVM) must never alias to one path, and
+  * materializedOnce must build per key, serve the cached artifact on
+  * repeat, and retry after a failed build. */
+class ScratchSpec extends AnyFunSuite {
+
+  test("overwritable: distinct keys get distinct paths, same key is stable") {
+    val a = Scratch.overwritable("spec_kind", "/data/corpusA")
+    val b = Scratch.overwritable("spec_kind", "/data/corpusB")
+    assert(a !== b)
+    assert(a === Scratch.overwritable("spec_kind", "/data/corpusA"))
+    // hashCode-colliding strings ("Aa"/"BB" is the classic pair) must
+    // NOT share a path — the cross-corpus aliasing hazard the digest
+    // keying exists to close
+    assert("Aa".hashCode === "BB".hashCode)
+    assert(Scratch.overwritable("spec_kind", "Aa") !==
+      Scratch.overwritable("spec_kind", "BB"))
+    // path segment stays filesystem-safe (hex digest, no '-' from
+    // abs(Int.MinValue)-style surprises)
+    val seg = new java.io.File(a).getName
+    assert(seg.matches("spec_kind_[0-9a-f]{16}"))
+  }
+
+  test("materializedOnce: builds once per key, isolates corpora, retries after failure") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(key: String): String =
+      Scratch.materializedOnce("spec_mat", key) { path =>
+        builds.incrementAndGet()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path), key.getBytes("UTF-8"))
+      }
+    val pa = build("corpusA")
+    val pb = build("corpusB")
+    assert(builds.get === 2)
+    assert(pa !== pb)
+    // repeat serves the cache — no rebuild, and corpus A's artifact
+    // still holds corpus A's content (no cross-corpus serving)
+    assert(build("corpusA") === pa)
+    assert(builds.get === 2)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pa)), "UTF-8") === "corpusA")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pb)), "UTF-8") === "corpusB")
+    // a failed build must not poison the key: the next caller retries
+    var first = true
+    def flaky(): String = Scratch.materializedOnce("spec_mat", "flaky") { path =>
+      if (first) { first = false; sys.error("transient") }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), Array[Byte](1))
+    }
+    intercept[RuntimeException](flaky())
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(flaky())))
+  }
+}
