@@ -496,6 +496,93 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic 8-bit grayscale JPEG that round-trips EXACTLY: at
+    * compression quality 1.0 the writer's scaled Annex-K quantization
+    * table degenerates to all ones, and with every 8×8 block held
+    * CONSTANT the forward DCT carries only the DC coefficient (the AC
+    * terms are exact zeros up to ~1e-13 float dust, which the ÷1
+    * quantization rounds away) — so decode reconstructs each block's
+    * value bit-for-bit and the oracle stays closed-form doc-id
+    * arithmetic despite a lossy codec. Grayscale avoids the YCbCr
+    * conversion + chroma subsampling that would break exactness;
+    * dimensions stay multiples of 8 so no edge block is padded. */
+  def encodeGrayJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "JPEG fixture dims must be 8-aligned")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, ((37L * (x / 8) + 59L * (y / 8) + seed) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Fixture of REAL encoded JPEG images (the dominant web image format
+    * — the PNG battery's lossy sibling): one per document id, block
+    * value(bx, by) = (37·bx + 59·by + id) mod 256 in an
+    * (8·(2 + id%3)) × (8·(1 + id%2)) grid. */
+  def jpegTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 * (2 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          MediaRow(id, MediaMeta("image", w, h, 0, 1), encodeGrayJpeg(w, h, id))
+        }
+      }
+  }
+
+  /** Driver-judged REAL JPEG decode: javax.imageio's JPEG reader (magic
+    * ff d8) decodes each payload; we report decoded dims, the four
+    * corner pixels, and the exact pixel sum — all closed-form block
+    * arithmetic for DuckDB (see encodeGrayJpeg for why a lossy codec
+    * admits an exact oracle here). Same narrow no-shuffle pipeline as
+    * q_image_decode. */
+  def imageJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    jpegTable(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          require(r.payload.length > 3 &&
+            (r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8,
+            s"media ${r.media_id}: payload is not JPEG")
+          val img = decodeImage(r.payload).getOrElse(throw new IllegalStateException(
+            s"media ${r.media_id}: payload is not a decodable image"))
+          val w = img.getWidth
+          val h = img.getHeight
+          val ras = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += ras.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (r.media_id, w, h,
+            ras.getSample(0, 0, 0), ras.getSample(w - 1, 0, 0),
+            ras.getSample(0, h - 1, 0), ras.getSample(w - 1, h - 1, 0), sum)
+        }
+      }
+      .toDF("media_id", "width", "height", "px00", "px10", "px01", "px11", "sum_px")
+      .orderBy(col("media_id"))
+  }
+
   /** Fixture of REAL encoded WAV audio: one deterministic 8-bit PCM
     * clip per document id (length, rate and every sample are closed-form
     * doc-id arithmetic). */
@@ -677,6 +764,7 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audio_vad"       -> audioVad,
     "q_image_decode"    -> imageDecode,
+    "q_image_jpeg"      -> imageJpeg,
     "q_audio_decode"    -> audioDecode,
     "q_video_decode"    -> videoDecode,
     "q_media_phash"     -> phashPairs,
@@ -807,6 +895,31 @@ object Media {
          CAST((2 * (8 + (doc_id % 5) * 4 - 1) + doc_id) % 256 AS INT) AS px01,
          CAST((8 + (doc_id % 8) * 4 - 1 + 2 * (8 + (doc_id % 5) * 4 - 1) + doc_id) % 256 AS INT) AS px11
          FROM documents ORDER BY media_id""",
+    // block(bx, by) = (37·bx + 59·by + id) mod 256 in a
+    // (2 + id%3) × (1 + id%2) block grid of constant 8×8 blocks; the
+    // quality-1.0 round-trip is exact (see encodeGrayJpeg), so corners
+    // and the 64·Σblock pixel sum are pure doc-id arithmetic.
+    "q_image_jpeg" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CAST(2 + doc_id % 3 AS BIGINT) AS nbx,
+             CAST(1 + doc_id % 2 AS BIGINT) AS nby
+           FROM documents),
+         s AS (
+           SELECT g.doc_id,
+             CAST(64 * sum((37 * bx.range + 59 * by.range + g.doc_id) % 256) AS BIGINT) AS sum_px
+           FROM g, range(0, 4) bx, range(0, 2) by
+           WHERE bx.range < g.nbx AND by.range < g.nby
+           GROUP BY 1)
+         SELECT g.doc_id AS media_id,
+           CAST(8 * g.nbx AS INT) AS width,
+           CAST(8 * g.nby AS INT) AS height,
+           CAST(g.doc_id % 256 AS INT) AS px00,
+           CAST((37 * (g.nbx - 1) + g.doc_id) % 256 AS INT) AS px10,
+           CAST((59 * (g.nby - 1) + g.doc_id) % 256 AS INT) AS px01,
+           CAST((37 * (g.nbx - 1) + 59 * (g.nby - 1) + g.doc_id) % 256 AS INT) AS px11,
+           s.sum_px
+         FROM g JOIN s USING (doc_id) ORDER BY media_id""",
     "q_media_dedup" ->
       """SELECT md5(text) AS payload_md5,
          count(*) AS n_copies,
