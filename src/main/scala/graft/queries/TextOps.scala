@@ -1841,6 +1841,62 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** TOKEN-BUDGET WATER-FILL — the third mixture stage after
+    * q_mix_weights (prices flattening) and q_mixture_sample (executes
+    * per-language keep rules): allocate a FIXED global token budget
+    * (9·tot div 10 here — a run sized to consume most but not all
+    * of the corpus, so the fill level lands inside the capacity range
+    * and both branches exercise) across sources under availability
+    * caps — the knob DoReMi/DSIR pipelines actually turn. Equal-weight
+    * water-filling: sort sources by capacity ascending; source i is
+    * CAPPED (gets all its tokens) iff even an equal split of what
+    * remains could not use it up, cap_i·(K−i+1) ≤ B−P_{i−1}
+    * (cross-multiplied exact BIGINTs — no float fill level); the
+    * criterion is prefix-monotone for ascending caps, so the capped
+    * set is rows 1..k*. The m = K−k* uncapped sources split the
+    * remainder R = B−P_{k*} as floor(R/m) with the first R mod m (in
+    * the same deterministic order) taking +1 — the q_quota_sample
+    * largest-remainder idiom, so Σ alloc = B EXACTLY (spec-pinned).
+    * m ≥ 1 always: all-capped would require tot ≤ B < tot.
+    * The first uncapped source has cap·m > R ⇒ cap ≥ floor(R/m)+1,
+    * so no alloc exceeds its cap.
+    *
+    * Scale shape: one token-count aggregate over the corpus (docs
+    * shuffle once, pre-aggregated map-side), then every window/join
+    * runs over K source rows — corpus-size-independent, like
+    * q_quota_sample's allocation. Overflow: cap·K ≤ tot·K needs
+    * tot < 2⁶³/K — at 100 TB (~2⁴⁴ tokens) safe to K ≈ 2¹⁸ sources. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(toks(col("text"))).cast(LongType)).as("cap_tokens"))
+    val tot = per.agg(sum(col("cap_tokens")).as("tot_tokens"),
+      count(lit(1)).as("k_sources"))
+    val wAsc = Window.orderBy(col("cap_tokens"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("cap_tokens"), col("source"))).cast(LongType))
+      .withColumn("pfx", sum(col("cap_tokens")).over(wAsc))
+      .withColumn("budget", expr("(9 * tot_tokens) div 10"))
+      .withColumn("capped",
+        col("cap_tokens") * (col("k_sources") - col("i") + 1L) <=
+          col("budget") - (col("pfx") - col("cap_tokens")))
+    val fold = ranked.agg(
+      coalesce(max(when(col("capped"), col("i"))), lit(0L)).as("kstar"),
+      coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L)).as("capped_sum"))
+    ranked.crossJoin(broadcast(fold))
+      .withColumn("m", col("k_sources") - col("kstar"))
+      .withColumn("rem", col("budget") - col("capped_sum"))
+      .select(col("source"), col("cap_tokens"), col("capped"),
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("rem div m") +
+            when(col("i") - col("kstar") <= col("rem") % col("m"), 1L)
+              .otherwise(0L)).as("alloc_tokens"),
+        col("budget"))
+      .orderBy(col("source"))
+  }
+
   /** Boilerplate stripping: remove function-word noise ('a'/'the' as
     * whole words), collapse runs of whitespace, trim — the regex-scrub
     * shape every web-corpus cleaning stage uses (both engines run the
@@ -2504,6 +2560,7 @@ object TextOps {
     "q_simpson_diversity" -> simpsonDiversity,
     "q_mixture_sample"   -> mixtureSample,
     "q_mix_weights"      -> mixWeights,
+    "q_token_budget"     -> tokenBudget,
     "q_repetition"       -> repetition,
     "q_train_shuffle"    -> trainShuffle,
     "q_pack_sequences"   -> packSequences,
@@ -3094,6 +3151,37 @@ object TextOps {
            (1.0 / CAST(n_langs AS DOUBLE))
              / (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS sample_weight
          FROM per CROSS JOIN tot ORDER BY lang""",
+    // same ascending-capacity water-fill, cross-multiplied capping
+    // criterion, and largest-remainder split in BIGINTs end-to-end
+    "q_token_budget" ->
+      """WITH per AS (
+           SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap_tokens
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cap_tokens) AS BIGINT) AS tot_tokens,
+             CAST(count(*) AS BIGINT) AS k_sources FROM per),
+         ranked AS (
+           SELECT p.source, p.cap_tokens, t.k_sources, (9 * t.tot_tokens) // 10 AS budget,
+             CAST(row_number() OVER (ORDER BY p.cap_tokens, p.source) AS BIGINT) AS i,
+             sum(p.cap_tokens) OVER (ORDER BY p.cap_tokens, p.source
+               ROWS UNBOUNDED PRECEDING) AS pfx
+           FROM per p CROSS JOIN tot t),
+         c AS (
+           SELECT *, cap_tokens * (k_sources - i + 1)
+             <= budget - (pfx - cap_tokens) AS capped
+           FROM ranked),
+         k AS (
+           SELECT coalesce(max(CASE WHEN capped THEN i END), 0) AS kstar,
+             CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS capped_sum
+           FROM c)
+         SELECT source, cap_tokens, capped,
+           CAST(CASE WHEN capped THEN cap_tokens
+             ELSE (budget - capped_sum) // (k_sources - kstar)
+               + CASE WHEN i - kstar <= (budget - capped_sum) % (k_sources - kstar)
+                 THEN 1 ELSE 0 END
+             END AS BIGINT) AS alloc_tokens,
+           budget
+         FROM c CROSS JOIN k ORDER BY source""",
     "q_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1046,4 +1046,44 @@ class TextOpsSpec extends SparkTestBase {
     assert(r(0).getLong(3) + r(0).getLong(4) === 2 * n1 * n2,
       "U1 + U2 must equal n1*n2 (doubled)")
   }
+
+  test("tokenBudget: water-fill re-derived; sums to budget; no alloc exceeds cap") {
+    val caps = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("cap"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = caps.values.sum
+    val budget = 9 * tot / 10
+    val k = caps.size.toLong
+    val asc = caps.toSeq.sortBy { case (s, c) => (c, s) }
+    // sequential water-fill reference: cap source i iff an equal split
+    // of the remainder cannot absorb it
+    var rem = budget
+    var left = k
+    val capped = scala.collection.mutable.Set.empty[String]
+    asc.foreach { case (src, c) =>
+      if (c * left <= rem) { capped += src; rem -= c; left -= 1 }
+    }
+    assert(left >= 1, "all-capped is impossible at B < tot")
+    // criterion monotonicity: capped set must be an ascending prefix
+    assert(asc.map { case (s, _) => capped(s) }
+      .dropWhile(identity).forall(!_), "capped set must be a prefix")
+    val extraCut = rem % left
+    val uncappedRank = asc.filterNot { case (s, _) => capped(s) }
+      .zipWithIndex.map { case ((s, _), j) => s -> (j + 1L) }.toMap
+    val want = caps.keys.toSeq.sorted.map { s =>
+      val alloc = if (capped(s)) caps(s)
+        else rem / left + (if (uncappedRank(s) <= extraCut) 1L else 0L)
+      (s, caps(s), capped(s), alloc, budget)
+    }
+    val rows = TextOps.tokenBudget(spark, sfDir).collect()
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(rows.map(_.getLong(3)).sum === budget, "allocations must sum to the budget")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1),
+      s"source ${r.getString(0)}: alloc exceeds capacity"))
+    assert(rows.exists(_.getBoolean(2)) || caps.values.toSet.size == 1,
+      "skewed corpus should cap at least one small source")
+  }
 }
