@@ -1079,6 +1079,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** One built table fixture per corpus (the TableQueries.fixture
+    * rationale: the append sequence is deterministic, so reuse across
+    * the bench's min-of-2 is semantics-free). */
+  private val deltaTableFixture =
+    scala.collection.concurrent.TrieMap.empty[String, graft.table.GraftTable]
+  private[graft] def dedupDeltaTable(s: SparkSession, d: String): graft.table.GraftTable =
+    deltaTableFixture.getOrElseUpdate(d, {
+      val cat = new graft.table.GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val docs = Tables.documents(s, d)
+      val t = cat.createTable("db.documents",
+        StructType(docs.schema.fields.toIndexedSeq))
+      t.append(docs.filter(col("doc_id") % 10 =!= 9)) // snapshot 1: corpus
+      t.append(docs.filter(col("doc_id") % 10 === 9)) // snapshot 2: batch
+      t
+    })
+
+  /** FLAGSHIP COMPOSITION — incremental dedup over a GROWING Graft
+    * table: the production arrival shape (dedup runs on TABLE DELTAS,
+    * not files). An append lands as snapshot 2 on the documents table;
+    * the snapshot-1→2 manifest diff (metadata-only planning — the spec
+    * pins that the scan touches ONLY snapshot-2 files) surfaces exactly
+    * the new batch; batch signatures and token sets are computed FROM
+    * THE DELTA READ and band-probe the MAINTAINED corpus artifacts —
+    * corpus-side state untouched, incremental cost O(batch +
+    * collisions). Verdicts are q_dedup_incremental's (same keep-first
+    * rule, same τ=0.95 verify, same oracle): the hash gate proves the
+    * table-delta path reproduces the file-read path bit-for-bit, which
+    * is exactly the composition claim — neither q_table_incremental nor
+    * q_dedup_incremental alone exercises snapshot-diff → band-probe. */
+  def dedupTableDelta(s: SparkSession, d: String): DataFrame = {
+    val delta = dedupDeltaTable(s, d).readIncremental(s, 1, 2)
+      .select(col("doc_id"), col("text"))
+    val mh = udaf(Sketches.MinHashAgg)
+    // signatures/token sets from the DELTA rows (bit-identical to the
+    // artifact's: min over per-token hashes is token-order-independent)
+    val batchSigs = delta
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .select(col("doc_id"), Sketches.tokenHashCol(col("tok")).as("th"))
+      .groupBy(col("doc_id")).agg(mh(col("th")).as("sig"))
+    val probe = batchSigs.select(col("doc_id"), minhashBandCells.as("bb"))
+      .select(col("doc_id").as("ia"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // build side = the maintained signature artifact; the
+    // corpus-or-earlier-batch conjunct gives within-batch keep-first
+    val banded = minhashSigsArtifact(s, d).select(col("doc_id"), col("sig"))
+      .select(col("doc_id"), minhashBandCells.as("bb"))
+      .select(col("doc_id").as("ib"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = probe.join(banded, Seq("band", "bh"))
+      .filter(col("ia") =!= col("ib") &&
+        (col("ib") % 10 =!= 9 || col("ib") < col("ia")))
+      .select(col("ia"), col("ib")).distinct()
+    val batchSets = delta.select(col("doc_id"),
+      array_sort(array_distinct(toks(col("text")))).as("w"))
+    // verification sets: corpus side from the maintained artifact,
+    // batch side from the delta (both ia and any smaller-id batch ib)
+    val sets = tokenSetsArtifact(s, d)
+      .filter(col("doc_id") % 10 =!= 9).unionByName(batchSets)
+    val verified = verifyExact(cand, sets, tau = 0.95)
+      .groupBy(col("ia")).agg(min(col("ib")).as("dup_of"))
+    delta.select(col("doc_id"))
+      .join(verified.select(col("ia").as("doc_id"), col("dup_of")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedupPipeline's verified edge list (pre-checkpoint): exposed so
     * PlanSpec can pin the banded equi-join shape — the final query's
     * executedPlan is lineage-truncated by ccPointerDoubling's
@@ -2578,6 +2645,7 @@ object TextOps {
     "q_simhash_pairs"    -> simhashPairs,
     "q_dedup_pipeline"   -> dedupPipeline,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_table_delta" -> dedupTableDelta,
     "q_chunk_dedup"      -> chunkDedup,
     "q_overlap_matrix"   -> overlapMatrix,
     "q_lang_id"          -> langId,
@@ -3688,6 +3756,35 @@ object TextOps {
     // docs probe all bands; kill candidates are corpus docs or
     // smaller-id batch docs; exact verify at τ=0.95; min duplicate id.
     "q_dedup_incremental" -> s"""
+         WITH ${minhashSigCtes(withSource = false)},
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id % 10 = 9 AND x.doc_id <> y.doc_id
+             AND (y.doc_id % 10 <> 9 OR y.doc_id < x.doc_id)),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         verified AS (
+           SELECT c.ia, min(c.ib) AS dup_of
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.ia
+           JOIN sets b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95
+           GROUP BY c.ia)
+         SELECT d.doc_id,
+           coalesce(v.dup_of, -1) AS dup_of,
+           (v.dup_of IS NULL) AS keep
+         FROM documents d LEFT JOIN verified v ON v.ia = d.doc_id
+         WHERE d.doc_id % 10 = 9
+         ORDER BY d.doc_id""",
+    // the composition's verdicts are q_dedup_incremental's by
+    // construction (delta read = exactly the %10=9 batch; signatures
+    // from delta text are bit-identical to the artifact's), so the
+    // oracle is the same SQL — the gate proves the TABLE-DELTA path
+    // reproduces the file-read path
+    "q_dedup_table_delta" -> s"""
          WITH ${minhashSigCtes(withSource = false)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib

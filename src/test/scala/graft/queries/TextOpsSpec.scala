@@ -1047,6 +1047,39 @@ class TextOpsSpec extends SparkTestBase {
       "U1 + U2 must equal n1*n2 (doubled)")
   }
 
+  test("dedupTableDelta: snapshot-diff scan touches ONLY snapshot-2 files; verdicts = file-read path") {
+    val t = TextOps.dedupDeltaTable(spark, sfDir)
+    val m = t.meta
+    val snap1Files = m.snapshot(1).manifest.map(_.path).toSet
+    val snap2Added = m.snapshot(2).manifest.map(_.path).toSet -- snap1Files
+    assert(snap2Added.nonEmpty, "snapshot 2 must have added files")
+    val delta = t.readIncremental(spark, 1, 2)
+    // the scan plan reads the added files and nothing else — the
+    // metadata-only planning claim, pinned on the actual input files
+    // (manifest paths are table-dir-relative; match on suffix)
+    val scanned = delta.inputFiles.toSet
+    assert(scanned.nonEmpty)
+    scanned.foreach { f =>
+      assert(snap2Added.exists(a => f.endsWith(a)),
+        s"incremental scan read $f outside snapshot-2's added files")
+      assert(!snap1Files.exists(a => f.endsWith(a)),
+        s"incremental scan read snapshot-1 file $f")
+    }
+    // the delta surfaces exactly the appended batch
+    val deltaIds = delta.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val batchIds = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(deltaIds.toSeq === batchIds.toSeq)
+    // and the composed verdicts reproduce the file-read path bit-for-bit
+    val got = TextOps.dedupTableDelta(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val want = TextOps.dedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === want)
+    assert(got.exists(!_._3), "fixture should contain at least one duplicate batch doc")
+  }
+
   test("tokenBudget: water-fill re-derived; sums to budget; no alloc exceeds cap") {
     val caps = graft.Tables.documents(spark, sfDir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
