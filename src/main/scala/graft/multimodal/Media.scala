@@ -761,7 +761,86 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** REAL AUDIO RESAMPLE — integer-factor decimation (rate/2), the ASR
+    * preprocessing primitive after decode: decode the WAV fixture,
+    * keep every 2nd sample, RE-ENCODE the result as a real RIFF/WAVE
+    * at the halved rate, re-DECODE it, and report from the re-decoded
+    * samples — a codec chain in both directions, so a broken writer or
+    * reader fails the gate. decimated(j) = sample(2j) = (6j + id) mod
+    * 256: every judged value stays closed-form. (Proper anti-alias
+    * decimation would convolve a low-pass first; on this synthetic
+    * sawtooth the judged contract is the INDEX arithmetic — a filter
+    * would slot into the same per-partition map.) Narrow per-partition
+    * pipeline; payloads never shuffle. */
+  def audioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val (rateIn, samples) = decodeWav(r.payload).getOrElse(
+          throw new IllegalStateException(
+            s"media ${r.media_id}: payload is not decodable WAV"))
+        val out = Array.tabulate(samples.length / 2)(j => samples(2 * j).toByte)
+        val reEncoded = encodeWavPcm8Samples(out, rateIn / 2)
+        val (rateOut, back) = decodeWav(reEncoded).getOrElse(
+          throw new IllegalStateException(
+            s"media ${r.media_id}: re-encoded WAV failed to decode"))
+        var sum = 0L
+        var j = 0
+        while (j < back.length) { sum += back(j); j += 1 }
+        (r.media_id, samples.length, back.length, rateIn, rateOut,
+          back(0), back(back.length - 1), sum)
+      }
+    }.toDF("media_id", "n_in", "n_out", "rate_in", "rate_out",
+        "s_first", "s_last", "sum_samples")
+      .orderBy(col("media_id"))
+  }
+
+  /** REAL IMAGE RESIZE — nearest-neighbor 2× downscale over the decoded
+    * PNG fixture, then a lossless PNG re-encode + re-decode (same
+    * both-directions codec-chain contract as audioResample): out(x,y) =
+    * src(2x, 2y) = (2x + 4y + id) mod 256, so dims, corners, and the
+    * full pixel sum are closed-form. The production swap-in is an area
+    * or Lanczos kernel in the same mapPartitions slot; judged here is
+    * the index arithmetic + codec chain. */
+  def imageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeImage(r.payload).getOrElse(throw new IllegalStateException(
+          s"media ${r.media_id}: payload is not a decodable image"))
+        val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+        val small = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+        val src = img.getRaster
+        val dst = small.getRaster
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) { dst.setSample(x, y, 0, src.getSample(2 * x, 2 * y, 0)); x += 1 }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(small, "png", bos)
+        val back = decodeImage(bos.toByteArray).getOrElse(
+          throw new IllegalStateException(
+            s"media ${r.media_id}: re-encoded PNG failed to decode"))
+        val ras = back.getRaster
+        var sum = 0L
+        y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) { sum += ras.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (r.media_id, back.getWidth, back.getHeight,
+          ras.getSample(0, 0, 0), ras.getSample(w2 - 1, h2 - 1, 0), sum)
+      }
+    }.toDF("media_id", "width", "height", "px00", "px11", "sum_px")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_resample"  -> audioResample,
+    "q_image_resize"    -> imageResize,
     "q_audio_vad"       -> audioVad,
     "q_image_decode"    -> imageDecode,
     "q_image_jpeg"      -> imageJpeg,
@@ -822,6 +901,48 @@ object Media {
   }
 
   val oracle: Map[String, String] = Map(
+    // decimated(j) = (6j + id) mod 256 over n/2 samples at rate/2
+    "q_audio_resample" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CAST(800 + (doc_id % 5) * 200 AS BIGINT) AS n_in,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate_in
+           FROM documents),
+         s AS (
+           SELECT g.doc_id,
+             CAST(sum((6 * j.range + g.doc_id) % 256) AS BIGINT) AS sum_samples
+           FROM g, range(0, 800) j
+           WHERE j.range < g.n_in // 2
+           GROUP BY 1)
+         SELECT g.doc_id AS media_id,
+           CAST(g.n_in AS INT) AS n_in,
+           CAST(g.n_in // 2 AS INT) AS n_out,
+           g.rate_in,
+           CAST(g.rate_in // 2 AS INT) AS rate_out,
+           CAST(g.doc_id % 256 AS INT) AS s_first,
+           CAST((6 * (g.n_in // 2 - 1) + g.doc_id) % 256 AS INT) AS s_last,
+           s.sum_samples
+         FROM g JOIN s USING (doc_id) ORDER BY media_id""",
+    // out(x,y) = (2x + 4y + id) mod 256 in a (w/2) × (h/2) grid
+    "q_image_resize" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CAST((8 + (doc_id % 8) * 4) // 2 AS BIGINT) AS w2,
+             CAST((8 + (doc_id % 5) * 4) // 2 AS BIGINT) AS h2
+           FROM documents),
+         s AS (
+           SELECT g.doc_id,
+             CAST(sum((2 * x.range + 4 * y.range + g.doc_id) % 256) AS BIGINT) AS sum_px
+           FROM g, range(0, 18) x, range(0, 12) y
+           WHERE x.range < g.w2 AND y.range < g.h2
+           GROUP BY 1)
+         SELECT g.doc_id AS media_id,
+           CAST(g.w2 AS INT) AS width,
+           CAST(g.h2 AS INT) AS height,
+           CAST(g.doc_id % 256 AS INT) AS px00,
+           CAST((2 * (g.w2 - 1) + 4 * (g.h2 - 1) + g.doc_id) % 256 AS INT) AS px11,
+           s.sum_px
+         FROM g JOIN s USING (doc_id) ORDER BY media_id""",
     // closed-form sample reconstruction ((3i+id) mod 256 loud frames,
     // 128 + i mod 3 room tone), same energy integers, same
     // gaps-and-islands row_number arithmetic.

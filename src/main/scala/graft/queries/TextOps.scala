@@ -1720,6 +1720,44 @@ object TextOps {
           7).as("auc"))
   }
 
+  /** CHI-SQUARE independence test over the lang × source contingency
+    * table — the categorical drift gate beside q_ks_test / q_mann_whitney
+    * (those compare numeric distributions; this one asks whether source
+    * composition differs by language, the check a mixture pipeline runs
+    * after re-sampling). Zero cells are INCLUDED (margins cross-joined,
+    * observed coalesced to 0 — a groupBy alone would drop them and bias
+    * χ² low). Per-cell output keeps o/rtot/ctot exact; the one float per
+    * cell is contrib = (o − e)²/e with e = (rtot·ctot)/n computed in the
+    * SAME op order both engines (BIGINT product, one divide, subtract,
+    * square, divide) — each step on exactly-representable values at this
+    * scale. Overflow: rtot·ctot ≤ n² needs n < 3·10⁹ rows; beyond that,
+    * shard the margins (loud guard).
+    *
+    * Scale shape: one count aggregate over the corpus, then everything
+    * runs on the R×C margin tables (≤ 100 cells) — corpus-size-
+    * independent, all joins broadcast. */
+  def chiSquare(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("lang")).agg(sum(col("o")).as("rtot"))
+    val colsM = cells.groupBy(col("source")).agg(sum(col("o")).as("ctot"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val guardedProd = when(col("rtot") < lit(3000000000L) && col("ctot") < lit(3000000000L),
+      col("rtot") * col("ctot"))
+      .otherwise(raise_error(lit(
+        "chiSquare: rtot*ctot overflows BIGINT — shard the contingency margins")))
+    val e = guardedProd.cast(DoubleType) / col("n").cast(DoubleType)
+    val dev = col("o").cast(DoubleType) - e
+    rows.crossJoin(broadcast(colsM))
+      .join(cells, Seq("lang", "source"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("o"), col("rtot"), col("ctot"), col("n"))
+      .select(col("lang"), col("source"), col("o"), col("rtot"), col("ctot"),
+        (dev * dev / e).as("contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
     val hist = docs.groupBy(col("n_chars"))
@@ -1982,6 +2020,59 @@ object TextOps {
         length(col("cleaned")).as("n_chars_clean"),
         col("cleaned"))
       .orderBy(col("doc_id"))
+
+  /** PII SCRUB — the redaction stage every web-corpus pipeline runs
+    * before training: emails / phone numbers / SSN-shaped ids are
+    * detected and replaced with typed placeholder tokens, with per-doc
+    * detection counts for the privacy audit. PII is synthesized
+    * deterministically from doc_id (the q_url_parse fixture idiom —
+    * identically in the oracle), with mod-gated optional segments so
+    * counts VARY per doc and the counting is actually exercised.
+    * Patterns stay in the Java∩RE2 common subset (no lookaround, no
+    * backrefs) so both engines match identically; scrub order is fixed
+    * (email → id → phone) and counts run on the pre-scrub text. The
+    * judged scrubbed STRING is the strong gate — any detector drift
+    * diverges the hash. Pure row-side codegen'd regexps; no shuffle. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val idS = col("doc_id").cast(StringType)
+    val synth = concat(
+      lit("doc "), idS, lit(" "),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("mail u"), idS, lit("@host"),
+          (col("doc_id") % 7).cast(StringType), lit(".com "))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("cc bot"), idS, lit("@spam.net "))).otherwise(lit("")),
+      when(col("doc_id") % 3 < 2,
+        concat(lit("call +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" ")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("ssn "),
+          lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 100).cast(StringType), 2, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" ")))
+        .otherwise(lit("")),
+      col("text"))
+    val emailPat = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[A-Za-z]{2,}"
+    val idPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    Tables.documents(s, d)
+      .select(col("doc_id"), synth.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailPat)).cast(LongType).as("n_email"),
+        regexp_count(col("raw"), lit(phonePat)).cast(LongType).as("n_phone"),
+        regexp_count(col("raw"), lit(idPat)).cast(LongType).as("n_id"),
+        length(col("raw")).as("len_before"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            idPat, "<ID>"),
+          phonePat, "<PHONE>").as("scrubbed"))
+      .withColumn("len_after", length(col("scrubbed")))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_id"),
+        col("len_before"), col("len_after"), col("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
 
   /** URL parsing battery — the web-corpus primitive behind domain-level
     * dedup, source filtering, and blocklist joins at 100 TB. URLs are
@@ -2622,6 +2713,8 @@ object TextOps {
     "q_sample_stratified" -> sampleStratified,
     "q_quota_sample"     -> quotaSample,
     "q_ks_test"          -> ksTest,
+    "q_chi_square"       -> chiSquare,
+    "q_pii_scrub"        -> piiScrub,
     "q_mann_whitney"     -> mannWhitney,
     "q_sample_systematic" -> sampleSystematic,
     "q_simpson_diversity" -> simpsonDiversity,
@@ -3117,6 +3210,60 @@ object TextOps {
            round(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
              / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 7) AS auc
          FROM agg""",
+    // zero cells included via margin cross join; the per-cell float is
+    // computed with the same op order both engines (BIGINT product,
+    // divide, subtract, square, divide)
+    "q_chi_square" ->
+      """WITH cells AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+         c AS (SELECT source, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+         n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+         SELECT r.lang, c.source,
+           CAST(coalesce(ce.o, 0) AS BIGINT) AS o, r.rtot, c.ctot,
+           (CAST(coalesce(ce.o, 0) AS DOUBLE) - CAST(r.rtot * c.ctot AS DOUBLE) / n.n)
+             * (CAST(coalesce(ce.o, 0) AS DOUBLE) - CAST(r.rtot * c.ctot AS DOUBLE) / n.n)
+             / (CAST(r.rtot * c.ctot AS DOUBLE) / n.n) AS contrib
+         FROM r CROSS JOIN c
+         LEFT JOIN cells ce ON ce.lang = r.lang AND ce.source = c.source
+         CROSS JOIN n
+         ORDER BY r.lang, c.source""",
+    // same deterministic PII synthesis, same Java∩RE2 patterns, same
+    // email → id → phone scrub order; counts run on the pre-scrub text
+    "q_pii_scrub" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             CASE WHEN doc_id % 2 = 0 THEN
+               'mail u' || CAST(doc_id AS VARCHAR) || '@host'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.com ' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN
+               'cc bot' || CAST(doc_id AS VARCHAR) || '@spam.net ' ELSE '' END ||
+             CASE WHEN doc_id % 3 < 2 THEN
+               'call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' ' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN
+               'ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+               ELSE '' END ||
+             text AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_id,
+           CAST(length(raw) AS INT) AS len_before,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS len_after,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+         FROM raw ORDER BY doc_id""",
     // identical cross-multiplied CDF numerators; the one float is the
     // final reported division on both engines.
     "q_ks_test" ->

@@ -190,6 +190,37 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("audioResample: decimation + re-encode round-trip re-derived from the closed form") {
+    val rows = Media.audioResample(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (800 + (id % 5) * 200).toInt
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val dec = (0 until n / 2).map(j => ((6L * j + id) % 256).toInt)
+      assert(r.getInt(1) === n && r.getInt(2) === n / 2, s"id $id counts")
+      assert(r.getInt(3) === rate && r.getInt(4) === rate / 2, s"id $id rates")
+      assert(r.getInt(5) === dec.head && r.getInt(6) === dec.last, s"id $id ends")
+      assert(r.getLong(7) === dec.map(_.toLong).sum, s"id $id sum")
+    }
+  }
+
+  test("imageResize: nearest-neighbor downscale + PNG round-trip re-derived") {
+    val rows = Media.imageResize(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w2 = (8 + (id % 8) * 4).toInt / 2
+      val h2 = (8 + (id % 5) * 4).toInt / 2
+      def px(x: Int, y: Int): Long = (2L * x + 4L * y + id) % 256
+      assert(r.getInt(1) === w2 && r.getInt(2) === h2, s"id $id dims")
+      assert(r.getInt(3) === px(0, 0).toInt, s"id $id px00")
+      assert(r.getInt(4) === px(w2 - 1, h2 - 1).toInt, s"id $id px11")
+      val want = (for (x <- 0 until w2; y <- 0 until h2) yield px(x, y)).sum
+      assert(r.getLong(5) === want, s"id $id sum_px")
+    }
+  }
+
   test("audioVad: WAV round-trip + segmentation re-derived from the closed form") {
     val W = 160
     val rows = Media.audioVad(spark, sfDir).collect()

@@ -1047,6 +1047,59 @@ class TextOpsSpec extends SparkTestBase {
       "U1 + U2 must equal n1*n2 (doubled)")
   }
 
+  test("chiSquare: cells re-derived; zero cells present; chi2 additive") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val o = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val langs = docs.map(_._1).distinct.sorted
+    val srcs = docs.map(_._2).distinct.sorted
+    val rtot = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ctot = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val rows = TextOps.chiSquare(spark, sfDir).collect()
+    assert(rows.length === langs.length * srcs.length,
+      "every margin cross-product cell must be present")
+    var chi2 = 0.0
+    rows.foreach { r =>
+      val (l, s) = (r.getString(0), r.getString(1))
+      val obs = o.getOrElse((l, s), 0L)
+      assert(r.getLong(2) === obs && r.getLong(3) === rtot(l) && r.getLong(4) === ctot(s))
+      val e = (rtot(l) * ctot(s)).toDouble / n
+      val dev = obs.toDouble - e
+      assert(r.getDouble(5) === dev * dev / e, s"cell ($l,$s) contrib")
+      chi2 += r.getDouble(5)
+    }
+    assert(rows.exists(_.getLong(2) === 0L), "fixture should exercise a zero cell")
+    assert(chi2 > 0.0)
+  }
+
+  test("piiScrub: counts match the mod gates; scrubbed text carries no residual PII") {
+    val rows = TextOps.piiScrub(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val email = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[A-Za-z]{2,}".r
+    val phone = "\\+1-555-[0-9]{4}".r
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}".r
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (if (id % 2 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L),
+        s"id $id n_email")
+      assert(r.getLong(2) === (if (id % 3 < 2) 1L else 0L), s"id $id n_phone")
+      assert(r.getLong(3) === (if (id % 4 == 0) 1L else 0L), s"id $id n_id")
+      val scrubbed = r.getString(6)
+      assert(email.findFirstIn(scrubbed.replace("<EMAIL>", "_")).isEmpty, s"id $id email residue")
+      assert(phone.findFirstIn(scrubbed).isEmpty, s"id $id phone residue")
+      assert(ssn.findFirstIn(scrubbed).isEmpty, s"id $id ssn residue")
+      val placeholders = "<EMAIL>".r.findAllIn(scrubbed).length +
+        "<PHONE>".r.findAllIn(scrubbed).length + "<ID>".r.findAllIn(scrubbed).length
+      assert(placeholders === (r.getLong(1) + r.getLong(2) + r.getLong(3)).toInt,
+        s"id $id placeholder count")
+      assert(r.getInt(4) > 0 && r.getInt(5) > 0)
+    }
+    // the mod gates guarantee both present and absent PII across docs
+    assert(rows.exists(_.getLong(1) === 2L) && rows.exists(_.getLong(1) === 0L))
+  }
+
   test("dedupTableDelta: snapshot-diff scan touches ONLY snapshot-2 files; verdicts = file-read path") {
     val t = TextOps.dedupDeltaTable(spark, sfDir)
     val m = t.meta
