@@ -1056,6 +1056,68 @@ object Vectors {
     * everything downstream (degree count, core filter, CC, border
     * attach) is unchanged: those stages shuffle edge/label-sized rows,
     * never vectors. */
+  /** PCA TOP COMPONENT via fixed-pass POWER ITERATION in exact integer
+    * arithmetic — the whitening/projection primitive next to q_kmeans
+    * (SemDeDup-style pipelines cluster in a PCA-reduced space; this is
+    * the judged, oracle-checkable formulation of that reduction's first
+    * axis). The uncentered Gram mean G[p,q] = (Σ_id v_p·v_q) div N is
+    * one d²-cell aggregate (the 1e6-quantized v of q_kmeans); then
+    * POWER_ITERS passes of x ← normalize(G·x) where every division is
+    * the non-negative-shifted floor div (a + OFF·b) div b − OFF (the
+    * kmeans OFF idiom, signed here), so both engines floor identically:
+    *   y = Σ_q G[p,q]·x_q            (|y| ≤ 64·10¹²·10⁴ = 6.4·10¹⁷)
+    *   yd = fdiv(y, 10⁶)             (pre-scale so the renorm product fits)
+    *   m = max(max|yd|, 1)
+    *   x' = fdiv(yd·10⁴, m)          (renormalize to |x| ≤ 10⁴)
+    * x₀ = all-ones·10⁴ (generically non-orthogonal to the top axis).
+    * Judged output: the 64 components after 3 passes plus the final m
+    * (the Rayleigh-quotient proxy). Deterministic fixed passes, like
+    * kmeans — convergence is the spec's concern, not the gate's.
+    *
+    * Scale shape: the Gram stage is the only corpus-sized pass — a
+    * map-side-partial d²-cell aggregate (each partition ships ≤ d²
+    * cells); every iteration then runs on d² + d rows with the d-row
+    * x broadcast. Overflow: Σv_p·v_q needs N < 4·10⁶ rows per Gram
+    * shard at |v| ≤ 10⁶ (unit-norm input) — loud guard; beyond that,
+    * shard the sum and fold partial means. */
+  private[graft] val POWER_ITERS = 3
+  def powerIter(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("v"))
+      .localCheckpoint()
+    val cnt = q.groupBy().agg((count(lit(1)) / 64L).cast("long").as("n0"))
+      .select(when(col("n0") < 4000000L, col("n0"))
+        .otherwise(raise_error(lit(
+          "powerIter: Gram sum overflows BIGINT past 4e6 rows — shard the aggregate")))
+        .as("n"))
+    val g = q.select(col("vec_id"), col("pos").as("p"), col("v").as("vp"))
+      .join(q.select(col("vec_id"), col("pos").as("qq"), col("v").as("vq")), Seq("vec_id"))
+      .groupBy(col("p"), col("qq")).agg(sum(col("vp") * col("vq")).as("gsum"))
+      .crossJoin(broadcast(cnt))
+      .select(col("p"), col("qq"),
+        expr("(gsum + 1000000000001L * n) div n - 1000000000001L").as("g"))
+      .localCheckpoint() // d² = 4096 rows
+    var x = s.range(64).select(col("id").cast(IntegerType).as("qq"),
+      lit(10000L).as("x"))
+    var lastM: DataFrame = null
+    for (_ <- 1 to POWER_ITERS) {
+      val yd = g.join(broadcast(x), Seq("qq"))
+        .groupBy(col("p")).agg(sum(col("g") * col("x")).as("y"))
+        .select(col("p"),
+          expr("(y + 640000000001L * 1000000L) div 1000000L - 640000000001L").as("yd"))
+      lastM = yd.agg(greatest(max(abs(col("yd"))), lit(1L)).as("m"))
+      x = yd.crossJoin(broadcast(lastM))
+        .select(col("p").as("qq"),
+          expr("(yd * 10000L + 10001L * m) div m - 10001L").as("x"))
+        .localCheckpoint() // d rows
+    }
+    x.crossJoin(broadcast(lastM))
+      .select(col("qq").cast(IntegerType).as("pos"), col("x"), col("m").as("lam_q"))
+      .orderBy(col("pos"))
+  }
+
   private[graft] val DBSCAN_EPS2 = 1450000000000L
   private[graft] val DBSCAN_MINPTS = 10L
   def dbscan(s: SparkSession, d: String): DataFrame = {
@@ -1149,6 +1211,7 @@ object Vectors {
     "q_maxsim"        -> maxsim,
     "q_dbscan"        -> dbscan,
     "q_kmeans"        -> kmeans,
+    "q_power_iter"    -> powerIter,
     "q_rank_fusion"   -> rankFusion,
     "q_random_projection" -> randomProjection,
     "q_embed_quantize" -> embedQuantize,
@@ -1198,6 +1261,37 @@ object Vectors {
     * pairs over the quantized long form; row_number (d2, cid) replays
     * the struct-min tie-break, `//` on the OFF-shifted non-negative
     * numerator replays `div`. */
+  /** Same quantization, same Gram mean, same shifted floor divisions,
+    * unrolled pass-per-CTE (the kmeansOracle idiom). */
+  private def powerIterOracle: String = {
+    def pass(t: Int) =
+      s""", yd$t AS MATERIALIZED (
+         SELECT g.p,
+           (CAST(sum(g.g * x.x) AS BIGINT) + 640000000001 * 1000000)
+             // 1000000 - 640000000001 AS yd
+         FROM g JOIN x${t - 1} x ON x.qq = g.qq GROUP BY 1),
+       m$t AS (SELECT greatest(max(abs(yd)), 1) AS m FROM yd$t),
+       x$t AS MATERIALIZED (
+         SELECT p AS qq, (yd * 10000 + 10001 * m) // m - 10001 AS x
+         FROM yd$t CROSS JOIN m$t)"""
+    s"""WITH q AS MATERIALIZED (
+         SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+         FROM embeddings, range(1, 65) t(i)),
+       nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM q),
+       g AS MATERIALIZED (
+         SELECT a.pos AS p, b.pos AS qq,
+           (CAST(sum(a.v * b.v) AS BIGINT) + 1000000000001 * nn.n) // nn.n
+             - 1000000000001 AS g
+         FROM q a JOIN q b USING (vec_id) CROSS JOIN nn GROUP BY 1, 2, nn.n),
+       x0 AS (SELECT DISTINCT pos AS qq, CAST(10000 AS BIGINT) AS x FROM q)""" +
+      (1 to POWER_ITERS).map(pass).mkString +
+      s"""
+       SELECT CAST(x.qq AS INT) AS pos, x.x, m.m AS lam_q
+       FROM x$POWER_ITERS x CROSS JOIN m$POWER_ITERS m
+       ORDER BY pos"""
+  }
+
   private def kmeansOracle: String = {
     def pass(t: Int) =
       s""", dist$t AS MATERIALIZED (
@@ -1304,6 +1398,7 @@ object Vectors {
          LEFT JOIN border b USING (vec_id)
          ORDER BY p.vec_id""",
     "q_kmeans" -> kmeansOracle,
+    "q_power_iter" -> powerIterOracle,
     "q_ann_lsh" -> annLshSql,
     "q_mmr_rerank" -> mmrSql,
     "q_label_spread" ->

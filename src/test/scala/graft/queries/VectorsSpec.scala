@@ -429,4 +429,40 @@ class VectorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === want)
   }
+
+  test("powerIter: integer power-iteration dynamics re-derived exactly") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).map(f =>
+        math.floor(f.toDouble * 1000000.0 + 0.5).toLong).toArray)
+    val n = vecs.length.toLong
+    val d = 64
+    // Gram mean with the same shifted floor div
+    def fdiv(a: Long, b: Long, off: Long): Long = (a + off * b) / b - off
+    val g = Array.ofDim[Long](d, d)
+    for (p <- 0 until d; q <- 0 until d) {
+      var s = 0L
+      vecs.foreach(v => s += v(p) * v(q))
+      g(p)(q) = fdiv(s, n, 1000000000001L)
+    }
+    var x = Array.fill(d)(10000L)
+    var m = 1L
+    for (_ <- 1 to Vectors.POWER_ITERS) {
+      val yd = Array.tabulate(d) { p =>
+        var y = 0L
+        for (q <- 0 until d) y += g(p)(q) * x(q)
+        fdiv(y, 1000000L, 640000000001L)
+      }
+      m = math.max(yd.map(math.abs).max, 1L)
+      x = yd.map(v => fdiv(v * 10000L, m, 10001L))
+    }
+    val rows = Vectors.powerIter(spark, sfDir).collect()
+    assert(rows.length === d)
+    rows.foreach { r =>
+      assert(r.getLong(1) === x(r.getInt(0)), s"component ${r.getInt(0)}")
+      assert(r.getLong(2) === m)
+    }
+    assert(x.max === 10000L, "renormalization pins the peak component to the scale")
+    assert(x.distinct.length > 1, "eigenvector must not be degenerate-constant")
+  }
 }
