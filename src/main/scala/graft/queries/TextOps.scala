@@ -720,7 +720,10 @@ object TextOps {
     * the verdict CASE collapses everything into one tiny rollup. An
     * exact dup is also a near dup (jaccard 1) — the CASE order decides,
     * and both engines evaluate the same order. */
-  def cleanPipeline(s: SparkSession, d: String): DataFrame = {
+  /** Row-level verdicts (doc_id, source, verdict, n_tokens) — the
+    * shared stage behind cleanPipeline's rollup and cleanPublish's
+    * survivor write. */
+  private def cleanVerdicts(s: SparkSession, d: String): DataFrame = {
     val t = col("t")
     val base = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
@@ -740,10 +743,53 @@ object TextOps {
           .when(col("doc_id") =!= col("first_id"), "exact_dup")
           .when(!col("nd_keep"), "near_dup")
           .otherwise("keep"))
+      .select(col("doc_id"), col("source"), col("verdict"), col("n_tokens"))
+  }
+
+  def cleanPipeline(s: SparkSession, d: String): DataFrame =
+    cleanVerdicts(s, d)
       .groupBy(col("source"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast(LongType)).as("n_tokens"))
       .orderBy(col("source"), col("verdict"))
+
+  /** FLAGSHIP COMPOSITION #2 — clean → WRITE-AUDIT-PUBLISH: the
+    * cleaning pipeline's survivors land in a GOVERNED Graft table
+    * through the WAP flow production pipelines gate releases with.
+    * Half the survivors append to main, half stage on the `audit`
+    * branch (durable but invisible); the AUDIT step re-counts the
+    * staged rows against the verdict table and REFUSES to publish on
+    * mismatch (the gate is load-bearing — a silent write loss fails
+    * the fixture build, not just a spec); publish fast-forwards main.
+    * The judged read is the published table: its content must equal
+    * the oracle's independently re-derived survivor set, proving the
+    * whole chain (verdict stages → branch write → publish → snapshot
+    * read) end-to-end. Neither q_clean_pipeline (rollup only) nor
+    * q_table_wap (raw orders) exercises this composition. */
+  private val cleanPublishFixture =
+    scala.collection.concurrent.TrieMap.empty[String, graft.table.GraftTable]
+  def cleanPublish(s: SparkSession, d: String): DataFrame = {
+    val t = cleanPublishFixture.getOrElseUpdate(d, {
+      val cat = new graft.table.GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val docs = Tables.documents(s, d)
+      val tbl = cat.createTable("db.docs_clean",
+        StructType(docs.schema.fields.toIndexedSeq))
+      val kept = cleanVerdicts(s, d).filter(col("verdict") === "keep")
+        .select(col("doc_id"))
+      val survivors = docs.join(kept, Seq("doc_id")).localCheckpoint()
+      tbl.append(survivors.filter(col("doc_id") % 2 === 0))
+      tbl.appendToBranch("audit", survivors.filter(col("doc_id") % 2 =!= 0))
+      val staged = tbl.readRef(s, "audit").count()
+      val expected = survivors.count()
+      require(staged == expected,
+        s"clean-publish audit failed: staged $staged rows != $expected survivors")
+      tbl.publishBranch("audit")
+      tbl
+    })
+    t.read(s)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic content-hash DOWNSAMPLING, reported per source: keep
@@ -2739,6 +2785,7 @@ object TextOps {
     "q_dedup_pipeline"   -> dedupPipeline,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_table_delta" -> dedupTableDelta,
+    "q_clean_publish"    -> cleanPublish,
     "q_chunk_dedup"      -> chunkDedup,
     "q_overlap_matrix"   -> overlapMatrix,
     "q_lang_id"          -> langId,
@@ -4041,6 +4088,59 @@ object TextOps {
          SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM v GROUP BY 1, 2 ORDER BY source, verdict""",
+    // same verdict chain; the final projection is the SURVIVOR SET the
+    // WAP-published table must reproduce row-for-row
+    "q_clean_publish" -> s"""
+         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         cand AS (
+           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+           WHERE x.doc_id < y.doc_id),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         edges0 AS (
+           SELECT c.ia, c.ib
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.ia
+           JOIN sets b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.95),
+         edges AS (
+           SELECT ia AS src, ib AS dst FROM edges0
+           UNION ALL SELECT ib, ia FROM edges0),
+         r(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
+         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a),
+         ndk AS (
+           SELECT d.doc_id,
+             (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS nd_keep
+           FROM documents d LEFT JOIN lab ON lab.a = d.doc_id),
+         q AS (
+           SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('a', 'the'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+         fh AS (SELECT h, min(doc_id) AS first_id FROM q GROUP BY 1),
+         v AS (
+           SELECT q.doc_id,
+             CASE WHEN q.n_tokens < 20 THEN 'too_short'
+                  WHEN q.uniq_ratio < 0.3 THEN 'repetitive'
+                  WHEN q.stop_ratio > 0.1 THEN 'stopword_heavy'
+                  WHEN q.doc_id <> fh.first_id THEN 'exact_dup'
+                  WHEN NOT ndk.nd_keep THEN 'near_dup'
+                  ELSE 'keep' END AS verdict
+           FROM q JOIN fh USING (h) JOIN ndk USING (doc_id))
+         SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+         FROM documents d JOIN v USING (doc_id)
+         WHERE v.verdict = 'keep'
+         ORDER BY d.doc_id""",
     // the q_dedup_pipeline closure verbatim; the final projection hashes
     // the CLUSTER id to a side, so the whole component lands together
     "q_split_assign" -> s"""

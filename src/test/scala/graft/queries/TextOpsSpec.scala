@@ -1133,6 +1133,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.exists(!_._3), "fixture should contain at least one duplicate batch doc")
   }
 
+  test("cleanPublish: published table = survivor set; both write paths present") {
+    val rows = TextOps.cleanPublish(spark, sfDir).collect()
+    val got = rows.map(_.getLong(0)).toSeq
+    // independent survivor derivation: the rollup's keep bucket must
+    // account for exactly these docs
+    val pipeline = TextOps.cleanPipeline(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).filter(_._1 == "keep").map(_._2).sum
+    assert(got.length.toLong === pipeline,
+      "published row count must equal the rollup's keep bucket")
+    assert(got === got.sorted && got.distinct.length === got.length)
+    // both the main append (even ids) and the published branch (odd ids)
+    // must be visible — a lost publish would drop a whole parity
+    assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 == 1),
+      "main-path and branch-path rows must both survive the publish")
+  }
+
   test("tokenBudget: water-fill re-derived; sums to budget; no alloc exceeds cap") {
     val caps = graft.Tables.documents(spark, sfDir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
