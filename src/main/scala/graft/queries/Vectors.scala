@@ -1108,10 +1108,11 @@ object Vectors {
         .select(col("p"),
           expr("(y + 640000000001L * 1000000L) div 1000000L - 640000000001L").as("yd"))
       lastM = yd.agg(greatest(max(abs(col("yd"))), lit(1L)).as("m"))
+      // no checkpoint: the per-pass frames are d rows and keeping the
+      // lineage lets PlanSpec pin the broadcast G·x joins end-to-end
       x = yd.crossJoin(broadcast(lastM))
         .select(col("p").as("qq"),
           expr("(yd * 10000L + 10001L * m) div m - 10001L").as("x"))
-        .localCheckpoint() // d rows
     }
     x.crossJoin(broadcast(lastM))
       .select(col("qq").cast(IntegerType).as("pos"), col("x"), col("m").as("lam_q"))

@@ -360,4 +360,44 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
     assert(p.contains("TakeOrderedAndProject"), p) // top-20 never full-sorts
   }
+
+  test("token budget's corpus pass is partial+final; windows run over source strata only") {
+    val p = plan(TextOps.tokenBudget(spark, sfDir))
+    // the only corpus-sized stage is the per-source token count — it
+    // must map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the allocation windows sort K source rows, never the corpus: the
+    // plan's Window/Sort nodes sit above the aggregate output (which the
+    // single-partition warning-free run at 20 rows demonstrates); pin
+    // that no corpus-sized column (text) survives past the first project
+    assert(!p.contains("text#") || p.indexOf("text#") > p.indexOf("HashAggregate"),
+      s"raw text must not flow into the allocation stage:\n$p")
+  }
+
+  test("chi-square margins broadcast; the corpus is aggregated exactly once") {
+    val p = plan(TextOps.chiSquare(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p) // margin/total joins
+    assert(!p.contains("SortMergeJoin"),
+      s"margin join must not shuffle-sort at ≤100 rows:\n$p")
+  }
+
+  test("power iteration broadcasts the d-row vector; Gram aggregate map-side combines") {
+    val p = plan(Vectors.powerIter(spark, sfDir))
+    val finalSection = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    // every G·x pass joins the 4096-cell G against the 64-row x — a
+    // shuffled join here would exchange per iteration for nothing
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"G·x join degraded to SMJ:\n$p")
+    assert("HashAggregate".r.findAllIn(finalSection).size >= 2, p)
+  }
+
+  test("pii scrub is a single narrow scan — no exchange before the presentation sort") {
+    val p = plan(TextOps.piiScrub(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"row-side regex scrub must not hash-shuffle:\n$p")
+  }
 }
