@@ -67,18 +67,39 @@ object Scratch {
   // construction: composites depend on leaf tables only).
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
+  // keys whose build is running ON THIS THREAD: a builder that
+  // (transitively) resolves its own key would otherwise join() its own
+  // incomplete future and hang forever with no diagnostic — keep the old
+  // computeIfAbsent's loud failure for the self-cycle case while still
+  // allowing nested builds of DIFFERENT artifacts
+  private val inFlight = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
   def materializedOnce(kind: String, key: String)(write: String => Unit): String = {
     val path = overwritable(kind, key)
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val existing = built.putIfAbsent(path, fresh)
     if (existing == null) {
+      if (!inFlight.get.add(path))
+        throw new IllegalStateException(
+          s"materializedOnce: builder for ($kind, $key) re-entered itself — artifact dependency cycle")
       try { write(path); fresh.complete(path); path }
       catch { case e: Throwable =>
         built.remove(path, fresh)
         fresh.completeExceptionally(e)
         throw e
-      }
-    } else existing.join()
+      } finally inFlight.get.remove(path)
+    } else if (inFlight.get.contains(path)) {
+      // same-thread re-entry AFTER a racing putIfAbsent: joining would
+      // deadlock on our own future
+      throw new IllegalStateException(
+        s"materializedOnce: builder for ($kind, $key) re-entered itself — artifact dependency cycle")
+    } else try existing.join()
+    catch { case e: java.util.concurrent.CompletionException if e.getCause != null =>
+      // waiters must see the BUILDER's exception class/message, not the
+      // CompletionException wrapper — Bench records getClass.getSimpleName
+      throw e.getCause
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -145,20 +145,9 @@ object Media {
     * 256 — a REAL javax.sound encode whose decode recovers the exact
     * samples (PCM is lossless), so every decoded value is closed-form
     * doc-id arithmetic for the SQL oracle. */
-  def encodeWavPcm8(nSamples: Int, rateHz: Int, seed: Long): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
-      rateHz.toFloat, 8, 1, 1, rateHz.toFloat, false)
-    val pcm = new Array[Byte](nSamples)
-    var i = 0
-    while (i < nSamples) { pcm(i) = ((3L * i + seed) % 256).toByte; i += 1 }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+  def encodeWavPcm8(nSamples: Int, rateHz: Int, seed: Long): Array[Byte] =
+    encodeWavPcm8Samples(
+      Array.tabulate(nSamples)(i => ((3L * i + seed) % 256).toByte), rateHz)
 
   /** REAL multi-frame "video" decode via the JVM's animated-GIF codec —
     * an actual moving-picture container (LZW-compressed frame sequence)

@@ -80,10 +80,10 @@ object Graphs {
     * each edge at build time (PageRank then needs no per-pass degree
     * join), materialized once per corpus. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    // resolve the items artifact BEFORE entering the edge build:
-    // materializedOnce is a computeIfAbsent, and nesting one inside
-    // another on the same map risks its documented recursive-update
-    // failure mode
+    // resolve the items artifact before entering the edge build — not
+    // required for correctness (materializedOnce supports nested builds
+    // of different artifacts since the putIfAbsent rewrite), but keeping
+    // the inner build outside the outer's timed write is clearer
     val items = basketItems(s, d)
     val tmp = graft.Scratch.materializedOnce("copurch_edges", d) { pth =>
       val edges = items.toDF("o", "src")

@@ -1743,11 +1743,18 @@ object TextOps {
     *
     * Scale shape: identical to q_ks_test — one histogram aggregate,
     * one cumulative window over the value domain, a 1-row fold. */
-  def mannWhitney(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
-    val hist = docs.groupBy(col("n_chars"))
+  /** The en/zh length value-histogram (n_chars, c1, c2) — ONE
+    * implementation for the KS/Mann-Whitney pair, which the docs bill
+    * as running over the SAME distributions; a private copy edited in
+    * one place would silently decouple them. */
+  private def enZhLengthHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
+      .groupBy(col("n_chars"))
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
         sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("c2"))
+
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val hist = enZhLengthHist(s, d)
     val wC = Window.orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -1805,10 +1812,7 @@ object TextOps {
   }
 
   def ksTest(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("lang").isin("en", "zh"))
-    val hist = docs.groupBy(col("n_chars"))
-      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("c2"))
+    val hist = enZhLengthHist(s, d)
     val tot = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val wC = Window.orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -1004,11 +1004,7 @@ object Vectors {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
 
   def kmeans(s: SparkSession, d: String): DataFrame = {
-    val qlong = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos"),
-        floor(col("col").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("v"))
-      .localCheckpoint()
+    val qlong = quantizedLong(s, d)
     var cent = qlong.filter(col("vec_id") < KMEANS_K)
       .select(col("vec_id").as("cid"), col("pos"), col("v").as("cv"))
       .localCheckpoint()
@@ -1080,13 +1076,20 @@ object Vectors {
     * x broadcast. Overflow: Σv_p·v_q needs N < 4·10⁶ rows per Gram
     * shard at |v| ≤ 10⁶ (unit-norm input) — loud guard; beyond that,
     * shard the sum and fold partial means. */
-  private[graft] val POWER_ITERS = 3
-  def powerIter(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(s, d)
+  /** Long-form 1e6-quantized embeddings (vec_id, pos, v) — ONE
+    * implementation for kmeans and powerIter, whose docs pin their
+    * inputs as bit-identical; a quantization tweak applied to a private
+    * copy would silently decouple them. */
+  private def quantizedLong(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"),
         floor(col("col").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("v"))
       .localCheckpoint()
+
+  private[graft] val POWER_ITERS = 3
+  def powerIter(s: SparkSession, d: String): DataFrame = {
+    val q = quantizedLong(s, d)
     val cnt = q.groupBy().agg((count(lit(1)) / 64L).cast("long").as("n0"))
       .select(when(col("n0") < 4000000L, col("n0"))
         .otherwise(raise_error(lit(

@@ -54,4 +54,45 @@ class ScratchSpec extends AnyFunSuite {
     intercept[RuntimeException](flaky())
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(flaky())))
   }
+
+  test("materializedOnce: a self-cycle fails loudly instead of deadlocking") {
+    val e = intercept[IllegalStateException] {
+      Scratch.materializedOnce("spec_cycle", "k") { _ =>
+        Scratch.materializedOnce("spec_cycle", "k")(_ => ())
+        ()
+      }
+    }
+    assert(e.getMessage.contains("re-entered itself"))
+    // the failed build must not poison the key
+    val p = Scratch.materializedOnce("spec_cycle", "k") { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), Array[Byte](7))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  }
+
+  test("materializedOnce: waiters see the builder's exception class, not CompletionException") {
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val builder = new Thread(() => {
+      try Scratch.materializedOnce("spec_wrap", "k") { _ =>
+        started.countDown(); release.await()
+        throw new java.io.FileNotFoundException("gone")
+      } catch { case _: Throwable => () }
+    })
+    builder.start()
+    started.await()
+    @volatile var seen: Throwable = null
+    val waiter = new Thread(() => {
+      try Scratch.materializedOnce("spec_wrap", "k")(_ => ())
+      catch { case e: Throwable => seen = e }
+    })
+    waiter.start()
+    Thread.sleep(100) // let the waiter block on the in-flight future
+    release.countDown()
+    builder.join(); waiter.join()
+    // the waiter either joined the failing future (must see the RAW
+    // exception) or arrived after the remove and rebuilt green (null)
+    assert(seen == null || seen.isInstanceOf[java.io.FileNotFoundException],
+      s"waiter saw ${String.valueOf(seen)}")
+  }
 }
