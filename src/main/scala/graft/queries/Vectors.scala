@@ -1088,7 +1088,9 @@ object Vectors {
       .localCheckpoint()
 
   private[graft] val POWER_ITERS = 3
-  def powerIter(s: SparkSession, d: String): DataFrame = {
+  /** The (qq, x, m) frame after POWER_ITERS passes — shared by
+    * powerIter's judged output and pcaProject's projection. */
+  private def powerIterVec(s: SparkSession, d: String): DataFrame = {
     val q = quantizedLong(s, d)
     val cnt = q.groupBy().agg((count(lit(1)) / 64L).cast("long").as("n0"))
       .select(when(col("n0") < 4000000L, col("n0"))
@@ -1118,8 +1120,29 @@ object Vectors {
           expr("(yd * 10000L + 10001L * m) div m - 10001L").as("x"))
     }
     x.crossJoin(broadcast(lastM))
+      .select(col("qq"), col("x"), col("m"))
+  }
+
+  def powerIter(s: SparkSession, d: String): DataFrame =
+    powerIterVec(s, d)
       .select(col("qq").cast(IntegerType).as("pos"), col("x"), col("m").as("lam_q"))
       .orderBy(col("pos"))
+
+  /** PCA PROJECTION — every embedding scored along the q_power_iter
+    * axis: proj(id) = Σ_pos v·x, an exact BIGINT (|v·x| ≤ 64·10⁶·10⁴ =
+    * 6.4·10¹¹) — the dimensionality-reduction step itself, and the
+    * outlier lens (extreme |proj| docs sit at the corpus's principal
+    * extremes). Composition: quantizedLong ⋈ broadcast(d-row axis) →
+    * one partial+final aggregate per vector; the corpus is scanned
+    * once, vectors never shuffle (the aggregate moves (id, partial)
+    * rows). Oracle re-runs the full unrolled iteration then projects. */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val axis = powerIterVec(s, d).select(col("qq").as("pos"), col("x"))
+    quantizedLong(s, d)
+      .join(broadcast(axis), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("v") * col("x")).as("proj"))
+      .orderBy(col("vec_id"))
   }
 
   private[graft] val DBSCAN_EPS2 = 1450000000000L
@@ -1216,6 +1239,7 @@ object Vectors {
     "q_dbscan"        -> dbscan,
     "q_kmeans"        -> kmeans,
     "q_power_iter"    -> powerIter,
+    "q_pca_project"   -> pcaProject,
     "q_rank_fusion"   -> rankFusion,
     "q_random_projection" -> randomProjection,
     "q_embed_quantize" -> embedQuantize,
@@ -1266,8 +1290,9 @@ object Vectors {
     * the struct-min tie-break, `//` on the OFF-shifted non-negative
     * numerator replays `div`. */
   /** Same quantization, same Gram mean, same shifted floor divisions,
-    * unrolled pass-per-CTE (the kmeansOracle idiom). */
-  private def powerIterOracle: String = {
+    * unrolled pass-per-CTE (the kmeansOracle idiom). The CTE prefix is
+    * shared with the q_pca_project oracle, which projects on x3. */
+  private def powerIterCtes: String = {
     def pass(t: Int) =
       s""", yd$t AS MATERIALIZED (
          SELECT g.p,
@@ -1289,12 +1314,22 @@ object Vectors {
              - 1000000000001 AS g
          FROM q a JOIN q b USING (vec_id) CROSS JOIN nn GROUP BY 1, 2, nn.n),
        x0 AS (SELECT DISTINCT pos AS qq, CAST(10000 AS BIGINT) AS x FROM q)""" +
-      (1 to POWER_ITERS).map(pass).mkString +
+      (1 to POWER_ITERS).map(pass).mkString
+  }
+
+  private def powerIterOracle: String =
+    powerIterCtes +
       s"""
        SELECT CAST(x.qq AS INT) AS pos, x.x, m.m AS lam_q
        FROM x$POWER_ITERS x CROSS JOIN m$POWER_ITERS m
        ORDER BY pos"""
-  }
+
+  private def pcaProjectOracle: String =
+    powerIterCtes +
+      s""", proj AS (
+         SELECT q.vec_id, CAST(sum(q.v * x.x) AS BIGINT) AS proj
+         FROM q JOIN x$POWER_ITERS x ON x.qq = q.pos GROUP BY 1)
+       SELECT vec_id, proj FROM proj ORDER BY vec_id"""
 
   private def kmeansOracle: String = {
     def pass(t: Int) =
@@ -1403,6 +1438,7 @@ object Vectors {
          ORDER BY p.vec_id""",
     "q_kmeans" -> kmeansOracle,
     "q_power_iter" -> powerIterOracle,
+    "q_pca_project" -> pcaProjectOracle,
     "q_ann_lsh" -> annLshSql,
     "q_mmr_rerank" -> mmrSql,
     "q_label_spread" ->

@@ -431,10 +431,11 @@ class VectorsSpec extends SparkTestBase {
   }
 
   test("powerIter: integer power-iteration dynamics re-derived exactly") {
-    val vecs = graft.Tables.embeddings(spark, sfDir)
+    val vecsById = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getSeq[Float](1).map(f =>
-        math.floor(f.toDouble * 1000000.0 + 0.5).toLong).toArray)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
+        math.floor(f.toDouble * 1000000.0 + 0.5).toLong).toArray).toMap
+    val vecs = vecsById.values.toArray
     val n = vecs.length.toLong
     val d = 64
     // Gram mean with the same shifted floor div
@@ -464,5 +465,14 @@ class VectorsSpec extends SparkTestBase {
     }
     assert(x.max === 10000L, "renormalization pins the peak component to the scale")
     assert(x.distinct.length > 1, "eigenvector must not be degenerate-constant")
+    // composition: every vector's projection along the same axis
+    val projRows = Vectors.pcaProject(spark, sfDir).collect()
+    assert(projRows.length === vecs.length)
+    projRows.foreach { r =>
+      val v = vecsById(r.getLong(0))
+      val want = (0 until d).map(p => v(p) * x(p)).sum
+      assert(r.getLong(1) === want, s"vec ${r.getLong(0)} projection")
+    }
+    assert(projRows.map(_.getLong(1)).distinct.length > 1)
   }
 }
