@@ -400,4 +400,23 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       s"row-side regex scrub must not hash-shuffle:\n$p")
   }
+
+  test("audio VAD windows partition by media id — island detection never goes global") {
+    val p = plan(graft.multimodal.Media.audioVad(spark, sfDir))
+    // every Window in the plan must carry a partition spec (the
+    // per-clip gaps-and-islands contract); a global row_number here
+    // would single-task the whole corpus's frame table
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).toSeq
+    assert(specs.nonEmpty, s"expected a window in the plan:\n$p")
+    specs.foreach { m =>
+      assert(m.group(1).contains("media_id"),
+        s"window without media_id partition: ${m.matched}\n$p")
+    }
+  }
+
+  test("table-delta dedup candidates come from a band equi-join — no cartesian, no vector shuffle") {
+    val p = plan(TextOps.dedupTableDelta(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band probe must stay an equi-join:\n$p")
+  }
 }
