@@ -1040,11 +1040,17 @@ object Relational {
       """WITH sums AS (
            SELECT l_returnflag,
              count(*) AS n_pts,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+             -- decimal→VARCHAR→DOUBLE, not decimal→DOUBLE: DuckDB's
+             -- direct cast double-rounds (unscaled int → double, then
+             -- ÷10^scale), which is 1 ulp off Java's single-rounded
+             -- BigDecimal.doubleValue once the unscaled value passes
+             -- 2^53 (syy ≈ 7·10^16 at sf0.001 — measured divergence);
+             -- the string path is correctly rounded in both engines
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n_pts,
            (sxy * CAST(n_pts AS DOUBLE) - sx * sy)
