@@ -101,6 +101,21 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** SHALLOW CLONE judged end-to-end: clone the append+delete fixture
+    * into a fresh catalog (zero data copied — CloneSpec pins the empty
+    * clone data dir and independent evolution) and read the clone; the
+    * oracle is the source's post-delete content, so the borrowed-file
+    * manifest must reproduce the source bit-for-bit. */
+  def tableClone(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("clone", d) {
+      val src = ordersFixture(s, d)
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      src.cloneTo(cat, "db.orders_clone")
+    }
+    ordered(t.read(s))
+  }
+
   /** C3 time travel: snapshot 1 still holds the deleted rows — reading it
     * must reproduce the FULL source table (the README.md:258 "magic"). */
   def tableTimeTravel(s: SparkSession, d: String): DataFrame =
@@ -1144,7 +1159,8 @@ object TableQueries {
     "q_table_evolve_append"   -> tableEvolveAppend,
     "q_table_manifest_rewrite" -> tableManifestRewrite,
     "q_table_incremental"     -> tableIncremental,
-    "q_table_csv_ingest"      -> tableCsvIngest)
+    "q_table_csv_ingest"      -> tableCsvIngest,
+    "q_table_clone"           -> tableClone)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
     * manifest statistics (GraftTable.metaAggregate) — the scan-free
@@ -1348,6 +1364,8 @@ object TableQueries {
     "q_table_read" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     // content-preserving CSV→table ingest: the oracle is the source
     "q_table_csv_ingest" -> orderedOrdersSql.format(""),
+    // zero-copy clone of the append+delete fixture == the source read
+    "q_table_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),
     "q_table_evolution" ->

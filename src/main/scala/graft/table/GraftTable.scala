@@ -1645,6 +1645,50 @@ final class GraftTable(val dir: HPath) {
     (orphans ++ chunkOrphans ++ tmpOrphans).map(p => GraftIO.relativize(dir, p))
   }
 
+  /** SHALLOW CLONE (Delta `CLONE` / the Iceberg snapshot-export
+    * pattern): a NEW independent table whose first snapshot REFERENCES
+    * the source's current data/delete files by absolute path — zero
+    * data bytes copied, O(manifest) metadata cost. The clone evolves
+    * independently afterwards: its appends/deletes/compactions land in
+    * its own dir and never touch the source (CoW rewrites naturally
+    * migrate borrowed files into clone-owned ones). Dev/test forks and
+    * "pin the exact table state an experiment trained on" are the use
+    * case.
+    *
+    * CAVEAT (Delta's shallow clones share it): the clone BORROWS the
+    * source's files. Destructive maintenance on the SOURCE that
+    * physically deletes files a clone still references — a compaction
+    * rewrite followed by expire_snapshots GC — breaks the clone;
+    * remove_orphan_files cannot even see clone references. Production
+    * systems track clone references in the catalog or deep-copy before
+    * GC; here the hazard is documented and CloneSpec pins the sharing
+    * semantics. */
+  def cloneTo(cat: GraftCatalog, qualified: String): GraftTable = {
+    val m = meta
+    val cur = m.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"cannot clone empty table ${m.name}"))
+    def absD(f: DataFile) = f.copy(
+      path = dir.resolve(f.path).toString,
+      bloom = f.bloom.map(b => dir.resolve(b).toString))
+    def absE(f: EqDeleteFile) = f.copy(path = dir.resolve(f.path).toString)
+    val t = cat.createTable(qualified, m.sparkSchema(m.currentSchemaId))
+    TableMeta.commitRetry(t.dir) { base =>
+      base.copy(
+        schemas = m.schemas,
+        currentSchemaId = m.currentSchemaId,
+        lastColumnId = m.lastColumnId,
+        partitionFields = m.partitionFields,
+        sortOrderIds = m.sortOrderIds,
+        tableProperties = m.tableProperties,
+        snapshots = Seq(Snapshot(1L, None, System.currentTimeMillis(), "append",
+          cur.manifest.map(absD),
+          deleteFiles = cur.deleteFiles.map(_.map(absD)),
+          eqDeleteFiles = cur.eqDeleteFiles.map(_.map(absE)))),
+        currentSnapshotId = Some(1L))
+    }
+    new GraftTable(t.dir)
+  }
+
   // ---------------------------------------------------------------- refs
 
   /** Create an immutable TAG pointing at `snapshotId` (Iceberg's

@@ -1,0 +1,90 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shallow-clone semantics: zero-copy manifest borrowing, read
+  * equality (plain + MoR), and fully independent evolution. */
+class CloneSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def mkCat() = {
+    val cat = new GraftCatalog(graft.Scratch.fresh("clone_spec_wh"))
+    cat.createSchema("db")
+    cat
+  }
+
+  private def rows(range: Range, tag: String) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, tag)).toDF("k", "v")
+  }
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("k").collect().map(_.getLong(0)).toSeq.sorted
+
+  private def dataFiles(t: GraftTable): Seq[java.nio.file.Path] = {
+    val dd = t.localDir.resolve("data")
+    if (!java.nio.file.Files.exists(dd)) Nil
+    else {
+      val walk = java.nio.file.Files.walk(dd)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p)).toSeq
+      } finally walk.close()
+    }
+  }
+
+  test("clone copies zero data bytes and reads the source state exactly") {
+    val cat = mkCat()
+    val src = cat.createTable("db.src", schema)
+    src.append(rows(0 until 100, "a"))
+    src.delete(spark, col("k") % 10 === 0)
+    val clone = src.cloneTo(cat, "db.cl")
+    assert(dataFiles(clone).isEmpty, "shallow clone must copy no data files")
+    assert(keys(clone.read(spark)) === keys(src.read(spark)))
+    assert(keys(clone.read(spark)) === (0L until 100L).filter(_ % 10 != 0))
+  }
+
+  test("clone carries MoR positional deletes across") {
+    val cat = mkCat()
+    val src = cat.createTable("db.src_mor", schema)
+    src.append(rows(0 until 50, "a"))
+    src.deleteMoR(spark, col("k") < 5)
+    val clone = src.cloneTo(cat, "db.cl_mor")
+    assert(dataFiles(clone).isEmpty)
+    assert(keys(clone.read(spark)) === (5L until 50L))
+  }
+
+  test("clone and source evolve independently after the fork") {
+    val cat = mkCat()
+    val src = cat.createTable("db.src_ev", schema)
+    src.append(rows(0 until 10, "a"))
+    val clone = src.cloneTo(cat, "db.cl_ev")
+    // writes on either side are invisible to the other
+    clone.append(rows(100 until 110, "clone-only"))
+    src.append(rows(200 until 210, "src-only"))
+    assert(keys(clone.read(spark)) === ((0L until 10L) ++ (100L until 110L)))
+    assert(keys(src.read(spark)) === ((0L until 10L) ++ (200L until 210L)))
+    // a CoW delete on the clone rewrites the BORROWED file into a
+    // clone-owned one; the source's physical file and content survive
+    val srcFilesBefore = dataFiles(src).map(_.toString).toSet
+    clone.delete(spark, col("k") === 3L)
+    assert(keys(clone.read(spark)) ===
+      ((0L until 10L).filterNot(_ == 3L) ++ (100L until 110L)))
+    assert(keys(src.read(spark)) === ((0L until 10L) ++ (200L until 210L)))
+    assert(dataFiles(src).map(_.toString).toSet === srcFilesBefore,
+      "clone-side delete must not touch source files")
+    assert(dataFiles(clone).nonEmpty, "CoW rewrite lands in the clone's own dir")
+  }
+
+  test("cloning an empty table fails loudly") {
+    val cat = mkCat()
+    val src = cat.createTable("db.src_empty", schema)
+    val e = intercept[IllegalStateException](src.cloneTo(cat, "db.cl_empty"))
+    assert(e.getMessage.contains("empty table"))
+  }
+}
