@@ -884,11 +884,15 @@ object Vectors {
       .select(col("vec_id"), col("embedding").as("e"),
         explode(sequence(lit(0), lit(K - 1))).as("j"))
       .select(col("vec_id"), col("j"),
-        round(aggregate(sequence(lit(1), lit(64)), lit(0.0d),
+        // + 0.0 normalizes IEEE signed zero: when the ±1 fold lands
+        // within 5e-6 of zero, one engine's round can emit -0.0 and the
+        // other's +0.0 (repr-distinct) — measured at sf0.1; -0.0 + 0.0
+        // is +0.0, a no-op for every other value. Mirrored in the SQL.
+        (round(aggregate(sequence(lit(1), lit(64)), lit(0.0d),
           (acc, i) => acc + element_at(col("e"), i).cast(DoubleType) *
             when(substring(md5(concat(i.cast(StringType), lit(":"),
               col("j").cast(StringType))), 1, 1) <= "7", lit(1.0d))
-              .otherwise(lit(-1.0d))), 5).as("y"))
+              .otherwise(lit(-1.0d))), 5) + lit(0.0d)).as("y"))
       .orderBy(col("vec_id"), col("j"))
   }
 
@@ -1479,7 +1483,7 @@ object Vectors {
            round(list_sum(list_transform(range(1, 65), i ->
              CAST(embedding[i] AS DOUBLE) *
              CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1) <= '7'
-                  THEN 1.0 ELSE -1.0 END)), 5) AS y
+                  THEN 1.0 ELSE -1.0 END)), 5) + 0.0 AS y
          FROM embeddings, range(0, 16) r(j)
          ORDER BY vec_id, j""",
     "q_embed_quantize" ->
