@@ -378,8 +378,17 @@ final class GraftTable(val dir: HPath) {
     // manifest records relative paths while _metadata.file_path is a URI
     // whose scheme/authority rendering varies — the suffix after this
     // table's data/ dir is identical on both sides by construction.
+    // Normalize EXACTLY like the read side (suffix after the LAST
+    // "/data/"): a clone's borrowed files carry ABSOLUTE manifest paths,
+    // and a raw stripPrefix("data/") would miss them in the lookup →
+    // coalesce to seq 0 → eq-deletes wrongly re-apply to files appended
+    // AFTER the delete (silently dropping live rows on clone reads).
+    def relKey(p: String): String = {
+      val i = p.lastIndexOf("/data/")
+      if (i >= 0) p.substring(i + "/data/".length) else p.stripPrefix("data/")
+    }
     val lookup = broadcast(
-      snap.manifest.map(f => (f.path.stripPrefix("data/"), f.seq.getOrElse(0L)))
+      snap.manifest.map(f => (relKey(f.path), f.seq.getOrElse(0L)))
         .toDF("_graft_rel", "_graft_seq"))
     val withSeq = base
       .withColumn("_graft_rel", substring_index(col("_graft_fp"), "/data/", -1))
@@ -1439,8 +1448,18 @@ final class GraftTable(val dir: HPath) {
       }
     }
     // physical GC only after the metadata commit landed: a failed commit
-    // must never leave a surviving snapshot pointing at deleted files
-    if (changed) orphans.foreach(p => GraftIO.delete(dir.resolve(p)))
+    // must never leave a surviving snapshot pointing at deleted files.
+    // Borrowed files (a shallow clone registers the SOURCE table's files
+    // by absolute path, cloneTo below) are never this table's to GC —
+    // HPath.resolve of an absolute child returns the child, so deleting
+    // them would physically destroy the source table. Guard: only paths
+    // that resolve to somewhere under THIS table's dir are deleted;
+    // Delta/Iceberg shallow clones likewise never vacuum borrowed files.
+    if (changed) orphans.foreach { p =>
+      val target = dir.resolve(p)
+      if (scala.util.Try(GraftIO.relativize(dir, target)).isSuccess)
+        GraftIO.delete(target)
+    }
   }
 
   /** Incremental (CDC-style) scan: rows in files ADDED after `fromSnapshotId`

@@ -81,6 +81,43 @@ class CloneSpec extends SparkTestBase {
     assert(dataFiles(clone).nonEmpty, "CoW rewrite lands in the clone's own dir")
   }
 
+  test("expireSnapshots on a clone never deletes borrowed source files") {
+    val cat = mkCat()
+    val src = cat.createTable("db.src_gc", schema)
+    src.append(rows(0 until 40, "a"))
+    val clone = src.cloneTo(cat, "db.cl_gc")
+    // CoW rewrite on the clone: snapshot 2 owns fresh files, snapshot 1
+    // (the borrowed manifest) becomes expirable
+    clone.delete(spark, col("k") === 7L)
+    val srcFilesBefore = dataFiles(src).map(_.toString).toSet
+    assert(srcFilesBefore.nonEmpty)
+    // expire everything but the head — snapshot 1's "orphans" are the
+    // borrowed ABSOLUTE paths; physical GC must skip them
+    clone.expireSnapshots(System.currentTimeMillis() + 60000L, retainLast = 1)
+    assert(dataFiles(src).map(_.toString).toSet === srcFilesBefore,
+      "clone-side expire must not delete the source's files")
+    assert(keys(src.read(spark)) === (0L until 40L),
+      "source must stay fully readable after clone-side expire")
+    assert(keys(clone.read(spark)) === (0L until 40L).filterNot(_ == 7L))
+  }
+
+  test("eq-delete then append then clone keeps the re-appended rows") {
+    import spark.implicits._
+    val cat = mkCat()
+    val src = cat.createTable("db.src_eq", schema)
+    src.append(rows(0 until 20, "a"))
+    // equality-delete k in {3, 4} ...
+    src.deleteMoREquality(spark, Seq(3L, 4L).toDF("k"))
+    // ... then re-append k=3: newer than the delete, must stay live
+    src.append(rows(3 until 4, "reborn"))
+    assert(keys(src.read(spark)) === ((0L until 20L).filterNot(_ == 4L)))
+    val clone = src.cloneTo(cat, "db.cl_eq")
+    // the clone borrows ALL files by absolute path; the eq-delete seq
+    // guard must still see the re-appended file as NEWER than the delete
+    assert(keys(clone.read(spark)) === ((0L until 20L).filterNot(_ == 4L)),
+      "clone read must not re-apply the eq-delete to the newer append")
+  }
+
   test("cloning an empty table fails loudly") {
     val cat = mkCat()
     val src = cat.createTable("db.src_empty", schema)
