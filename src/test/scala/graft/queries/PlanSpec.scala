@@ -414,6 +414,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dbscan ε-graph is a pivot-partitioned equi-join — no nested-loop, no cartesian") {
+    val p = plan(Vectors.dbscanEpsPairs(spark, Vectors.dbscanQuantized(spark, sfDir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ε-pair generation must stay an equi-join on the cell id:\n$p")
+  }
+
   test("table-delta dedup candidates come from a band equi-join — no cartesian, no vector shuffle") {
     val p = plan(TextOps.dedupTableDelta(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

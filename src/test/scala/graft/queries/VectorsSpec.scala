@@ -407,6 +407,26 @@ class VectorsSpec extends SparkTestBase {
       "fixture should exercise more than one role")
   }
 
+  test("dbscan ε-pairs: pivot-pruned candidates are exact (edge set = brute force, no dupes)") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray).toMap
+    val ids = vecs.keys.toSeq.sorted
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      if d2(vecs(i), vecs(j)) <= Vectors.DBSCAN_EPS2
+    } yield (i, j)).toSet
+    val gotRows = Vectors.dbscanEpsPairs(spark, Vectors.dbscanQuantized(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotRows.length === gotRows.toSet.size, "each ε-pair must materialize exactly once")
+    assert(gotRows.toSet === want)
+    assert(want.nonEmpty, "fixture should contain ε-edges")
+  }
+
   test("maxsim: sub-vector late-interaction scores re-derived in plain Scala") {
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
