@@ -723,27 +723,50 @@ object Graphs {
     * closed form; no 4-cycle is ever enumerated. Judged output: the 20
     * most butterfly-dense part pairs.
     *
-    * Scale shape: wedge generation is the per-customer self-join,
-    * bounded by customer degree d (Σ C(d,2) rows) with map-side
-    * combine into (p1, p2) partials — the paper's vertex-priority
-    * refinement (generate wedges from the LOWER-degree side, here
-    * customers: parts-per-customer is purchase-bounded while
-    * customers-per-part grows with the corpus) is exactly this
-    * derivation. A whale customer inflates wedges quadratically; the
-    * mitigation at scale is degree-capping/salting that customer's
-    * adjacency before the self-join, not a different algorithm.
-    * Overflow: c ≤ |customers| < 2³¹ keeps c·(c−1) under 2⁶². */
-  def butterfly(s: SparkSession, d: String): DataFrame = {
-    val e = custPartEdges(s, d)
-    e.toDF("c", "p1").join(e.toDF("c", "p2"), Seq("c"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_common"))
+    * Scale shape: per-(p1,p2) common counts inherently touch every
+    * wedge (Σ C(d,2) over customer degrees — each wedge contributes 1
+    * to exactly one pair), so the scale question is not total work but
+    * SKEW: a single whale customer must not put its quadratic wedge
+    * fan-out behind one join key. DEGREE-SPLIT wedge generation bounds
+    * it: each customer's adjacency is hash-chunked into ⌈deg/B⌉ chunks
+    * of ~B parts; the left side replicates each edge to every chunk
+    * pair (ci, j ≥ ci) and equi-joins the right side on
+    * (c, chunk) — per-key fan-out ≤ ~B² rows regardless of degree,
+    * and a whale's wedges spread over C(⌈deg/B⌉+1, 2) independent
+    * keys (tasks). Exactness: chunks partition the adjacency, so each
+    * unordered part pair lands in exactly one chunk pair (cross-chunk
+    * once via the lower chunk, same-chunk halved by p1 < p2);
+    * GraphsSpec plants a 1000-part hub and checks both the counts and
+    * the per-key bound. Replication cost = deg·⌈deg/B⌉/2 rows ≤ the
+    * wedge count it feeds — never the dominant term. Non-whale
+    * customers (deg ≤ B) have one chunk: zero replication, the plain
+    * wedge self-join. Overflow: c ≤ |customers| < 2³¹ keeps c·(c−1)
+    * under 2⁶². */
+  private[graft] val BUTTERFLY_CHUNK = 256L
+  private[graft] def butterflyWedgeCounts(e: DataFrame, chunk: Long = BUTTERFLY_CHUNK): DataFrame = {
+    val deg = e.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val withCh = e.join(deg, Seq("c"))
+      .select(col("c"), col("p"),
+        expr(s"(deg + ${chunk - 1}L) div ${chunk}L").as("nch"))
+      .withColumn("ch", pmod(xxhash64(col("p")), col("nch")))
+    val left = withCh.select(col("c"), col("p").as("p1"), col("ch").as("ci"),
+        explode(sequence(col("ch"), col("nch") - 1L)).as("j"))
+    val right = withCh.select(col("c"), col("p").as("p2"), col("ch").as("j"))
+    left.join(right,
+        Seq("c", "j").map(k => left(k) === right(k)).reduce(_ && _) &&
+          (col("ci") < left("j") || col("p1") < col("p2")))
+      .groupBy(least(col("p1"), col("p2")).as("p1"),
+        greatest(col("p1"), col("p2")).as("p2"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  def butterfly(s: SparkSession, d: String): DataFrame =
+    butterflyWedgeCounts(custPartEdges(s, d))
       .filter(col("n_common") >= 2)
       .select(col("p1"), col("p2"), col("n_common"),
         expr("n_common * (n_common - 1L) div 2L").as("butterflies"))
       .orderBy(col("butterflies").desc, col("p1"), col("p2"))
       .limit(20)
-  }
 
   /** TRUNCATED HARMONIC CENTRALITY (Boldi & Vigna 2014) of the
     * HARMONIC_SEEDS smallest parts in the co-purchase graph: H(s) =

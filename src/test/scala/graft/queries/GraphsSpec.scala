@@ -427,6 +427,37 @@ class GraphsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("butterfly: planted 1000-part hub — counts exact, per-key fan-out degree-split") {
+    import spark.implicits._
+    val hub = (1L to 1000L).map(p => (999L, p))
+    // two normal customers sharing parts {1,2,3} and {2,3,4}
+    val normal = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
+    val edges = (hub ++ normal).toDF("c", "p")
+    val got = Graphs.butterflyWedgeCounts(edges, chunk = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length === got.map(t => (t._1, t._2)).distinct.length,
+      "each part pair must aggregate once")
+    // brute-force common counts
+    val byCust = (hub ++ normal).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byCust.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        common((ps(i), ps(j))) = common.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap === common.toMap)
+    // the hub's 10³-part adjacency is split into ⌈1000/64⌉ = 16 hash
+    // chunks; the largest (c, chunk-pair) join key carries ≤ maxChunk²
+    // candidate rows — far below the C(1000,2) ≈ 5·10⁵ a single-key
+    // self-join would put behind one task
+    val chunkSizes = edges.filter(col("c") === 999L)
+      .select(pmod(xxhash64(col("p")), lit(16L)).as("ch"))
+      .groupBy(col("ch")).count().collect().map(_.getLong(1))
+    assert(chunkSizes.length === 16, "hub adjacency must spread over all 16 chunks")
+    val maxChunk = chunkSizes.max
+    assert(maxChunk * maxChunk <= 12000L,
+      s"per-key fan-out bound blown: maxChunk=$maxChunk")
+  }
+
   test("harmonic: per-seed sums re-derived from a plain-Scala BFS") {
     val cp = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
