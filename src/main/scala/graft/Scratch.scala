@@ -102,6 +102,39 @@ object Scratch {
     }
   }
 
+  // once-per-key IN-MEMORY fixture objects (built Graft tables), same
+  // discipline as `built`: putIfAbsent + future so racing callers never
+  // run a side-effecting builder (catalog create + appends + audit)
+  // twice, waiters see the builder's own exception, and a failed build
+  // clears its slot so a retry rebuilds instead of joining a dead
+  // future (the orphaned scratch dir of a failed attempt is cosmetic —
+  // Scratch dirs are session-temporary).
+  private val builtObjects =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[AnyRef]]()
+
+  def objectOnce[T <: AnyRef](kind: String, key: String)(build: => T): T = {
+    val k = s"$kind::$key"
+    val fresh = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val existing = builtObjects.putIfAbsent(k, fresh)
+    if (existing == null) {
+      if (!inFlight.get.add(k))
+        throw new IllegalStateException(
+          s"objectOnce: builder for ($kind, $key) re-entered itself — fixture dependency cycle")
+      try { val v = build; fresh.complete(v); v }
+      catch { case e: Throwable =>
+        builtObjects.remove(k, fresh)
+        fresh.completeExceptionally(e)
+        throw e
+      } finally inFlight.get.remove(k)
+    } else if (inFlight.get.contains(k)) {
+      throw new IllegalStateException(
+        s"objectOnce: builder for ($kind, $key) re-entered itself — fixture dependency cycle")
+    } else try existing.join().asInstanceOf[T]
+    catch { case e: java.util.concurrent.CompletionException if e.getCause != null =>
+      throw e.getCause
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

@@ -641,8 +641,6 @@ object Joins {
     * either side — asserted in BucketingSpec; here the driver checks the
     * result against a plain-join oracle. The fixture writes once per
     * corpus per JVM (bucketed tables ARE persistent artifacts). */
-  private val bucketFixture = scala.collection.concurrent.TrieMap.empty[String, Unit]
-
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     // table names carry a corpus-dir digest: the fixture cache is keyed
     // by dir, so corpus-independent names would let a second corpus
@@ -655,7 +653,7 @@ object Joins {
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val ordersTbl = s"graft_bkt_orders_$suffix"
     val customerTbl = s"graft_bkt_customer_$suffix"
-    bucketFixture.getOrElseUpdate(d, {
+    graft.Scratch.objectOnce("bucket_fixture", d) {
       // EXTERNAL tables at Scratch-managed paths: a managed saveAsTable
       // leaves its spark-warehouse dir behind at JVM exit while the
       // in-memory catalog forgets the table, so the next session's
@@ -670,7 +668,8 @@ object Joins {
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", graft.Scratch.overwritable("bkt_customer", d))
         .mode("overwrite").saveAsTable(customerTbl)
-    })
+      ordersTbl
+    }
     s.table(ordersTbl)
       .join(s.table(customerTbl), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))

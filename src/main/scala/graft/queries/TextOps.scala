@@ -766,10 +766,8 @@ object TextOps {
     * whole chain (verdict stages → branch write → publish → snapshot
     * read) end-to-end. Neither q_clean_pipeline (rollup only) nor
     * q_table_wap (raw orders) exercises this composition. */
-  private val cleanPublishFixture =
-    scala.collection.concurrent.TrieMap.empty[String, graft.table.GraftTable]
   def cleanPublish(s: SparkSession, d: String): DataFrame = {
-    val t = cleanPublishFixture.getOrElseUpdate(d, {
+    val t = graft.Scratch.objectOnce("clean_publish_fixture", d) {
       val cat = new graft.table.GraftCatalog(graft.Scratch.fresh("graft_wh"))
       cat.createSchema("db")
       val docs = Tables.documents(s, d)
@@ -786,7 +784,7 @@ object TextOps {
         s"clean-publish audit failed: staged $staged rows != $expected survivors")
       tbl.publishBranch("audit")
       tbl
-    })
+    }
     t.read(s)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -1128,10 +1126,8 @@ object TextOps {
   /** One built table fixture per corpus (the TableQueries.fixture
     * rationale: the append sequence is deterministic, so reuse across
     * the bench's min-of-2 is semantics-free). */
-  private val deltaTableFixture =
-    scala.collection.concurrent.TrieMap.empty[String, graft.table.GraftTable]
   private[graft] def dedupDeltaTable(s: SparkSession, d: String): graft.table.GraftTable =
-    deltaTableFixture.getOrElseUpdate(d, {
+    graft.Scratch.objectOnce("dedup_delta_fixture", d) {
       val cat = new graft.table.GraftCatalog(graft.Scratch.fresh("graft_wh"))
       cat.createSchema("db")
       val docs = Tables.documents(s, d)
@@ -1140,7 +1136,7 @@ object TextOps {
       t.append(docs.filter(col("doc_id") % 10 =!= 9)) // snapshot 1: corpus
       t.append(docs.filter(col("doc_id") % 10 === 9)) // snapshot 2: batch
       t
-    })
+    }
 
   /** FLAGSHIP COMPOSITION — incremental dedup over a GROWING Graft
     * table: the production arrival shape (dedup runs on TABLE DELTAS,

@@ -95,4 +95,38 @@ class ScratchSpec extends AnyFunSuite {
     assert(seen == null || seen.isInstanceOf[java.io.FileNotFoundException],
       s"waiter saw ${String.valueOf(seen)}")
   }
+
+  test("objectOnce: racing callers share one instance, builder runs once, failure retries") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      barrier.await()
+      results.add(Scratch.objectOnce("spec_obj", "k") {
+        builds.incrementAndGet(); new Object
+      })
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get === 1, "racing callers must not run the builder twice")
+    assert(results.size === 8)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet.size === 1, "all callers must see the same instance")
+    // distinct keys build separately
+    Scratch.objectOnce("spec_obj", "k2") { builds.incrementAndGet(); new Object }
+    assert(builds.get === 2)
+    // a failed build clears the slot: the next caller rebuilds
+    var failed = 0
+    intercept[IllegalArgumentException] {
+      Scratch.objectOnce("spec_obj", "k3") { failed += 1; throw new IllegalArgumentException("boom") }
+    }
+    val v = Scratch.objectOnce("spec_obj", "k3") { failed += 1; "ok" }
+    assert(v === "ok" && failed === 2)
+    // self-cycle fails loudly instead of deadlocking on its own future
+    val e = intercept[IllegalStateException] {
+      Scratch.objectOnce("spec_obj", "k4") {
+        Scratch.objectOnce("spec_obj", "k4")("inner")
+      }
+    }
+    assert(e.getMessage.contains("re-entered"))
+  }
 }
