@@ -110,7 +110,8 @@ object Graphs {
     * in Spark and DuckDB, so the fixpoint is bit-identical cross-engine
     * at any parallelism (integer sums are order-free). */
   private[graft] def pageRankOnEdges(edges0: DataFrame, iters: Int,
-      broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {
+      broadcastGate: Long = BROADCAST_MAX_ROWS,
+      passCount: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     // accept pre-denormalized (src, dst, outdeg) edges; derive outdeg
     // when a bare (src, dst) graph comes in (specs, ad-hoc graphs)
     val edges =
@@ -125,7 +126,13 @@ object Graphs {
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"${SCALE}L div n_nodes").as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // EARLY EXIT at the exact fixpoint: the pass is a deterministic
+    // function of the rank vector, so rank_k == rank_{k-1} makes every
+    // remaining pass the identity — skipping them is byte-identical to
+    // the fixed-pass semantics (the check is an exact node-sized
+    // anti-equality probe, edge-scan passes dwarf it at any scale)
+    var stable = false
+    for (_ <- 1 to iters if !stable) {
       // ranks is node-sized — under the gate, broadcast so each pass is
       // ONE edge scan + map-side combine into node-count partials, no
       // edge shuffle at all. Past the gate the hint is OMITTED (an
@@ -137,13 +144,17 @@ object Graphs {
           broadcastGate), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left_outer")
         .crossJoin(broadcast(nn))
         .select(col("node"),
           (expr(s"(15 * ${SCALE}L) div (100 * n_nodes)") +
             expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
         .localCheckpoint()
+      if (passCount != null) passCount.incrementAndGet()
+      stable = next.join(ranks.withColumnRenamed("r", "r_prev"), Seq("node"))
+        .filter(col("r") =!= col("r_prev")).isEmpty
+      ranks = next
     }
     ranks
   }
@@ -401,14 +412,22 @@ object Graphs {
   private[graft] val BFS_HOPS = 4
   private[graft] val BFS_SEEDS = 5
   private[graft] def bfsOnEdges(edges: DataFrame, seeds: DataFrame,
-      hops: Int, broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {
+      hops: Int, broadcastGate: Long = BROADCAST_MAX_ROWS,
+      passCount: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
     // the reached set grows per pass, so re-gate each pass on the
     // checkpointed table's count (a cached-partition scan) — the hint
     // must drop out mid-run the moment the frontier closure outgrows
     // the broadcast budget (explicit hints don't degrade on their own)
     var nReached = dist.count()
-    for (_ <- 1 to hops) {
+    // EARLY EXIT once the reached set stops growing: a reached node's
+    // hop distance is its FIRST-reach pass (later passes only offer
+    // larger values to the min), so an unchanged row count means an
+    // unchanged state — every remaining pass is the identity and the
+    // capped-hop output is byte-identical (the count is the same
+    // action the broadcast re-gate already pays)
+    var prevReached = -1L
+    for (_ <- 1 to hops if nReached != prevReached) {
       dist = dist
         .unionAll(edges
           .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
@@ -416,6 +435,8 @@ object Graphs {
           .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      if (passCount != null) passCount.incrementAndGet()
+      prevReached = nReached
       nReached = dist.count()
     }
     dist
@@ -450,11 +471,23 @@ object Graphs {
     * once per corpus. */
   private[graft] val SSSP_PASSES = 6
   private[graft] def ssspOnEdges(edges: DataFrame, seeds: DataFrame,
-      passes: Int, broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {
+      passes: Int, broadcastGate: Long = BROADCAST_MAX_ROWS,
+      passCount: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
-    // per-pass re-gate, same rationale as bfsOnEdges
-    var nReached = dist.count()
-    for (_ <- 1 to passes) {
+    // per-pass re-gate, same rationale as bfsOnEdges. EARLY EXIT on the
+    // exact (row count, Σdist) pair: keys are only ever added and every
+    // per-key relaxation strictly DECREASES its dist, so an unchanged
+    // count rules out new keys and an unchanged sum then rules out any
+    // improvement — state identical, remaining passes are the identity
+    // (both stats ride the same 1-row aggregate that re-gates the
+    // broadcast; no extra pass over the data)
+    def stats(): (Long, Long) = {
+      val r = dist.agg(count(lit(1)), sum(col("dist"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (nReached, sumDist) = stats()
+    var prev = (-1L, -1L)
+    for (_ <- 1 to passes if (nReached, sumDist) != prev) {
       dist = dist
         .unionAll(edges
           .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
@@ -462,7 +495,9 @@ object Graphs {
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      nReached = dist.count()
+      if (passCount != null) passCount.incrementAndGet()
+      prev = (nReached, sumDist)
+      val s = stats(); nReached = s._1; sumDist = s._2
     }
     dist
   }
@@ -674,13 +709,20 @@ object Graphs {
     * caller passes the symmetric weightedEdges artifact. */
   private[graft] val LP_PASSES = 4
   private[graft] def labelPropOnEdges(edges: DataFrame, passes: Int,
-      broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {
+      broadcastGate: Long = BROADCAST_MAX_ROWS,
+      passCount: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     val nNodes = nodes.count()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
-    for (_ <- 1 to passes) {
-      labels = edges
+    // EARLY EXIT at label stability: the synchronous vote is a
+    // deterministic function of the label table, so an unchanged table
+    // makes every remaining pass the identity — byte-identical to the
+    // fixed-pass semantics even on graphs where LPA oscillates (those
+    // simply never trip the exact node-sized stability probe)
+    var stable = false
+    for (_ <- 1 to passes if !stable) {
+      val next = edges
         .join(maybeBroadcast(labels.withColumnRenamed("node", "src"), nNodes,
           broadcastGate), Seq("src"))
         .groupBy(col("dst"), col("lbl"))
@@ -691,6 +733,10 @@ object Graphs {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
         .localCheckpoint()
+      if (passCount != null) passCount.incrementAndGet()
+      stable = next.join(labels.withColumnRenamed("lbl", "lbl_prev"), Seq("node"))
+        .filter(col("lbl") =!= col("lbl_prev")).isEmpty
+      labels = next
     }
     labels
   }
@@ -792,7 +838,10 @@ object Graphs {
     var dist = seeds.select(col("seed"), col("seed").as("node"),
       lit(0L).as("dist")).localCheckpoint()
     var nReached = dist.count()
-    for (_ <- 1 to HARMONIC_HOPS) {
+    // same first-reach early exit as bfsOnEdges, per (seed, node) key
+    var prevReached = -1L
+    for (_ <- 1 to HARMONIC_HOPS if nReached != prevReached) {
+      prevReached = nReached
       dist = dist
         .unionAll(edges
           .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
@@ -1263,22 +1312,14 @@ object Graphs {
     // recursive-CTE transitive closure with min-reachable labels (the
     // q_dedup_cluster formulation) over the cooc>=2 confident edges.
     "q_graph_cc" ->
-      """WITH RECURSIVE items AS MATERIALIZED (
+      s"""WITH items AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          e AS MATERIALIZED (
            SELECT a.p AS src, b.p AS dst
            FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         w(src, dst) AS (
-           SELECT src, dst FROM e
-           UNION
-           SELECT w.src, e.dst FROM w JOIN e ON w.dst = e.src),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         lab AS (
-           SELECT n.node,
-             LEAST(n.node, coalesce(min(w.dst), n.node)) AS cluster_id
-           FROM nodes n LEFT JOIN w ON w.src = n.node
-           GROUP BY n.node),
+         ${OracleCc.ccCtes("e", "cclab")},
+         lab AS (SELECT node, lb AS cluster_id FROM cclab),
          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
                 FROM lab GROUP BY 1)
          SELECT node AS part_id, cluster_id, n_members

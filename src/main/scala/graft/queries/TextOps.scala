@@ -3631,7 +3631,7 @@ object TextOps {
     // {self} ∪ reachable — the same unique fixpoint label propagation
     // converges to.
     "q_dedup_cluster" ->
-      """WITH RECURSIVE sh AS (
+      s"""WITH sh AS (
            SELECT doc_id,
              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
                i -> concat(string_split(text, ' ')[i], ' ',
@@ -3647,15 +3647,12 @@ object TextOps {
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
          edges AS (SELECT ia AS src, ib AS dst FROM pairs
                    UNION ALL SELECT ib, ia FROM pairs),
-         w(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT w.src, e.dst FROM w JOIN edges e ON w.dst = e.src)
+         ${OracleCc.ccCtes("edges", "cclab")}
          SELECT d.doc_id,
-           LEAST(d.doc_id, coalesce(min(w.dst), d.doc_id)) AS cluster_id,
-           d.doc_id = LEAST(d.doc_id, coalesce(min(w.dst), d.doc_id)) AS keep
-         FROM documents d LEFT JOIN w ON w.src = d.doc_id
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
+           LEAST(d.doc_id, coalesce(c.lb, d.doc_id)) AS cluster_id,
+           d.doc_id = LEAST(d.doc_id, coalesce(c.lb, d.doc_id)) AS keep
+         FROM documents d LEFT JOIN cclab c ON c.node = d.doc_id
+         ORDER BY d.doc_id""",
     "q_contamination" ->
       """WITH sh AS (
            SELECT doc_id, source,
@@ -4007,7 +4004,7 @@ object TextOps {
     // connected components as a recursive-CTE transitive closure with
     // min-reachable labels — stage composition checked cross-engine.
     "q_dedup_pipeline" -> s"""
-         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         WITH ${minhashSigCtes(withSource = false)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
            FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
@@ -4025,11 +4022,8 @@ object TextOps {
          edges AS (
            SELECT ia AS src, ib AS dst FROM edges0
            UNION ALL SELECT ib, ia FROM edges0),
-         r(a, b) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
-         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a)
+         ${OracleCc.ccCtes("edges", "cclab")},
+         lab AS (SELECT node AS a, lb AS mn FROM cclab)
          SELECT d.doc_id,
            least(d.doc_id, coalesce(lab.mn, d.doc_id)) AS cluster_id,
            (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS keep
@@ -4038,7 +4032,7 @@ object TextOps {
     // the q_dedup_pipeline closure again; verdicts route through the
     // SAME ordered CASE both engines evaluate identically
     "q_clean_pipeline" -> s"""
-         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         WITH ${minhashSigCtes(withSource = false)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
            FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
@@ -4056,11 +4050,8 @@ object TextOps {
          edges AS (
            SELECT ia AS src, ib AS dst FROM edges0
            UNION ALL SELECT ib, ia FROM edges0),
-         r(a, b) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
-         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a),
+         ${OracleCc.ccCtes("edges", "cclab")},
+         lab AS (SELECT node AS a, lb AS mn FROM cclab),
          ndk AS (
            SELECT d.doc_id,
              (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS nd_keep
@@ -4091,7 +4082,7 @@ object TextOps {
     // same verdict chain; the final projection is the SURVIVOR SET the
     // WAP-published table must reproduce row-for-row
     "q_clean_publish" -> s"""
-         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         WITH ${minhashSigCtes(withSource = false)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
            FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
@@ -4109,11 +4100,8 @@ object TextOps {
          edges AS (
            SELECT ia AS src, ib AS dst FROM edges0
            UNION ALL SELECT ib, ia FROM edges0),
-         r(a, b) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
-         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a),
+         ${OracleCc.ccCtes("edges", "cclab")},
+         lab AS (SELECT node AS a, lb AS mn FROM cclab),
          ndk AS (
            SELECT d.doc_id,
              (d.doc_id = least(d.doc_id, coalesce(lab.mn, d.doc_id))) AS nd_keep
@@ -4144,7 +4132,7 @@ object TextOps {
     // the q_dedup_pipeline closure verbatim; the final projection hashes
     // the CLUSTER id to a side, so the whole component lands together
     "q_split_assign" -> s"""
-         WITH RECURSIVE ${minhashSigCtes(withSource = false)},
+         WITH ${minhashSigCtes(withSource = false)},
          cand AS (
            SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
            FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
@@ -4162,11 +4150,8 @@ object TextOps {
          edges AS (
            SELECT ia AS src, ib AS dst FROM edges0
            UNION ALL SELECT ib, ia FROM edges0),
-         r(a, b) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
-         lab AS (SELECT a, min(b) AS mn FROM r GROUP BY a),
+         ${OracleCc.ccCtes("edges", "cclab")},
+         lab AS (SELECT node AS a, lb AS mn FROM cclab),
          asg AS (
            SELECT d.doc_id,
              least(d.doc_id, coalesce(lab.mn, d.doc_id)) AS cluster_id

@@ -1456,7 +1456,7 @@ object Vectors {
     // clusters by recursive-CTE closure with min-reachable labels (the
     // q_graph_cc formulation), border attach = min adjacent core label.
     "q_dbscan" ->
-      s"""WITH RECURSIVE qe AS MATERIALIZED (
+      s"""WITH qe AS MATERIALIZED (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
            FROM embeddings),
@@ -1480,14 +1480,11 @@ object Vectors {
            SELECT e.src, e.dst FROM edges e
            JOIN core a ON a.vec_id = e.src
            JOIN core b ON b.vec_id = e.dst),
-         w(src, dst) AS (
-           SELECT src, dst FROM ce
-           UNION
-           SELECT w.src, ce.dst FROM w JOIN ce ON w.dst = ce.src),
+         ${OracleCc.ccCtes("ce", "cclab")},
          lab AS MATERIALIZED (
            SELECT c.vec_id,
-             LEAST(c.vec_id, coalesce(min(w.dst), c.vec_id)) AS core_cl
-           FROM core c LEFT JOIN w ON w.src = c.vec_id GROUP BY 1),
+             LEAST(c.vec_id, coalesce(cl.lb, c.vec_id)) AS core_cl
+           FROM core c LEFT JOIN cclab cl ON cl.node = c.vec_id),
          border AS (
            SELECT e.src AS vec_id, CAST(min(l.core_cl) AS BIGINT) AS b_cl
            FROM edges e JOIN lab l ON l.vec_id = e.dst

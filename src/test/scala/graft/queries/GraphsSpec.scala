@@ -407,6 +407,61 @@ class GraphsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("early exit: converged loops stop early with byte-identical output") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // BFS on a 2-hop path: saturates at pass 2, pass 3 detects
+    // stability (count unchanged), passes 4..10 are skipped. First-
+    // reach equivalence: a capped-at-10 run can't differ because a
+    // reached node's dist never improves after its first reach.
+    val path = sym(Seq((0L, 1L), (1L, 2L)))
+    val seeds = Seq(0L).toDF("node")
+    val bfsN = new AtomicInteger
+    val bfs = Graphs.bfsOnEdges(path, seeds, hops = 10, passCount = bfsN)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(bfsN.get < 10, s"bfs ran ${bfsN.get} of 10 passes — no early exit")
+    // SSSP: (count, sum) stability — keys only added, relaxations only
+    // decrease the sum, so equality of both = exact state equality
+    val wpath = (Seq((0L, 1L, 5L), (1L, 2L, 7L)) ++
+      Seq((1L, 0L, 5L), (2L, 1L, 7L))).toDF("src", "dst", "w")
+    val ssspN = new AtomicInteger
+    val sssp = Graphs.ssspOnEdges(wpath, seeds, passes = 10, passCount = ssspN)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sssp === Map(0L -> 0L, 1L -> 5L, 2L -> 12L))
+    assert(ssspN.get < 10, s"sssp ran ${ssspN.get} of 10 passes")
+    // PageRank on a 2-regular ring: the uniform vector is the exact
+    // integer fixpoint from pass 1, so pass 2 detects rank_k == rank_{k-1}
+    // and the remaining 8 are skipped — output equals the 10-pass run
+    // because the pass map is deterministic (f(x)=x thereafter)
+    val ring = sym((0L until 6L).map(i => (i, (i + 1) % 6L)))
+    val prN = new AtomicInteger
+    val pr = Graphs.pageRankOnEdges(ring, 10, passCount = prN)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.values.toSeq.distinct.length === 1)
+    assert(prN.get < 10, s"pagerank ran ${prN.get} of 10 passes")
+    // LPA on a triangle: all labels collapse to the min in one pass,
+    // stability detected on the next; oscillating graphs simply never
+    // trip the exact stability probe and run the full fixed count
+    val tri = sym(Seq((0L, 1L), (1L, 2L), (0L, 2L)))
+    val lpN = new AtomicInteger
+    val lp = Graphs.labelPropOnEdges(tri, 10, passCount = lpN)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    assert(lpN.get < 10, s"lpa ran ${lpN.get} of 10 passes")
+  }
+
+  test("early exit: non-converged loops still run every pass") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // a 12-node path from seed 0: every one of 5 hops reaches a new
+    // node, so no pass may be skipped (the cap IS the judged semantic)
+    val longPath = sym((0L until 11L).map(i => (i, i + 1)))
+    val n = new AtomicInteger
+    val bfs = Graphs.bfsOnEdges(longPath, Seq(0L).toDF("node"), hops = 5,
+      passCount = n).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n.get === 5, s"frontier still growing — all 5 passes must run, got ${n.get}")
+    assert(bfs === (0L to 5L).map(i => i -> i).toMap)
+  }
+
   test("butterfly: top pairs re-derived from raw (customer, part) edges") {
     val cp = graft.Tables.lineitem(spark, sfDir)
       .join(graft.Tables.orders(spark, sfDir),

@@ -13,6 +13,7 @@ match (that dtype gap cost 16 queries in round 1; the old %.10g
 normalization here hid it).
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -66,6 +67,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # bound DuckDB and spill to disk: the sf0.1 sweeps' big CTE chains
+    # (minhash sig pipelines) otherwise chase the default 80%-of-RAM
+    # limit into allocator thrash and take the python process down with
+    # them (malloc failures mid-sweep)
+    con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '32GB')}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
