@@ -29,17 +29,23 @@ private[graft] object OracleCc {
     * they did against the recursive closure. */
   def ccCtes(edgesCte: String, outName: String, rounds: Int = 10): String = {
     val sb = new StringBuilder
+    // snapshot the caller's edge CTE ONCE: the chain references the
+    // edge set ~rounds+2 times, and DuckDB INLINES non-materialized
+    // CTEs per reference — without this, a plain `edges` CTE re-runs
+    // its whole upstream pipeline (minhash sig + jaccard verify) a
+    // dozen times and the sf0.1 sweep times out
     sb.append(
-      s"""cc_l0 AS MATERIALIZED (
+      s"""cc_e AS MATERIALIZED (SELECT src, dst FROM $edgesCte),
+         cc_l0 AS MATERIALIZED (
            SELECT src AS node, LEAST(src, min(dst)) AS lb
-           FROM $edgesCte GROUP BY src)""")
+           FROM cc_e GROUP BY src)""")
     var prev = "cc_l0"
     for (k <- 1 to rounds) {
       sb.append(
         s""",
          cc_h$k AS MATERIALIZED (
            SELECT e.src AS node, LEAST(l.lb, min(m.lb)) AS lb
-           FROM $edgesCte e
+           FROM cc_e e
            JOIN $prev l ON l.node = e.src
            JOIN $prev m ON m.node = e.dst
            GROUP BY e.src, l.lb),
@@ -51,7 +57,7 @@ private[graft] object OracleCc {
       s""",
          cc_chk AS MATERIALIZED (
            SELECT e.src AS node, LEAST(l.lb, min(m.lb)) AS lb
-           FROM $edgesCte e
+           FROM cc_e e
            JOIN $prev l ON l.node = e.src
            JOIN $prev m ON m.node = e.dst
            GROUP BY e.src, l.lb),

@@ -3638,12 +3638,20 @@ object TextOps {
                            string_split(text, ' ')[i+1], ' ',
                            string_split(text, ' ')[i+2]))) AS s
            FROM documents),
+         shu AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         cand AS (
+           -- EXACT inverted-index prefilter: jaccard >= 0.5 needs at
+           -- least one shared shingle, so the equi-join on shingles is
+           -- a candidate SUPERSET (the all-pairs cross was O(n^2)
+           -- list_intersects and timed out the sf0.1 sweep)
+           SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+           FROM shu a JOIN shu b ON a.tok = b.tok AND a.doc_id < b.doc_id),
          pairs AS (
-           SELECT a.doc_id AS ia, b.doc_id AS ib
-           FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND len(list_intersect(a.s, b.s)) > 0
-             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           SELECT c.ia, c.ib
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.ia
+           JOIN sh b ON b.doc_id = c.ib
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
          edges AS (SELECT ia AS src, ib AS dst FROM pairs
                    UNION ALL SELECT ib, ia FROM pairs),

@@ -1691,6 +1691,14 @@ final class GraftTable(val dir: HPath) {
       bloom = f.bloom.map(b => dir.resolve(b).toString))
     def absE(f: EqDeleteFile) = f.copy(path = dir.resolve(f.path).toString)
     val t = cat.createTable(qualified, m.sparkSchema(m.currentSchemaId))
+    // The clone's first snapshot keeps the SOURCE's current snapshot id
+    // (not 1): borrowed files and eq-delete entries carry source-era
+    // sequence numbers (seq = the source snapshot id that committed
+    // them, all <= cur.snapshotId), and appendSnapshot derives the next
+    // seq from max(snapshot ids) + 1 — restarting at 1 would stamp
+    // post-clone appends with seqs BELOW borrowed eq-deletes, which
+    // would then silently eat the new rows (Iceberg v2's rule: an
+    // eq-delete applies only to files with a smaller sequence).
     TableMeta.commitRetry(t.dir) { base =>
       base.copy(
         schemas = m.schemas,
@@ -1699,11 +1707,12 @@ final class GraftTable(val dir: HPath) {
         partitionFields = m.partitionFields,
         sortOrderIds = m.sortOrderIds,
         tableProperties = m.tableProperties,
-        snapshots = Seq(Snapshot(1L, None, System.currentTimeMillis(), "append",
+        snapshots = Seq(Snapshot(cur.snapshotId, None,
+          System.currentTimeMillis(), "append",
           cur.manifest.map(absD),
           deleteFiles = cur.deleteFiles.map(_.map(absD)),
           eqDeleteFiles = cur.eqDeleteFiles.map(_.map(absE)))),
-        currentSnapshotId = Some(1L))
+        currentSnapshotId = Some(cur.snapshotId))
     }
     new GraftTable(t.dir)
   }

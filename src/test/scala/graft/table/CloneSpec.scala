@@ -118,6 +118,22 @@ class CloneSpec extends SparkTestBase {
       "clone read must not re-apply the eq-delete to the newer append")
   }
 
+  test("borrowed eq-deletes never eat the clone's own post-clone appends") {
+    import spark.implicits._
+    val cat = mkCat()
+    val src = cat.createTable("db.src_eq2", schema)
+    src.append(rows(0 until 10, "a"))
+    src.deleteMoREquality(spark, Seq(5L).toDF("k"))
+    val clone = src.cloneTo(cat, "db.cl_eq2")
+    // re-introduce the deleted key ON THE CLONE: the new file's seq
+    // must outrank the borrowed eq-delete's source-era seq (the clone's
+    // snapshot counter continues from the source's, it doesn't restart)
+    clone.append(rows(5 until 6, "reborn"))
+    assert(keys(clone.read(spark)) === ((0L until 10L).filterNot(_ == 5L) :+ 5L).sorted,
+      "the clone's own append must not be eaten by a borrowed eq-delete")
+    assert(keys(src.read(spark)) === (0L until 10L).filterNot(_ == 5L))
+  }
+
   test("cloning an empty table fails loudly") {
     val cat = mkCat()
     val src = cat.createTable("db.src_empty", schema)
