@@ -1992,6 +1992,46 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** SEQUENCE PACKING — the step between a cleaned corpus and a
+    * training run: concatenate documents (whitespace tokens here) in a
+    * deterministic order and cut the stream into fixed-length training
+    * sequences of SEQ_PACK_LEN tokens. Each document is assigned to
+    * the sequence containing its START offset (document-level packing
+    * with overflow, the simple packer; T5/GPT pipelines' split-doc
+    * variant shares the same offset arithmetic). Judged output: one
+    * row per (source, seq_id) with doc count, token sum, the id span,
+    * and the tokens that spill past the sequence boundary — all exact
+    * BIGINTs (start offsets are prefix sums of token counts; seq_id =
+    * start div L; both engines floor non-negative division
+    * identically).
+    *
+    * Scale shape: ONE window per source partition (prefix sum ordered
+    * by doc_id) then a map-side-combinable aggregate on (source,
+    * seq_id) — the packing shuffle real pipelines pay, per-source
+    * partition-local exactly like distributed packers (global stream
+    * order across sources would serialize the corpus; per-shard
+    * packing is the standard). No collect, no iteration; the window
+    * state is one running BIGINT per partition. */
+  private[graft] val SEQ_PACK_LEN = 256L
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start div ${SEQ_PACK_LEN}L"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        greatest(lit(0L),
+          max(col("start") + col("n_tok")) -
+            (col("seq_id") + 1L) * SEQ_PACK_LEN).as("overflow_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** TOKEN-BUDGET WATER-FILL — the third mixture stage after
     * q_mix_weights (prices flattening) and q_mixture_sample (executes
     * per-language keep rules): allocate a FIXED global token budget
@@ -2767,6 +2807,7 @@ object TextOps {
     "q_mixture_sample"   -> mixtureSample,
     "q_mix_weights"      -> mixWeights,
     "q_token_budget"     -> tokenBudget,
+    "q_seq_pack"         -> seqPack,
     "q_repetition"       -> repetition,
     "q_train_shuffle"    -> trainShuffle,
     "q_pack_sequences"   -> packSequences,
@@ -3415,6 +3456,25 @@ object TextOps {
          FROM per CROSS JOIN tot ORDER BY lang""",
     // same ascending-capacity water-fill, cross-multiplied capping
     // criterion, and largest-remainder split in BIGINTs end-to-end
+    "q_seq_pack" ->
+      """WITH toks AS (
+           SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         offs AS (
+           SELECT source, doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS start
+           FROM toks)
+         SELECT source, start // 256 AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           greatest(CAST(0 AS BIGINT),
+             max(start + n_tok) - ((start // 256) + 1) * 256) AS overflow_tokens
+         FROM offs GROUP BY source, start // 256
+         ORDER BY source, seq_id""",
     "q_token_budget" ->
       """WITH per AS (
            SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap_tokens

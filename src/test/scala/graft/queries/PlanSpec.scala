@@ -414,6 +414,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("seq_pack's prefix-sum window partitions by source — packing never goes global") {
+    val p = plan(TextOps.seqPack(spark, sfDir))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).toSeq
+    assert(specs.nonEmpty, s"expected a window in the plan:\n$p")
+    specs.foreach { m =>
+      assert(m.group(1).contains("source"),
+        s"window without source partition: ${m.matched}\n$p")
+    }
+  }
+
   test("dbscan ε-graph is a pivot-partitioned equi-join — no nested-loop, no cartesian") {
     val p = plan(Vectors.dbscanEpsPairs(spark, Vectors.dbscanQuantized(spark, sfDir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1188,4 +1188,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows.exists(_.getBoolean(2)) || caps.values.toSet.size == 1,
       "skewed corpus should cap at least one small source")
   }
+
+  test("seqPack: per-source offset packing re-derived in plain Scala") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ").length.toLong))
+    val L = TextOps.SEQ_PACK_LEN
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var off = 0L
+      val assigned = ds.sortBy(_._2).map { case (_, id, n) =>
+        val start = off; off += n; (start / L, id, n, start + n)
+      }
+      assigned.groupBy(_._1).map { case (seq, rows) =>
+        (src, seq, rows.length.toLong, rows.map(_._3).sum,
+          rows.map(_._2).min, rows.map(_._2).max,
+          math.max(0L, rows.map(_._4).max - (seq + 1) * L))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.seqPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want)
+    assert(want.exists(_._7 > 0), "fixture should exercise boundary overflow")
+    assert(want.exists(_._3 > 1), "fixture should pack multiple docs per sequence")
+  }
 }
