@@ -115,6 +115,27 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** DEEP CLONE under destructive source maintenance: snapshot-export
+    * the MoR state (positional delete included), then compact + expire
+    * the SOURCE — physically GC'ing every file the export was taken
+    * from. The judged read is the deep clone AFTER that destruction:
+    * equality proves full physical independence, exactly the case the
+    * documented shallow-clone hazard loses data in. */
+  def tableDeepClone(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("deep_clone", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val src = cat.createTable("db.orders_src", ordersSchema)
+      src.append(Tables.orders(s, d))
+      src.deleteMoR(s, col("o_orderstatus") === "F")
+      val deep = src.deepCloneTo(cat, "db.orders_deep")
+      src.rewriteDataFiles(s, targetFiles = 1)
+      src.expireSnapshots(System.currentTimeMillis() + 60000L, retainLast = 1)
+      deep
+    }
+    ordered(t.read(s))
+  }
+
   /** C3 time travel: snapshot 1 still holds the deleted rows — reading it
     * must reproduce the FULL source table (the README.md:258 "magic"). */
   def tableTimeTravel(s: SparkSession, d: String): DataFrame =
@@ -1151,7 +1172,8 @@ object TableQueries {
     "q_table_manifest_rewrite" -> tableManifestRewrite,
     "q_table_incremental"     -> tableIncremental,
     "q_table_csv_ingest"      -> tableCsvIngest,
-    "q_table_clone"           -> tableClone)
+    "q_table_clone"           -> tableClone,
+    "q_table_deep_clone"      -> tableDeepClone)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
     * manifest statistics (GraftTable.metaAggregate) — the scan-free
@@ -1356,6 +1378,7 @@ object TableQueries {
     "q_table_csv_ingest" -> orderedOrdersSql.format(""),
     // zero-copy clone of the append+delete fixture == the source read
     "q_table_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_deep_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),
     "q_table_evolution" ->

@@ -97,6 +97,16 @@ object GraftIO {
 
   def mkdirs(p: HPath): Unit = { fs(p).mkdirs(p); () }
 
+  /** Byte-copy one file (overwrites an existing destination; creates
+    * parent dirs). Driver-side — callers that copy a whole manifest at
+    * scale fan the file list out as a job instead (deepCloneTo docs). */
+  def copyFile(src: HPath, dst: HPath): Unit = {
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs(src), src, fs(dst), dst, /* deleteSource = */ false,
+      /* overwrite = */ true, conf)
+    ()
+  }
+
   /** Delete one path (no error if absent). Local paths short-circuit to
     * nio (same rationale as `write`: ChecksumFileSystem adds a `.crc`
     * sidecar probe + delete per call) — but any `.crc` sidecar a

@@ -358,7 +358,10 @@ final class GraftTable(val dir: HPath) {
       else {
         val base = readFiles(spark, m, s.manifest, withPos = true)
         val posApplied = deleteEntries(spark, s)
-          .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
+          .fold(base)(d => base
+            .withColumn("_graft_dfp", substring_index(col("_graft_fp"), "/data/", -1))
+            .join(d, Seq("_graft_dfp", "_graft_pos"), "left_anti")
+            .drop("_graft_dfp"))
         applyEqDeletes(spark, s, posApplied).drop("_graft_fp", "_graft_pos")
       }
     }
@@ -428,16 +431,24 @@ final class GraftTable(val dir: HPath) {
       .dropDuplicates()
   }
 
-  /** The snapshot's merge-on-read delete entries as (_graft_fp,
+  /** The snapshot's merge-on-read delete entries as (_graft_dfp,
     * _graft_pos), or None when it has no delete files. File paths were
-    * recorded from `_metadata.file_path` at delete time, so they join
-    * exactly against the same expression at read time. */
+    * recorded from `_metadata.file_path` at delete time; the join key
+    * is the suffix after the table's "/data/" dir (the applyEqDeletes
+    * normalization) so entries keep applying when the physical
+    * location legitimately moves — a deep clone byte-copies data AND
+    * delete files, and the relative layout is what both sides share.
+    * Entries over externally-registered files (no "/data/" in the
+    * URI) fall back to the full recorded URI, which only matches while
+    * the file stays in place — deepCloneTo refuses that combination
+    * loudly. */
   private def deleteEntries(spark: SparkSession, snap: Snapshot): Option[DataFrame] = {
     val dels = snap.allDeleteFiles
     if (dels.isEmpty) None
     else Some(
       spark.read.parquet(dels.map(f => dir.resolve(f.path).toString): _*)
-        .select(col("file_path").as("_graft_fp"), col("pos").as("_graft_pos")))
+        .select(substring_index(col("file_path"), "/data/", -1).as("_graft_dfp"),
+          col("pos").as("_graft_pos")))
   }
 
   /** MoR-merged live rows of `files` under the current snapshot, KEEPING
@@ -447,7 +458,10 @@ final class GraftTable(val dir: HPath) {
     if (files.isEmpty) return readFiles(spark, m, Nil)
     val base = readFiles(spark, m, files, withPos = true)
     val posApplied = m.currentSnapshot.flatMap(deleteEntries(spark, _))
-      .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
+      .fold(base)(d => base
+            .withColumn("_graft_dfp", substring_index(col("_graft_fp"), "/data/", -1))
+            .join(d, Seq("_graft_dfp", "_graft_pos"), "left_anti")
+            .drop("_graft_dfp"))
     m.currentSnapshot.fold(posApplied)(applyEqDeletes(spark, _, posApplied))
   }
 
@@ -1588,7 +1602,10 @@ final class GraftTable(val dir: HPath) {
             val base = readFiles(spark, m, prevManifest, withPos = true)
             val prevSnap = snaps(i - 1)
             val posApplied = deleteEntries(spark, prevSnap)
-              .fold(base)(d => base.join(d, Seq("_graft_fp", "_graft_pos"), "left_anti"))
+              .fold(base)(d => base
+            .withColumn("_graft_dfp", substring_index(col("_graft_fp"), "/data/", -1))
+            .join(d, Seq("_graft_dfp", "_graft_pos"), "left_anti")
+            .drop("_graft_dfp"))
             applyEqDeletes(spark, prevSnap, posApplied)
           }
           val matched = newEqFiles.map { ed =>
@@ -1712,6 +1729,70 @@ final class GraftTable(val dir: HPath) {
           cur.manifest.map(absD),
           deleteFiles = cur.deleteFiles.map(_.map(absD)),
           eqDeleteFiles = cur.eqDeleteFiles.map(_.map(absE)))),
+        currentSnapshotId = Some(cur.snapshotId))
+    }
+    new GraftTable(t.dir)
+  }
+
+  /** DEEP CLONE (Iceberg snapshot export / Delta `CLONE` without
+    * SHALLOW): materialize the current snapshot into a FULLY
+    * INDEPENDENT table — every referenced data / delete / eq-delete /
+    * bloom file is byte-copied under the clone's own dir and the
+    * manifest stays table-relative, so no destructive maintenance on
+    * the source (compaction + expire GC, the documented shallow-clone
+    * hazard) can ever touch the clone. Cost is O(data) by definition;
+    * at cluster scale the byte copy fans out as a job over the file
+    * list (embarrassingly parallel, manifest-sized planning) — here it
+    * runs driver-side over the fixture-sized manifest. Sources whose
+    * manifests carry ABSOLUTE entries (a shallow clone, an add_files
+    * registration) are normalized to fresh relative paths, so a deep
+    * clone of a shallow clone fully detaches it. Sequence numbers and
+    * the snapshot id are preserved (the cloneTo rationale: seq order
+    * decides eq-delete applicability). */
+  def deepCloneTo(cat: GraftCatalog, qualified: String): GraftTable = {
+    val m = meta
+    val cur = m.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"cannot clone empty table ${m.name}"))
+    def isAbs(p: String) = p.startsWith("/") || p.contains(":/")
+    // positional delete entries record scan URIs; for "data/"-relative
+    // files the suffix-normalized join (deleteEntries) survives the
+    // copy, but externally-registered absolute entries have no stable
+    // suffix to remap — refuse loudly instead of silently un-applying
+    // the deletes on the clone
+    require(cur.deleteFiles.forall(_.isEmpty) ||
+        !cur.manifest.exists(f => isAbs(f.path)),
+      "deep clone with positional deletes over externally-registered " +
+        "(absolute-path) data files is unsupported — run rewriteDataFiles first")
+    val t = cat.createTable(qualified, m.sparkSchema(m.currentSchemaId))
+    var n = 0
+    def rel(p: String): String =
+      if (!isAbs(p)) p
+      else { n += 1; s"data/deep-$n-${new HPath(p).getName}" }
+    def copy(p: String): String = {
+      val r = rel(p)
+      GraftIO.copyFile(dir.resolve(p), t.dir.resolve(r))
+      r
+    }
+    def deepD(f: DataFile) = f.copy(path = copy(f.path), bloom = f.bloom.map(copy))
+    def deepE(f: EqDeleteFile) = f.copy(path = copy(f.path))
+    // copy BEFORE the commit closure: commitRetry may run its update
+    // more than once, and the byte copies are side effects (re-running
+    // them would mint fresh deep-N names per attempt and strand the
+    // previous attempt's copies)
+    val manifest = cur.manifest.map(deepD)
+    val deletes = cur.deleteFiles.map(_.map(deepD))
+    val eqDeletes = cur.eqDeleteFiles.map(_.map(deepE))
+    TableMeta.commitRetry(t.dir) { base =>
+      base.copy(
+        schemas = m.schemas,
+        currentSchemaId = m.currentSchemaId,
+        lastColumnId = m.lastColumnId,
+        partitionFields = m.partitionFields,
+        sortOrderIds = m.sortOrderIds,
+        tableProperties = m.tableProperties,
+        snapshots = Seq(Snapshot(cur.snapshotId, None,
+          System.currentTimeMillis(), "append",
+          manifest, deleteFiles = deletes, eqDeleteFiles = eqDeletes)),
         currentSnapshotId = Some(cur.snapshotId))
     }
     new GraftTable(t.dir)

@@ -134,6 +134,45 @@ class CloneSpec extends SparkTestBase {
     assert(keys(src.read(spark)) === (0L until 10L).filterNot(_ == 5L))
   }
 
+  test("deep clone survives destructive source maintenance (the shallow hazard)") {
+    import spark.implicits._
+    val cat = mkCat()
+    val src = cat.createTable("db.src_deep", schema)
+    src.append(rows(0 until 60, "a"))
+    src.deleteMoR(spark, col("k") < 5)                       // positional delete
+    src.deleteMoREquality(spark, Seq(55L).toDF("k"))         // equality delete
+    val want = keys(src.read(spark))
+    assert(want === ((5L until 60L).filterNot(_ == 55L)))
+    val deep = src.deepCloneTo(cat, "db.cl_deep")
+    assert(dataFiles(deep).nonEmpty, "deep clone must own physical copies")
+    assert(keys(deep.read(spark)) === want)
+    // destroy the source: CoW rewrite + expire physically GCs every
+    // original file — the exact sequence that breaks a shallow clone
+    src.rewriteDataFiles(spark, targetFiles = 1)
+    src.expireSnapshots(System.currentTimeMillis() + 60000L, retainLast = 1)
+    assert(keys(deep.read(spark)) === want,
+      "deep clone must be independent of source GC")
+    // and the clone's manifest is fully relative: nothing points home
+    assert(deep.meta.currentSnapshot.get.manifest.forall(f =>
+      !f.path.startsWith("/") && !f.path.contains(":/")))
+  }
+
+  test("deep clone refuses absolute-entry sources with positional deletes") {
+    import spark.implicits._
+    val cat = mkCat()
+    val src = cat.createTable("db.src_deepabs", schema)
+    src.append(rows(0 until 10, "a"))
+    val shallow = src.cloneTo(cat, "db.cl_shal")     // absolute borrowed entries
+    shallow.deleteMoR(spark, col("k") === 1L)        // positional delete on them
+    val e = intercept[IllegalArgumentException](
+      shallow.deepCloneTo(cat, "db.cl_deepabs"))
+    assert(e.getMessage.contains("rewriteDataFiles"))
+    // the documented remedy works: compact, then deep clone succeeds
+    shallow.rewriteDataFiles(spark, targetFiles = 1)
+    val deep = shallow.deepCloneTo(cat, "db.cl_deepabs2")
+    assert(keys(deep.read(spark)) === (0L until 10L).filterNot(_ == 1L))
+  }
+
   test("cloning an empty table fails loudly") {
     val cat = mkCat()
     val src = cat.createTable("db.src_empty", schema)
