@@ -136,6 +136,35 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** remove_orphan_files under the judge's gate: plant crashed-writer
+    * debris (an unreferenced parquet + a staging .tmp in meta/), run
+    * the maintenance call with an in-the-future cutoff, and read the
+    * table back — the oracle equality proves the sweep removed ONLY
+    * debris (live data intact), and the fixture asserts the planted
+    * files are physically gone (a silent no-op sweep would read green
+    * otherwise). */
+  def tableOrphanCleanup(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("orphan_cleanup", d) {
+      val src = ordersFixture(s, d)
+      val debris = src.localDir.resolve("data").resolve("w-debris")
+      java.nio.file.Files.createDirectories(debris)
+      Tables.orders(s, d).limit(7).write.mode("overwrite")
+        .parquet(debris.resolve("crashed").toString)
+      val tmp = src.localDir.resolve("meta").resolve("v99-crashed.tmp")
+      java.nio.file.Files.writeString(tmp, "{}")
+      val removed = src.removeOrphanFiles(
+        olderThanMs = System.currentTimeMillis() + 60000L)
+      require(removed.nonEmpty, "sweep must report the planted debris")
+      require(!java.nio.file.Files.exists(tmp),
+        "staging debris must be physically gone")
+      require(!java.nio.file.Files.exists(debris.resolve("crashed")) ||
+        java.nio.file.Files.list(debris.resolve("crashed")).count() == 0L,
+        "crashed-writer parquet must be physically gone")
+      src
+    }
+    ordered(t.read(s))
+  }
+
   /** C3 time travel: snapshot 1 still holds the deleted rows — reading it
     * must reproduce the FULL source table (the README.md:258 "magic"). */
   def tableTimeTravel(s: SparkSession, d: String): DataFrame =
@@ -1173,7 +1202,8 @@ object TableQueries {
     "q_table_incremental"     -> tableIncremental,
     "q_table_csv_ingest"      -> tableCsvIngest,
     "q_table_clone"           -> tableClone,
-    "q_table_deep_clone"      -> tableDeepClone)
+    "q_table_deep_clone"      -> tableDeepClone,
+    "q_table_orphan_cleanup"  -> tableOrphanCleanup)
 
   /** Metadata-only aggregates: COUNT(*)/MIN/MAX served straight from
     * manifest statistics (GraftTable.metaAggregate) — the scan-free
@@ -1379,6 +1409,7 @@ object TableQueries {
     // zero-copy clone of the append+delete fixture == the source read
     "q_table_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_deep_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_orphan_cleanup" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),
     "q_table_evolution" ->

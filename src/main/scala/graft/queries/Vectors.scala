@@ -276,6 +276,35 @@ object Vectors {
       .orderBy(col("iq"))
   }
 
+  /** NDCG@5 over the same k-NN retrieval — the graded-position ranking
+    * metric next to q_retrieval_eval's P@k/MRR, computed with EXACT
+    * INTEGER rank weights: wᵣ = round(10⁶ / log2(r+1)) is a 5-entry
+    * literal shared verbatim by both engines, so DCG and IDCG are
+    * exact BIGINT sums (no cross-engine log()/pow() in the hot path)
+    * and ndcg = DCG/IDCG is ONE float division per query row — the
+    * cosine-family float policy. IDCG uses the weight prefix sums at
+    * min(n_rel, k), the binary-relevance ideal. */
+  private[graft] val NDCG_W = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+  def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val wLit = typedLit(NDCG_W)
+    val pLit = typedLit(NDCG_W.scanLeft(0L)(_ + _).tail)
+    knnJoin(s, d)
+      .join(broadcast(labels.select(col("vec_id").as("iq"), col("label").as("q_label"))), Seq("iq"))
+      .join(broadcast(labels.select(col("vec_id").as("ic"), col("label").as("c_label"))), Seq("ic"))
+      .groupBy(col("iq"))
+      .agg(
+        sum(when(col("q_label") === col("c_label"),
+          element_at(wLit, col("rk").cast(IntegerType))).otherwise(0L)).as("dcg_i"),
+        sum(when(col("q_label") === col("c_label"), 1L).otherwise(0L)).as("n_rel"))
+      .select(col("iq"), col("n_rel"), col("dcg_i"),
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(col("dcg_i").cast(DoubleType) /
+            element_at(pLit, col("n_rel").cast(IntegerType)).cast(DoubleType))
+          .as("ndcg"))
+      .orderBy(col("iq"))
+  }
+
   /** J7 extension — k-NN PSEUDO-LABELING (label spread): every
     * unlabeled vector takes the majority label of its k=5 nearest
     * LABELED neighbors by cosine — the semi-supervised bootstrap that
@@ -1316,6 +1345,7 @@ object Vectors {
     "q_cosine_pairs"  -> topKPairs,
     "q_knn_join"      -> knnJoin,
     "q_retrieval_eval" -> retrievalEval,
+    "q_ndcg"          -> ndcgEval,
     "q_label_spread"  -> labelSpread,
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
@@ -1665,6 +1695,38 @@ object Vectors {
            coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rk END) AS DOUBLE), 0.0)
              AS reciprocal_rank
          FROM scoredk GROUP BY iq ORDER BY iq""",
+    "q_ndcg" ->
+      """WITH q AS (
+           SELECT vec_id AS iq, embedding AS qe,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+           FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.iq, c.vec_id AS ic,
+             round(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * nq), 7) AS cos
+           FROM embeddings c, q WHERE c.vec_id % 50 <> 0),
+         ranked AS (
+           SELECT iq, ic,
+             CAST(row_number() OVER (PARTITION BY iq ORDER BY cos DESC, ic) AS INT) AS rk
+           FROM scored),
+         knn AS (SELECT iq, ic, rk FROM ranked WHERE rk <= 5),
+         w(rk, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853)),
+         p(n, pw) AS (VALUES (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607), (5, 2948460)),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         agg AS (
+           SELECT k.iq,
+             CAST(sum(CASE WHEN ql.label = cl.label THEN w.wt ELSE 0 END) AS BIGINT) AS dcg_i,
+             CAST(sum(CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+           FROM knn k
+           JOIN w ON w.rk = k.rk
+           JOIN lab ql ON ql.vec_id = k.iq
+           JOIN lab cl ON cl.vec_id = k.ic
+           GROUP BY k.iq)
+         SELECT a.iq, a.n_rel, a.dcg_i,
+           CASE WHEN a.n_rel = 0 THEN 0.0
+                ELSE CAST(a.dcg_i AS DOUBLE) / CAST(p.pw AS DOUBLE) END AS ndcg
+         FROM agg a LEFT JOIN p ON p.n = a.n_rel
+         ORDER BY a.iq""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS iq, embedding AS qe,
