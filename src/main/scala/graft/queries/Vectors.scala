@@ -305,6 +305,55 @@ object Vectors {
       .orderBy(col("iq"))
   }
 
+  /** MATRYOSHKA (prefix-dimension) retrieval quality — the MRL
+    * evaluation (Kusupati et al. 2022) that decides how far an
+    * embedding column can be truncated before retrieval degrades: per
+    * query, the top-5 under 16-dim and 32-dim PREFIX cosine are
+    * compared against the full 64-dim top-5, reporting overlap counts
+    * (exact BIGINTs) and recall fractions (one /5.0 per column, same
+    * op both engines). Ranks use the established knn determinism
+    * recipe (7-dp rounded cosine, ties to the lower candidate id).
+    *
+    * Scale shape: ONE corpus scan computes all three cosines per
+    * (query, candidate) pair under the broadcast query batch — prefix
+    * dots are sub-loops of the same row read, not extra scans — then
+    * three same-key windows rank the narrow (iq, ic, cos…) rows (one
+    * shuffle, three sorts) and the overlap is a row-level rank
+    * conjunction: no self-joins anywhere. */
+  def matryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    def pre(c: Column, dims: Int) = if (dims >= 64) c else slice(c, 1, dims)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("iq"), col("embedding").as("qe"),
+        norm2(col("embedding")).as("nq64"),
+        norm2(pre(col("embedding"), 32)).as("nq32"),
+        norm2(pre(col("embedding"), 16)).as("nq16"))
+    def cosAt(dims: Int, nq: String, nc: Column) =
+      round(dot(pre(col("ec"), dims), pre(col("qe"), dims)) / (nc * col(nq)), 7)
+    val scored = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("ic"), col("embedding").as("ec"))
+      .crossJoin(broadcast(q))
+      .select(col("iq"), col("ic"),
+        cosAt(64, "nq64", norm2(col("ec"))).as("c64"),
+        cosAt(32, "nq32", norm2(pre(col("ec"), 32))).as("c32"),
+        cosAt(16, "nq16", norm2(pre(col("ec"), 16))).as("c16"))
+    def w(c: String) = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("iq")).orderBy(col(c).desc, col("ic"))
+    scored
+      .withColumn("rk64", row_number().over(w("c64")))
+      .withColumn("rk32", row_number().over(w("c32")))
+      .withColumn("rk16", row_number().over(w("c16")))
+      .filter(col("rk64") <= 5)
+      .groupBy(col("iq"))
+      .agg(
+        sum(when(col("rk32") <= 5, 1L).otherwise(0L)).as("overlap_32"),
+        sum(when(col("rk16") <= 5, 1L).otherwise(0L)).as("overlap_16"))
+      .select(col("iq"), col("overlap_32"), col("overlap_16"),
+        (col("overlap_32").cast(DoubleType) / 5.0).as("recall_32"),
+        (col("overlap_16").cast(DoubleType) / 5.0).as("recall_16"))
+      .orderBy(col("iq"))
+  }
+
   /** J7 extension — k-NN PSEUDO-LABELING (label spread): every
     * unlabeled vector takes the majority label of its k=5 nearest
     * LABELED neighbors by cosine — the semi-supervised bootstrap that
@@ -1346,6 +1395,7 @@ object Vectors {
     "q_knn_join"      -> knnJoin,
     "q_retrieval_eval" -> retrievalEval,
     "q_ndcg"          -> ndcgEval,
+    "q_matryoshka"    -> matryoshka,
     "q_label_spread"  -> labelSpread,
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
@@ -1695,6 +1745,35 @@ object Vectors {
            coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rk END) AS DOUBLE), 0.0)
              AS reciprocal_rank
          FROM scoredk GROUP BY iq ORDER BY iq""",
+    "q_matryoshka" ->
+      """WITH q AS (
+           SELECT vec_id AS iq, embedding AS qe,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq64,
+             sqrt(list_sum(list_transform(embedding[1:32], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq32,
+             sqrt(list_sum(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq16
+           FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.iq, c.vec_id AS ic,
+             round(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * nq64), 7) AS c64,
+             round(list_sum(list_transform(range(1, 33), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding[1:32], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * nq32), 7) AS c32,
+             round(list_sum(list_transform(range(1, 17), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * nq16), 7) AS c16
+           FROM embeddings c, q WHERE c.vec_id % 50 <> 0),
+         ranked AS (
+           SELECT iq, ic,
+             CAST(row_number() OVER (PARTITION BY iq ORDER BY c64 DESC, ic) AS INT) AS rk64,
+             CAST(row_number() OVER (PARTITION BY iq ORDER BY c32 DESC, ic) AS INT) AS rk32,
+             CAST(row_number() OVER (PARTITION BY iq ORDER BY c16 DESC, ic) AS INT) AS rk16
+           FROM scored)
+         SELECT iq,
+           CAST(sum(CASE WHEN rk32 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_32,
+           CAST(sum(CASE WHEN rk16 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_16,
+           CAST(sum(CASE WHEN rk32 <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_32,
+           CAST(sum(CASE WHEN rk16 <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_16
+         FROM ranked WHERE rk64 <= 5
+         GROUP BY iq ORDER BY iq""",
     "q_ndcg" ->
       """WITH q AS (
            SELECT vec_id AS iq, embedding AS qe,
