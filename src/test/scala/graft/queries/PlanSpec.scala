@@ -431,6 +431,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("matryoshka ranks with per-query windows over one broadcast-joined scan") {
+    val p = plan(Vectors.matryoshka(spark, sfDir))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).toSeq
+    assert(specs.nonEmpty, s"expected ranking windows:\n$p")
+    specs.foreach(m => assert(m.group(1).contains("iq"),
+      s"window without per-query partition: ${m.matched}\n$p"))
+    // the query batch must broadcast — the corpus side never shuffles
+    // embeddings for scoring
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dbscan ε-graph is a pivot-partitioned equi-join — no nested-loop, no cartesian") {
     val p = plan(Vectors.dbscanEpsPairs(spark, Vectors.dbscanQuantized(spark, sfDir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
