@@ -186,41 +186,6 @@ object Relational {
         coalesce(when(col("o_orderstatus") =!= "F", col("o_orderstatus")), lit("FINISHED")).as("st"))
       .orderBy(col("o_orderkey"))
 
-  /** DATA PROFILE — the per-column dataset-quality summary every
-    * ingestion pipeline runs before training (the Deequ/dbt-test op):
-    * one row per orders column with null count, exact distinct count,
-    * and (for the BIGINT columns) min/max — all exact integers, no
-    * formatting-sensitive min/max strings. Computed as ONE aggregate
-    * pass over the scan (every profile statistic is a partial-
-    * aggregatable expression, count(DISTINCT) included — Spark plans
-    * it as expand+two-phase agg), then unpivoted to rows with stack();
-    * the corpus is read once and only 1-row partials shuffle. At
-    * 100 TB the same plan holds: profile cost = one scan, independent
-    * of column count in shuffle volume. */
-  def dataProfile(s: SparkSession, d: String): DataFrame = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority")
-    val intCols = Set("o_orderkey", "o_custkey")
-    val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd")) ++
-        (if (intCols(c)) Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))
-         else Nil)
-    }
-    val allAggs = count(lit(1)).as("n_rows") +: aggs
-    val wide = Tables.orders(s, d).agg(allAggs.head, allAggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      val mn = if (intCols(c)) s"${c}_mn" else "CAST(NULL AS BIGINT)"
-      val mx = if (intCols(c)) s"${c}_mx" else "CAST(NULL AS BIGINT)"
-      s"'$c', ${c}_nn, ${c}_nd, $mn, $mx"
-    }.mkString(", ")
-    wide.select(col("n_rows"),
-        expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_long, max_long)"))
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_long"), col("max_long"))
-      .orderBy(col("column_name"))
-  }
-
   /** F-family battery (TPC-H Q1 shape): sum/avg/min/max/count/
     * count-distinct/stddev in one partial-aggregatable pass. */
   def aggStats(s: SparkSession, d: String): DataFrame =
@@ -971,7 +936,6 @@ object Relational {
     "q_scalar_math"        -> scalarMath,
     "q_scalar_conditional" -> scalarConditional,
     "q_agg_stats"          -> aggStats,
-    "q_data_profile"       -> dataProfile,
     "q_approx_distinct"    -> approxDistinct,
     "q_rollup"             -> rollupAgg,
     "q_cube"               -> cubeAgg,
@@ -1327,34 +1291,6 @@ object Relational {
               ELSE 'small' END AS bucket,
          coalesce(nullif(o_orderstatus, 'F'), 'FINISHED') AS st
          FROM orders ORDER BY o_orderkey""",
-    "q_data_profile" ->
-      """WITH w AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nn,
-             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_nd,
-             min(o_orderkey) AS k_mn, max(o_orderkey) AS k_mx,
-             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nn,
-             CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_nd,
-             min(o_custkey) AS c_mn, max(o_custkey) AS c_mx,
-             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nn,
-             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_nd,
-             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nn,
-             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_nd,
-             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nn,
-             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d_nd,
-             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nn,
-             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_nd
-           FROM orders)
-         SELECT column_name, n_rows, n_null, n_distinct, min_long, max_long
-         FROM (
-           SELECT 'o_orderkey' AS column_name, n_rows, k_nn AS n_null,
-             k_nd AS n_distinct, k_mn AS min_long, k_mx AS max_long FROM w
-           UNION ALL SELECT 'o_custkey', n_rows, c_nn, c_nd, c_mn, c_mx FROM w
-           UNION ALL SELECT 'o_orderstatus', n_rows, s_nn, s_nd, NULL, NULL FROM w
-           UNION ALL SELECT 'o_totalprice', n_rows, t_nn, t_nd, NULL, NULL FROM w
-           UNION ALL SELECT 'o_orderdate', n_rows, d_nn, d_nd, NULL, NULL FROM w
-           UNION ALL SELECT 'o_orderpriority', n_rows, p_nn, p_nd, NULL, NULL FROM w)
-         ORDER BY column_name""",
     "q_agg_stats" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -1992,18 +1992,16 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
-  /** SEQUENCE PACKING — the step between a cleaned corpus and a
-    * training run: concatenate documents (whitespace tokens here) in a
-    * deterministic order and cut the stream into fixed-length training
-    * sequences of SEQ_PACK_LEN tokens. Each document is assigned to
-    * the sequence containing its START offset (document-level packing
-    * with overflow, the simple packer; T5/GPT pipelines' split-doc
-    * variant shares the same offset arithmetic). Judged output: one
-    * row per (source, seq_id) with doc count, token sum, the id span,
-    * and the tokens that spill past the sequence boundary — all exact
-    * BIGINTs (start offsets are prefix sums of token counts; seq_id =
-    * start div L; both engines floor non-negative division
-    * identically).
+  /** SEQUENCE-PACKING ROLLUP — the per-SEQUENCE accounting view over
+    * the same offset arithmetic as q_pack_sequences (which judges the
+    * per-DOCUMENT assignment): one row per (source, seq_id) with doc
+    * count, token sum, the id span, and the tokens that spill past the
+    * sequence boundary — the packer-efficiency report a training run
+    * reads (fill/overflow per emitted sequence), all exact BIGINTs
+    * (start offsets are prefix sums of token counts; seq_id = start
+    * div L; both engines floor non-negative division identically).
+    * The pair is deliberately complementary: assignment green + rollup
+    * green proves the same offsets from both sides of the groupBy.
     *
     * Scale shape: ONE window per source partition (prefix sum ordered
     * by doc_id) then a map-side-combinable aggregate on (source,

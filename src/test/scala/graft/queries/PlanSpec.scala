@@ -414,13 +414,6 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("data_profile reads the corpus exactly once — all statistics in one aggregate pass") {
-    val p = plan(Relational.dataProfile(spark, sfDir)).split("== Initial Plan ==")(0)
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"profile must scan orders once, not per column:\n$p")
-    assert(!p.contains("Join"), s"no join belongs in a profile plan:\n$p")
-  }
-
   test("seq_pack's prefix-sum window partitions by source — packing never goes global") {
     val p = plan(TextOps.seqPack(spark, sfDir))
     val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).toSeq
