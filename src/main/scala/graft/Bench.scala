@@ -49,10 +49,17 @@ object Bench {
     // regression inflates BOTH. (Round 10's driver artifact charged
     // ~50 s of burst contention to five specific queries and only a
     // judge re-run could exonerate them.)
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // the bean acquisition itself is guarded too: on a JVM whose platform
+    // bean doesn't implement the com.sun interface (J9, some GraalVM
+    // configs) the cast throws, and a probe failure must not abort the
+    // bench — cpu just reports -1 everywhere
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      try Some(java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean])
+      catch { case _: Throwable => None }
     def cpuNow(): Long =
-      try osBean.getProcessCpuTime catch { case _: Throwable => -1L }
+      try osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     // host-noise probe: one FIXED CPU-bound query (plan never changes
     // round to round) INTERLEAVED every ~n/12 queries — its per-position
     // timing brackets any blown-up query with a machine-readable noise
@@ -189,7 +196,15 @@ object Bench {
     val keptCpu = takeBudget(cpuDetail.take(kept.size), 350)
     val omitted = ok.size - kept.size
     val omittedSec = bySlow.drop(kept.size).map(_._2._1).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"cpu":${keptCpu.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"cpu":${keptCpu.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    println(line)
+    // the sbt runner appends its own "[success] Total time…" banner AFTER
+    // our stdout, so naive last-line parsing of the captured tail misses
+    // the metric line (every BENCH_r*.json carries parsed:null). Also
+    // persist the exact printed line at a fixed path a driver/judge can
+    // read without parsing sbt output at all.
+    try Files.writeString(Paths.get("target/bench_line.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -157,8 +157,15 @@ object TableQueries {
       require(removed.nonEmpty, "sweep must report the planted debris")
       require(!java.nio.file.Files.exists(tmp),
         "staging debris must be physically gone")
+      // Files.list requires close (leaks a directory fd otherwise —
+      // bounded here at once-per-corpus, but the bench driver is
+      // long-lived)
+      def dirEmpty(p: java.nio.file.Path): Boolean = {
+        val st = java.nio.file.Files.list(p)
+        try st.count() == 0L finally st.close()
+      }
       require(!java.nio.file.Files.exists(debris.resolve("crashed")) ||
-        java.nio.file.Files.list(debris.resolve("crashed")).count() == 0L,
+        dirEmpty(debris.resolve("crashed")),
         "crashed-writer parquet must be physically gone")
       src
     }

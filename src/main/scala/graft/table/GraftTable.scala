@@ -386,10 +386,7 @@ final class GraftTable(val dir: HPath) {
     // and a raw stripPrefix("data/") would miss them in the lookup →
     // coalesce to seq 0 → eq-deletes wrongly re-apply to files appended
     // AFTER the delete (silently dropping live rows on clone reads).
-    def relKey(p: String): String = {
-      val i = p.lastIndexOf("/data/")
-      if (i >= 0) p.substring(i + "/data/".length) else p.stripPrefix("data/")
-    }
+    def relKey(p: String): String = dataSuffix(p)
     val lookup = broadcast(
       snap.manifest.map(f => (relKey(f.path), f.seq.getOrElse(0L)))
         .toDF("_graft_rel", "_graft_seq"))
@@ -408,6 +405,26 @@ final class GraftTable(val dir: HPath) {
         acc("_graft_seq") < lit(ed.seq)
       acc.join(broadcast(keys), cond, "left_anti")
     }.drop("_graft_seq")
+  }
+
+  /** Suffix after the LAST "/data/" — the normalization shared by the
+    * eq-delete seq lookup and the positional-delete anti-join. A clone's
+    * borrowed absolute paths and writer-relative paths agree on it. */
+  private def dataSuffix(p: String): String = {
+    val i = p.lastIndexOf("/data/")
+    if (i >= 0) p.substring(i + "/data/".length) else p.stripPrefix("data/")
+  }
+
+  /** Delete matching keys on dataSuffix, so two DISTINCT manifest files
+    * sharing a suffix (possible only via externally-registered absolute
+    * paths whose basename collides with a writer file) would cross-apply
+    * each other's deletes at equal positions — silent row loss. Enforced
+    * before every delete-record commit; manifest-sized, driver-side. */
+  private def requireUniqueSuffixes(manifest: Seq[DataFile]): Unit = {
+    val dup = manifest.groupBy(f => dataSuffix(f.path)).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"delete refused: data files share a post-/data/ path suffix " +
+        s"(${dup.keys.take(3).mkString(", ")}) — rewriteDataFiles first")
   }
 
   /** An equality delete's key columns resolved to CURRENT schema names
@@ -920,6 +937,7 @@ final class GraftTable(val dir: HPath) {
     val (v, m) = TableMeta.load(dir)
     val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
     if (manifest.isEmpty) return
+    requireUniqueSuffixes(manifest)
     val entries = writeDeleteParquet("d",
       readLive(spark, m, manifest)
         .filter(coalesce(pred, lit(false)))
@@ -1782,7 +1800,16 @@ final class GraftTable(val dir: HPath) {
     val manifest = cur.manifest.map(deepD)
     val deletes = cur.deleteFiles.map(_.map(deepD))
     val eqDeletes = cur.eqDeleteFiles.map(_.map(deepE))
-    TableMeta.commitRetry(t.dir) { base =>
+    // if the commit ultimately fails the copies are debris in an
+    // arbitrary target warehouse (unlike Scratch fixtures) — sweep them
+    // best-effort before rethrowing
+    def sweepCopies(): Unit =
+      (manifest.flatMap(f => f.path +: f.bloom.toSeq) ++
+        deletes.toSeq.flatten.flatMap(f => f.path +: f.bloom.toSeq) ++
+        eqDeletes.toSeq.flatten.map(_.path)).foreach { p =>
+        try GraftIO.delete(t.dir.resolve(p)) catch { case _: Throwable => () }
+      }
+    try TableMeta.commitRetry(t.dir) { base =>
       base.copy(
         schemas = m.schemas,
         currentSchemaId = m.currentSchemaId,
@@ -1794,7 +1821,7 @@ final class GraftTable(val dir: HPath) {
           System.currentTimeMillis(), "append",
           manifest, deleteFiles = deletes, eqDeleteFiles = eqDeletes)),
         currentSnapshotId = Some(cur.snapshotId))
-    }
+    } catch { case e: Throwable => sweepCopies(); throw e }
     new GraftTable(t.dir)
   }
 
