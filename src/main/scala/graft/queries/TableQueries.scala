@@ -889,6 +889,29 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** D2, v3 DELETION-VECTOR flavor: same visible semantics as
+    * q_table_mor_delete and q_table_read's CoW delete (one oracle, three
+    * delete mechanisms — README.md:231's DELETE), but the delete state
+    * is ONE merged position bitmap per affected data file. TWO
+    * successive DV deletes land on the same files, so the second commit
+    * exercises the v3 supersede rule: it must MERGE the first vector's
+    * positions and replace it (asserted here: ≤1 vector per data file);
+    * DvSpec pins compaction fold, CDC delta exactness, GC retention and
+    * the codec round-trip. */
+  def tableDvDelete(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("dv", d) {
+      val t0 = plainFixture(s, d)
+      t0.deleteMoRDv(s, col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+      t0.deleteMoRDv(s, col("o_orderstatus") === "F")
+      val dvs = t0.meta.currentSnapshot.map(_.allDeleteVectors).getOrElse(Nil)
+      require(dvs.nonEmpty, "fixture must actually carry deletion vectors")
+      require(dvs.groupBy(_.dataPath).forall(_._2.size == 1),
+        "v3 invariant violated: a data file holds more than one vector")
+      t0
+    }
+    ordered(t.read(s))
+  }
+
   /** H2 compaction: rewrite_data_files must not change logical content. */
   def tableCompact(s: SparkSession, d: String): DataFrame = {
     val t = fixture("compact", d) {
@@ -1189,6 +1212,7 @@ object TableQueries {
     "q_table_partitions"      -> tablePartitions,
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete,
+    "q_table_dv"              -> tableDvDelete,
     "q_table_zorder"          -> tableZorder,
     "q_table_sql_update"      -> tableSqlUpdate,
     "q_table_sql_merge"       -> tableSqlMerge,
@@ -1418,6 +1442,7 @@ object TableQueries {
     "q_table_deep_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_orphan_cleanup" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_dv" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_time_travel" -> orderedOrdersSql.format(""),
     "q_table_evolution" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -320,7 +320,10 @@ final class GraftTable(val dir: HPath) {
             f.sizeBytes.getOrElse(-1L))) ++
         snap.map(_.allEqDeleteFiles).getOrElse(Nil).map(f =>
           ("equality_deletes", f.path, f.rows, 0,
-            Map("columns" -> f.columns.mkString(",")), -1L))
+            Map("columns" -> f.columns.mkString(",")), -1L)) ++
+        snap.map(_.allDeleteVectors).getOrElse(Nil).map(d =>
+          ("deletion_vector", d.path, d.cardinality, 0,
+            Map("data_file" -> d.dataPath), -1L))
       spark.createDataFrame(rows).toDF(
         "content", "file_path", "n_rows", "schema_id", "partition_values",
         "size_bytes")
@@ -353,7 +356,8 @@ final class GraftTable(val dir: HPath) {
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), m.sparkSchema(m.currentSchemaId))
     snap.filter(_.manifest.nonEmpty).fold(empty) { s =>
-      val needPos = s.allDeleteFiles.nonEmpty || s.allEqDeleteFiles.nonEmpty
+      val needPos = s.allDeleteFiles.nonEmpty || s.allEqDeleteFiles.nonEmpty ||
+        s.allDeleteVectors.nonEmpty
       if (!needPos) readFiles(spark, m, s.manifest)
       else {
         val base = readFiles(spark, m, s.manifest, withPos = true)
@@ -461,11 +465,32 @@ final class GraftTable(val dir: HPath) {
     * loudly. */
   private def deleteEntries(spark: SparkSession, snap: Snapshot): Option[DataFrame] = {
     val dels = snap.allDeleteFiles
-    if (dels.isEmpty) None
-    else Some(
-      spark.read.parquet(dels.map(f => dir.resolve(f.path).toString): _*)
-        .select(substring_index(col("file_path"), "/data/", -1).as("_graft_dfp"),
-          col("pos").as("_graft_pos")))
+    val posDf =
+      if (dels.isEmpty) None
+      else Some(
+        spark.read.parquet(dels.map(f => dir.resolve(f.path).toString): _*)
+          .select(substring_index(col("file_path"), "/data/", -1).as("_graft_dfp"),
+            col("pos").as("_graft_pos")))
+    (posDf, dvEntries(spark, snap.allDeleteVectors)) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
+  /** Deletion vectors decoded to the same (_graft_dfp, _graft_pos) shape
+    * the positional anti-join consumes. Decode is DISTRIBUTED — one task
+    * per vector, positions never gather on the driver (a predicate
+    * delete can mark billions of positions at 100 TB; the vector LIST is
+    * manifest-sized and fine to ship). */
+  private def dvEntries(spark: SparkSession, dvs: Seq[DeleteVector]): Option[DataFrame] = {
+    if (dvs.isEmpty) return None
+    import spark.implicits._
+    val dirStr = dir.toString
+    val pairs = dvs.map(d => (dataSuffix(d.dataPath), d.path))
+    Some(spark.createDataset(pairs)
+      .flatMap { case (sfx, rel) =>
+        Dv.read(new HPath(dirStr).resolve(rel)).map(p => (sfx, p)) }
+      .toDF("_graft_dfp", "_graft_pos"))
   }
 
   /** MoR-merged live rows of `files` under the current snapshot, KEEPING
@@ -686,7 +711,8 @@ final class GraftTable(val dir: HPath) {
         manifest = base.manifest ++ newFiles.map(f =>
           if (f.seq.isEmpty) f.copy(seq = Some(snapId)) else f),
         deleteFiles = base.deleteFiles,
-        eqDeleteFiles = base.eqDeleteFiles)
+        eqDeleteFiles = base.eqDeleteFiles,
+        deleteVectors = base.deleteVectors)
       fresh.copy(
         snapshots = fresh.snapshots :+ snap, // currentSnapshotId UNCHANGED
         refs = Some(fresh.allRefs + (branch -> SnapshotRef(snapId, branch = true))))
@@ -946,6 +972,58 @@ final class GraftTable(val dir: HPath) {
     if (entries.isEmpty) return // nothing matched; stray empty dir is inert
     TableMeta.commit(dir, v,
       appendSnapshot(m, "delete", manifest, carryDeletes(m) ++ entries))
+  }
+
+  /** D2, v3 flavor: DELETION VECTORS. Same observable semantics as
+    * deleteMoR, but the delete state is ONE compact bitmap per affected
+    * data file (Dv codec) instead of an ever-growing pile of positional
+    * parquet files. The v3 supersede rule: the new vector for a file
+    * MERGES the positions of the vector it replaces, so a snapshot never
+    * holds two vectors for one file and read cost is O(1) artifacts per
+    * file no matter how many delete commits occurred — the v2 pile grows
+    * per-commit and every read unions all of it. Vectors are written by
+    * executors (one task per affected file); only (path, cardinality)
+    * triples return to the driver. */
+  def deleteMoRDv(spark: SparkSession, pred: Column): Unit = {
+    val (v, m) = TableMeta.load(dir)
+    val manifest = m.currentSnapshot.map(_.manifest).getOrElse(Nil)
+    if (manifest.isEmpty) return
+    requireUniqueSuffixes(manifest)
+    val prior = m.currentSnapshot.map(_.allDeleteVectors).getOrElse(Nil)
+    val bySfx = manifest.map(f => dataSuffix(f.path) -> f.path).toMap
+    // readLive: rows already dead (prior vectors, positional files,
+    // eq-deletes) must not re-enter — new positions are disjoint from
+    // the superseded vector's by construction
+    val matched = readLive(spark, m, manifest)
+      .filter(coalesce(pred, lit(false)))
+      .select(substring_index(col("_graft_fp"), "/data/", -1).as("_dv_sfx"),
+        col("_graft_pos").as("_dv_pos"))
+    import spark.implicits._
+    val dirStr = dir.toString
+    val priorPathBySfx = spark.sparkContext.broadcast(
+      prior.map(d => dataSuffix(d.dataPath) -> d.path).toMap)
+    val written = matched.groupBy(col("_dv_sfx"))
+      .agg(collect_list(col("_dv_pos")).as("_dv_pos"))
+      .as[(String, Seq[Long])]
+      .rdd.map { case (sfx, newPos) =>
+        val base = new HPath(dirStr)
+        val merged = priorPathBySfx.value.get(sfx) match {
+          case Some(rel) => Dv.merge(newPos.toArray, Dv.read(base.resolve(rel)))
+          case None      => Dv.merge(newPos.toArray, Array.empty[Long])
+        }
+        val rel = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+        Dv.write(base.resolve(rel), merged)
+        (sfx, rel, merged.length.toLong)
+      }.collect() // manifest-sized triples, never positions
+    if (written.isEmpty) return
+    val replaced = written.map(_._1).toSet
+    val newDvs = prior.filterNot(d => replaced(dataSuffix(d.dataPath))) ++
+      written.toSeq.map { case (sfx, rel, card) =>
+        DeleteVector(bySfx.getOrElse(sfx, sfx), rel, card) }
+    // single-shot commit, like deleteMoR: the vectors were derived from
+    // THIS manifest — a concurrent change must surface, not be reapplied
+    TableMeta.commit(dir, v,
+      appendSnapshot(m, "delete", manifest, carryDeletes(m), dvs = Some(newDvs)))
   }
 
   /** Write a (tiny, by-construction) delete-file parquet under
@@ -1453,7 +1531,8 @@ final class GraftTable(val dir: HPath) {
       if (!changed) m
       else {
         def paths(s: Snapshot) = s.manifest.map(_.path) ++
-          s.allDeleteFiles.map(_.path) ++ s.allEqDeleteFiles.map(_.path)
+          s.allDeleteFiles.map(_.path) ++ s.allEqDeleteFiles.map(_.path) ++
+          s.allDeleteVectors.map(_.path)
         // manifest CHUNK files GC like data files: a chunk referenced
         // only by dropped snapshots dies with them (shared prefix chunks
         // survive through the keep set's refs)
@@ -1607,6 +1686,41 @@ final class GraftTable(val dir: HPath) {
               .drop("_graft_fp", "_graft_pos"),
             "delete", s.snapshotId))
         }
+      // deletion vectors: a changed vector's DELTA is its positions MINUS
+      // the vector it superseded (the v3 merge rule makes the new vector
+      // a superset) — exactly the rows this commit killed. Set difference
+      // runs inside the per-vector decode task; positions never gather on
+      // the driver.
+      val prevDvByFile =
+        (if (i == 0) Nil else snaps(i - 1).allDeleteVectors)
+          .map(d => d.dataPath -> d).toMap
+      val changedDvs = s.allDeleteVectors
+        .filter(d => !prevDvByFile.get(d.dataPath).exists(_.path == d.path))
+      val dvDeletes =
+        if (changedDvs.isEmpty) None
+        else {
+          import spark.implicits._
+          val dirStr = dir.toString
+          val triples = changedDvs.map(d => (dataSuffix(d.dataPath), d.path,
+            prevDvByFile.get(d.dataPath).map(_.path)))
+          val entries = spark.createDataset(triples)
+            .flatMap { case (sfx, cur, prior) =>
+              val base = new HPath(dirStr)
+              val old = prior.map(p => Dv.read(base.resolve(p)).toSet)
+                .getOrElse(Set.empty[Long])
+              Dv.read(base.resolve(cur)).iterator
+                .filterNot(old).map(p => (sfx, p)) }
+            .toDF("_graft_dfp", "_graft_pos")
+          val sfxSet = triples.map(_._1).toSet
+          val affected = s.manifest.filter(f => sfxSet(dataSuffix(f.path)))
+          Some(tag(
+            readFiles(spark, m, affected, withPos = true)
+              .withColumn("_graft_dfp",
+                substring_index(col("_graft_fp"), "/data/", -1))
+              .join(entries, Seq("_graft_dfp", "_graft_pos"), "left_semi")
+              .drop("_graft_dfp", "_graft_fp", "_graft_pos"),
+            "delete", s.snapshotId))
+        }
       // equality deletes: the deleted rows are the PREVIOUS live state's
       // rows matching any new key file (all prior files pass the seq
       // guard by construction — they predate this commit)
@@ -1638,7 +1752,7 @@ final class GraftTable(val dir: HPath) {
             .drop("_graft_fp", "_graft_pos")
           Some(tag(matched, "delete", s.snapshotId))
         }
-      Seq(inserts, cowDeletes, morDeletes, eqDeletes).flatten
+      Seq(inserts, cowDeletes, morDeletes, dvDeletes, eqDeletes).flatten
     }
     parts.reduceOption(_.unionByName(_)).getOrElse(
       tag(readFiles(spark, m, Nil), "", 0L).limit(0))
@@ -1656,7 +1770,8 @@ final class GraftTable(val dir: HPath) {
     val referenced = m.snapshots
       .flatMap(s => s.manifest.map(_.path) ++ s.manifest.flatMap(_.bloom) ++
         s.allDeleteFiles.map(_.path) ++
-        s.allEqDeleteFiles.map(_.path)).toSet
+        s.allEqDeleteFiles.map(_.path) ++
+        s.allDeleteVectors.map(_.path)).toSet
     val dataDir = dir.resolve("data")
     if (!GraftIO.isDirectory(dataDir)) return Nil
     val orphans = GraftIO.listFilesRecursive(dataDir)
@@ -1746,7 +1861,12 @@ final class GraftTable(val dir: HPath) {
           System.currentTimeMillis(), "append",
           cur.manifest.map(absD),
           deleteFiles = cur.deleteFiles.map(_.map(absD)),
-          eqDeleteFiles = cur.eqDeleteFiles.map(_.map(absE)))),
+          eqDeleteFiles = cur.eqDeleteFiles.map(_.map(absE)),
+          // dataPath absolutized WITH the manifest entry it names (the
+          // read join key is its /data/ suffix, stable either way)
+          deleteVectors = cur.deleteVectors.map(_.map(dv => dv.copy(
+            dataPath = dir.resolve(dv.dataPath).toString,
+            path = dir.resolve(dv.path).toString))))),
         currentSnapshotId = Some(cur.snapshotId))
     }
     new GraftTable(t.dir)
@@ -1797,16 +1917,26 @@ final class GraftTable(val dir: HPath) {
     // more than once, and the byte copies are side effects (re-running
     // them would mint fresh deep-N names per attempt and strand the
     // previous attempt's copies)
-    val manifest = cur.manifest.map(deepD)
+    val manifestPairs = cur.manifest.map(f => f.path -> deepD(f))
+    val manifest = manifestPairs.map(_._2)
     val deletes = cur.deleteFiles.map(_.map(deepD))
     val eqDeletes = cur.eqDeleteFiles.map(_.map(deepE))
+    // deletion vectors byte-copy like delete files; dataPath remaps
+    // through the manifest's old→new mapping (unlike positional parquet,
+    // whose file_path strings live INSIDE the data and can't be remapped
+    // without a rewrite — the require above), so DV-carrying tables deep
+    // clone even over absolute/borrowed entries
+    val newPathByOld = manifestPairs.map { case (old, nf) => old -> nf.path }.toMap
+    val dvs = cur.deleteVectors.map(_.map(d => DeleteVector(
+      newPathByOld.getOrElse(d.dataPath, d.dataPath), copy(d.path), d.cardinality)))
     // if the commit ultimately fails the copies are debris in an
     // arbitrary target warehouse (unlike Scratch fixtures) — sweep them
     // best-effort before rethrowing
     def sweepCopies(): Unit =
       (manifest.flatMap(f => f.path +: f.bloom.toSeq) ++
         deletes.toSeq.flatten.flatMap(f => f.path +: f.bloom.toSeq) ++
-        eqDeletes.toSeq.flatten.map(_.path)).foreach { p =>
+        eqDeletes.toSeq.flatten.map(_.path) ++
+        dvs.toSeq.flatten.map(_.path)).foreach { p =>
         try GraftIO.delete(t.dir.resolve(p)) catch { case _: Throwable => () }
       }
     try TableMeta.commitRetry(t.dir) { base =>
@@ -1819,7 +1949,8 @@ final class GraftTable(val dir: HPath) {
         tableProperties = m.tableProperties,
         snapshots = Seq(Snapshot(cur.snapshotId, None,
           System.currentTimeMillis(), "append",
-          manifest, deleteFiles = deletes, eqDeleteFiles = eqDeletes)),
+          manifest, deleteFiles = deletes, eqDeleteFiles = eqDeletes,
+          deleteVectors = dvs)),
         currentSnapshotId = Some(cur.snapshotId))
     } catch { case e: Throwable => sweepCopies(); throw e }
     new GraftTable(t.dir)
@@ -2284,7 +2415,11 @@ final class GraftTable(val dir: HPath) {
   private def appendSnapshot(
       m: TableMeta, op: String, manifest: Seq[DataFile],
       deletes: Seq[DataFile], streamBatch: Option[String] = None,
-      newEqDeletes: Seq[EqDeleteFile] = Nil): TableMeta = {
+      newEqDeletes: Seq[EqDeleteFile] = Nil,
+      // None = carry the parent's deletion vectors (replace/overwrite
+      // clear them — the rewrite folded them in); Some = the caller
+      // computed the COMPLETE new vector set (deleteMoRDv's supersede)
+      dvs: Option[Seq[DeleteVector]] = None): TableMeta = {
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val parentPaths = m.currentSnapshot.map(_.manifest.map(_.path).toSet).getOrElse(Set.empty)
     val stamped = manifest.map(f =>
@@ -2293,6 +2428,9 @@ final class GraftTable(val dir: HPath) {
       if (op == "replace" || op == "overwrite") Nil
       else m.currentSnapshot.map(_.allEqDeleteFiles).getOrElse(Nil)
     val eq = carriedEq ++ newEqDeletes.map(_.copy(seq = snapId))
+    val dv = dvs.getOrElse(
+      if (op == "replace" || op == "overwrite") Nil
+      else m.currentSnapshot.map(_.allDeleteVectors).getOrElse(Nil))
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = m.currentSnapshotId,
@@ -2301,7 +2439,8 @@ final class GraftTable(val dir: HPath) {
       manifest = stamped,
       deleteFiles = if (deletes.isEmpty) None else Some(deletes),
       streamBatch = streamBatch,
-      eqDeleteFiles = if (eq.isEmpty) None else Some(eq))
+      eqDeleteFiles = if (eq.isEmpty) None else Some(eq),
+      deleteVectors = if (dv.isEmpty) None else Some(dv))
     m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId))
   }
 }

@@ -76,6 +76,15 @@ final case class EqDeleteFile(
     path: String, rows: Long, columns: Seq[String], seq: Long,
     columnIds: Option[Seq[Int]] = None)
 
+/** Iceberg v3-style DELETION VECTOR: one compact position bitmap (Dv
+  * codec) per data file. `dataPath` is the manifest path of the file the
+  * vector applies to; the v3 invariant — at most ONE vector per data
+  * file per snapshot — is maintained by the writer (deleteMoRDv merges
+  * the superseded vector's positions before committing), so reads never
+  * stack vectors and a file's delete state is a single O(deletes/8)-byte
+  * artifact no matter how many delete commits touched it. */
+final case class DeleteVector(dataPath: String, path: String, cardinality: Long)
+
 /** `deleteFiles` (Iceberg v2 merge-on-read): parquet files of
   * (file_path, pos) rows marking deleted positions in data files; the
   * read path anti-joins them away. Option so metadata written before the
@@ -102,9 +111,12 @@ final case class Snapshot(
     // is always hydrated (TableMeta.read resolves refs); on disk the
     // document stores refs and an empty manifest. Legacy inline
     // manifests (refs absent) still load.
-    manifestRefs: Option[Seq[String]] = None) {
+    manifestRefs: Option[Seq[String]] = None,
+    // v3-style deletion vectors (see DeleteVector); Option for old metadata
+    deleteVectors: Option[Seq[DeleteVector]] = None) {
   def allDeleteFiles: Seq[DataFile] = deleteFiles.getOrElse(Nil)
   def allEqDeleteFiles: Seq[EqDeleteFile] = eqDeleteFiles.getOrElse(Nil)
+  def allDeleteVectors: Seq[DeleteVector] = deleteVectors.getOrElse(Nil)
 }
 
 /** Iceberg-style named ref: a TAG (immutable bookmark) or BRANCH
