@@ -195,6 +195,36 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** B3 + v3 DEFAULT VALUES: ADD COLUMN ... DEFAULT is metadata-only —
+    * rows written BEFORE the column existed read the frozen
+    * initial-default (not NULL), an append that OMITS the column
+    * materializes it physically (write-default), an append that supplies
+    * explicit values (including explicit NULL) keeps them, and a later
+    * RENAME must carry the default along (id-resolved). The oracle is a
+    * pure CASE over the source — each arm exercises one of those four
+    * behaviors. */
+  def tableDefaultCol(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("default_col", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema)
+      val src = Tables.orders(s, d)
+      // epoch 1: no channel column anywhere
+      t0.append(src.filter(col("o_orderkey") % 3 =!= 0))
+      t0.addColumn("channel", StringType, default = Some("web"))
+      // epoch 2a: omit the column entirely -> write-default materializes
+      t0.append(src.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0))
+      // epoch 2b: explicit values, including explicit NULL (which must
+      // NOT be replaced by the default)
+      t0.append(src.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 =!= 0)
+        .withColumn("channel",
+          when(col("o_custkey") % 2 === 0, lit("app")).otherwise(lit(null))))
+      t0.renameColumn("channel", "sales_channel")
+      t0
+    }
+    ordered(t.read(s))
+  }
+
   /** B6+C2 hidden partitioning on days(ts): clustered write, file-pruned
     * read; result must equal a plain filter (pruning is an optimization,
     * never a semantic change). */
@@ -1213,6 +1243,7 @@ object TableQueries {
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete,
     "q_table_dv"              -> tableDvDelete,
+    "q_table_default_col"     -> tableDefaultCol,
     "q_table_zorder"          -> tableZorder,
     "q_table_sql_update"      -> tableSqlUpdate,
     "q_table_sql_merge"       -> tableSqlMerge,
@@ -1443,6 +1474,15 @@ object TableQueries {
     "q_table_orphan_cleanup" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_dv" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_default_col" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority,
+         CASE WHEN o_orderkey % 3 <> 0 THEN 'web'
+              WHEN o_orderkey % 2 = 0 THEN 'web'
+              WHEN o_custkey % 2 = 0 THEN 'app'
+              ELSE NULL END AS sales_channel
+         FROM orders ORDER BY o_orderkey""",
     "q_table_time_travel" -> orderedOrdersSql.format(""),
     "q_table_evolution" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

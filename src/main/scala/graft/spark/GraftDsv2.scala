@@ -436,6 +436,37 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
 
   override def name(): String = catalogName
 
+  // analyzer gate for `ALTER TABLE ... ADD COLUMN ... DEFAULT <lit>`:
+  // without this capability Spark rejects the DDL before alterTable runs
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Connector literal → the string-literal form GraftTable stores (read
+    * path applies `lit(s).cast(type)`). Bounded to the types whose
+    * round-trip through a string cast is exact; anything else fails the
+    * DDL loudly rather than storing a default that reads back wrong. */
+  private def renderDefault(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[String] = {
+    val ext = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value(), l.dataType())
+    ext match {
+      case null => None // DEFAULT NULL == no default
+      case s: String => Some(s)
+      case b: Boolean => Some(b.toString)
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+      case f: Float => Some(f.toString)
+      case d: Double => Some(d.toString)
+      case d: java.sql.Date => Some(d.toString) // yyyy-MM-dd, tz-free
+      case t: java.time.LocalDate => Some(t.toString)
+      case other => throw new UnsupportedOperationException(
+        s"DEFAULT of type ${l.dataType()} not supported " +
+          s"(got ${other.getClass.getSimpleName}); use a numeric, string, " +
+          "boolean, decimal or date literal")
+    }
+  }
+
   private def qualified(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
@@ -526,7 +557,8 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
     val t = cat.load(qualified(ident))
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        t.addColumn(add.fieldNames()(0), add.dataType())
+        t.addColumn(add.fieldNames()(0), add.dataType(),
+          Option(add.defaultValue()).flatMap(dv => renderDefault(dv.getValue)))
       case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
         t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>

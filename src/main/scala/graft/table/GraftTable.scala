@@ -526,7 +526,9 @@ final class GraftTable(val dir: HPath) {
       val projection = current.map { c =>
         byId.get(c.id) match {
           case Some(w) => col(w.name).cast(c.sparkType).as(c.name)
-          case None    => lit(null).cast(c.sparkType).as(c.name)
+          // column added after this file was written: rows read the
+          // column's initial-default (v3 default values), else NULL
+          case None    => absentValue(c).as(c.name)
         }
       } ++ (if (withPos)
         // hidden parquet metadata columns: exact file + row position —
@@ -577,13 +579,25 @@ final class GraftTable(val dir: HPath) {
     // caller bug, not silent data loss)
     val (_, m1) = TableMeta.load(dir)
     val padded = m1.currentSchema.filterNot(c => df.columns.contains(c.name))
-      .foldLeft(df)((acc, c) => acc.withColumn(c.name, lit(null).cast(c.sparkType)))
+      .foldLeft(df)((acc, c) => acc.withColumn(c.name, absentValue(c)))
     append(padded)
   }
 
+  /** What a file missing column `c` reads: the initial-default if the
+    * column declares one, else NULL. */
+  private def absentValue(c: ColumnDef): Column =
+    c.default.map(d => lit(d).cast(c.sparkType))
+      .getOrElse(lit(null).cast(c.sparkType))
+
   def append(df: DataFrame): Unit = {
     val (_, m) = TableMeta.load(dir)
-    val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    // write-default: a writer that omits a defaulted column materializes
+    // the default physically (new files don't rely on read-time fill);
+    // omitting a column WITHOUT a default stays a loud caller bug
+    val filled = m.currentSchema
+      .filter(c => c.default.isDefined && !df.columns.contains(c.name))
+      .foldLeft(df)((acc, c) => acc.withColumn(c.name, absentValue(c)))
+    val aligned = filled.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val newFiles = writeFiles(df.sparkSession, m, aligned)
     // An append is reapplicable on fresh metadata (data files are already
     // on disk; the commit only merges manifests), so it retries through
@@ -2062,17 +2076,33 @@ final class GraftTable(val dir: HPath) {
   // ----------------------------------------------------------------- DDL
 
   /** B3 `ALTER TABLE ... ADD COLUMN` (README.md:269) — metadata only; old
-    * files read the new column as NULL. */
-  def addColumn(name: String, dataType: DataType): Unit =
+    * files read the new column as NULL, or as `default` when given
+    * (Iceberg v3 default values: the initial-default is FROZEN here —
+    * pre-existing rows read it forever; new appends that omit the column
+    * materialize it). `default` is a string literal castable to
+    * `dataType` (validated eagerly so a bad literal fails the DDL, not
+    * some later read). */
+  def addColumn(name: String, dataType: DataType,
+      default: Option[String] = None): Unit = {
+    default.foreach { d =>
+      val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d), StringType),
+        dataType, Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+      require(cast.eval(null) != null,
+        s"default '$d' does not cast to $dataType")
+    }
     TableMeta.commitRetry(dir) { m =>
       require(!m.currentSchema.exists(_.name == name), s"column $name exists")
       val nid = m.lastColumnId + 1
-      val nextSchema = m.currentSchema :+ ColumnDef(nid, name, dataType.json)
+      val nextSchema = m.currentSchema :+
+        ColumnDef(nid, name, dataType.json, default)
       val nextSchemaId = m.currentSchemaId + 1
       m.copy(
         schemas = m.schemas + (nextSchemaId.toString -> nextSchema),
         currentSchemaId = nextSchemaId, lastColumnId = nid)
     }
+  }
 
   /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <t>` — Iceberg's safe type
     * promotion, metadata-only: the read path already casts each file's

@@ -22,7 +22,15 @@ import GraftIO.RichHPath
   * (rewriteDataFiles) and expireSnapshots exist precisely to bound both
   * factors. Planning reads one JSON file — no data-proportional work.
   */
-final case class ColumnDef(id: Int, name: String, dataType: String) {
+/** `default` is the Iceberg v3 initial-default: the value rows written
+  * BEFORE the column existed read (instead of NULL) — metadata-only, no
+  * file rewrite. Stored as a plain string the read path casts to the
+  * column type (`lit(default).cast(type)`); frozen at ADD COLUMN time
+  * and carried by the ColumnDef through renames/widenings (id-resolved,
+  * so both are safe). New appends that omit the column materialize the
+  * value physically (the write-default half). */
+final case class ColumnDef(id: Int, name: String, dataType: String,
+    default: Option[String] = None) {
   def sparkType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.DataType.fromJson(dataType)
 }
