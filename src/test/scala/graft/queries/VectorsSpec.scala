@@ -427,6 +427,54 @@ class VectorsSpec extends SparkTestBase {
     assert(want.nonEmpty, "fixture should contain ε-edges")
   }
 
+  test("dbscan hierarchical pivots (P=64): exact on a planted clustered corpus, cells bounded") {
+    import spark.implicits._
+    // planted corpus: 32 well-separated clusters x 64 points in the
+    // quantized space (values pre-scaled like dbscanQuantized output).
+    // Deterministic LCG so the corpus is stable across runs.
+    def lcg(seed: Long): Long = (seed * 6364136223846793005L + 1442695040888963407L)
+    val dim = 64
+    val pts = (0 until 32).flatMap { c =>
+      val cseed = lcg(c + 1L)
+      // cluster centers far apart (~2e6 per axis entry -> inter-center
+      // distance^2 >> eps2); intra-cluster offsets tiny (<= 1e4)
+      val center = Array.tabulate(dim)(i =>
+        ((lcg(cseed + i) >>> 40) % 4000000L - 2000000L).toDouble)
+      (0 until 64).map { k =>
+        val pseed = lcg(cseed + 1000L * (k + 1))
+        val off = Array.tabulate(dim)(i => ((lcg(pseed + i) >>> 50) % 9000L).toDouble)
+        (c * 64L + k, center.zip(off).map { case (a, b) => a + b }.toSeq)
+      }
+    }
+    val qe = pts.toDF("vec_id", "q")
+      .withColumn("q", col("q").cast("array<double>"))
+      .withColumn("n2", expr("aggregate(q, 0d, (a, x) -> a + x * x)"))
+    // brute-force truth
+    val byId = pts.toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val ids = byId.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      if d2(byId(i), byId(j)).toLong <= Vectors.DBSCAN_EPS2
+    } yield (i, j)).toSet
+    assert(want.nonEmpty, "planted clusters must produce ε-edges")
+    val got = Vectors.dbscanEpsPairsHier(spark, qe, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length === got.toSet.size, "each ε-pair exactly once")
+    assert(got.toSet === want, "recall/precision must both be exactly 1")
+    // cell-population bound: no fine cell holds more than a small
+    // multiple of n/P (the hierarchical scheme's whole point — flat
+    // pivots on clustered data collapse most points into few cells)
+    val (cells, _, _) = Vectors.dbscanCells(spark, qe, 64)
+    val sizes = cells.groupBy(col("cell")).count()
+      .collect().map(_.getLong(1))
+    val n = pts.size
+    assert(sizes.sum === n.toLong)
+    assert(sizes.max <= 4L * n / 64,
+      s"max cell ${sizes.max} exceeds 4x the n/P target (${4 * n / 64})")
+  }
+
   test("maxsim: sub-vector late-interaction scores re-derived in plain Scala") {
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
