@@ -1014,17 +1014,54 @@ object TextOps {
     * dedupPipeline and dedupIncremental: the signature is a min over
     * per-token hashes (token-order-independent), so it's identical
     * whichever consumer builds it first. */
-  private def minhashSigsArtifact(s: SparkSession, d: String): DataFrame = {
+  /** Signature + token-set indexes as PERSISTED, INCREMENTALLY-
+    * MAINTAINED Graft tables over the documents source table (the r11
+    * verdict's #2 ask, same machinery as Vectors.ivfEnsure): each
+    * refresh reads ONLY the uncovered source snapshots' manifest diff
+    * and appends the per-doc derived rows — O(Δ), exactly-once via
+    * streamBatch provenance; an up-to-date index is two metadata loads;
+    * a second session on the same warehouse reuses every row
+    * (CrossSessionIndexSpec). Both derivations are per-doc pure
+    * functions, so delta-build ≡ full-build row-for-row. In-bench the
+    * warehouse lives under Scratch (fresh per JVM). */
+  private[graft] def dedupEnsureIndexes(s: SparkSession,
+      src: graft.table.GraftTable, cat: graft.table.GraftCatalog)
+      : (graft.table.GraftTable, graft.table.GraftTable) = {
     val mh = udaf(Sketches.MinHashAgg)
-    val tmp = graft.Scratch.materializedOnce("minhash_sigs", d)(pth =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), explode(array_distinct(toks(col("text")))).as("tok"))
+    if (!cat.tableExists("idx.minhash_sigs")) {
+      cat.createSchema("idx")
+      cat.createTable("idx.minhash_sigs", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("sig", ArrayType(LongType)))))
+      cat.createTable("idx.token_sets", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", ArrayType(StringType)))))
+    }
+    val sigT = cat.load("idx.minhash_sigs")
+    val tokT = cat.load("idx.token_sets")
+    graft.table.MaintainedIndex.refresh(s, src, sigT)(delta =>
+      delta
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(toks(col("text")))).as("tok"))
         .select(col("doc_id"), col("source"), Sketches.tokenHashCol(col("tok")).as("th"))
         .groupBy(col("doc_id"), col("source"))
-        .agg(mh(col("th")).as("sig"))
-        .write.mode("overwrite").parquet(pth))
-    s.read.parquet(tmp)
+        .agg(mh(col("th")).as("sig")))
+    graft.table.MaintainedIndex.refresh(s, src, tokT)(delta =>
+      delta.select(col("doc_id"),
+        array_sort(array_distinct(toks(col("text")))).as("w")))
+    (sigT, tokT)
   }
+
+  private def dedupIndexes(s: SparkSession, d: String)
+      : (graft.table.GraftTable, graft.table.GraftTable) =
+    graft.Scratch.objectOnce("dedup_indexes", d) {
+      dedupEnsureIndexes(s, dedupDeltaTable(s, d),
+        new graft.table.GraftCatalog(graft.Scratch.fresh("graft_wh_dedupidx")))
+    }
+
+  private def minhashSigsArtifact(s: SparkSession, d: String): DataFrame =
+    dedupIndexes(s, d)._1.read(s)
 
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigsArtifact(s, d)
@@ -1059,13 +1096,8 @@ object TextOps {
   /** Sorted distinct token sets as a session-materialized artifact —
     * the exact-verify input shared by dedupPipeline and dedupIncremental
     * (sorted = SortedIntersectSizeF's contract). */
-  private def tokenSetsArtifact(s: SparkSession, d: String): DataFrame = {
-    val tmp = graft.Scratch.materializedOnce("dedup_pipe_toks", d)(pth =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("w"))
-        .write.mode("overwrite").parquet(pth))
-    s.read.parquet(tmp)
-  }
+  private def tokenSetsArtifact(s: SparkSession, d: String): DataFrame =
+    dedupIndexes(s, d)._2.read(s)
 
   /** Exact-Jaccard verification of candidate (ia, ib) pairs against the
     * token-set artifact: codegen'd sorted-merge intersect, keep pairs
