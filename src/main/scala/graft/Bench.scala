@@ -179,7 +179,11 @@ object Bench {
     val noiseJson = if (okProbes.nonEmpty)
       s""""noise":{"probe_min":${fmt(okProbes.map(_._2).min)},"probe_max":${fmt(okProbes.map(_._2).max)},"probe_spread":${fmt(okProbes.map(_._2).max / okProbes.map(_._2).min)},"probes":$probesJson}"""
     else """"noise":{"probe_min":-1,"probe_max":-1,"probe_spread":-1,"probes":[]}"""
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},"cpu":${cpuDetail.mkString("{", ",", "}")},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // artifact-build wall seconds (fixtures + maintained indexes), sorted
+    // slowest-first: nested builds include their inner builds' time
+    val artifacts = Scratch.buildTimes.sortBy(-_._2)
+      .map { case (k, sec) => s"${jstr(k)}:${fmt(sec)}" }
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},"cpu":${cpuDetail.mkString("{", ",", "}")},"artifacts":${artifacts.mkString("{", ",", "}")},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("target/bench_detail.json"), fullJson)
     catch { case _: Throwable => () }
     def takeBudget(entries: Seq[String], budget: Int): Seq[String] = {

@@ -65,6 +65,22 @@ object Scratch {
   // instead of joining a dead future. Cycles between artifacts would
   // deadlock — none exist (the dependency graph is a DAG by
   // construction: composites depend on leaf tables only).
+  // per-artifact build wall seconds (kind, sec): the scaling audit's
+  // "artifact builds are measured, not guessed" feed — Bench dumps it
+  // into target/bench_detail.json
+  private val buildTimesAcc =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+  def buildTimes: Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    buildTimesAcc.asScala.toSeq
+  }
+  private def timed[T](kind: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    buildTimesAcc.add(kind -> (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
   // keys whose build is running ON THIS THREAD: a builder that
@@ -83,7 +99,7 @@ object Scratch {
       if (!inFlight.get.add(path))
         throw new IllegalStateException(
           s"materializedOnce: builder for ($kind, $key) re-entered itself — artifact dependency cycle")
-      try { write(path); fresh.complete(path); path }
+      try { timed(kind)(write(path)); fresh.complete(path); path }
       catch { case e: Throwable =>
         built.remove(path, fresh)
         fresh.completeExceptionally(e)
@@ -120,7 +136,7 @@ object Scratch {
       if (!inFlight.get.add(k))
         throw new IllegalStateException(
           s"objectOnce: builder for ($kind, $key) re-entered itself — fixture dependency cycle")
-      try { val v = build; fresh.complete(v); v }
+      try { val v = timed(kind)(build); fresh.complete(v); v }
       catch { case e: Throwable =>
         builtObjects.remove(k, fresh)
         fresh.completeExceptionally(e)
