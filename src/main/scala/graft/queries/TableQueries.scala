@@ -942,6 +942,38 @@ object TableQueries {
     ordered(t.read(s))
   }
 
+  /** v3 ROW LINEAGE end to end: two sorted single-partition appends give
+    * every row a durable `_row_id` (firstRowId + position — the batch
+    * layout makes the assignment SQL-predictable: rank within batch);
+    * a deletion-vector delete kills the F rows WITHOUT touching ids; a
+    * full compaction MATERIALIZES ids + last-updated seqs into the
+    * rewritten file (they must survive the relayout byte-exactly); a
+    * CoW update preserves ids and NULL-marks modified rows' seq, which
+    * the read coalesces to the update commit's seq. The oracle replays
+    * all of it as rank arithmetic + a CASE over commit numbers — any
+    * id reuse, shift, or seq drift hash-fails. */
+  def tableRowLineage(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("row_lineage", d) {
+      val cat = new GraftCatalog(graft.Scratch.fresh("graft_wh"))
+      cat.createSchema("db")
+      val t0 = cat.createTable("db.orders", ordersSchema)
+      val src = Tables.orders(s, d)
+      def sorted(df: DataFrame) =
+        df.repartition(1).sortWithinPartitions(col("o_orderkey"))
+      t0.append(sorted(src.filter(col("o_orderkey") % 2 === 0))) // snap 1
+      t0.append(sorted(src.filter(col("o_orderkey") % 2 =!= 0))) // snap 2
+      t0.deleteMoRDv(s, col("o_orderstatus") === "F")            // snap 3
+      t0.rewriteDataFiles(s, targetFiles = 1)                    // snap 4
+      t0.update(s, col("o_custkey") % 10 === 0,                  // snap 5
+        Map("o_orderpriority" -> lit("X-UPDATED")))
+      t0
+    }
+    t.readWithLineage(s)
+      .select(col("o_orderkey"), col("_row_id").as("row_id"),
+        col("_last_updated_sequence_number").as("last_seq"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** H2 compaction: rewrite_data_files must not change logical content. */
   def tableCompact(s: SparkSession, d: String): DataFrame = {
     val t = fixture("compact", d) {
@@ -1251,6 +1283,7 @@ object TableQueries {
     "q_table_mor_delete"      -> tableMorDelete,
     "q_table_dv"              -> tableDvDelete,
     "q_table_default_col"     -> tableDefaultCol,
+    "q_table_row_lineage"     -> tableRowLineage,
     "q_table_zorder"          -> tableZorder,
     "q_table_sql_update"      -> tableSqlUpdate,
     "q_table_sql_merge"       -> tableSqlMerge,
@@ -1481,6 +1514,21 @@ object TableQueries {
     "q_table_orphan_cleanup" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_dv" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_row_lineage" ->
+      """WITH ranked AS (
+           SELECT o_orderkey, o_orderstatus, o_custkey,
+                  o_orderkey % 2 AS par,
+                  row_number() OVER (PARTITION BY o_orderkey % 2
+                                     ORDER BY o_orderkey) - 1 AS rk
+           FROM orders),
+         n1 AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT o_orderkey,
+                CAST(CASE WHEN par = 0 THEN rk
+                     ELSE rk + (SELECT c FROM n1) END AS BIGINT) AS row_id,
+                CAST(CASE WHEN o_custkey % 10 = 0 THEN 5
+                     WHEN par = 0 THEN 1 ELSE 2 END AS BIGINT) AS last_seq
+         FROM ranked WHERE o_orderstatus <> 'F'
+         ORDER BY o_orderkey""",
     "q_table_default_col" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,

@@ -514,7 +514,7 @@ final class GraftTable(val dir: HPath) {
     * were written under; one scan per schema epoch, then unionByName. */
   private def readFiles(
       spark: SparkSession, m: TableMeta, files: Seq[DataFile],
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false, lineage: Boolean = false): DataFrame = {
     val current = m.currentSchema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -535,12 +535,80 @@ final class GraftTable(val dir: HPath) {
         // the merge-on-read join key (Iceberg's positional deletes)
         Seq(col("_metadata.file_path").as("_graft_fp"),
           col("_metadata.row_index").as("_graft_pos"))
+      else Nil) ++ (if (lineage)
+        // reserved physical lineage columns: present only in files a
+        // lineage-preserving rewrite materialized; declared in the read
+        // schema so plain files surface them as NULL and the consumer
+        // coalesces to the firstRowId+pos / file-seq derivation
+        Seq(col("_graft_row_id"), col("_graft_last_seq"))
       else Nil)
+      val readSchema =
+        if (!lineage) m.sparkSchema(sid)
+        else m.sparkSchema(sid)
+          .add(StructField("_graft_row_id", LongType))
+          .add(StructField("_graft_last_seq", LongType))
       spark.read
-        .schema(m.sparkSchema(sid))
+        .schema(readSchema)
         .parquet(fs.map(f => dir.resolve(f.path).toString): _*)
         .select(projection: _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** Current-snapshot read WITH v3 row-lineage columns: every live row
+    * carries `_row_id` (durable identity — firstRowId+position for
+    * plain files, the materialized id for rewritten ones) and
+    * `_last_updated_sequence_number` (the commit seq that last modified
+    * it — the file's seq unless a rewrite materialized an older one, or
+    * NULL-marked the row as modified by its own commit). MoR deletes
+    * (positional, vectors, equality) apply exactly like read(). */
+  def readWithLineage(spark: SparkSession): DataFrame = {
+    val m = meta
+    val snapOpt = m.currentSnapshot.filter(_.manifest.nonEmpty)
+    val schemaCols = m.currentSchema.map(c => col(c.name))
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      m.sparkSchema(m.currentSchemaId)
+        .add(StructField("_row_id", LongType))
+        .add(StructField("_last_updated_sequence_number", LongType)))
+    snapOpt.fold(empty) { snap =>
+      readLiveLineage(spark, m, snap.manifest)
+        .select(schemaCols ++ Seq(
+          col("_graft_row_id").as("_row_id"),
+          col("_graft_last_seq").as("_last_updated_sequence_number")): _*)
+    }
+  }
+
+  /** readLive's lineage twin: live rows of `files` under the current
+    * snapshot CARRYING resolved `_graft_row_id` / `_graft_last_seq`
+    * (materialized values when the file has them, else the
+    * firstRowId+position / file-seq derivation) plus the _graft_fp/_pos
+    * helpers. Lineage-preserving rewrites feed writeFiles from this so
+    * row identity survives the rewrite physically. */
+  private def readLiveLineage(spark: SparkSession, m: TableMeta,
+      files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty) return readFiles(spark, m, Nil)
+    val base = readFiles(spark, m, files, withPos = true, lineage = true)
+    // manifest-sized broadcast: per-file firstRowId + seq feed the
+    // derivation for rows whose file has no materialized lineage
+    val lkRows = files.map(f =>
+      (dataSuffix(f.path), f.firstRowId.getOrElse(-1L), f.seq.getOrElse(0L)))
+    val lk = broadcast(spark.createDataFrame(lkRows)
+      .toDF("_graft_rel", "_graft_frid", "_graft_fseq"))
+    val withIds = base
+      .withColumn("_graft_rel", substring_index(col("_graft_fp"), "/data/", -1))
+      .join(lk, Seq("_graft_rel"))
+      .withColumn("_graft_row_id",
+        coalesce(col("_graft_row_id"),
+          when(col("_graft_frid") >= 0, col("_graft_frid") + col("_graft_pos"))))
+      .withColumn("_graft_last_seq",
+        coalesce(col("_graft_last_seq"), col("_graft_fseq")))
+      .drop("_graft_rel", "_graft_frid", "_graft_fseq")
+    val posApplied = m.currentSnapshot.flatMap(deleteEntries(spark, _))
+      .fold(withIds)(d => withIds
+        .withColumn("_graft_dfp", substring_index(col("_graft_fp"), "/data/", -1))
+        .join(d, Seq("_graft_dfp", "_graft_pos"), "left_anti")
+        .drop("_graft_dfp"))
+    m.currentSnapshot.fold(posApplied)(applyEqDeletes(spark, _, posApplied))
   }
 
   // --------------------------------------------------------------- write
@@ -715,21 +783,29 @@ final class GraftTable(val dir: HPath) {
       }
       val snapId = fresh.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       staged = snapId
+      var rid = fresh.nextRowId.getOrElse(0L)
       val snap = Snapshot(
         snapshotId = snapId,
         parentId = Some(base.snapshotId),
         timestampMs = System.currentTimeMillis(),
         operation = "append",
         // stamp the staged files' data sequence: an equality delete
-        // committed later must not reach back into this append
-        manifest = base.manifest ++ newFiles.map(f =>
-          if (f.seq.isEmpty) f.copy(seq = Some(snapId)) else f),
+        // committed later must not reach back into this append — and
+        // their firstRowId (lineage ids are assigned at STAGE time so a
+        // later publish is metadata-only)
+        manifest = base.manifest ++ newFiles.map { f =>
+          val withSeq = if (f.seq.isEmpty) f.copy(seq = Some(snapId)) else f
+          if (f.firstRowId.isEmpty && !f.materializedLineage.contains(true)) {
+            val r = rid; rid += f.rows; withSeq.copy(firstRowId = Some(r))
+          } else withSeq
+        },
         deleteFiles = base.deleteFiles,
         eqDeleteFiles = base.eqDeleteFiles,
         deleteVectors = base.deleteVectors)
       fresh.copy(
         snapshots = fresh.snapshots :+ snap, // currentSnapshotId UNCHANGED
-        refs = Some(fresh.allRefs + (branch -> SnapshotRef(snapId, branch = true))))
+        refs = Some(fresh.allRefs + (branch -> SnapshotRef(snapId, branch = true))),
+        nextRowId = if (rid == 0L) fresh.nextRowId else Some(rid))
     }
     staged
   }
@@ -956,10 +1032,14 @@ final class GraftTable(val dir: HPath) {
     if (affected.isEmpty) return
     // DELETE WHERE pred removes rows where pred IS TRUE; null-pred rows
     // are kept — hence not(coalesce(pred, false)), not plain !pred.
-    val kept = readLive(spark, m, affected)
+    // Survivors are UNMODIFIED rows merely relocated, so their lineage
+    // (row id AND last-updated seq) is materialized into the rewrite —
+    // v3's CoW obligation.
+    val kept = readLiveLineage(spark, m, affected)
       .filter(!coalesce(pred, lit(false)))
-      .select(m.currentSchema.map(c => col(c.name)): _*)
-    val newFiles = writeFiles(spark, m, kept)
+      .select(m.currentSchema.map(c => col(c.name)) ++
+        Seq(col("_graft_row_id"), col("_graft_last_seq")): _*)
+    val newFiles = writeFiles(spark, m, kept, lineageMaterialized = true)
     val newManifest = manifest.diff(affected) ++ newFiles
     // single-shot commit: a CoW delete validated against THIS manifest —
     // a concurrent change must surface, not be silently reapplied
@@ -1109,13 +1189,19 @@ final class GraftTable(val dir: HPath) {
     if (affected.isEmpty) return
     // null-pred rows are NOT updated (same rule as delete's keep side)
     val hit = coalesce(pred, lit(false))
-    val rewritten = readLive(spark, m, affected).select(m.currentSchema.map { c =>
+    // lineage: row ids survive the update (same logical row); hit rows
+    // write last_seq NULL — "modified by this very commit" — which the
+    // read side coalesces to the new file's seq (the v3 convention:
+    // the writer can't know the commit's seq before the commit)
+    val rewritten = readLiveLineage(spark, m, affected).select(m.currentSchema.map { c =>
       assignments.get(c.name) match {
         case Some(e) => when(hit, e.cast(c.sparkType)).otherwise(col(c.name)).as(c.name)
         case None    => col(c.name)
       }
-    }: _*)
-    val newFiles = writeFiles(spark, m, rewritten)
+    } ++ Seq(col("_graft_row_id"),
+      when(hit, lit(null).cast(LongType))
+        .otherwise(col("_graft_last_seq")).as("_graft_last_seq")): _*)
+    val newFiles = writeFiles(spark, m, rewritten, lineageMaterialized = true)
     TableMeta.commit(dir, v,
       appendSnapshot(m, "update", manifest.diff(affected) ++ newFiles, carryDeletes(m)))
   }
@@ -1383,9 +1469,12 @@ final class GraftTable(val dir: HPath) {
         math.max(1, math.ceil(total / tgt).toInt)
     }
     // compaction folds MoR deletes into the rewrite and clears them —
-    // the new snapshot is pure data files again
-    val base = readLive(spark, m, manifest)
-      .select(m.currentSchema.map(c => col(c.name)): _*)
+    // the new snapshot is pure data files again. Row lineage is
+    // MATERIALIZED into the compacted files (ids + last-updated seqs
+    // survive the relayout — v3's rewrite obligation).
+    val base = readLiveLineage(spark, m, manifest)
+      .select(m.currentSchema.map(c => col(c.name)) ++
+        Seq(col("_graft_row_id"), col("_graft_last_seq")): _*)
     // preClustered: this method owns the row clustering — writeFiles must
     // NOT re-repartition by the partition column afterwards (that would
     // discard targetFiles and destroy the within-partition sort order the
@@ -1453,7 +1542,7 @@ final class GraftTable(val dir: HPath) {
       }
       else if (m.partitionFields.nonEmpty) (base, false)
       else (base.repartition(effectiveTarget), true)
-    val newFiles = writeFiles(spark, m, df, preClustered)
+    val newFiles = writeFiles(spark, m, df, preClustered, lineageMaterialized = true)
     TableMeta.commit(dir, v, appendSnapshot(m, "replace", newFiles, Nil))
   }
 
@@ -1871,6 +1960,7 @@ final class GraftTable(val dir: HPath) {
         partitionFields = m.partitionFields,
         sortOrderIds = m.sortOrderIds,
         tableProperties = m.tableProperties,
+        nextRowId = m.nextRowId, // lineage ids keep advancing, never reused
         snapshots = Seq(Snapshot(cur.snapshotId, None,
           System.currentTimeMillis(), "append",
           cur.manifest.map(absD),
@@ -1961,6 +2051,7 @@ final class GraftTable(val dir: HPath) {
         partitionFields = m.partitionFields,
         sortOrderIds = m.sortOrderIds,
         tableProperties = m.tableProperties,
+        nextRowId = m.nextRowId,
         snapshots = Seq(Snapshot(cur.snapshotId, None,
           System.currentTimeMillis(), "append",
           manifest, deleteFiles = deletes, eqDeleteFiles = eqDeletes,
@@ -2283,7 +2374,8 @@ final class GraftTable(val dir: HPath) {
     * Returns the new DataFile entries. */
   private def writeFiles(
       spark: SparkSession, m: TableMeta, df: DataFrame,
-      preClustered: Boolean = false): Seq[DataFile] = {
+      preClustered: Boolean = false,
+      lineageMaterialized: Boolean = false): Seq[DataFile] = {
     val outDir = dir.resolve("data")
       .resolve(s"w-${java.util.UUID.randomUUID().toString.take(12)}")
     val idToName = m.currentSchema.map(c => c.id -> c.name).toMap
@@ -2354,7 +2446,8 @@ final class GraftTable(val dir: HPath) {
       else Some(DataFile(rel, rows, m.currentSchemaId, pvals,
         if (stats.isEmpty) None else Some(stats),
         sizeBytes = Some(st.getLen),
-        nulls = if (nulls.isEmpty) None else Some(nulls)))
+        nulls = if (nulls.isEmpty) None else Some(nulls),
+        materializedLineage = if (lineageMaterialized) Some(true) else None))
     }
     attachBlooms(spark, m, entries)
   }
@@ -2452,8 +2545,18 @@ final class GraftTable(val dir: HPath) {
       dvs: Option[Seq[DeleteVector]] = None): TableMeta = {
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val parentPaths = m.currentSnapshot.map(_.manifest.map(_.path).toSet).getOrElse(Set.empty)
-    val stamped = manifest.map(f =>
-      if (f.seq.isEmpty && !parentPaths.contains(f.path)) f.copy(seq = Some(snapId)) else f)
+    // v3 row lineage: NEW files (same test as the seq stamp) get their
+    // firstRowId from the table's monotone counter — row N of the file
+    // is durable id firstRowId+N — UNLESS they carry materialized
+    // per-row ids (lineage-preserving rewrites), which consume no ids
+    var rid = m.nextRowId.getOrElse(0L)
+    val stamped = manifest.map { f =>
+      if (f.seq.isEmpty && !parentPaths.contains(f.path)) {
+        val withSeq = f.copy(seq = Some(snapId))
+        if (f.materializedLineage.contains(true)) withSeq
+        else { val r = rid; rid += f.rows; withSeq.copy(firstRowId = Some(r)) }
+      } else f
+    }
     val carriedEq =
       if (op == "replace" || op == "overwrite") Nil
       else m.currentSnapshot.map(_.allEqDeleteFiles).getOrElse(Nil)
@@ -2471,6 +2574,7 @@ final class GraftTable(val dir: HPath) {
       streamBatch = streamBatch,
       eqDeleteFiles = if (eq.isEmpty) None else Some(eq),
       deleteVectors = if (dv.isEmpty) None else Some(dv))
-    m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId))
+    m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = Some(snapId),
+      nextRowId = if (rid == 0L) m.nextRowId else Some(rid))
   }
 }

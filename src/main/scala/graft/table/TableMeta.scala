@@ -69,7 +69,18 @@ final case class DataFile(
     // Per-column null counts from the footers (only columns where every
     // row group reported numNulls): IS [NOT] NULL pruning — a file
     // that's all-null (or null-free) for the column is skipped outright.
-    nulls: Option[Map[String, Long]] = None)
+    nulls: Option[Map[String, Long]] = None,
+    // v3 ROW LINEAGE: the first row id of this file — row N of the file
+    // has durable id firstRowId + N. Assigned at commit from the table's
+    // nextRowId counter (Iceberg v3's first-row-id mechanism). None on
+    // legacy entries AND on rewritten files that carry MATERIALIZED
+    // per-row ids instead (see materializedLineage).
+    firstRowId: Option[Long] = None,
+    // True when the file physically contains the reserved _graft_row_id /
+    // _graft_last_seq columns (written by lineage-preserving rewrites:
+    // compaction, CoW delete/update) — readers take those over the
+    // firstRowId+position derivation.
+    materializedLineage: Option[Boolean] = None)
 
 /** Iceberg v2 EQUALITY delete file: parquet of key tuples; any row in a
   * data file with seq < this delete's `seq` whose key tuple matches is
@@ -157,7 +168,11 @@ final case class TableMeta(
     sortOrderIds: Option[Seq[Int]] = None,
     // User table properties (TBLPROPERTIES) — free-form; well-known keys
     // (write.target-file-size-bytes) steer maintenance defaults.
-    tableProperties: Option[Map[String, String]] = None) {
+    tableProperties: Option[Map[String, String]] = None,
+    // v3 row lineage: the next unassigned row id (monotone across the
+    // table's whole history — commits stamp new files' firstRowId from
+    // it and advance it by their row counts). None = 0 (legacy).
+    nextRowId: Option[Long] = None) {
 
   def sortOrder: Seq[Int] = sortOrderIds.getOrElse(Nil)
   def allProperties: Map[String, String] = tableProperties.getOrElse(Map.empty)
