@@ -35,6 +35,11 @@ final class GraftCatalog(val warehouse: HPath) {
       throw new IllegalStateException(s"table $qualified already exists")
     GraftIO.mkdirs(dir.resolve("meta"))
     GraftIO.mkdirs(dir.resolve("data"))
+    // "_graft_" names are reserved for physical helper columns (row
+    // lineage materialization, scan position) — a user column with that
+    // prefix would collide with them inside rewritten parquet
+    schema.fields.foreach(f => require(!f.name.startsWith("_graft_"),
+      s"column name ${f.name} uses the reserved _graft_ prefix"))
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i + 1, f.name, f.dataType.json)
     }.toSeq

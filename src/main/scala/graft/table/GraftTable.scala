@@ -560,7 +560,11 @@ final class GraftTable(val dir: HPath) {
     * `_last_updated_sequence_number` (the commit seq that last modified
     * it — the file's seq unless a rewrite materialized an older one, or
     * NULL-marked the row as modified by its own commit). MoR deletes
-    * (positional, vectors, equality) apply exactly like read(). */
+    * (positional, vectors, equality) apply exactly like read(). Caveat
+    * (documented, consistent with v3's equality-delete-upsert rule):
+    * MERGE and updateMoR write matched rows as NEW rows — those draw
+    * fresh ids; CoW delete/update and compaction are the id-preserving
+    * paths. */
   def readWithLineage(spark: SparkSession): DataFrame = {
     val m = meta
     val snapOpt = m.currentSnapshot.filter(_.manifest.nonEmpty)
@@ -2175,6 +2179,8 @@ final class GraftTable(val dir: HPath) {
     * some later read). */
   def addColumn(name: String, dataType: DataType,
       default: Option[String] = None): Unit = {
+    require(!name.startsWith("_graft_"),
+      s"column name $name uses the reserved _graft_ prefix")
     default.foreach { d =>
       val cast = org.apache.spark.sql.catalyst.expressions.Cast(
         org.apache.spark.sql.catalyst.expressions.Literal(
