@@ -600,7 +600,14 @@ final class GraftTable(val dir: HPath) {
       .toDF("_graft_rel", "_graft_frid", "_graft_fseq"))
     val withIds = base
       .withColumn("_graft_rel", substring_index(col("_graft_fp"), "/data/", -1))
-      .join(lk, Seq("_graft_rel"))
+      // LEFT join, like the eq-delete seq lookup: an externally-
+      // registered absolute path (add_files) has no "/data/" suffix and
+      // its scan URI renders with a scheme the manifest path lacks — an
+      // inner join would silently DROP those rows from every lineage-
+      // preserving rewrite (caught by q_table_addf_cow's oracle); left
+      // keeps them with NULL lineage ("unknown identity" is honest for
+      // borrowed files, losing rows is not)
+      .join(lk, Seq("_graft_rel"), "left")
       .withColumn("_graft_row_id",
         coalesce(col("_graft_row_id"),
           when(col("_graft_frid") >= 0, col("_graft_frid") + col("_graft_pos"))))

@@ -92,6 +92,28 @@ class RowLineageSpec extends SparkTestBase {
     (0 until 8).foreach(i => assert(l(i.toLong)._1 === i.toLong))
   }
 
+  test("lineage-preserving rewrite over add_files entries loses no rows") {
+    // externally-registered absolute paths have no /data/ suffix and no
+    // scan-side key match — the lineage lookup must LEFT-join (NULL ids
+    // for borrowed rows), never inner-join them away (the r12 bug
+    // q_table_addf_cow's oracle caught: a CoW delete dropped the whole
+    // registered side)
+    val (_, t) = mkTable("t7")
+    val ext = graft.Scratch.fresh("lineage_ext")
+    import spark.implicits._
+    (0 until 10).map(i => (i.toLong, "x")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(ext.toString)
+    t.addFiles(spark, ext)
+    t.append(rows(10 until 20, "w"))
+    t.delete(spark, col("k") % 2 === 1) // CoW across both entry forms
+    val out = t.readWithLineage(spark).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.keySet === (0L until 20L).filter(_ % 2 == 0).toSet,
+      "no surviving row may vanish through the lineage rewrite")
+    // borrowed rows: unknown identity (NULL); writer rows keep real ids
+    (10L until 20L by 2).foreach(k => assert(out(k).isDefined))
+  }
+
   test("clones carry lineage; ids stay stable across the clone boundary") {
     val (cat, t) = mkTable("t6")
     t.append(rows(0 until 12, "a"))
