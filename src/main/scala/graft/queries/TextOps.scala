@@ -1028,16 +1028,22 @@ object TextOps {
       src: graft.table.GraftTable, cat: graft.table.GraftCatalog)
       : (graft.table.GraftTable, graft.table.GraftTable) = {
     val mh = udaf(Sketches.MinHashAgg)
-    if (!cat.tableExists("idx.minhash_sigs")) {
-      cat.createSchema("idx")
-      cat.createTable("idx.minhash_sigs", StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("source", StringType),
-        StructField("sig", ArrayType(LongType)))))
-      cat.createTable("idx.token_sets", StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("w", ArrayType(StringType)))))
-    }
+    // per-table existence checks: a crash between the two creates must
+    // not wedge the pair (createSchema is idempotent mkdirs)
+    cat.createSchema("idx")
+    def ensure(name: String, schema: StructType): Unit =
+      if (!cat.tableExists(name))
+        try { cat.createTable(name, schema); () } catch {
+          // racing creator lost after the winner published: fine
+          case _: IllegalStateException if cat.tableExists(name) => ()
+        }
+    ensure("idx.minhash_sigs", StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("sig", ArrayType(LongType)))))
+    ensure("idx.token_sets", StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", ArrayType(StringType)))))
     val sigT = cat.load("idx.minhash_sigs")
     val tokT = cat.load("idx.token_sets")
     graft.table.MaintainedIndex.refresh(s, src, sigT)(delta =>

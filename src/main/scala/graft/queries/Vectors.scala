@@ -523,9 +523,7 @@ object Vectors {
   private[graft] def ivfEnsure(s: SparkSession, src: graft.table.GraftTable,
       cat: graft.table.GraftCatalog): (Array[Array[Double]], graft.table.GraftTable) = {
     val qualified = "idx.ivf"
-    val idx =
-      if (cat.tableExists(qualified)) cat.load(qualified)
-      else {
+    def createIdx(): graft.table.GraftTable = {
         import org.apache.spark.ml.clustering.KMeans
         val e = src.read(s)
           .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("embedding")))
@@ -548,6 +546,15 @@ object Vectors {
             StructField("cluster", IntegerType))),
           partitionSpec = Seq("cluster" -> "identity"),
           properties = Map(IvfCentroidsProp -> renderCentroids(cents)))
+    }
+    // racing creators: the loser's createTable throws "exists" AFTER the
+    // winner published — load the winner's table (one training run is
+    // wasted, no state is corrupted)
+    val idx =
+      if (cat.tableExists(qualified)) cat.load(qualified)
+      else try createIdx() catch {
+        case _: IllegalStateException if cat.tableExists(qualified) =>
+          cat.load(qualified)
       }
     val cents = parseCentroids(idx.meta.allProperties(IvfCentroidsProp))
     graft.table.MaintainedIndex.refresh(s, src, idx)(delta =>

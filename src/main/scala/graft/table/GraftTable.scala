@@ -1107,6 +1107,10 @@ final class GraftTable(val dir: HPath) {
     val dirStr = dir.toString
     val priorPathBySfx = spark.sparkContext.broadcast(
       prior.map(d => dataSuffix(d.dataPath) -> d.path).toMap)
+    // per-group memory is bounded by rows-per-file (the compaction
+    // target bounds file size): even a full-file delete of a 512 MB /
+    // ~5M-row file collects ~40 MB of positions in one executor task —
+    // the serialize step needs the full set regardless
     val written = matched.groupBy(col("_dv_sfx"))
       .agg(collect_list(col("_dv_pos")).as("_dv_pos"))
       .as[(String, Seq[Long])]
