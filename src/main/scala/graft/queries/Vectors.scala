@@ -603,8 +603,12 @@ object Vectors {
     // candidates via MANIFEST pruning on the identity(cluster) partition
     // field — one pruned read per probed cluster, never a full index
     // scan (IvfIndexSpec pins the planned-file counts)
+    // the explicit post-filter keeps readPruned an OPTIMIZATION, never
+    // semantics: planFilters retains files with missing partition values,
+    // so a legacy/unsplit index file would otherwise widen the candidates
     nearestClusters.toSeq.map(c =>
-        idx.readPruned(s, Seq(org.apache.spark.sql.sources.EqualTo("cluster", c))))
+        idx.readPruned(s, Seq(org.apache.spark.sql.sources.EqualTo("cluster", c)))
+          .filter(col("cluster") === c))
       .reduce(_.unionAll(_))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))

@@ -240,8 +240,9 @@ final class GraftTable(val dir: HPath) {
     * every data file and asking again.
     *
     * Soundness guards (None → caller must fall back to a real scan):
-    *  - any positional or equality delete file in the current snapshot
-    *    makes manifest row counts an overcount → whole result is None;
+    *  - any positional or equality delete file, or deletion vector, in
+    *    the current snapshot makes manifest row counts an overcount (and
+    *    min/max may name deleted extrema) → whole result is None;
     *  - a column's min/max is reported only when EVERY data file carries
     *    stats for it (a stats-less file could hide the true extremum —
     *    all-null and unsupported-encoding files are indistinguishable
@@ -255,7 +256,8 @@ final class GraftTable(val dir: HPath) {
       case None => Some(MetaAgg(0L, Map.empty))
       case Some(snap) =>
         if (snap.deleteFiles.exists(_.nonEmpty) ||
-            snap.eqDeleteFiles.exists(_.nonEmpty)) return None
+            snap.eqDeleteFiles.exists(_.nonEmpty) ||
+            snap.deleteVectors.exists(_.nonEmpty)) return None
         val files = snap.manifest
         val minMax = cols.flatMap { cname =>
           m.currentSchema.find(_.name == cname).flatMap { cd =>
@@ -424,10 +426,11 @@ final class GraftTable(val dir: HPath) {
     * paths whose basename collides with a writer file) would cross-apply
     * each other's deletes at equal positions — silent row loss. Enforced
     * before every delete-record commit; manifest-sized, driver-side. */
-  private def requireUniqueSuffixes(manifest: Seq[DataFile]): Unit = {
+  private def requireUniqueSuffixes(manifest: Seq[DataFile],
+      op: String = "delete"): Unit = {
     val dup = manifest.groupBy(f => dataSuffix(f.path)).filter(_._2.size > 1)
     require(dup.isEmpty,
-      s"delete refused: data files share a post-/data/ path suffix " +
+      s"$op refused: data files share a post-/data/ path suffix " +
         s"(${dup.keys.take(3).mkString(", ")}) — rewriteDataFiles first")
   }
 
@@ -591,6 +594,10 @@ final class GraftTable(val dir: HPath) {
   private def readLiveLineage(spark: SparkSession, m: TableMeta,
       files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty) return readFiles(spark, m, Nil)
+    // The suffix-keyed lineage lookup below fans out (DUPLICATING every
+    // row through CoW delete/update/rewrite) if two manifest entries
+    // share a post-/data/ suffix — refuse loudly, like the MoR paths do.
+    requireUniqueSuffixes(files, op = "lineage-preserving rewrite")
     val base = readFiles(spark, m, files, withPos = true, lineage = true)
     // manifest-sized broadcast: per-file firstRowId + seq feed the
     // derivation for rows whose file has no materialized lineage
@@ -2260,6 +2267,11 @@ final class GraftTable(val dir: HPath) {
     TableMeta.commitRetry(dir) { m =>
       require(m.currentSchema.exists(_.name == from), s"no column $from")
       require(!m.currentSchema.exists(_.name == to), s"column $to exists")
+      // same reserved-prefix rule as createTable/addColumn: renaming a
+      // user column onto _graft_* collides with the physically
+      // materialized lineage columns and the scan helper columns
+      require(!to.startsWith("_graft_"),
+        s"column name $to uses the reserved _graft_ prefix")
       val nextSchema = m.currentSchema.map(c => if (c.name == from) c.copy(name = to) else c)
       val nextSchemaId = m.currentSchemaId + 1
       // the write.sort-order PROPERTY mirrors sortOrderIds by name — a

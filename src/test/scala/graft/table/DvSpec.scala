@@ -157,6 +157,29 @@ class DvSpec extends SparkTestBase {
     assert(keys(deep.read(spark)) === (0L until 60L).filter(_ % 2 == 0))
   }
 
+  test("DVs disable the manifest aggregate fast path; SQL count/min/max stay exact") {
+    val cat = mkCat()
+    val t = cat.createTable("db.t_agg", schema)
+    t.append(rows(0 until 100, "a"))
+    assert(t.metaAggregate(Seq("k")).isDefined)
+    t.deleteMoRDv(spark, col("k") >= 95) // kills the max extremum
+    // manifest counts now overcount and max names a deleted row — the
+    // fast path must refuse (fall back to a real scan), like the
+    // positional/equality delete guards
+    assert(t.metaAggregate(Seq("k")).isEmpty,
+      "DV-carrying snapshot must not answer from manifest stats")
+    // and through the SQL catalog (DSv2 COMPLETE aggregate pushdown):
+    val cname = "dv_agg_cat"
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.spark.GraftCatalogPlugin].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse.toString)
+    val r = spark.sql(
+      s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx FROM $cname.db.t_agg").head()
+    assert(r.getLong(0) === 95L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 94L)
+  }
+
   test(".files metadata table lists vectors; delete-suffix guard fires") {
     val cat = mkCat()
     val t = cat.createTable("db.t_meta", schema)
