@@ -110,6 +110,7 @@ object EventStreams {
           "sinkToTable must run inside a streaming query (sql.streaming.queryId unset) — " +
             "for a batch append use GraftTable.append/appendStreamBatch directly")
         table.appendStreamBatch(batch.toDF(), qid, batchId)
+        () // foreachBatch wants Unit; the commit flag matters to index refresh only
     }
 
   /** Stream-stream interval join: purchases within 30 minutes AFTER a

@@ -850,17 +850,35 @@ final class GraftTable(val dir: HPath) {
     * recording the batch key in the snapshot makes the replay a no-op —
     * the same idempotence contract Iceberg's streaming writer keeps via
     * snapshot summary properties. A skipped replay's freshly written
-    * files are unreferenced; they are deleted best-effort here. */
-  def appendStreamBatch(df: DataFrame, queryId: String, batchId: Long): Unit = {
+    * files are unreferenced; they are deleted best-effort here.
+    *
+    * `expectLastBatch`: optional compare-and-swap on the query's max
+    * committed batch id (0 = none yet). A caller whose PAYLOAD covers the
+    * range (expectLastBatch, batchId] — the batched index refresh — must
+    * abort if a racer advanced the query past its planning point, or the
+    * overlapping rows would double-commit; plain streaming sinks (payload
+    * = one batch, ids sequential) don't need it. Returns true iff this
+    * call committed the batch. */
+  def appendStreamBatch(df: DataFrame, queryId: String, batchId: Long,
+      expectLastBatch: Option[Long] = None): Boolean = {
     val key = s"$queryId#$batchId"
     // replay detection: the key lives in a live snapshot, OR batchId is
     // at-or-below the query's retired watermark (expire_snapshots folds
     // dropped snapshots' keys into the per-query max)
+    def maxBatch(m: TableMeta): Long = {
+      val prefix = s"$queryId#"
+      val live = m.snapshots.flatMap(_.streamBatch)
+        .filter(_.startsWith(prefix))
+        .flatMap(_.substring(prefix.length).toLongOption)
+      val retired = m.retiredStreamBatches.flatMap(_.get(queryId))
+      (live ++ retired).maxOption.getOrElse(0L)
+    }
     def committed(m: TableMeta): Boolean =
       m.snapshots.exists(_.streamBatch.contains(key)) ||
-        m.retiredStreamBatches.exists(_.get(queryId).exists(batchId <= _))
+        m.retiredStreamBatches.exists(_.get(queryId).exists(batchId <= _)) ||
+        expectLastBatch.exists(_ != maxBatch(m))
     val (_, m) = TableMeta.load(dir)
-    if (committed(m)) return // replay of an already-committed batch
+    if (committed(m)) return false // replay / stale planning point
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
     val newFiles = writeFiles(df.sparkSession, m, aligned)
     // racing replay detected inside the retry loop: abort WITHOUT
@@ -869,11 +887,14 @@ final class GraftTable(val dir: HPath) {
     // needed: a detected replay must ALSO trigger the staged-file
     // cleanup below, which a silent no-op return could not signal.)
     object Replayed extends scala.util.control.ControlThrowable
-    try TableMeta.commitRetry(dir) { fresh =>
-      if (committed(fresh)) throw Replayed
-      appendSnapshot(fresh, "append",
-        fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
-        carryDeletes(fresh), streamBatch = Some(key))
+    try {
+      TableMeta.commitRetry(dir) { fresh =>
+        if (committed(fresh)) throw Replayed
+        appendSnapshot(fresh, "append",
+          fresh.currentSnapshot.map(_.manifest).getOrElse(Nil) ++ newFiles,
+          carryDeletes(fresh), streamBatch = Some(key))
+      }
+      true
     } catch {
       case Replayed =>
         // delete the aborted write's whole staging dir(s), not just the
@@ -886,6 +907,7 @@ final class GraftTable(val dir: HPath) {
           while (d0 != null && !d0.getName.startsWith("w-")) d0 = d0.getParent
           GraftIO.deleteRecursive(if (d0 == null) p else d0)
         }
+        false
     }
   }
 

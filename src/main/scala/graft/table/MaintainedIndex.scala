@@ -17,13 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    ("graft-index#<sourceSnapshotId>"), the exactly-once machinery
   *    the streaming sink already proves (appendStreamBatch: a replayed
   *    or racing refresh of the same source snapshot commits nothing).
-  *  - refresh() walks the source's published snapshots above the
-  *    watermark ONE AT A TIME; each step reads only that snapshot's
-  *    manifest diff (readSnapshotRange — metadata-only planning, loud
+  *  - refresh() reads the WHOLE pending ordinal range above the
+  *    watermark in one readSnapshotRange (metadata-only planning, loud
   *    failure on non-append snapshots: an index over append-scan CDC
   *    has the standard append-only contract) and appends
-  *    `buildDelta(deltaRows)` to the index. Cost is O(Δ) in source
-  *    rows; an up-to-date index costs two metadata loads and zero IO.
+  *    `buildDelta(deltaRows)` ONCE, keyed by the range's last source
+  *    snapshot id — a consumer 1000 snapshots behind pays one commit,
+  *    not 1000 sequential ones. Cost is O(Δ) in source rows; an
+  *    up-to-date index costs two metadata loads and zero IO. The
+  *    append carries a compare-and-swap on the watermark
+  *    (expectLastBatch), so a racing refresh whose planning point went
+  *    stale aborts cleanly and retries from the advanced watermark —
+  *    overlapping ranges can never double-commit.
   *  - A SECOND process/session pointed at the same warehouse loads the
   *    table, sees the watermark, and reuses every indexed row without
   *    rebuild (CrossSessionIndexSpec proves it).
@@ -50,31 +55,45 @@ object MaintainedIndex {
     (live ++ retired).maxOption.getOrElse(0L)
   }
 
-  /** Advance `idx` to cover every published snapshot of `source`,
-    * appending `buildDelta(newRows)` once per uncovered source snapshot.
-    * Returns the new watermark. Idempotent and race-safe (see above). */
+  /** Advance `idx` to cover every published snapshot of `source` with
+    * ONE index commit per refresh call, regardless of how far behind the
+    * index fell. Returns the new watermark. Idempotent and race-safe:
+    * the single append is keyed by the range's last source snapshot id
+    * and guarded by expectLastBatch = the planning-time watermark, so a
+    * racer that advanced the index first turns this attempt into a
+    * clean abort + replan instead of a double-commit. */
   def refresh(spark: SparkSession, source: GraftTable, idx: GraftTable)
       (buildDelta: DataFrame => DataFrame): Long = {
     val sm = source.meta
     val snaps = sm.snapshots.take(sm.publishedPrefix)
     if (snaps.isEmpty) return watermark(idx)
-    var wm = watermark(idx)
-    val pending = snaps.filter(_.snapshotId > wm)
-    if (pending.isEmpty) return wm
-    require(wm == 0L || snaps.exists(_.snapshotId == wm),
-      s"index watermark $wm names an expired source snapshot — the " +
-        "manifest diff can no longer be computed; rebuild the index or " +
-        "retain source snapshots until the index covers them")
-    pending.foreach { s =>
-      val ord = snaps.indexWhere(_.snapshotId == s.snapshotId)
-      // ordinal range (ord, ord+1] = exactly this snapshot's manifest
-      // diff vs its list predecessor; after an expire the diff of the
-      // first retained snapshot telescopes over the dropped ones, so
-      // coverage is complete as long as the watermark itself survived
-      val delta = source.readSnapshotRange(spark, ord, ord + 1)
-      idx.appendStreamBatch(buildDelta(delta), QueryId, s.snapshotId)
-      wm = s.snapshotId
+    var attempts = 0
+    while (true) {
+      val wm = watermark(idx)
+      // snapshot ids are assigned max+1, so "id > wm" is a contiguous
+      // suffix of the lineage-ordered list — one ordinal range covers it
+      val pending = snaps.filter(_.snapshotId > wm)
+      if (pending.isEmpty) return wm
+      require(wm == 0L || snaps.exists(_.snapshotId == wm),
+        s"index watermark $wm names an expired source snapshot — the " +
+          "manifest diff can no longer be computed; rebuild the index or " +
+          "retain source snapshots until the index covers them")
+      val firstOrd = snaps.indexWhere(_.snapshotId == pending.head.snapshotId)
+      val lastOrd = snaps.indexWhere(_.snapshotId == pending.last.snapshotId)
+      // ordinal range (firstOrd, lastOrd+1] telescopes every pending
+      // snapshot's manifest diff vs its list predecessor; after an
+      // expire the first retained snapshot's diff telescopes over the
+      // dropped ones, so coverage is complete as long as the watermark
+      // itself survived
+      val delta = source.readSnapshotRange(spark, firstOrd, lastOrd + 1)
+      if (idx.appendStreamBatch(buildDelta(delta), QueryId,
+          pending.last.snapshotId, expectLastBatch = Some(wm)))
+        return pending.last.snapshotId
+      // a racer advanced the watermark between planning and commit —
+      // replan from the new watermark (usually: nothing left to do)
+      attempts += 1
+      require(attempts < 64, "refresh livelock: watermark keeps moving")
     }
-    wm
+    0L // unreachable
   }
 }

@@ -463,6 +463,12 @@ class VectorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.length === got.toSet.size, "each ε-pair exactly once")
     assert(got.toSet === want, "recall/precision must both be exactly 1")
+    // the small-P flat path (what the P ≤ DBSCAN_FLAT_MAX gate selects)
+    // must produce the identical exact edge set
+    val gotFlat = Vectors.dbscanEpsPairsFlat(spark, qe, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotFlat.length === gotFlat.toSet.size)
+    assert(gotFlat.toSet === want, "flat path must match the hierarchy exactly")
     // cell-population bound: no fine cell holds more than a small
     // multiple of n/P (the hierarchical scheme's whole point — flat
     // pivots on clustered data collapse most points into few cells)
