@@ -342,6 +342,32 @@ object TableQueries {
           ORDER BY event_id""")
   }
 
+  /** SQL VIEW over a Graft table — the Iceberg view-spec analog.
+    * The fixture CREATEs the view through the extension parser
+    * (persisted SQL text + resolution context in warehouse metadata,
+    * GraftViews); the judged read SELECTs through GraftViewResolution's
+    * plan substitution, so the whole chain — DDL claim, persistence,
+    * late-binding expansion, aggregation through the view — is what the
+    * oracle checks. Late-binding means zero storage and zero refresh
+    * cost at 100 TB: the view IS its query plan (the materialized dual
+    * is q_table_mv_refresh). */
+  def tableView(s: SparkSession, d: String): DataFrame = {
+    val cname = registeredCatalog("table_view", "graft_view_", s, d) { (cat, name) =>
+      val src = Tables.orders(s, d)
+      cat.createTable("db.orders", src.schema).append(src)
+      s.sql(
+        s"""CREATE VIEW $name.db.v_order_stats AS
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM $name.db.orders
+            GROUP BY o_orderstatus, o_orderpriority""")
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, n_orders, total_price
+          FROM $cname.db.v_order_stats
+          ORDER BY o_orderstatus, o_orderpriority""")
+  }
+
   /** Manifest-stats auto-broadcast, end-to-end: `nation` lives in a
     * Graft table; the SQL join against the parquet `customer` view gets
     * its broadcast from graft.plans.GraftBroadcastStats (the manifest
@@ -1273,6 +1299,7 @@ object TableQueries {
     "q_table_merge"           -> tableMerge,
     "q_table_mor_merge"       -> tableMorMerge,
     "q_table_sql_read"        -> tableSqlRead,
+    "q_table_view"            -> tableView,
     "q_table_sql_write"       -> tableSqlWrite,
     "q_table_sql_partition_evolve" -> tableSqlPartitionEvolve,
     "q_table_sql_ddl"         -> tableSqlDdl,
@@ -1603,6 +1630,12 @@ object TableQueries {
          WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
            AND ts < TIMESTAMP '2024-01-10 00:00:00'
          ORDER BY event_id""",
+    "q_table_view" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "q_table_sql_write" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          CAST(o_totalprice AS DOUBLE) AS o_totalprice,

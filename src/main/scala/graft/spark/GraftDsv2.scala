@@ -421,11 +421,17 @@ class GraftRelation(
   * `spark.sql.catalog.<name>.warehouse = <dir>`. Read + create surface
   * (the reference's CREATE SCHEMA / CREATE TABLE / SELECT lifecycle);
   * writes go through the GraftTable Scala API. */
-class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: HPath = _
   private def cat: GraftCatalog = new GraftCatalog(warehouse)
+
+  /** The underlying filesystem catalog — the view DDL commands and the
+    * view resolution rule go through this (stock Spark has no analyzer
+    * path to the ViewCatalog API below; see GraftViewSql). */
+  private[graft] def graftCatalog: GraftCatalog = cat
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -597,6 +603,66 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces with Proce
       .filter(st => GraftIO.exists(st.getPath.resolve("meta").resolve("version-hint.text")))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
+  }
+
+  // ------------------------------------------------------------- views
+
+  /** The connector ViewCatalog API, implemented for programmatic access
+    * and API completeness. Stock Spark 4.1 never CALLS these (no
+    * analyzer wiring exists for v2 views); the SQL surface routes
+    * through GraftViewSql's parser commands + resolution rule, which
+    * share the same persisted definitions. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    require(namespace.length == 1, s"expected db, got ${namespace.mkString(".")}")
+    cat.listViews(namespace.head)
+      .map(v => Identifier.of(namespace.toArray, v)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    cat.viewExists(qualified(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val d = cat.loadView(qualified(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    new GraftV2View(s"$catalogName.${qualified(ident)}", d)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val q = qualified(info.ident())
+    cat.createView(q, info.sql(),
+      defaultCatalog = info.currentCatalog(),
+      defaultNamespace = info.currentNamespace().toSeq,
+      schemaJson = info.schema().json,
+      comment = Option(info.properties().get(ViewCatalog.PROP_COMMENT)),
+      properties = info.properties().asScala.toMap -- ViewCatalog.RESERVED_PROPERTIES.asScala,
+      replace = false)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val q = qualified(ident)
+    val d = cat.loadView(q).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(d.allProperties) {
+      case (acc, s: ViewChange.SetProperty) => acc + (s.property() -> s.value())
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"view change ${other.getClass.getSimpleName}")
+    }
+    cat.createView(q, d.sql, d.defaultCatalog, d.defaultNamespace,
+      d.schemaJson, d.comment, props, replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    cat.dropView(qualified(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val ns = to.namespace() match {
+      case arr if arr.length > 1 && arr.head == catalogName => arr.tail
+      case arr => arr
+    }
+    cat.renameView(qualified(from), (ns :+ to.name()).mkString("."))
   }
 
   // -------------------------------------------------------- procedures

@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => GraftRowLevelSql)
     // literal ALTER TABLE ... ADD/DROP PARTITION FIELD (README.md:304)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // persisted SQL views over Graft catalogs: reads expand in the main
+    // resolution batch (stock Spark wires no analyzer path to the
+    // ViewCatalog API — see GraftViewSql)
+    ext.injectResolutionRule(s => GraftViewResolution(s))
     // native as-of join (graft.plans.AsOfJoin → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // manifest-stats auto-broadcast of small Graft join sides (the

@@ -28,11 +28,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftPartitionFieldSql.parse(sqlText, delegate)
+      .orElse(GraftViewSql.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
     GraftPartitionFieldSql.parse(sqlText, delegate)
+      .orElse(GraftViewSql.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
 
   override def parseExpression(sqlText: String): Expression =

@@ -92,6 +92,23 @@ object GraftProcedures {
         }
       }
 
+    case "rewrite_position_deletes" =>
+      // delete-side dual of rewrite_data_files: fold positional delete
+      // files + prior vectors into one merged DV per data file (Iceberg's
+      // rewrite_position_delete_files); content and CDC unchanged
+      new GraftProc("rewrite_position_deletes", Array(
+        p("table", StringType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val (before, after) = t.rewritePositionDeletes(SparkSession.active)
+          result(
+            StructType(Seq(
+              StructField("delete_files_and_vectors_before", LongType),
+              StructField("deletion_vectors_after", LongType))),
+            before.toLong, after.toLong)
+        }
+      }
+
     case "rewrite_manifests" =>
       // metadata dual of rewrite_data_files: fold the current snapshot's
       // per-append delta chunks into one full manifest chunk
@@ -290,6 +307,7 @@ object GraftProcedures {
   }
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
+    "rewrite_position_deletes",
     "rewrite_manifests", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "drop_ref", "fast_forward",
     "remove_orphan_files", "add_partition_field", "drop_partition_field",

@@ -116,6 +116,73 @@ final class GraftCatalog(val warehouse: HPath) {
     qualified.split('.').length == 2 && // e.g. db.t.partitions is a metadata table, not a table
       GraftIO.exists(tableDir(qualified).resolve("meta").resolve("version-hint.text"))
 
+  // ------------------------------------------------------------- views
+
+  /** CREATE [OR REPLACE] VIEW — persists the SQL text + resolution
+    * context as versioned warehouse metadata (GraftViews). Refuses to
+    * shadow a table; createTable's existing meta/ guard refuses the
+    * reverse direction. */
+  def createView(
+      qualified: String,
+      sql: String,
+      defaultCatalog: String,
+      defaultNamespace: Seq[String],
+      schemaJson: String,
+      comment: Option[String] = None,
+      properties: Map[String, String] = Map.empty,
+      replace: Boolean = false): GraftViewDef = {
+    require(tableExists(qualified) == false,
+      s"cannot create view $qualified: a TABLE with that name exists")
+    val dir = tableDir(qualified)
+    if (!GraftIO.isDirectory(dir.getParent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(dir.getParent.getName))
+    GraftViews.publish(dir, GraftViewDef(
+      name = qualified, sql = sql,
+      defaultCatalog = defaultCatalog, defaultNamespace = defaultNamespace,
+      schemaJson = schemaJson, comment = comment,
+      properties = if (properties.isEmpty) None else Some(properties)),
+      replace = replace)
+  }
+
+  def viewExists(qualified: String): Boolean =
+    qualified.split('.').length == 2 && GraftViews.exists(tableDir(qualified))
+
+  def loadView(qualified: String): Option[GraftViewDef] =
+    if (qualified.split('.').length != 2) None
+    else GraftViews.load(tableDir(qualified))
+
+  /** DROP VIEW — removes the definition directory. Returns whether the
+    * view existed. Never touches tables (guarded on the view marker). */
+  def dropView(qualified: String): Boolean = {
+    val dir = tableDir(qualified)
+    if (!GraftViews.exists(dir)) false
+    else { GraftIO.deleteRecursive(dir); true }
+  }
+
+  /** ALTER VIEW ... RENAME TO — directory move, same contract as
+    * renameTable (destination must not exist, namespace must exist). */
+  def renameView(from: String, to: String): Unit = {
+    val src = tableDir(from)
+    val dst = tableDir(to)
+    require(GraftViews.exists(src), s"no view $from")
+    require(!GraftIO.exists(dst), s"table or view $to already exists")
+    if (!GraftIO.isDirectory(dst.getParent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(dst.getParent.getName))
+    GraftIO.rename(src, dst)
+    // re-stamp the stored name so loadView reports the new identity
+    val d = GraftViews.load(dst).get
+    GraftViews.publish(dst, d.copy(name = to), replace = true)
+  }
+
+  def listViews(schema: String): Seq[String] = {
+    val ns = warehouse.resolve(schema)
+    if (!GraftIO.isDirectory(ns)) Nil
+    else GraftIO.list(ns).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => GraftViews.exists(ns.resolve(n))).sorted
+  }
+
   private def tableDir(qualified: String): HPath = {
     val parts = qualified.split('.')
     require(parts.length == 2, s"expected schema.table, got $qualified")

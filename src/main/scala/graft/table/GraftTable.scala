@@ -1164,6 +1164,56 @@ final class GraftTable(val dir: HPath) {
       appendSnapshot(m, "delete", manifest, carryDeletes(m), dvs = Some(newDvs)))
   }
 
+  /** `CALL system.rewrite_position_deletes` (Iceberg's
+    * rewrite_position_delete_files): fold every positional delete FILE
+    * and every deletion vector of the current snapshot into ONE merged
+    * deletion vector per affected data file — WITHOUT touching data
+    * files. The maintenance companion to deleteMoRDv: a long-lived MoR
+    * table accumulates positional files whose per-read anti-join union
+    * grows with every delete; the fold restores the v3 invariant (≤1
+    * vector per data file, zero positional files) at O(delete entries)
+    * cost, metadata + vector IO only. Table CONTENT is identical before
+    * and after, CDC emits nothing for the fold commit (readChanges
+    * skips 'rewrite-deletes' vector deltas), and time travel still reads
+    * the old snapshots through their original delete files. Equality
+    * deletes are NOT positions (they are sequence-guarded key
+    * predicates) — they carry through unchanged.
+    * Returns (delete files + vectors before, vectors after). */
+  def rewritePositionDeletes(spark: SparkSession): (Int, Int) = {
+    val (v, m) = TableMeta.load(dir)
+    val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    val posFiles = snap.allDeleteFiles
+    val dvs = snap.allDeleteVectors
+    val before = posFiles.size + dvs.size
+    // nothing to fold: DV-only state already keeps one vector per file
+    // (deleteMoRDv's supersede rule) — rewriting would churn bytes
+    if (posFiles.isEmpty) return (before, before)
+    requireUniqueSuffixes(snap.manifest, op = "rewrite_position_deletes")
+    val entries = deleteEntries(spark, snap).get // (_graft_dfp, _graft_pos)
+    import spark.implicits._
+    val dirStr = dir.toString
+    // one task per affected data file; positions never gather on the
+    // driver (same bound as deleteMoRDv: rows-per-file sized groups)
+    val written = entries
+      .groupBy(col("_graft_dfp")).agg(collect_list(col("_graft_pos")).as("pos"))
+      .as[(String, Seq[Long])]
+      .rdd.map { case (sfx, pos) =>
+        val base = new HPath(dirStr)
+        val merged = Dv.merge(pos.toArray, Array.empty[Long])
+        val rel = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+        Dv.write(base.resolve(rel), merged)
+        (sfx, rel, merged.length.toLong)
+      }.collect() // per-affected-file triples, manifest-sized
+    val bySfx = snap.manifest.map(f => dataSuffix(f.path) -> f.path).toMap
+    val newDvs = written.toSeq.map { case (sfx, rel, card) =>
+      DeleteVector(bySfx.getOrElse(sfx, sfx), rel, card) }
+    // single-shot commit like deleteMoRDv: the fold was derived from
+    // THIS snapshot — a concurrent change must surface, not be reapplied
+    TableMeta.commit(dir, v,
+      appendSnapshot(m, "rewrite-deletes", snap.manifest, Nil, dvs = Some(newDvs)))
+    (before, newDvs.size)
+  }
+
   /** Write a (tiny, by-construction) delete-file parquet under
     * data/<prefix>-<uuid>/ and return its (relativePath, rows) parts —
     * the shared tail of both MoR delete flavors. Zero-row parts are
@@ -1841,8 +1891,14 @@ final class GraftTable(val dir: HPath) {
       val prevDvByFile =
         (if (i == 0) Nil else snaps(i - 1).allDeleteVectors)
           .map(d => d.dataPath -> d).toMap
-      val changedDvs = s.allDeleteVectors
-        .filter(d => !prevDvByFile.get(d.dataPath).exists(_.path == d.path))
+      // a rewrite-deletes fold re-encodes EXISTING deletes (positional
+      // files + prior vectors) as fresh merged vectors: its "changed"
+      // vectors carry zero new row deletions, so emitting their deltas
+      // would re-report rows already reported when the originals landed
+      val changedDvs =
+        if (s.operation == "rewrite-deletes") Nil
+        else s.allDeleteVectors
+          .filter(d => !prevDvByFile.get(d.dataPath).exists(_.path == d.path))
       val dvDeletes =
         if (changedDvs.isEmpty) None
         else {

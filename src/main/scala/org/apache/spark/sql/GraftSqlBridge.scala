@@ -9,6 +9,29 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The registered catalog plugin under `name`, if any — CatalogManager
+    * accessors are `private[sql]`, hence bridged. */
+  def catalogPlugin(
+      spark: SparkSession,
+      name: String): Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    if (cm.isCatalogRegistered(name)) Some(cm.catalog(name)) else None
+  }
+
+  def currentCatalogName(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+      .currentCatalog.name()
+
+  def currentNamespace(spark: SparkSession): Seq[String] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+      .currentNamespace.toSeq
+
+  /** Parse SQL text with the session's (extension-wrapped) parser. */
+  def parsePlan(
+      spark: SparkSession,
+      sqlText: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sqlText)
+
   /** Analyzed LogicalPlan → DataFrame, preserving the plan's attribute
     * exprIds (a fresh read would re-number them and orphan every
     * reference held by a row-level SQL command's expressions). */

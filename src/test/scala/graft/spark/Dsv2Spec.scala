@@ -607,4 +607,168 @@ class Dsv2Spec extends SparkTestBase {
       assert(!p2.contains("BroadcastHashJoin"), p2)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("CALL rewrite_position_deletes folds files+DVs to ≤1 vector per file; content and CDC unchanged") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.t", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    import spark.implicits._
+    def rows(r: Range) = r.map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    t.append(rows(0 until 100)); t.append(rows(100 until 200))
+    // accumulate MoR delete state of BOTH flavors
+    t.deleteMoR(spark, col("k") % 7 === 0)   // positional delete file(s)
+    t.deleteMoR(spark, col("k") % 11 === 0)  // more positional files
+    t.deleteMoRDv(spark, col("k") >= 190)    // deletion vectors
+    val snap0 = t.meta.currentSnapshot.get
+    assert(snap0.allDeleteFiles.nonEmpty && snap0.allDeleteVectors.nonEmpty)
+    val contentBefore = t.read(spark).orderBy("k").collect()
+    val cdcDeletesBefore = t.readChanges(spark, 0, t.meta.snapshots.size)
+      .filter(col("_change_type") === "delete").count()
+
+    val c = freshCatalog(wh)
+    val out = spark.sql(s"CALL $c.system.rewrite_position_deletes('db.t')").head()
+    assert(out.getLong(0) === (snap0.allDeleteFiles.size + snap0.allDeleteVectors.size).toLong)
+    val snap1 = cat.load("db.t").meta.currentSnapshot.get
+    // the v3 invariant restored: zero positional files, ≤1 vector per data file
+    assert(snap1.allDeleteFiles.isEmpty)
+    assert(snap1.allDeleteVectors.groupBy(_.dataPath).forall(_._2.size == 1))
+    assert(snap1.manifest.map(_.path) === snap0.manifest.map(_.path), "data files untouched")
+    // identical content
+    assert(cat.load("db.t").read(spark).orderBy("k").collect() === contentBefore)
+    // CDC: the fold commit reports NO row changes
+    val t1 = cat.load("db.t")
+    assert(t1.readChanges(spark, 0, t1.meta.snapshots.size)
+      .filter(col("_change_type") === "delete").count() === cdcDeletesBefore)
+    assert(t1.readChanges(spark, t1.meta.snapshots.size - 1, t1.meta.snapshots.size)
+      .count() === 0L)
+    // time travel still reads the pre-fold snapshot through its files
+    assert(t1.readVersion(spark, snap0.snapshotId).orderBy("k").collect() === contentBefore)
+    // a second CALL is a no-op (already folded)
+    val again = spark.sql(s"CALL $c.system.rewrite_position_deletes('db.t')").head()
+    assert(again.getLong(0) === again.getLong(1))
+    // a later DV delete supersede-merges INTO the folded vectors
+    t1.deleteMoRDv(spark, col("k") === 1L)
+    val snap2 = t1.meta.currentSnapshot.get
+    assert(snap2.allDeleteVectors.groupBy(_.dataPath).forall(_._2.size == 1))
+    assert(t1.read(spark).filter(col("k") === 1L).count() === 0L)
+  }
+
+  // ----------------------------------------------------------- SQL views
+
+  private def viewFixture() = {
+    val (wh, t) = partitionedEvents()
+    val c = freshCatalog(wh)
+    (wh, t, c)
+  }
+
+  test("CREATE VIEW persists; SELECT through the view == the underlying query") {
+    val (_, _, c) = viewFixture()
+    spark.sql(s"""CREATE VIEW $c.db.v_daily AS
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS total
+      FROM $c.db.events GROUP BY CAST(ts AS DATE)""")
+    val viaView = spark.sql(s"SELECT * FROM $c.db.v_daily ORDER BY day").collect()
+    val direct = spark.sql(
+      s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS total
+          FROM $c.db.events GROUP BY CAST(ts AS DATE) ORDER BY day""").collect()
+    assert(viaView.nonEmpty)
+    assert(viaView === direct)
+    // SHOW VIEWS lists it; listTables does NOT (a view is not a table)
+    assert(spark.sql(s"SHOW VIEWS IN $c.db").collect()
+      .map(_.getString(1)).contains("v_daily"))
+    assert(!spark.sql(s"SHOW TABLES IN $c.db").collect()
+      .map(_.getString(1)).contains("v_daily"))
+  }
+
+  test("OR REPLACE swaps the definition; IF NOT EXISTS no-ops; bare duplicate fails") {
+    val (_, _, c) = viewFixture()
+    spark.sql(s"CREATE VIEW $c.db.v_n AS SELECT count(*) AS n FROM $c.db.events")
+    val n0 = spark.sql(s"SELECT n FROM $c.db.v_n").head().getLong(0)
+    spark.sql(s"CREATE OR REPLACE VIEW $c.db.v_n AS " +
+      s"SELECT count(*) AS n FROM $c.db.events WHERE value > 1e18")
+    assert(spark.sql(s"SELECT n FROM $c.db.v_n").head().getLong(0) === 0L)
+    spark.sql(s"CREATE VIEW IF NOT EXISTS $c.db.v_n AS SELECT 1 AS n") // no-op
+    assert(spark.sql(s"SELECT n FROM $c.db.v_n").head().getLong(0) === 0L)
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW $c.db.v_n AS SELECT 2 AS n")
+    }
+    assert(n0 > 0L)
+  }
+
+  test("DROP VIEW removes it; IF EXISTS tolerates absence; read after drop fails") {
+    val (_, _, c) = viewFixture()
+    spark.sql(s"CREATE VIEW $c.db.v_gone AS SELECT count(*) AS n FROM $c.db.events")
+    spark.sql(s"DROP VIEW $c.db.v_gone")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $c.db.v_gone").collect() }
+    spark.sql(s"DROP VIEW IF EXISTS $c.db.v_gone") // silent
+    intercept[Exception] { spark.sql(s"DROP VIEW $c.db.v_gone") }
+  }
+
+  test("rename-safety: renaming a referenced column fails the read LOUDLY; ALTER AS heals") {
+    val (_, t, c) = viewFixture()
+    spark.sql(s"""CREATE VIEW $c.db.v_vals AS
+      SELECT event_id, value FROM $c.db.events""")
+    assert(spark.sql(s"SELECT * FROM $c.db.v_vals").count() > 0)
+    t.renameColumn("value", "metric")
+    // late-binding contract: the view must FAIL, never silently misread
+    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $c.db.v_vals").collect() }
+    assert(e.getMessage.contains("value"), e.getMessage)
+    spark.sql(s"ALTER VIEW $c.db.v_vals AS SELECT event_id, metric FROM $c.db.events")
+    assert(spark.sql(s"SELECT * FROM $c.db.v_vals").count() > 0)
+  }
+
+  test("nested views expand; a REPLACE-created cycle fails loudly") {
+    val (_, _, c) = viewFixture()
+    spark.sql(s"CREATE VIEW $c.db.v_base AS SELECT event_id, value FROM $c.db.events")
+    spark.sql(s"CREATE VIEW $c.db.v_top AS SELECT count(*) AS n FROM $c.db.v_base WHERE value >= 0")
+    assert(spark.sql(s"SELECT n FROM $c.db.v_top").head().getLong(0) > 0)
+    // cycle: v_base now references v_top
+    spark.sql(s"CREATE OR REPLACE VIEW $c.db.v_base AS SELECT 1L AS event_id, CAST(n AS DOUBLE) AS value FROM $c.db.v_top")
+    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $c.db.v_top").collect() }
+    assert(e.getMessage.toLowerCase.contains("recursive"), e.getMessage)
+  }
+
+  test("views and tables cannot shadow each other; rename keeps identities") {
+    val (wh, _, c) = viewFixture()
+    intercept[Exception] { // view over existing table name
+      spark.sql(s"CREATE VIEW $c.db.events AS SELECT 1 AS x")
+    }
+    spark.sql(s"CREATE VIEW $c.db.v_r AS SELECT count(*) AS n FROM $c.db.events")
+    intercept[Exception] { // table over existing view name
+      spark.sql(s"CREATE TABLE $c.db.v_r (x BIGINT) USING graft")
+    }
+    spark.sql(s"ALTER VIEW $c.db.v_r RENAME TO $c.db.v_r2")
+    assert(spark.sql(s"SELECT n FROM $c.db.v_r2").head().getLong(0) > 0)
+    intercept[Exception] { spark.sql(s"SELECT n FROM $c.db.v_r").collect() }
+    // persisted: a FRESH catalog handle over the same warehouse sees it
+    val cat2 = new GraftCatalog(wh)
+    assert(cat2.viewExists("db.v_r2"))
+    assert(cat2.loadView("db.v_r2").get.sql.toLowerCase.contains("count"))
+  }
+
+  test("ViewCatalog connector API: create/load/alter/drop round-trip") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange, ViewInfo}
+    val (wh, _, _) = viewFixture()
+    val plugin = new GraftCatalogPlugin
+    plugin.initialize("vapi", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh.toString)))
+    val vc: ViewCatalog = plugin
+    val ident = Identifier.of(Array("db"), "v_api")
+    val schema = StructType(Seq(StructField("n", LongType)))
+    vc.createView(new ViewInfo(ident, "SELECT count(*) AS n FROM db.events",
+      "vapi", Array("db"), schema, Array("n"), Array.empty, Array.empty,
+      java.util.Map.of("comment", "api view", "k", "v1")))
+    assert(vc.viewExists(ident))
+    val v = vc.loadView(ident)
+    assert(v.query().contains("count"))
+    assert(v.schema().fieldNames.toSeq === Seq("n"))
+    assert(v.properties().get("k") === "v1")
+    assert(v.properties().get("comment") === "api view")
+    vc.alterView(ident, ViewChange.setProperty("k", "v2"))
+    assert(vc.loadView(ident).properties().get("k") === "v2")
+    assert(vc.listViews("db").map(_.name()).contains("v_api"))
+    assert(vc.dropView(ident))
+    assert(!vc.viewExists(ident))
+  }
 }
