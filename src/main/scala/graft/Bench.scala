@@ -60,6 +60,47 @@ object Bench {
     def cpuNow(): Long =
       try osBean.map(_.getProcessCpuTime).getOrElse(-1L)
       catch { case _: Throwable => -1L }
+    // GC attribution (the round-12 lesson: co-tenant memory pressure
+    // turns GC threads into process CPU, defeating the wall-vs-cpu
+    // exoneration signal — 144.6 CPU-s were charged to a 0.9 s query).
+    // Per-query GC milliseconds + peak heap let a contended artifact
+    // self-attribute with the THREE-way read (wall / cpu / gc): plan
+    // regression inflates wall+cpu with low gc; memory-pressure noise
+    // inflates cpu WITH gc; host CPU steal inflates wall alone.
+    import scala.jdk.CollectionConverters._
+    def gcMsNow(): Long =
+      try java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      catch { case _: Throwable => -1L }
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p =>
+        p.getType == java.lang.management.MemoryType.HEAP && p.isValid)
+    def resetPeaks(): Unit =
+      try heapPools.foreach(_.resetPeakUsage()) catch { case _: Throwable => () }
+    def peakHeapMb(): Double =
+      try heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
+      catch { case _: Throwable => -1.0 }
+    // SHUFFLE VOLUME per query (the scaling audit's missing column):
+    // stage-completion aggregates summed by a listener; snapshots are
+    // taken after a listener-bus flush so a query's stages are fully
+    // attributed to it. Write-side bytes/records = what crossed the wire.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+    def shuffleNow(): (Long, Long) = {
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(
+        spark.sparkContext, 10000L)
+      (shuffleBytes.get(), shuffleRecords.get())
+    }
     // host-noise probe: one FIXED CPU-bound query (plan never changes
     // round to round) INTERLEAVED every ~n/12 queries — its per-position
     // timing brackets any blown-up query with a machine-readable noise
@@ -99,27 +140,34 @@ object Bench {
     // a query run either times or fails WITH ITS MESSAGE — round 9's
     // harness swallowed the one q_clean_pipeline exception and left the
     // cause unrecoverable from the artifact (the judge's top finding)
+    case class QMetrics(wall: Double, cpu: Double, gcSec: Double,
+      shufMb: Double, shufRec: Long, peakMb: Double)
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, (Double, Double)] = {
+        : Either[String, QMetrics] = {
+      val (sb0, sr0) = shuffleNow(); val g0 = gcMsNow(); resetPeaks()
       val c0 = cpuNow(); val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val c1 = cpuNow()
-        Right((wall, if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else -1.0))
+        val c1 = cpuNow(); val g1 = gcMsNow(); val (sb1, sr1) = shuffleNow()
+        Right(QMetrics(wall,
+          if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else -1.0,
+          if (g0 >= 0 && g1 >= 0) (g1 - g0) / 1e3 else -1.0,
+          (sb1 - sb0) / 1048576.0, sr1 - sr0, peakHeapMb()))
       }
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}") }
     }
-    // min-of-2 on WALL; the reported cpu is the min-wall run's (the two
-    // runs' cpu agree when the work is the same — that agreement is the
-    // attribution signal)
+    // min-of-2 on WALL; the reported cpu/gc/shuffle are the min-wall
+    // run's (the two runs' cpu agree when the work is the same — that
+    // agreement is the attribution signal; shuffle volume is plan-
+    // deterministic, so either run reports the same bytes)
     def runTwice(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        onFlaky: String => Unit): Either[String, (Double, Double)] =
+        onFlaky: String => Unit): Either[String, QMetrics] =
       runOnce(fn) match {
         case Right(a) => runOnce(fn).fold(
           e2 => { onFlaky(e2); Right(a) },
-          b => Right(if (b._1 < a._1) b else a))
+          b => Right(if (b.wall < a.wall) b else a))
         case l => l
       }
     // a SECOND-run failure keeps the first run's valid timing but must
@@ -161,7 +209,7 @@ object Bench {
     val retriedJson = retriedNames.sorted.map(jstr).mkString("[", ",", "]")
     val flakyJson = flaky.sortBy(_._1)
       .map { case (k, m) => s"{${jstr(k)}:${jstr(m)}}" }.mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    val total = if (ok.nonEmpty) ok.values.map(_.wall).sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
     // The harness captures only the LAST ~2000 chars of output, and the
     // sbt runner appends ~80 chars of its own after us — a JSON line
@@ -170,9 +218,13 @@ object Bench {
     // full per-query wall+cpu maps to a file, and keep the final printed
     // line under a hard budget by including only the slowest queries
     // (the ones worth auditing) until the budget is spent.
-    val bySlow = ok.toSeq.sortBy(-_._2._1)
-    val detail = bySlow.map { case (k, (w, _)) => s"\"$k\":${fmt(w)}" }
-    val cpuDetail = bySlow.map { case (k, (_, c)) => s"\"$k\":${fmt(c)}" }
+    val bySlow = ok.toSeq.sortBy(-_._2.wall)
+    val detail = bySlow.map { case (k, m) => s"\"$k\":${fmt(m.wall)}" }
+    val cpuDetail = bySlow.map { case (k, m) => s"\"$k\":${fmt(m.cpu)}" }
+    val gcDetail = bySlow.map { case (k, m) => s"\"$k\":${fmt(m.gcSec)}" }
+    val shufDetail = bySlow.map { case (k, m) =>
+      s"""\"$k\":[${fmt(m.shufMb)},${m.shufRec}]""" }
+    val peakDetail = bySlow.map { case (k, m) => s"\"$k\":${fmt(m.peakMb)}" }
     val okProbes = probes.filter(_._2 >= 0)
     val probesJson = okProbes
       .map { case (i, s) => s"[$i,${fmt(s)}]" }.mkString("[", ",", "]")
@@ -183,7 +235,10 @@ object Bench {
     // slowest-first: nested builds include their inner builds' time
     val artifacts = Scratch.buildTimes.sortBy(-_._2)
       .map { case (k, sec) => s"${jstr(k)}:${fmt(sec)}" }
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},"cpu":${cpuDetail.mkString("{", ",", "}")},"artifacts":${artifacts.mkString("{", ",", "}")},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // gc = seconds of collector time inside the min-wall run; shuffle =
+    // [write MB, write records]; peak_heap_mb = high-water heap of the
+    // min-wall run. See BASELINE.md "reading a contended artifact".
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detail.mkString("{", ",", "}")},"cpu":${cpuDetail.mkString("{", ",", "}")},"gc":${gcDetail.mkString("{", ",", "}")},"shuffle":${shufDetail.mkString("{", ",", "}")},"peak_heap_mb":${peakDetail.mkString("{", ",", "}")},"artifacts":${artifacts.mkString("{", ",", "}")},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("target/bench_detail.json"), fullJson)
     catch { case _: Throwable => () }
     def takeBudget(entries: Seq[String], budget: Int): Seq[String] = {
@@ -195,12 +250,14 @@ object Bench {
       }
     }
     val kept = takeBudget(detail, 800)
-    // cpu entries mirror the kept (slowest) keys — wall vs cpu for
-    // exactly the queries a reader would want to exonerate
+    // cpu + gc entries mirror the kept (slowest) keys — the three-way
+    // wall/cpu/gc read for exactly the queries a reader would want to
+    // exonerate (full maps live in target/bench_detail.json)
     val keptCpu = takeBudget(cpuDetail.take(kept.size), 350)
+    val keptGc = takeBudget(gcDetail.take(kept.size), 200)
     val omitted = ok.size - kept.size
-    val omittedSec = bySlow.drop(kept.size).map(_._2._1).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"cpu":${keptCpu.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    val omittedSec = bySlow.drop(kept.size).map(_._2.wall).sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"cpu":${keptCpu.mkString("{", ",", "}")},"gc":${keptGc.mkString("{", ",", "}")},"omitted_queries":$omitted,"omitted_sec":${fmt(omittedSec)},$noiseJson,"errors":$errJson,"retried":$retriedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     println(line)
     // the sbt runner appends its own "[success] Total time…" banner AFTER
     // our stdout, so naive last-line parsing of the captured tail misses
