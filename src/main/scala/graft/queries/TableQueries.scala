@@ -251,6 +251,36 @@ object TableQueries {
     t
   }
 
+  /** `CALL system.rewrite_position_deletes` judged end-to-end: both MoR
+    * delete flavors accumulate (positional files from two deleteMoR
+    * commits + vectors from a deleteMoRDv), the CALL folds them into
+    * one merged vector per data file, and the judged read proves the
+    * fold changed NOTHING visible — same oracle as a plain filtered
+    * read. Dsv2Spec pins the invariants (zero positional files, ≤1
+    * vector/file, CDC-silent fold commit, time travel intact). The
+    * 100 TB story: a year of MoR deletes is thousands of delete files
+    * whose union anti-join every read pays; the fold is O(delete
+    * entries) maintenance that restores O(1) delete state per file. */
+  def tableRewriteDeletes(s: SparkSession, d: String): DataFrame = {
+    val t = fixture("rwdel", d) {
+      val t0 = plainFixture(s, d)
+      t0.deleteMoR(s, col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+      t0.deleteMoR(s, col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 1)
+      t0.deleteMoRDv(s, col("o_orderpriority") === "1-URGENT")
+      val s0 = t0.meta.currentSnapshot.get
+      require(s0.allDeleteFiles.nonEmpty && s0.allDeleteVectors.nonEmpty,
+        "fixture must carry BOTH delete flavors before the fold")
+      val (_, after) = t0.rewritePositionDeletes(s)
+      val s1 = t0.meta.currentSnapshot.get
+      require(s1.allDeleteFiles.isEmpty && after > 0,
+        "fold must clear positional files into vectors")
+      require(s1.allDeleteVectors.groupBy(_.dataPath).forall(_._2.size == 1),
+        "v3 invariant violated after fold")
+      t0
+    }
+    ordered(t.read(s))
+  }
+
   /** Row-level UPDATE (CoW): the v2 'updates' capability the reference
     * promises (README.md:180). Only files containing F-status rows are
     * rewritten; the oracle is a CASE projection over the source. */
@@ -1308,6 +1338,7 @@ object TableQueries {
     "q_table_partitions"      -> tablePartitions,
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete,
+    "q_table_rewrite_deletes" -> tableRewriteDeletes,
     "q_table_dv"              -> tableDvDelete,
     "q_table_default_col"     -> tableDefaultCol,
     "q_table_row_lineage"     -> tableRowLineage,
@@ -1540,6 +1571,8 @@ object TableQueries {
     "q_table_deep_clone" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_orphan_cleanup" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
+    "q_table_rewrite_deletes" -> orderedOrdersSql.format(
+      "WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'"),
     "q_table_dv" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_row_lineage" ->
       """WITH ranked AS (
