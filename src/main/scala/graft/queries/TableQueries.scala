@@ -251,6 +251,30 @@ object TableQueries {
     t
   }
 
+  /** The shared catalog SERVICE judged end-to-end — the reference's
+    * rest-catalog + MinIO topology (README.md:59-94), previously the
+    * one reference capability with no runnable counterpart here. The
+    * fixture starts a GraftFsServer (one process owning the warehouse)
+    * and builds the table THROUGH `graftfs://host:port/…`
+    * (GraftHttpFileSystem — ServiceLoader-registered, zero conf): the
+    * CREATE, the Spark parquet append, and every metadata CAS go over
+    * the wire to the single authority; the judged read scans parquet
+    * back through ranged HTTP reads. GraftFsServiceSpec pins the
+    * multi-driver guarantees (cross-JVM commit race through one
+    * service, exclusive-PUT CAS, positional parquet reads). */
+  def tableCatalogService(s: SparkSession, d: String): DataFrame = {
+    val whUrl = graft.Scratch.objectOnce("graftfs_service", d) {
+      val srv = graft.table.GraftFsServer.serve(graft.Scratch.fresh("graftfs_root"))
+      val wh = s"graftfs://127.0.0.1:${srv.port}/wh"
+      val cat = new GraftCatalog(new org.apache.hadoop.fs.Path(wh))
+      cat.createSchema("db")
+      cat.createTable("db.orders", ordersSchema).append(Tables.orders(s, d))
+      wh // the server lives for the JVM (daemon workers)
+    }
+    val t = new GraftCatalog(new org.apache.hadoop.fs.Path(whUrl)).load("db.orders")
+    ordered(t.read(s).filter(col("o_orderstatus") === "O"))
+  }
+
   /** `CALL system.rewrite_position_deletes` judged end-to-end: both MoR
     * delete flavors accumulate (positional files from two deleteMoR
     * commits + vectors from a deleteMoRDv), the CALL folds them into
@@ -1339,6 +1363,7 @@ object TableQueries {
     "q_table_sql_time_travel" -> tableSqlTimeTravel,
     "q_table_mor_delete"      -> tableMorDelete,
     "q_table_rewrite_deletes" -> tableRewriteDeletes,
+    "q_table_catalog_service" -> tableCatalogService,
     "q_table_dv"              -> tableDvDelete,
     "q_table_default_col"     -> tableDefaultCol,
     "q_table_row_lineage"     -> tableRowLineage,
@@ -1573,6 +1598,8 @@ object TableQueries {
     "q_table_mor_delete" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_rewrite_deletes" -> orderedOrdersSql.format(
       "WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'"),
+    "q_table_catalog_service" -> orderedOrdersSql.format(
+      "WHERE o_orderstatus = 'O'"),
     "q_table_dv" -> orderedOrdersSql.format("WHERE o_orderstatus <> 'F'"),
     "q_table_row_lineage" ->
       """WITH ranked AS (

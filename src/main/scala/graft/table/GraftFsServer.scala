@@ -1,0 +1,217 @@
+package graft.table
+
+import java.io.{IOException, InputStream, OutputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The shared catalog SERVICE the reference runs as its rest-catalog +
+  * MinIO containers (README.md:59-94): one process owns the warehouse
+  * and arbitrates every metadata commit; any number of driver JVMs —
+  * on any host that can reach the port — mount it as a filesystem
+  * scheme (`graftfs://host:port/…`, GraftHttpFileSystem) and get the
+  * full catalog/table/view stack over the wire, data IO included.
+  *
+  * Protocol (deliberately primitive-shaped: it mirrors the exact
+  * Hadoop FileSystem surface GraftIO + Spark's parquet IO consume, so
+  * the CLIENT needs no protocol-specific commit logic — the same
+  * publishExclusive CAS that works on file:// works here):
+  *
+  *   GET    /fs/<path>            bytes (Range supported — parquet
+  *                                footer seeks become ranged reads)
+  *   HEAD   /fs/<path>            404 | headers X-Is-Dir, X-Len, X-Mtime
+  *   PUT    /fs/<path>            write body; ?exclusive=true = atomic
+  *                                CREATE_NEW, 409 if the target exists —
+  *                                THE commit CAS, enforced server-side
+  *                                by the one authority (the property S3
+  *                                needs conditional PUTs for)
+  *   DELETE /fs/<path>[?recursive=true]
+  *   GET    /ls/<path>            one "name|isDir|len|mtime" line per child
+  *   POST   /mkdirs/<path>
+  *   POST   /rename?src=<p>&dst=<p>   409 if dst exists (rename-safe)
+  *
+  * Bodies are all-or-nothing: PUT stages to a temp file and publishes
+  * by atomic link/move, so a racing reader can never observe partial
+  * content — the same discipline GraftIO keeps locally. */
+final class GraftFsServer(root: Path, port0: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port0), 0)
+  // daemon workers: the SERVICE must never pin a client/test JVM open —
+  // a standalone service process pins itself via main's join instead
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "graftfs-worker"); t.setDaemon(true); t })
+  @volatile private var started = false
+
+  def port: Int = server.getAddress.getPort
+
+  def start(): GraftFsServer = synchronized {
+    if (!started) {
+      Files.createDirectories(root)
+      server.createContext("/", handler _)
+      server.setExecutor(pool)
+      // HttpServer spawns its dispatcher as a PLAIN thread that inherits
+      // the caller's daemon flag — start from a daemon thread so an
+      // embedded service can never pin a client JVM open (the standalone
+      // service process pins itself via main's join instead)
+      val starter = new Thread(() => server.start(), "graftfs-starter")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
+      started = true
+    }
+    this
+  }
+
+  def stop(): Unit = synchronized {
+    if (started) { server.stop(0); pool.shutdown(); started = false }
+  }
+
+  /** Resolve a request path under root, refusing escapes. */
+  private def local(rel: String): Path = {
+    val clean = rel.split('/').filter(s => s.nonEmpty && s != ".")
+    require(!clean.contains(".."), s"path escape: $rel")
+    clean.foldLeft(root)(_.resolve(_))
+  }
+
+  private def respond(x: HttpExchange, code: Int, body: Array[Byte] = Array.empty): Unit = {
+    x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) { val os = x.getResponseBody; os.write(body); os.close() }
+    x.close()
+  }
+
+  private def query(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).map(_.split('&').flatMap { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) None else Some(
+        java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+    }.toMap).getOrElse(Map.empty)
+
+  private def handler(x: HttpExchange): Unit = try {
+    val raw = x.getRequestURI.getRawPath
+    val method = x.getRequestMethod
+    def pathAfter(prefix: String): String =
+      java.net.URLDecoder.decode(raw.stripPrefix(prefix), "UTF-8")
+    (method, raw) match {
+      case ("GET", p) if p.startsWith("/ls/") =>
+        val dir = local(pathAfter("/ls/"))
+        if (!Files.isDirectory(dir)) respond(x, 404)
+        else {
+          val lines = Files.list(dir).iterator()
+          val sb = new StringBuilder
+          lines.forEachRemaining { c =>
+            sb.append(c.getFileName.toString).append('|')
+              .append(Files.isDirectory(c)).append('|')
+              .append(if (Files.isDirectory(c)) 0L else Files.size(c)).append('|')
+              .append(Files.getLastModifiedTime(c).toMillis).append('\n')
+          }
+          respond(x, 200, sb.toString.getBytes(StandardCharsets.UTF_8))
+        }
+      case ("HEAD", p) if p.startsWith("/fs/") =>
+        val f = local(pathAfter("/fs/"))
+        if (!Files.exists(f)) respond(x, 404)
+        else {
+          x.getResponseHeaders.set("X-Is-Dir", Files.isDirectory(f).toString)
+          x.getResponseHeaders.set("X-Len",
+            (if (Files.isDirectory(f)) 0L else Files.size(f)).toString)
+          x.getResponseHeaders.set("X-Mtime", Files.getLastModifiedTime(f).toMillis.toString)
+          respond(x, 200)
+        }
+      case ("GET", p) if p.startsWith("/fs/") =>
+        val f = local(pathAfter("/fs/"))
+        if (!Files.isRegularFile(f)) respond(x, 404)
+        else {
+          val size = Files.size(f)
+          val range = Option(x.getRequestHeaders.getFirst("Range"))
+          range match {
+            case Some(r) if r.startsWith("bytes=") =>
+              // bytes=lo-hi (hi inclusive, may be absent)
+              val spec = r.stripPrefix("bytes=").split('-')
+              val lo = spec(0).toLong
+              val hi = if (spec.length > 1 && spec(1).nonEmpty)
+                math.min(spec(1).toLong, size - 1) else size - 1
+              if (lo >= size) respond(x, 416)
+              else {
+                val len = (hi - lo + 1).toInt
+                val ch = java.nio.channels.FileChannel.open(f)
+                try {
+                  val buf = java.nio.ByteBuffer.allocate(len)
+                  ch.position(lo)
+                  while (buf.hasRemaining && ch.read(buf) >= 0) {}
+                  respond(x, 206, java.util.Arrays.copyOf(buf.array(), buf.position()))
+                } finally ch.close()
+              }
+            case _ => respond(x, 200, Files.readAllBytes(f))
+          }
+        }
+      case ("PUT", p) if p.startsWith("/fs/") =>
+        val f = local(pathAfter("/fs/"))
+        val exclusive = query(x).get("exclusive").contains("true")
+        Files.createDirectories(f.getParent)
+        val tmp = Files.createTempFile(f.getParent, f.getFileName.toString + "-", ".tmp")
+        try {
+          val in = x.getRequestBody
+          Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+          in.close()
+          if (exclusive) {
+            // atomic CREATE_NEW by hard link — the version CAS
+            try { Files.createLink(f, tmp); respond(x, 201) }
+            catch { case _: FileAlreadyExistsException => respond(x, 409) }
+          } else {
+            Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            respond(x, 201)
+          }
+        } finally Files.deleteIfExists(tmp)
+      case ("DELETE", p) if p.startsWith("/fs/") =>
+        val f = local(pathAfter("/fs/"))
+        val recursive = query(x).get("recursive").contains("true")
+        if (!Files.exists(f)) respond(x, 404)
+        else {
+          if (recursive && Files.isDirectory(f)) {
+            Files.walk(f).sorted(java.util.Comparator.reverseOrder[Path]())
+              .iterator().forEachRemaining(Files.deleteIfExists(_))
+            respond(x, 200)
+          } else {
+            try { Files.delete(f); respond(x, 200) }
+            catch { case _: java.nio.file.DirectoryNotEmptyException => respond(x, 409) }
+          }
+        }
+      case ("POST", p) if p.startsWith("/mkdirs/") =>
+        Files.createDirectories(local(pathAfter("/mkdirs/")))
+        respond(x, 200)
+      case ("POST", p) if p.startsWith("/rename") =>
+        val q = query(x)
+        val src = local(q("src")); val dst = local(q("dst"))
+        if (!Files.exists(src)) respond(x, 404)
+        else if (Files.exists(dst)) respond(x, 409)
+        else {
+          Files.createDirectories(dst.getParent)
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          respond(x, 200)
+        }
+      case _ => respond(x, 400)
+    }
+  } catch {
+    case e: Throwable =>
+      try respond(x, 500, String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+  }
+}
+
+object GraftFsServer {
+  /** Start a server over `root` on an ephemeral port; returns it started. */
+  def serve(root: Path): GraftFsServer = new GraftFsServer(root).start()
+
+  /** Standalone entry point: `runMain graft.table.GraftFsServer <root> <port>`
+    * — the catalog-service process other driver JVMs mount. */
+  def main(args: Array[String]): Unit = {
+    val root = Paths.get(args.headOption.getOrElse("target/graftfs"))
+    val port = args.drop(1).headOption.map(_.toInt).getOrElse(19181)
+    new GraftFsServer(root, port).start()
+    println(s"[graftfs] serving $root on 127.0.0.1:$port")
+    Thread.currentThread().join()
+  }
+}

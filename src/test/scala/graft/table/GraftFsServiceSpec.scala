@@ -1,0 +1,129 @@
+package graft.table
+
+import graft.SparkTestBase
+import graft.table.GraftIO.RichHPath
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Child-JVM committer against the SERVICE (not the filesystem): the
+  * warehouse URL is graftfs://, so every metadata CAS goes through the
+  * server's exclusive-PUT — the only coordination between this process
+  * and the parent is the one catalog authority, exactly the multi-
+  * driver topology the reference's REST catalog serves. ServiceLoader
+  * discovery (META-INF/services) wires the scheme with zero conf. */
+object GraftFsCommitChild {
+  def main(args: Array[String]): Unit = {
+    val t = new GraftTable(new HPath(args(0)))
+    val n = args(1).toInt
+    val prefix = args(2)
+    for (i <- 1 to n)
+      TableMeta.commitRetry(t.dir, maxAttempts = 10000) { m =>
+        m.copy(tableProperties = Some(m.allProperties + (s"$prefix-$i" -> "1")))
+      }
+  }
+}
+
+/** The shared catalog SERVICE (GraftFsServer + GraftHttpFileSystem) —
+  * the reference's rest-catalog/MinIO analog, previously a documented
+  * non-goal. One process owns the warehouse; N driver JVMs mount
+  * `graftfs://host:port/` and run the full stack over the wire. */
+class GraftFsServiceSpec extends SparkTestBase {
+
+  private def mkService(): (GraftFsServer, HPath) = {
+    val root = java.nio.file.Files.createTempDirectory("graftfs_spec")
+    val srv = GraftFsServer.serve(root)
+    (srv, new HPath(s"graftfs://127.0.0.1:${srv.port}/wh"))
+  }
+
+  test("full table lifecycle over the service matches the local-warehouse run") {
+    val (srv, wh) = mkService()
+    try {
+      val cat = new GraftCatalog(wh)
+      cat.createSchema("db")
+      val src = graft.Tables.orders(spark, sfDir)
+      val t = cat.createTable("db.orders", src.schema, partitionDays = None)
+      t.append(src)
+      val preDelete = t.meta.currentSnapshotId.get
+      t.delete(spark, col("o_orderstatus") === "F")
+      // same operations on a plain local warehouse = the reference result
+      val lcat = new GraftCatalog(graft.Scratch.fresh("graftfs_local_ref"))
+      lcat.createSchema("db")
+      val lt = lcat.createTable("db.orders", src.schema)
+      lt.append(src); lt.delete(spark, col("o_orderstatus") === "F")
+      def keys(t0: GraftTable) =
+        t0.read(spark).select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(keys(t) === keys(lt))
+      // time travel through the service
+      assert(t.readVersion(spark, preDelete).count() === src.count())
+      // compaction (a Spark parquet write THROUGH the scheme) + read-back
+      t.rewriteDataFiles(spark, targetFiles = 1)
+      assert(keys(t) === keys(lt))
+      // SQL catalog plugin + a persisted VIEW over the service
+      spark.conf.set("spark.sql.catalog.gfs_spec",
+        classOf[graft.spark.GraftCatalogPlugin].getName)
+      spark.conf.set("spark.sql.catalog.gfs_spec.warehouse", wh.toString)
+      spark.sql("CREATE VIEW gfs_spec.db.v AS SELECT count(*) AS n FROM gfs_spec.db.orders")
+      assert(spark.sql("SELECT n FROM gfs_spec.db.v").head().getLong(0) === keys(lt).length.toLong)
+    } finally srv.stop()
+  }
+
+  test("the service's exclusive PUT is the commit CAS: exactly one writer wins a version") {
+    val (srv, wh) = mkService()
+    try {
+      GraftIO.mkdirs(wh)
+      val target = wh.resolve("v9.json")
+      assert(GraftIO.publishExclusive(target, "a".getBytes))
+      assert(!GraftIO.publishExclusive(target, "b".getBytes),
+        "second exclusive PUT must lose")
+      assert(new String(GraftIO.readAllBytes(target)) === "a")
+    } finally srv.stop()
+  }
+
+  test("two JVMs committing through ONE service lose no commits") {
+    val (srv, wh) = mkService()
+    try {
+      val cat = new GraftCatalog(wh)
+      cat.createSchema("db")
+      val t = cat.createTable("db.t", StructType(Seq(StructField("id", LongType))))
+      val n = 60
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val pb = new ProcessBuilder(javaBin,
+        "-cp", System.getProperty("java.class.path"),
+        "graft.table.GraftFsCommitChild",
+        t.dir.toString, n.toString, "child")
+      pb.redirectErrorStream(true)
+      val log = java.nio.file.Files.createTempFile("graftfs_child", ".log")
+      pb.redirectOutput(ProcessBuilder.Redirect.to(log.toFile))
+      val proc = pb.start()
+      for (i <- 1 to n)
+        TableMeta.commitRetry(t.dir, maxAttempts = 10000) { m =>
+          m.copy(tableProperties = Some(m.allProperties + (s"parent-$i" -> "1")))
+        }
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(proc.exitValue() === 0,
+        s"child failed; log tail: ${java.nio.file.Files.readString(log).takeRight(600)}")
+      val props = t.meta.allProperties
+      val missing = (1 to n).flatMap(i =>
+        Seq(s"parent-$i", s"child-$i").filterNot(props.contains))
+      assert(missing.isEmpty, s"lost commits through the service: $missing")
+    } finally srv.stop()
+  }
+
+  test("ranged reads: parquet written through the scheme reads back positionally") {
+    val (srv, wh) = mkService()
+    try {
+      import spark.implicits._
+      val df = (0L until 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+      val out = s"graftfs://127.0.0.1:${srv.port}/data/p"
+      df.repartition(4).write.parquet(out)
+      val back = spark.read.parquet(out)
+      assert(back.count() === 10000L)
+      // column pruning + predicate → footer/page seeks over HTTP Range
+      assert(back.filter(col("k") === 9999L).select("v").head().getString(0) === "v9999")
+      assert(back.agg(sum("k")).head().getLong(0) === (0L until 10000L).sum)
+    } finally srv.stop()
+  }
+}
