@@ -255,7 +255,7 @@ object TableQueries {
     * rest-catalog + MinIO topology (README.md:59-94), previously the
     * one reference capability with no runnable counterpart here. The
     * fixture starts a GraftFsServer (one process owning the warehouse)
-    * and builds the table THROUGH `graftfs://host:port/…`
+    * and builds the table THROUGH `graftsvc://host:port/…`
     * (GraftHttpFileSystem — ServiceLoader-registered, zero conf): the
     * CREATE, the Spark parquet append, and every metadata CAS go over
     * the wire to the single authority; the judged read scans parquet
@@ -265,7 +265,7 @@ object TableQueries {
   def tableCatalogService(s: SparkSession, d: String): DataFrame = {
     val whUrl = graft.Scratch.objectOnce("graftfs_service", d) {
       val srv = graft.table.GraftFsServer.serve(graft.Scratch.fresh("graftfs_root"))
-      val wh = s"graftfs://127.0.0.1:${srv.port}/wh"
+      val wh = s"graftsvc://127.0.0.1:${srv.port}/wh"
       val cat = new GraftCatalog(new org.apache.hadoop.fs.Path(wh))
       cat.createSchema("db")
       cat.createTable("db.orders", ordersSchema).append(Tables.orders(s, d))

@@ -11,7 +11,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * MinIO containers (README.md:59-94): one process owns the warehouse
   * and arbitrates every metadata commit; any number of driver JVMs —
   * on any host that can reach the port — mount it as a filesystem
-  * scheme (`graftfs://host:port/…`, GraftHttpFileSystem) and get the
+  * scheme (`graftsvc://host:port/…`, GraftHttpFileSystem) and get the
   * full catalog/table/view stack over the wire, data IO included.
   *
   * Protocol (deliberately primitive-shaped: it mirrors the exact
@@ -41,7 +41,7 @@ final class GraftFsServer(root: Path, port0: Int = 0) {
   // daemon workers: the SERVICE must never pin a client/test JVM open —
   // a standalone service process pins itself via main's join instead
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
-    (r: Runnable) => { val t = new Thread(r, "graftfs-worker"); t.setDaemon(true); t })
+    (r: Runnable) => { val t = new Thread(r, "graftsvc-worker"); t.setDaemon(true); t })
   @volatile private var started = false
 
   def port: Int = server.getAddress.getPort
@@ -55,7 +55,7 @@ final class GraftFsServer(root: Path, port0: Int = 0) {
       // the caller's daemon flag — start from a daemon thread so an
       // embedded service can never pin a client JVM open (the standalone
       // service process pins itself via main's join instead)
-      val starter = new Thread(() => server.start(), "graftfs-starter")
+      val starter = new Thread(() => server.start(), "graftsvc-starter")
       starter.setDaemon(true)
       starter.start()
       starter.join()

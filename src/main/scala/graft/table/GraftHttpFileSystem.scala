@@ -10,9 +10,10 @@ import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
 /** Hadoop `FileSystem` client for a GraftFsServer — mount the shared
-  * catalog service as `graftfs://host:port/…`. Registration:
+  * catalog service as `graftsvc://host:port/…`. Registration:
   *
-  *   spark.hadoop.fs.graftfs.impl = graft.table.GraftHttpFileSystem
+  *   META-INF/services/org.apache.hadoop.fs.FileSystem (ServiceLoader —
+  *   zero configuration; or fs.graftsvc.impl in any Hadoop conf)
   *
   * after which the ENTIRE stack — GraftCatalog metadata commits
   * (publishExclusive's create(overwrite=false) becomes the server-side
@@ -38,12 +39,12 @@ class GraftHttpFileSystem extends FileSystem {
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
-    uri0 = URI.create(s"graftfs://${name.getAuthority}")
+    uri0 = URI.create(s"graftsvc://${name.getAuthority}")
     base = s"http://${name.getAuthority}"
     workDir = new Path(uri0.toString + "/")
   }
 
-  override def getScheme: String = "graftfs"
+  override def getScheme: String = "graftsvc"
   override def getUri: URI = uri0
 
   private def rel(f: Path): String = {
@@ -210,7 +211,7 @@ class GraftHttpFileSystem extends FileSystem {
   }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("graftfs: append not supported")
+    throw new UnsupportedOperationException("graftsvc: append not supported")
 
   override def rename(src: Path, dst: Path): Boolean = {
     val c = conn("POST", s"$base/rename?src=${URLEncoder.encode("/" + rel(src), "UTF-8")}&dst=${URLEncoder.encode("/" + rel(dst), "UTF-8")}")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Child-JVM committer against the SERVICE (not the filesystem): the
-  * warehouse URL is graftfs://, so every metadata CAS goes through the
+  * warehouse URL is graftsvc://, so every metadata CAS goes through the
   * server's exclusive-PUT — the only coordination between this process
   * and the parent is the one catalog authority, exactly the multi-
   * driver topology the reference's REST catalog serves. ServiceLoader
@@ -27,13 +27,13 @@ object GraftFsCommitChild {
 /** The shared catalog SERVICE (GraftFsServer + GraftHttpFileSystem) —
   * the reference's rest-catalog/MinIO analog, previously a documented
   * non-goal. One process owns the warehouse; N driver JVMs mount
-  * `graftfs://host:port/` and run the full stack over the wire. */
+  * `graftsvc://host:port/` and run the full stack over the wire. */
 class GraftFsServiceSpec extends SparkTestBase {
 
   private def mkService(): (GraftFsServer, HPath) = {
     val root = java.nio.file.Files.createTempDirectory("graftfs_spec")
     val srv = GraftFsServer.serve(root)
-    (srv, new HPath(s"graftfs://127.0.0.1:${srv.port}/wh"))
+    (srv, new HPath(s"graftsvc://127.0.0.1:${srv.port}/wh"))
   }
 
   test("full table lifecycle over the service matches the local-warehouse run") {
@@ -117,7 +117,7 @@ class GraftFsServiceSpec extends SparkTestBase {
     try {
       import spark.implicits._
       val df = (0L until 10000L).map(i => (i, s"v$i")).toDF("k", "v")
-      val out = s"graftfs://127.0.0.1:${srv.port}/data/p"
+      val out = s"graftsvc://127.0.0.1:${srv.port}/data/p"
       df.repartition(4).write.parquet(out)
       val back = spark.read.parquet(out)
       assert(back.count() === 10000L)
