@@ -178,27 +178,35 @@ class GraftHttpFileSystem extends FileSystem {
       readFully(position, b, 0, b.length)
   }
 
-  /** Buffer locally, PUT all-or-nothing on close. exclusive=true maps
-    * create(overwrite=false) onto the server's atomic CAS. */
+  /** Buffer to LOCAL DISK, PUT all-or-nothing on close — the S3A
+    * disk-buffer model: a 512 MB parquet part must never live on the
+    * writer's heap (N concurrent write tasks × file size would be the
+    * executor's whole memory). exclusive=true maps create(overwrite=
+    * false) onto the server's atomic CAS. */
   private final class PutOnClose(url: String, exclusive: Boolean)
       extends java.io.OutputStream {
-    private val buf = new ByteArrayOutputStream(1 << 16)
+    private val spill = java.nio.file.Files.createTempFile("graftsvc-put", ".buf")
+    private val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(spill), 1 << 16)
     private var closed = false
-    override def write(b: Int): Unit = buf.write(b)
-    override def write(b: Array[Byte], off: Int, len: Int): Unit = buf.write(b, off, len)
+    override def write(b: Int): Unit = out.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
     override def close(): Unit = {
       if (closed) return
       closed = true
-      val c = conn("PUT", url + (if (exclusive) "?exclusive=true" else ""))
-      c.setDoOutput(true)
-      c.setFixedLengthStreamingMode(buf.size())
-      val os = c.getOutputStream
-      buf.writeTo(os); os.close()
-      val code = c.getResponseCode
-      c.disconnect()
-      if (code == 409)
-        throw new org.apache.hadoop.fs.FileAlreadyExistsException(url)
-      if (code != 201 && code != 200) throw new IOException(s"PUT $url: HTTP $code")
+      try {
+        out.close()
+        val c = conn("PUT", url + (if (exclusive) "?exclusive=true" else ""))
+        c.setDoOutput(true)
+        c.setFixedLengthStreamingMode(java.nio.file.Files.size(spill))
+        val os = c.getOutputStream
+        java.nio.file.Files.copy(spill, os); os.close()
+        val code = c.getResponseCode
+        c.disconnect()
+        if (code == 409)
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(url)
+        if (code != 201 && code != 200) throw new IOException(s"PUT $url: HTTP $code")
+      } finally java.nio.file.Files.deleteIfExists(spill)
     }
   }
 
