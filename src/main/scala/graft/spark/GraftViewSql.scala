@@ -47,16 +47,29 @@ object GraftViewSql {
   private def parts(ident: String): Seq[String] =
     ident.replace("`", "").split('.').toSeq
 
-  /** The statement is ours iff its identifier names a registered Graft
-    * catalog EXPLICITLY (cat.db.view). Anything else — temp views,
-    * session-catalog views, other catalogs — falls through. */
+  /** The statement is ours iff its identifier RESOLVES to a registered
+    * Graft catalog — explicitly (cat.db.view) or via the session's
+    * current catalog/namespace (`USE cat.db` then bare names), the same
+    * CatalogAndIdentifier resolution Spark applies to tables. Anything
+    * else — temp views, session-catalog views, other catalogs — falls
+    * through to stock Spark untouched. Returns the FULLY-QUALIFIED
+    * 3-part identifier. */
   private def graftParts(ident: String, expect: Int): Option[Seq[String]] = {
     val p = parts(ident)
-    if (p.length != expect) None
-    else SparkSession.getActiveSession.flatMap(s =>
-      GraftSqlBridge.catalogPlugin(s, p.head)) match {
-      case Some(_: GraftCatalogPlugin) => Some(p)
-      case _ => None
+    SparkSession.getActiveSession.flatMap { s =>
+      val (catName, rest) =
+        if (p.length > 1 && GraftSqlBridge.catalogPlugin(s, p.head).isDefined)
+          (p.head, p.tail)
+        else (GraftSqlBridge.currentCatalogName(s), p)
+      val full =
+        if (expect == 3 && rest.length == 1)
+          (catName +: GraftSqlBridge.currentNamespace(s)) :+ rest.head
+        else catName +: rest
+      if (full.length != expect) None
+      else GraftSqlBridge.catalogPlugin(s, full.head) match {
+        case Some(_: GraftCatalogPlugin) => Some(full)
+        case _ => None
+      }
     }
   }
 
@@ -70,8 +83,15 @@ object GraftViewSql {
       case RenameRe(from, to) =>
         graftParts(from, 3).flatMap { f =>
           val t = parts(to)
-          // RENAME target may repeat the catalog or stay relative
-          val tp = if (t.length == 3) t else f.head +: t
+          // RENAME target may repeat the catalog, name db.view, or be a
+          // bare view name (rename within the same namespace — the
+          // common spelling)
+          val tp = t.length match {
+            case 3 => t
+            case 2 => f.head +: t
+            case 1 => f.init :+ t.head
+            case _ => Nil
+          }
           if (tp.length == 3 && tp.head == f.head) Some(GraftRenameViewCommand(f, tp))
           else None
         }
@@ -184,7 +204,7 @@ class GraftV2View(fullName: String, d: GraftViewDef)
   * TableCatalog path untouched. */
 case class GraftViewResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def defOf(parts: Seq[String]): Option[GraftViewDef] =
+  private def lookup(parts: Seq[String]): Option[GraftViewDef] =
     if (parts.length != 3) None
     else GraftSqlBridge.catalogPlugin(spark, parts.head) match {
       case Some(g: GraftCatalogPlugin) =>
@@ -192,33 +212,50 @@ case class GraftViewResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if defOf(u.multipartIdentifier).isDefined =>
-      expand(u.multipartIdentifier, Set.empty)
-  }
-
-  private def expand(viewParts: Seq[String], seen: Set[String]): LogicalPlan = {
-    val key = viewParts.map(_.toLowerCase).mkString(".")
-    if (seen(key)) throw new IllegalStateException(
-      s"recursive view reference: ${(seen + key).toSeq.sorted.mkString(" -> ")}")
-    val d = defOf(viewParts).getOrElse(
-      throw new IllegalStateException(s"view $key vanished during resolution"))
-    val body = GraftSqlBridge.parsePlan(spark, d.sql)
-    // bare / 2-part names inside the body resolve in the context the
-    // view was CREATED in, not the reader's current catalog
-    val qualified = body.transformUp {
-      case u: UnresolvedRelation =>
-        val p = u.multipartIdentifier
-        val np =
-          if (p.length == 1) (d.defaultCatalog +: d.defaultNamespace) :+ p.head
-          else if (p.length == 2) d.defaultCatalog +: p
-          else p
-        u.copy(multipartIdentifier = np)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // per-apply memo: the analyzer batch is fixed-point and lookup() is
+    // warehouse IO (a listing + a read — an HTTP round trip over
+    // graftsvc://); most 3-part names are TABLES, so cache negatives too
+    val memo = scala.collection.mutable.HashMap.empty[Seq[String], Option[GraftViewDef]]
+    def defOf(parts: Seq[String]): Option[GraftViewDef] =
+      memo.getOrElseUpdate(parts, lookup(parts))
+    def expand(viewParts: Seq[String], seen: Set[String]): LogicalPlan = {
+      val key = viewParts.map(_.toLowerCase).mkString(".")
+      if (seen(key)) throw new IllegalStateException(
+        s"recursive view reference: ${(seen + key).toSeq.sorted.mkString(" -> ")}")
+      val d = defOf(viewParts).getOrElse(
+        throw new IllegalStateException(s"view $key vanished during resolution"))
+      val parsed = GraftSqlBridge.parsePlan(spark, d.sql)
+      // WITH clauses: the analyzer's CTESubstitution lives in the
+      // Substitution batch, which already ran on the OUTER query — a
+      // body spliced in mid-Resolution would keep its UnresolvedWith
+      // forever (and qualifying a CTE name would rebind a cleanly-
+      // created view to a same-named real table). Substitute here, with
+      // Spark's own rule, before touching any names: CTE refs become
+      // CTERelationRef/inlined definitions and every remaining
+      // UnresolvedRelation is a genuine table/view reference.
+      val body = org.apache.spark.sql.catalyst.analysis.CTESubstitution(parsed)
+      // bare / 2-part names resolve in the context the view was CREATED
+      // in, not the reader's current catalog; subquery expressions
+      // (IN/EXISTS/scalar) carry table refs too, hence WithSubqueries
+      val qualified = body.transformUpWithSubqueries {
+        case u: UnresolvedRelation =>
+          val p = u.multipartIdentifier
+          val np =
+            if (p.length == 1) (d.defaultCatalog +: d.defaultNamespace) :+ p.head
+            else if (p.length == 2) d.defaultCatalog +: p
+            else p
+          u.copy(multipartIdentifier = np)
+      }
+      val expanded = qualified.transformUpWithSubqueries {
+        case u: UnresolvedRelation if defOf(u.multipartIdentifier).isDefined =>
+          expand(u.multipartIdentifier, seen + key)
+      }
+      SubqueryAlias(viewParts.last, expanded)
     }
-    val expanded = qualified.transformUp {
+    plan.resolveOperatorsUp {
       case u: UnresolvedRelation if defOf(u.multipartIdentifier).isDefined =>
-        expand(u.multipartIdentifier, seen + key)
+        expand(u.multipartIdentifier, Set.empty)
     }
-    SubqueryAlias(viewParts.last, expanded)
   }
 }

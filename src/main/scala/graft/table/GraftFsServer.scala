@@ -35,9 +35,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Bodies are all-or-nothing: PUT stages to a temp file and publishes
   * by atomic link/move, so a racing reader can never observe partial
   * content — the same discipline GraftIO keeps locally. */
-final class GraftFsServer(root: Path, port0: Int = 0) {
+final class GraftFsServer(root: Path, port0: Int = 0,
+    bindHost: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port0), 0)
+  // embedded default binds loopback (tests, fixtures); the standalone
+  // service binds 0.0.0.0 so drivers on OTHER hosts can mount it — the
+  // multi-host topology is the point of the service
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port0), 0)
   // daemon workers: the SERVICE must never pin a client/test JVM open —
   // a standalone service process pins itself via main's join instead
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
@@ -99,14 +103,16 @@ final class GraftFsServer(root: Path, port0: Int = 0) {
         val dir = local(pathAfter("/ls/"))
         if (!Files.isDirectory(dir)) respond(x, 404)
         else {
-          val lines = Files.list(dir).iterator()
+          // close the DirectoryStream (a long-lived service leaks one FD
+          // per listing otherwise — EMFILE under normal metadata polling)
+          val listing = Files.list(dir)
           val sb = new StringBuilder
-          lines.forEachRemaining { c =>
+          try listing.iterator().forEachRemaining { c =>
             sb.append(c.getFileName.toString).append('|')
               .append(Files.isDirectory(c)).append('|')
               .append(if (Files.isDirectory(c)) 0L else Files.size(c)).append('|')
               .append(Files.getLastModifiedTime(c).toMillis).append('\n')
-          }
+          } finally listing.close()
           respond(x, 200, sb.toString.getBytes(StandardCharsets.UTF_8))
         }
       case ("HEAD", p) if p.startsWith("/fs/") =>
@@ -124,26 +130,43 @@ final class GraftFsServer(root: Path, port0: Int = 0) {
         if (!Files.isRegularFile(f)) respond(x, 404)
         else {
           val size = Files.size(f)
-          val range = Option(x.getRequestHeaders.getFirst("Range"))
-          range match {
-            case Some(r) if r.startsWith("bytes=") =>
-              // bytes=lo-hi (hi inclusive, may be absent)
-              val spec = r.stripPrefix("bytes=").split('-')
-              val lo = spec(0).toLong
-              val hi = if (spec.length > 1 && spec(1).nonEmpty)
-                math.min(spec(1).toLong, size - 1) else size - 1
-              if (lo >= size) respond(x, 416)
-              else {
-                val len = (hi - lo + 1).toInt
-                val ch = java.nio.channels.FileChannel.open(f)
-                try {
-                  val buf = java.nio.ByteBuffer.allocate(len)
-                  ch.position(lo)
-                  while (buf.hasRemaining && ch.read(buf) >= 0) {}
-                  respond(x, 206, java.util.Arrays.copyOf(buf.array(), buf.position()))
-                } finally ch.close()
+          // ranges STREAM to the response (never one allocation for the
+          // whole span — a >2 GB range must not OOM or int-overflow);
+          // RFC 7233 forms: bytes=lo-hi, bytes=lo-, bytes=-suffixLen
+          def stream(code: Int, lo: Long, hi: Long): Unit = {
+            val len = hi - lo + 1
+            x.sendResponseHeaders(code, len)
+            val ch = java.nio.channels.FileChannel.open(f)
+            val os = x.getResponseBody
+            try {
+              val buf = java.nio.ByteBuffer.allocate(math.min(len, 1L << 22).toInt)
+              ch.position(lo)
+              var left = len
+              while (left > 0) {
+                buf.clear()
+                if (left < buf.capacity()) buf.limit(left.toInt)
+                val n = ch.read(buf)
+                if (n < 0) left = 0
+                else { os.write(buf.array(), 0, n); left -= n }
               }
-            case _ => respond(x, 200, Files.readAllBytes(f))
+            } finally { os.close(); ch.close(); x.close() }
+          }
+          Option(x.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) if r.startsWith("bytes=") =>
+              val spec = r.stripPrefix("bytes=").split("-", -1)
+              val parsed =
+                if (spec(0).isEmpty && spec.length > 1 && spec(1).nonEmpty)
+                  spec(1).toLongOption.map(n => (math.max(0L, size - n), size - 1))
+                else spec(0).toLongOption.map { lo =>
+                  (lo, if (spec.length > 1 && spec(1).nonEmpty)
+                    math.min(spec(1).toLong, size - 1) else size - 1)
+                }
+              parsed match {
+                case Some((lo, hi)) if lo < size && lo <= hi => stream(206, lo, hi)
+                case _ => respond(x, 416)
+              }
+            case _ =>
+              if (size == 0) respond(x, 200) else stream(200, 0L, size - 1)
           }
         }
       case ("PUT", p) if p.startsWith("/fs/") =>
@@ -205,13 +228,16 @@ object GraftFsServer {
   /** Start a server over `root` on an ephemeral port; returns it started. */
   def serve(root: Path): GraftFsServer = new GraftFsServer(root).start()
 
-  /** Standalone entry point: `runMain graft.table.GraftFsServer <root> <port>`
-    * — the catalog-service process other driver JVMs mount. */
+  /** Standalone entry point:
+    * `runMain graft.table.GraftFsServer <root> <port> [<bindHost>]` —
+    * the catalog-service process other driver JVMs mount. Binds all
+    * interfaces by default (loopback is the EMBEDDED default). */
   def main(args: Array[String]): Unit = {
     val root = Paths.get(args.headOption.getOrElse("target/graftfs"))
     val port = args.drop(1).headOption.map(_.toInt).getOrElse(19181)
-    new GraftFsServer(root, port).start()
-    println(s"[graftfs] serving $root on 127.0.0.1:$port")
+    val host = args.drop(2).headOption.getOrElse("0.0.0.0")
+    new GraftFsServer(root, port, host).start()
+    println(s"[graftsvc] serving $root on $host:$port")
     Thread.currentThread().join()
   }
 }

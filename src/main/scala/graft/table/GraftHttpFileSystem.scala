@@ -222,7 +222,10 @@ class GraftHttpFileSystem extends FileSystem {
     throw new UnsupportedOperationException("graftsvc: append not supported")
 
   override def rename(src: Path, dst: Path): Boolean = {
-    val c = conn("POST", s"$base/rename?src=${URLEncoder.encode("/" + rel(src), "UTF-8")}&dst=${URLEncoder.encode("/" + rel(dst), "UTF-8")}")
+    // rel() is already percent-encoded; re-encoding would double-escape
+    // (the server decodes once) — partition dirs like day=2024-01-05
+    // would silently fail to rename at committer time
+    val c = conn("POST", s"$base/rename?src=/${rel(src)}&dst=/${rel(dst)}")
     try c.getResponseCode == 200 finally c.disconnect()
   }
 

@@ -865,18 +865,10 @@ final class GraftTable(val dir: HPath) {
     // replay detection: the key lives in a live snapshot, OR batchId is
     // at-or-below the query's retired watermark (expire_snapshots folds
     // dropped snapshots' keys into the per-query max)
-    def maxBatch(m: TableMeta): Long = {
-      val prefix = s"$queryId#"
-      val live = m.snapshots.flatMap(_.streamBatch)
-        .filter(_.startsWith(prefix))
-        .flatMap(_.substring(prefix.length).toLongOption)
-      val retired = m.retiredStreamBatches.flatMap(_.get(queryId))
-      (live ++ retired).maxOption.getOrElse(0L)
-    }
     def committed(m: TableMeta): Boolean =
       m.snapshots.exists(_.streamBatch.contains(key)) ||
         m.retiredStreamBatches.exists(_.get(queryId).exists(batchId <= _)) ||
-        expectLastBatch.exists(_ != maxBatch(m))
+        expectLastBatch.exists(_ != m.maxStreamBatch(queryId))
     val (_, m) = TableMeta.load(dir)
     if (committed(m)) return false // replay / stale planning point
     val aligned = df.select(m.currentSchema.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
@@ -1192,9 +1184,19 @@ final class GraftTable(val dir: HPath) {
     val entries = deleteEntries(spark, snap).get // (_graft_dfp, _graft_pos)
     import spark.implicits._
     val dirStr = dir.toString
+    // carried positional files may still name files a CoW rewrite
+    // already dropped from the manifest — those entries are inert in
+    // the read anti-join and must NOT materialize as phantom vectors
+    // (they would be carried forever, decoded per read, and could even
+    // bite a future add_files registration sharing the suffix). The
+    // live-suffix set is manifest-sized: a broadcast semi-join keeps
+    // the fold distributed.
+    val liveSfx = spark.createDataset(snap.manifest.map(f => dataSuffix(f.path)))
+      .toDF("_graft_dfp")
     // one task per affected data file; positions never gather on the
     // driver (same bound as deleteMoRDv: rows-per-file sized groups)
     val written = entries
+      .join(broadcast(liveSfx), Seq("_graft_dfp"), "left_semi")
       .groupBy(col("_graft_dfp")).agg(collect_list(col("_graft_pos")).as("pos"))
       .as[(String, Seq[Long])]
       .rdd.map { case (sfx, pos) =>
@@ -1206,7 +1208,7 @@ final class GraftTable(val dir: HPath) {
       }.collect() // per-affected-file triples, manifest-sized
     val bySfx = snap.manifest.map(f => dataSuffix(f.path) -> f.path).toMap
     val newDvs = written.toSeq.map { case (sfx, rel, card) =>
-      DeleteVector(bySfx.getOrElse(sfx, sfx), rel, card) }
+      DeleteVector(bySfx(sfx), rel, card) } // semi-join guarantees membership
     // single-shot commit like deleteMoRDv: the fold was derived from
     // THIS snapshot — a concurrent change must surface, not be reapplied
     TableMeta.commit(dir, v,

@@ -41,19 +41,11 @@ object MaintainedIndex {
 
   val QueryId = "graft-index"
 
-  /** Last source snapshot id the index covers (0 = nothing yet):
-    * max over live provenance keys and the retired-batch watermark
-    * (expire_snapshots folds dropped keys there). */
-  def watermark(idx: GraftTable): Long = {
-    val m = idx.meta
-    val live = m.snapshots.flatMap(_.streamBatch).flatMap { k =>
-      val i = k.lastIndexOf('#')
-      if (i > 0 && k.substring(0, i) == QueryId) k.substring(i + 1).toLongOption
-      else None
-    }
-    val retired = m.retiredStreamBatches.flatMap(_.get(QueryId))
-    (live ++ retired).maxOption.getOrElse(0L)
-  }
+  /** Last source snapshot id the index covers (0 = nothing yet) —
+    * TableMeta.maxStreamBatch, the SAME definition appendStreamBatch's
+    * expectLastBatch CAS compares against (the race-safety of the
+    * batched refresh rests on the two agreeing). */
+  def watermark(idx: GraftTable): Long = idx.meta.maxStreamBatch(QueryId)
 
   /** Advance `idx` to cover every published snapshot of `source` with
     * ONE index commit per refresh call, regardless of how far behind the

@@ -177,6 +177,22 @@ final case class TableMeta(
   def sortOrder: Seq[Int] = sortOrderIds.getOrElse(Nil)
   def allProperties: Map[String, String] = tableProperties.getOrElse(Map.empty)
 
+  /** Max committed streaming batch id for `queryId` (0 = none): live
+    * snapshot provenance keys ("<queryId>#<batchId>", exact query-id
+    * match on the LAST '#') plus the retired watermark expire folds
+    * dropped keys into. THE single definition — the exactly-once replay
+    * check (GraftTable.appendStreamBatch), its expectLastBatch CAS, and
+    * MaintainedIndex.watermark must all agree on this number. */
+  def maxStreamBatch(queryId: String): Long = {
+    val live = snapshots.flatMap(_.streamBatch).flatMap { k =>
+      val i = k.lastIndexOf('#')
+      if (i > 0 && k.substring(0, i) == queryId) k.substring(i + 1).toLongOption
+      else None
+    }
+    val retired = retiredStreamBatches.flatMap(_.get(queryId))
+    (live ++ retired).maxOption.getOrElse(0L)
+  }
+
   def allRefs: Map[String, SnapshotRef] = refs.getOrElse(Map.empty)
 
   def currentSchema: Seq[ColumnDef] = schemas(currentSchemaId.toString)

@@ -655,6 +655,29 @@ class Dsv2Spec extends SparkTestBase {
     assert(t1.read(spark).filter(col("k") === 1L).count() === 0L)
   }
 
+  test("fold ignores stale positional entries left behind by a CoW rewrite") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val cat = new GraftCatalog(wh)
+    cat.createSchema("db")
+    val t = cat.createTable("db.t", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    import spark.implicits._
+    t.append((0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"))
+    t.deleteMoR(spark, col("k") % 9 === 0) // positional entries against file A
+    // CoW delete rewrites file A; the carried positional file now names
+    // a path no current manifest contains (inert in reads)
+    t.delete(spark, col("k") === 50L)
+    assert(t.meta.currentSnapshot.get.allDeleteFiles.nonEmpty)
+    val expect = t.read(spark).select("k").collect().map(_.getLong(0)).sorted
+    t.rewritePositionDeletes(spark)
+    val snap = t.meta.currentSnapshot.get
+    val live = snap.manifest.map(_.path).toSet
+    assert(snap.allDeleteFiles.isEmpty)
+    assert(snap.allDeleteVectors.forall(d => live.contains(d.dataPath)),
+      "a stale positional entry must never materialize as a phantom vector")
+    assert(t.read(spark).select("k").collect().map(_.getLong(0)).sorted === expect)
+  }
+
   // ----------------------------------------------------------- SQL views
 
   private def viewFixture() = {
@@ -738,13 +761,41 @@ class Dsv2Spec extends SparkTestBase {
     intercept[Exception] { // table over existing view name
       spark.sql(s"CREATE TABLE $c.db.v_r (x BIGINT) USING graft")
     }
-    spark.sql(s"ALTER VIEW $c.db.v_r RENAME TO $c.db.v_r2")
+    // the COMMON rename spelling: a bare target name (same namespace)
+    spark.sql(s"ALTER VIEW $c.db.v_r RENAME TO v_r2")
     assert(spark.sql(s"SELECT n FROM $c.db.v_r2").head().getLong(0) > 0)
     intercept[Exception] { spark.sql(s"SELECT n FROM $c.db.v_r").collect() }
     // persisted: a FRESH catalog handle over the same warehouse sees it
     val cat2 = new GraftCatalog(wh)
     assert(cat2.viewExists("db.v_r2"))
     assert(cat2.loadView("db.v_r2").get.sql.toLowerCase.contains("count"))
+  }
+
+  test("view bodies keep their CTEs and subquery table refs across sessions/context") {
+    val (_, _, c) = viewFixture()
+    // CTE: 'recent' must stay a CTE binding, never be qualified into a
+    // (possibly existing!) table of the same name
+    spark.sql(s"CREATE TABLE $c.db.recent (event_id BIGINT, value DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO $c.db.recent VALUES (999999999, -1.0)")
+    spark.sql(
+      s"""CREATE VIEW $c.db.v_cte AS
+          WITH recent AS (SELECT event_id, value FROM $c.db.events WHERE value >= 0)
+          SELECT count(*) AS n, min(value) AS mn FROM recent""")
+    val r = spark.sql(s"SELECT n, mn FROM $c.db.v_cte").head()
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) >= 0.0, "view read the decoy TABLE named like its CTE")
+    // subquery expression: BARE refs inside IN(...) must resolve in the
+    // CREATION context (current catalog captured at CREATE) even when
+    // the reader's context differs
+    spark.sql(s"USE $c.db")
+    try spark.sql(
+      """CREATE VIEW v_subq AS
+         SELECT count(*) AS n FROM events
+         WHERE user_id IN (SELECT user_id FROM events WHERE value > 0)""")
+    finally spark.sql("USE spark_catalog.default")
+    // read from a session whose current catalog is NOT the view's —
+    // both the outer and the IN-subquery ref must bind to cat.db.events
+    assert(spark.sql(s"SELECT n FROM $c.db.v_subq").head().getLong(0) > 0)
   }
 
   test("ViewCatalog connector API: create/load/alter/drop round-trip") {

@@ -112,6 +112,27 @@ class GraftFsServiceSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("hidden-partitioned writes commit through the service (committer renames day= dirs)") {
+    val (srv, wh) = mkService()
+    try {
+      val cat = new GraftCatalog(wh)
+      cat.createSchema("db")
+      val src = graft.Tables.events(spark, sfDir)
+      // days() partitioning makes the Spark write nest day=YYYY-MM-DD
+      // dirs under the task staging dir — the '=' in every path is what
+      // a double-encoding rename bug silently breaks at commit time
+      val t = cat.createTable("db.events", src.schema, partitionDays = Some("ts"))
+      t.append(src)
+      assert(t.read(spark).count() === src.count())
+      val m = t.meta
+      assert(m.currentSnapshot.get.manifest.forall(_.partitionValues.nonEmpty),
+        "per-file partition values must be harvested through the scheme")
+      // pruned read through the service still works
+      val firstDay = t.read(spark).selectExpr("CAST(ts AS DATE)").head().getDate(0)
+      assert(t.read(spark).filter(col("ts").cast("date") === firstDay).count() > 0)
+    } finally srv.stop()
+  }
+
   test("ranged reads: parquet written through the scheme reads back positionally") {
     val (srv, wh) = mkService()
     try {
