@@ -34,15 +34,36 @@ import graft.table.{GraftCatalog, GraftViewDef}
 object GraftViewSql {
 
   private val CreateRe =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+(?:COMMENT\s+'([^']*)'\s+)?AS\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+(?:COMMENT\s+'([^']*)'\s+)?(?:TBLPROPERTIES\s*\(([^)]*)\)\s+)?AS\s+(.+?)\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val RenameRe =
     """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*$""".r
+  private val SetPropsRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val UnsetPropsRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+UNSET\s+TBLPROPERTIES\s*(IF\s+EXISTS\s+)?\((.+)\)\s*;?\s*$""".r
   private val AlterAsRe =
     """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val ShowRe =
     """(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.`]+)\s*;?\s*$""".r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
+
+  // TBLPROPERTIES lists: quoted 'k'='v' pairs / quoted 'k' keys (the
+  // spelling every engine emits; unquoted identifier keys also accepted)
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'|([\w.\-]+)\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']*)'|([\w.\-]+)""".r
+
+  private def parseProps(s: String): Map[String, String] =
+    PropPairRe.findAllMatchIn(s).map { m =>
+      (if (m.group(1) != null) m.group(1) else m.group(3)) ->
+        (if (m.group(2) != null) m.group(2) else m.group(4))
+    }.toMap
+
+  private def parseKeys(s: String): Seq[String] =
+    PropKeyRe.findAllMatchIn(s)
+      .map(m => if (m.group(1) != null) m.group(1) else m.group(2)).toSeq
 
   private def parts(ident: String): Seq[String] =
     ident.replace("`", "").split('.').toSeq
@@ -75,9 +96,10 @@ object GraftViewSql {
 
   def parse(sqlText: String, idParser: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case CreateRe(replace, ifNot, ident, comment, query) =>
+      case CreateRe(replace, ifNot, ident, comment, props, query) =>
         graftParts(ident, 3).map(p => GraftCreateViewCommand(
-          p, query, replace != null, ifNot != null, Option(comment)))
+          p, query, replace != null, ifNot != null, Option(comment),
+          Option(props).map(parseProps).getOrElse(Map.empty)))
       case DropRe(ifExists, ident) =>
         graftParts(ident, 3).map(p => GraftDropViewCommand(p, ifExists != null))
       case RenameRe(from, to) =>
@@ -95,10 +117,23 @@ object GraftViewSql {
           if (tp.length == 3 && tp.head == f.head) Some(GraftRenameViewCommand(f, tp))
           else None
         }
+      case SetPropsRe(ident, propsStr) =>
+        graftParts(ident, 3).flatMap { p =>
+          val kvs = parseProps(propsStr)
+          if (kvs.isEmpty) None else Some(GraftSetViewPropsCommand(p, kvs))
+        }
+      case UnsetPropsRe(ident, ifExists, keysStr) =>
+        graftParts(ident, 3).flatMap { p =>
+          val keys = parseKeys(keysStr)
+          if (keys.isEmpty) None
+          else Some(GraftUnsetViewPropsCommand(p, keys, ifExists != null))
+        }
       case AlterAsRe(ident, query) =>
         graftParts(ident, 3).map(p => GraftAlterViewAsCommand(p, query))
       case ShowRe(ident) =>
         graftParts(ident, 2).map(p => GraftShowViewsCommand(p))
+      case ShowCreateRe(ident) =>
+        graftParts(ident, 3).map(p => GraftShowCreateViewCommand(p))
       case _ => None
     }
 
@@ -107,6 +142,23 @@ object GraftViewSql {
       case Some(g: GraftCatalogPlugin) => g
       case _ => throw new IllegalArgumentException(s"$name is not a Graft catalog")
     }
+
+  /** Analyze a view body WITHOUT executing it and return its schema JSON.
+    * `spark.sql(body)` would EXECUTE eagerly when the body is a command —
+    * `CREATE VIEW v AS DROP TABLE t` would run the DROP at view-creation
+    * time and persist an unreadable view — so parse first and require a
+    * query plan; for a query, analysis runs nothing. */
+  private[spark] def analyzeBody(spark: SparkSession, queryText: String): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, ParsedStatement}
+    val parsed = GraftSqlBridge.parsePlan(spark, queryText)
+    parsed match {
+      case _: Command | _: ParsedStatement | _: InsertIntoStatement =>
+        throw new IllegalArgumentException(
+          s"view body must be a query, got ${parsed.nodeName}: $queryText")
+      case _ => ()
+    }
+    GraftSqlBridge.ofRows(spark, parsed).schema.json
+  }
 }
 
 /** CREATE [OR REPLACE] VIEW cat.db.v [COMMENT '...'] AS <query>.
@@ -116,18 +168,79 @@ object GraftViewSql {
 case class GraftCreateViewCommand(
     viewParts: Seq[String], queryText: String,
     replace: Boolean, ifNotExists: Boolean,
-    comment: Option[String]) extends LeafRunnableCommand {
+    comment: Option[String],
+    properties: Map[String, String] = Map.empty) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cat: GraftCatalog = GraftViewSql.pluginOf(spark, viewParts.head).graftCatalog
     val q = viewParts.tail.mkString(".")
     if (cat.viewExists(q) && ifNotExists) return Seq.empty
-    val schemaJson = spark.sql(queryText).schema.json // analyzes, runs nothing
+    val schemaJson = GraftViewSql.analyzeBody(spark, queryText)
     cat.createView(q, queryText,
       defaultCatalog = GraftSqlBridge.currentCatalogName(spark),
       defaultNamespace = GraftSqlBridge.currentNamespace(spark),
-      schemaJson = schemaJson, comment = comment, replace = replace)
+      schemaJson = schemaJson, comment = comment, properties = properties,
+      replace = replace)
     Seq.empty
+  }
+}
+
+/** ALTER VIEW … SET TBLPROPERTIES — metadata-only republish: body,
+  * resolution context, and comment carry over unchanged. */
+case class GraftSetViewPropsCommand(
+    viewParts: Seq[String], props: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewSql.pluginOf(spark, viewParts.head).graftCatalog
+    val q = viewParts.tail.mkString(".")
+    val prev = cat.loadView(q).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(viewParts))
+    cat.createView(q, prev.sql,
+      defaultCatalog = prev.defaultCatalog, defaultNamespace = prev.defaultNamespace,
+      schemaJson = prev.schemaJson, comment = prev.comment,
+      properties = prev.allProperties ++ props, replace = true)
+    Seq.empty
+  }
+}
+
+/** ALTER VIEW … UNSET TBLPROPERTIES [IF EXISTS] — without IF EXISTS a
+  * missing key fails loudly (stock Spark's contract). */
+case class GraftUnsetViewPropsCommand(
+    viewParts: Seq[String], keys: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewSql.pluginOf(spark, viewParts.head).graftCatalog
+    val q = viewParts.tail.mkString(".")
+    val prev = cat.loadView(q).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(viewParts))
+    val missing = keys.filterNot(prev.allProperties.contains)
+    if (missing.nonEmpty && !ifExists) throw new IllegalArgumentException(
+      s"cannot unset missing propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.mkString(", ")} on view ${viewParts.mkString(".")} (use IF EXISTS)")
+    cat.createView(q, prev.sql,
+      defaultCatalog = prev.defaultCatalog, defaultNamespace = prev.defaultNamespace,
+      schemaJson = prev.schemaJson, comment = prev.comment,
+      properties = prev.allProperties -- keys, replace = true)
+    Seq.empty
+  }
+}
+
+/** SHOW CREATE VIEW — reconstructs a re-runnable CREATE statement from
+  * the stored definition (body text verbatim; comment + properties in
+  * the spellings CreateRe parses, so the output round-trips). */
+case class GraftShowCreateViewCommand(viewParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createview_stmt", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewSql.pluginOf(spark, viewParts.head).graftCatalog
+    val d = cat.loadView(viewParts.tail.mkString(".")).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(viewParts))
+    val sb = new StringBuilder(s"CREATE VIEW ${viewParts.mkString(".")}")
+    d.comment.foreach(c => sb.append(s"\nCOMMENT '$c'"))
+    if (d.allProperties.nonEmpty)
+      sb.append("\nTBLPROPERTIES (").append(d.allProperties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")).append(")")
+    sb.append(s"\nAS ${d.sql}")
+    Seq(Row(sb.toString))
   }
 }
 
@@ -148,7 +261,7 @@ case class GraftAlterViewAsCommand(
     val cat = GraftViewSql.pluginOf(spark, viewParts.head).graftCatalog
     val q = viewParts.tail.mkString(".")
     require(cat.viewExists(q), s"no view ${viewParts.mkString(".")}")
-    val schemaJson = spark.sql(queryText).schema.json
+    val schemaJson = GraftViewSql.analyzeBody(spark, queryText)
     val prev = cat.loadView(q).get
     cat.createView(q, queryText,
       defaultCatalog = GraftSqlBridge.currentCatalogName(spark),

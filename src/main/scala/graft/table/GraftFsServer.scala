@@ -34,9 +34,16 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   * Bodies are all-or-nothing: PUT stages to a temp file and publishes
   * by atomic link/move, so a racing reader can never observe partial
-  * content — the same discipline GraftIO keeps locally. */
+  * content — the same discipline GraftIO keeps locally.
+  *
+  * Auth: when `token` is set, every request must carry it in
+  * `X-Graft-Token` (or `Authorization: Bearer <t>`) or gets 401 — the
+  * service grants arbitrary warehouse read/write/delete, so a non-
+  * loopback bind without a shared secret would hand the warehouse to
+  * any network peer (the reference's rest-catalog + MinIO at least run
+  * with credentials). */
 final class GraftFsServer(root: Path, port0: Int = 0,
-    bindHost: String = "127.0.0.1") {
+    bindHost: String = "127.0.0.1", token: Option[String] = None) {
 
   // embedded default binds loopback (tests, fixtures); the standalone
   // service binds 0.0.0.0 so drivers on OTHER hosts can mount it — the
@@ -47,6 +54,7 @@ final class GraftFsServer(root: Path, port0: Int = 0,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "graftsvc-worker"); t.setDaemon(true); t })
   @volatile private var started = false
+  private val renameLock = new Object
 
   def port: Int = server.getAddress.getPort
 
@@ -93,7 +101,19 @@ final class GraftFsServer(root: Path, port0: Int = 0,
           java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
     }.toMap).getOrElse(Map.empty)
 
+  /** Constant-time compare — a secret check must not leak length/prefix
+    * timing to a probing peer. */
+  private def tokenOk(x: HttpExchange): Boolean = token.forall { t =>
+    val presented =
+      Option(x.getRequestHeaders.getFirst("X-Graft-Token")).orElse(
+        Option(x.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer ")))
+    presented.exists(p => java.security.MessageDigest.isEqual(
+      p.getBytes(StandardCharsets.UTF_8), t.getBytes(StandardCharsets.UTF_8)))
+  }
+
   private def handler(x: HttpExchange): Unit = try {
+    if (!tokenOk(x)) { respond(x, 401); return }
     val raw = x.getRequestURI.getRawPath
     val method = x.getRequestMethod
     def pathAfter(prefix: String): String =
@@ -107,8 +127,12 @@ final class GraftFsServer(root: Path, port0: Int = 0,
           // per listing otherwise — EMFILE under normal metadata polling)
           val listing = Files.list(dir)
           val sb = new StringBuilder
+          // the line protocol delimits with '|' and '\n' — URL-encode the
+          // name field so a file whose name contains either can't tear the
+          // listing (the PUT path accepts such names; the client decodes)
           try listing.iterator().forEachRemaining { c =>
-            sb.append(c.getFileName.toString).append('|')
+            sb.append(java.net.URLEncoder.encode(c.getFileName.toString, "UTF-8")
+                .replace("+", "%20")).append('|')
               .append(Files.isDirectory(c)).append('|')
               .append(if (Files.isDirectory(c)) 0L else Files.size(c)).append('|')
               .append(Files.getLastModifiedTime(c).toMillis).append('\n')
@@ -194,8 +218,12 @@ final class GraftFsServer(root: Path, port0: Int = 0,
         if (!Files.exists(f)) respond(x, 404)
         else {
           if (recursive && Files.isDirectory(f)) {
-            Files.walk(f).sorted(java.util.Comparator.reverseOrder[Path]())
+            // close the walk stream — a long-lived service leaks one FD per
+            // recursive delete otherwise (same class as the /ls listing)
+            val walk = Files.walk(f)
+            try walk.sorted(java.util.Comparator.reverseOrder[Path]())
               .iterator().forEachRemaining(Files.deleteIfExists(_))
+            finally walk.close()
             respond(x, 200)
           } else {
             try { Files.delete(f); respond(x, 200) }
@@ -208,12 +236,19 @@ final class GraftFsServer(root: Path, port0: Int = 0,
       case ("POST", p) if p.startsWith("/rename") =>
         val q = query(x)
         val src = local(q("src")); val dst = local(q("dst"))
-        if (!Files.exists(src)) respond(x, 404)
-        else if (Files.exists(dst)) respond(x, 409)
-        else {
-          Files.createDirectories(dst.getParent)
-          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-          respond(x, 200)
+        // dst-exists + move must be ONE decision: POSIX rename() silently
+        // REPLACES an existing target, so an unsynchronized check-then-move
+        // lets two racing renames to the same dst both report 200 (one
+        // clobbered). Renames are rare (committer publishes), so a server-
+        // wide lock costs nothing and makes the 409 authoritative.
+        renameLock.synchronized {
+          if (!Files.exists(src)) respond(x, 404)
+          else if (Files.exists(dst)) respond(x, 409)
+          else {
+            Files.createDirectories(dst.getParent)
+            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+            respond(x, 200)
+          }
         }
       case _ => respond(x, 400)
     }
@@ -230,14 +265,27 @@ object GraftFsServer {
 
   /** Standalone entry point:
     * `runMain graft.table.GraftFsServer <root> <port> [<bindHost>]` —
-    * the catalog-service process other driver JVMs mount. Binds all
-    * interfaces by default (loopback is the EMBEDDED default). */
+    * the catalog-service process other driver JVMs mount.
+    *
+    * Binds LOOPBACK by default. The service grants arbitrary warehouse
+    * read/write/delete/commit, so exposing it (`0.0.0.0` or a specific
+    * interface as arg 3) requires a shared secret in $GRAFT_SVC_TOKEN —
+    * drivers present it via `fs.graftsvc.token` (GraftHttpFileSystem) —
+    * or, for a trusted/firewalled network only, the explicit
+    * $GRAFT_SVC_INSECURE=true opt-out. */
   def main(args: Array[String]): Unit = {
     val root = Paths.get(args.headOption.getOrElse("target/graftfs"))
     val port = args.drop(1).headOption.map(_.toInt).getOrElse(19181)
-    val host = args.drop(2).headOption.getOrElse("0.0.0.0")
-    new GraftFsServer(root, port, host).start()
-    println(s"[graftsvc] serving $root on $host:$port")
+    val host = args.drop(2).headOption.getOrElse("127.0.0.1")
+    val token = sys.env.get("GRAFT_SVC_TOKEN").filter(_.nonEmpty)
+    if (host != "127.0.0.1" && host != "localhost" && token.isEmpty)
+      require(sys.env.get("GRAFT_SVC_INSECURE").contains("true"),
+        s"refusing to bind $host without auth: set GRAFT_SVC_TOKEN " +
+          "(clients set fs.graftsvc.token), or GRAFT_SVC_INSECURE=true " +
+          "on a firewalled network you trust")
+    new GraftFsServer(root, port, host, token).start()
+    println(s"[graftsvc] serving $root on $host:$port" +
+      (if (token.isDefined) " (token auth)" else ""))
     Thread.currentThread().join()
   }
 }

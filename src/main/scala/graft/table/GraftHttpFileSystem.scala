@@ -35,6 +35,7 @@ class GraftHttpFileSystem extends FileSystem {
   private var uri0: URI = _
   private var base: String = _ // http://host:port
   private var workDir: Path = _
+  private var token: Option[String] = None
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -42,6 +43,9 @@ class GraftHttpFileSystem extends FileSystem {
     uri0 = URI.create(s"graftsvc://${name.getAuthority}")
     base = s"http://${name.getAuthority}"
     workDir = new Path(uri0.toString + "/")
+    // shared secret for a token-protected service (GraftFsServer auth);
+    // spark conf spells it spark.hadoop.fs.graftsvc.token
+    token = Option(conf.get("fs.graftsvc.token")).filter(_.nonEmpty)
   }
 
   override def getScheme: String = "graftsvc"
@@ -58,6 +62,7 @@ class GraftHttpFileSystem extends FileSystem {
     c.setRequestMethod(method)
     c.setConnectTimeout(10000)
     c.setReadTimeout(120000)
+    token.foreach(c.setRequestProperty("X-Graft-Token", _))
     c
   }
 
@@ -90,9 +95,12 @@ class GraftHttpFileSystem extends FileSystem {
       case 200 =>
         val body = new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
         body.split('\n').filter(_.nonEmpty).map { line =>
+          // name field is percent-encoded by the server so '|'/'\n' in a
+          // file name can't tear the line protocol
           val Array(name, isDir, len, mtime) = line.split('|')
           new FileStatus(len.toLong, isDir.toBoolean, 1, 1L << 25, mtime.toLong,
-            makeQualified(qualifyChild(f, name)))
+            makeQualified(qualifyChild(f,
+              java.net.URLDecoder.decode(name, "UTF-8"))))
         }
       case 404 =>
         // Hadoop contract: listStatus of a FILE returns that file's status
@@ -125,7 +133,18 @@ class GraftHttpFileSystem extends FileSystem {
       val c = conn("GET", url)
       c.setRequestProperty("Range", s"bytes=$lo-$hi")
       try c.getResponseCode match {
-        case 206 | 200 => c.getInputStream.readAllBytes()
+        case 206 => c.getInputStream.readAllBytes()
+        case 200 =>
+          // a server/proxy that ignores Range replies 200 with the WHOLE
+          // file — treating that body as starting at `lo` would silently
+          // corrupt reads. Slice the requested span out; anything else
+          // (a partial body with a 200) is a protocol error.
+          val whole = c.getInputStream.readAllBytes()
+          if (whole.length.toLong == size)
+            java.util.Arrays.copyOfRange(whole, lo.toInt,
+              math.min(lo + len, size).toInt)
+          else throw new IOException(
+            s"GET $url [$lo-$hi]: HTTP 200 with ${whole.length} bytes (file is $size)")
         case 416 => Array.empty
         case other => throw new IOException(s"GET $url [$lo-$hi]: HTTP $other")
       } finally c.disconnect()

@@ -822,4 +822,61 @@ class Dsv2Spec extends SparkTestBase {
     assert(vc.dropView(ident))
     assert(!vc.viewExists(ident))
   }
+
+  test("SHOW CREATE VIEW round-trips comment + TBLPROPERTIES through CreateRe") {
+    val (_, _, c) = viewFixture()
+    spark.sql(s"""CREATE VIEW $c.db.v_doc
+      COMMENT 'docs view'
+      TBLPROPERTIES ('owner' = 'graft', 'tier' = 'gold')
+      AS SELECT count(*) AS n FROM $c.db.events""")
+    val stmt = spark.sql(s"SHOW CREATE VIEW $c.db.v_doc").collect()(0).getString(0)
+    assert(stmt.contains(s"CREATE VIEW $c.db.v_doc"))
+    assert(stmt.contains("COMMENT 'docs view'"))
+    assert(stmt.contains("'owner' = 'graft'") && stmt.contains("'tier' = 'gold'"))
+    // the emitted statement must RE-RUN (round-trip contract)
+    spark.sql(s"DROP VIEW $c.db.v_doc")
+    spark.sql(stmt)
+    assert(spark.sql(s"SELECT n FROM $c.db.v_doc").collect()(0).getLong(0) > 0)
+    val again = spark.sql(s"SHOW CREATE VIEW $c.db.v_doc").collect()(0).getString(0)
+    assert(again === stmt, "SHOW CREATE VIEW is not a fixed point")
+  }
+
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES: metadata-only, body untouched") {
+    val (_, _, c) = viewFixture()
+    spark.sql(s"CREATE VIEW $c.db.v_props AS SELECT count(*) AS n FROM $c.db.events")
+    spark.sql(s"ALTER VIEW $c.db.v_props SET TBLPROPERTIES ('a' = '1', 'b' = '2')")
+    spark.sql(s"ALTER VIEW $c.db.v_props SET TBLPROPERTIES ('a' = '9')") // overwrite
+    val cat = graft.spark.GraftViewSql.pluginOf(spark, c).graftCatalog
+    assert(cat.loadView("db.v_props").get.allProperties === Map("a" -> "9", "b" -> "2"))
+    spark.sql(s"ALTER VIEW $c.db.v_props UNSET TBLPROPERTIES ('b')")
+    assert(cat.loadView("db.v_props").get.allProperties === Map("a" -> "9"))
+    // missing key: loud without IF EXISTS, silent with
+    intercept[Exception] {
+      spark.sql(s"ALTER VIEW $c.db.v_props UNSET TBLPROPERTIES ('nope')")
+    }
+    spark.sql(s"ALTER VIEW $c.db.v_props UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // the view still reads after all the metadata churn
+    assert(spark.sql(s"SELECT n FROM $c.db.v_props").collect()(0).getLong(0) > 0)
+  }
+
+  test("CREATE VIEW rejects a command body WITHOUT executing it") {
+    val (_, _, c) = viewFixture()
+    val before = spark.sql(s"SELECT count(*) FROM $c.db.events").collect()(0).getLong(0)
+    // a DML/command body must fail at CREATE time — spark.sql'ing it for
+    // schema capture would RUN it (here: a DELETE wiping the table)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $c.db.v_evil AS DELETE FROM $c.db.events")
+    }
+    assert(e.getMessage.contains("must be a query"))
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.events").collect()(0).getLong(0)
+      === before, "view-body analysis EXECUTED the command")
+    assert(spark.sql(s"SHOW VIEWS IN $c.db").collect()
+      .forall(_.getString(1) != "v_evil"))
+    intercept[Exception] { // same guard on ALTER VIEW ... AS
+      spark.sql(s"CREATE VIEW $c.db.v_ok AS SELECT 1 AS x")
+      spark.sql(s"ALTER VIEW $c.db.v_ok AS DROP TABLE $c.db.events")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.events").collect()(0).getLong(0)
+      === before)
+  }
 }

@@ -147,4 +147,66 @@ class GraftFsServiceSpec extends SparkTestBase {
       assert(back.agg(sum("k")).head().getLong(0) === (0L until 10000L).sum)
     } finally srv.stop()
   }
+
+  test("token auth: every verb 401s without the secret; the conf-carried token opens it") {
+    val root = java.nio.file.Files.createTempDirectory("graftfs_auth")
+    val srv = new GraftFsServer(root, token = Some("s3cret")).start()
+    try {
+      def code(method: String, path: String, tok: Option[String]): Int = {
+        val c = new java.net.URL(s"http://127.0.0.1:${srv.port}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        tok.foreach(c.setRequestProperty("X-Graft-Token", _))
+        try c.getResponseCode finally c.disconnect()
+      }
+      for (m <- Seq("GET", "HEAD", "DELETE")) {
+        assert(code(m, "/fs/x", None) === 401, s"$m without token")
+        assert(code(m, "/fs/x", Some("wrong")) === 401, s"$m with wrong token")
+      }
+      assert(code("POST", "/mkdirs/d", None) === 401)
+      assert(code("POST", "/mkdirs/d", Some("s3cret")) === 200)
+      // Bearer spelling is equivalent
+      val c = new java.net.URL(s"http://127.0.0.1:${srv.port}/ls/d")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestProperty("Authorization", "Bearer s3cret")
+      try assert(c.getResponseCode === 200) finally c.disconnect()
+      // the Hadoop client carries fs.graftsvc.token from its conf —
+      // newInstance dodges the FileSystem cache (same authority, new conf)
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      conf.set("fs.graftsvc.token", "s3cret")
+      val uri = java.net.URI.create(s"graftsvc://127.0.0.1:${srv.port}/")
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+      try {
+        val p = new HPath(s"graftsvc://127.0.0.1:${srv.port}/d/hello.txt")
+        val os = fs.create(p, true); os.write("hi".getBytes); os.close()
+        val in = fs.open(p); val got = new String(in.readAllBytes()); in.close()
+        assert(got === "hi")
+      } finally fs.close()
+    } finally srv.stop()
+  }
+
+  test("/ls survives hostile file names: '|' and newline round-trip the line protocol") {
+    val (srv, wh) = mkService()
+    try {
+      GraftIO.mkdirs(wh.resolve("weird"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val weird = Seq("a|b.txt", "c\nd.txt", "plain.txt")
+      // write through the client (rel() percent-encodes request paths) —
+      // the PUT path accepts these names, so /ls must survive them too
+      for (n <- weird) {
+        val os = fs.create(new HPath(wh.resolve("weird"), n), true)
+        os.write(n.getBytes); os.close()
+      }
+      val listed = fs.listStatus(wh.resolve("weird"))
+        .map(_.getPath.getName).sorted
+      assert(listed === weird.sorted.toArray,
+        s"listing tore on delimiter bytes: ${listed.mkString(",")}")
+      // and each listed entry opens to its own content (no cross-wiring)
+      for (n <- weird) {
+        val in = fs.open(new HPath(wh.resolve("weird"), n))
+        try assert(new String(in.readAllBytes()) === n) finally in.close()
+      }
+    } finally srv.stop()
+  }
 }
