@@ -14,6 +14,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Reducer count must scale with BYTES, not stay pinned at the core
+      // count: the SCALING.md §8 sf10 rung killed q_triangle_count /
+      // q_graph_jaccard with SPILL_OUT_OF_MEMORY when 1.5e9 wedge rows
+      // landed on 32 reducers (~50M rows/task). Start wide and let AQE
+      // coalesce — parallelismFirst (default) still packs small stages
+      // to ~core-count partitions, so sf0.1 plans keep their shape while
+      // big shuffles fan out. This is the local analog of sizing
+      // spark.sql.shuffle.partitions to the cluster's input volume.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -14,19 +14,39 @@ object TimeOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reducers scale with bytes via AQE (see Bench.scala: the sf10
+      // ladder rung killed fixed-32-reducer wedge joins with spill OOM)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same three-way read as Bench (wall/cpu/gc) so a solo re-time
+    // carries its own attribution — see BASELINE.md "fourth read"
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      try Some(java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean])
+      catch { case _: Throwable => None }
+    def cpuNow(): Long =
+      try osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    import scala.jdk.CollectionConverters._
+    def gcMsNow(): Long =
+      try java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      catch { case _: Throwable => -1L }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+      val runs = (1 to 2).map { _ =>
+        val c0 = cpuNow(); val g0 = gcMsNow(); val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, (cpuNow() - c0) / 1e9, (gcMsNow() - g0) / 1e3)
       }
-      println(f"[time-one] $n min=${times.min}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      val best = runs.minBy(_._1)
+      println(f"[time-one] $n min=${best._1}%.2f cpu=${best._2}%.2f gc=${best._3}%.2f " +
+        f"runs=${runs.map(r => f"${r._1}%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -18,6 +18,9 @@ object VerifySome {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reducers scale with bytes via AQE (see Bench.scala: the sf10
+      // ladder rung killed fixed-32-reducer wedge joins with spill OOM)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -57,6 +57,23 @@ object Graphs {
     * broadcast budgets, far under the 8 GB hard cap. */
   private[graft] val BROADCAST_MAX_ROWS = 5000000L
 
+  /** Gate for the ADJACENCY-CARRY join family (triangle / jaccard
+    * common-neighbor intersects): counts adjacency CELLS (2E), and is
+    * deliberately much higher than BROADCAST_MAX_ROWS because the
+    * alternative is catastrophically asymmetric. Past the gate, the
+    * per-edge array-carry join materializes Σ deg² cells through the
+    * SMJ sort — the sf10 ladder rung measured 298M cells (2.3 GB) at
+    * sf0.1 scaling to ~227 GB of sort spill at sf10 (disk-full abort),
+    * while the adjacency itself was 19 MB → 1.9 GB: broadcast stays
+    * feasible two decades past where the shuffle shape dies. 512M
+    * cells ≈ 4 GB of longs, a documented executor-memory envelope;
+    * co-purchase-style projections have catalog-bounded V, so the
+    * adjacency grows with average degree, not corpus row count. Graphs
+    * whose adjacency genuinely exceeds the envelope fall back to the
+    * shuffle shape, whose disk bill is Σ deg² — GraphShape prints both
+    * terms for a corpus before you pay either. */
+  private[graft] val ADJ_CELL_GATE = 512000000L
+
   private[graft] def maybeBroadcast(df: DataFrame, rows: Long, gate: Long): DataFrame =
     if (rows <= gate) broadcast(df) else df
 
@@ -79,6 +96,10 @@ object Graphs {
     * present, distinct, with the source's out-degree DENORMALIZED onto
     * each edge at build time (PageRank then needs no per-pass degree
     * join), materialized once per corpus. */
+  /** Diagnostic-only accessor (GraphShape main). */
+  private[queries] def copurchaseEdgesForDiag(s: SparkSession, d: String): DataFrame =
+    copurchaseEdges(s, d)
+
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     // resolve the items artifact before entering the edge build — not
     // required for correctness (materializedOnce supports nested builds
@@ -185,7 +206,7 @@ object Graphs {
     * variant; bounded-basket projections like this one cannot produce
     * such a hub by construction. */
   private[graft] def trianglesOnUndirected(und: DataFrame,
-      broadcastGate: Long = BROADCAST_MAX_ROWS): DataFrame = {
+      broadcastGate: Long = ADJ_CELL_GATE): DataFrame = {
     val both = und.select(col("x").as("a"), col("y").as("b"))
       .unionAll(und.select(col("y").as("a"), col("x").as("b")))
     // adjacency is node-count rows but each row is avg-deg array cells
@@ -648,9 +669,9 @@ object Graphs {
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     und
       .join(maybeBroadcast(adj.select(col("a").as("x"), col("nbrs").as("nx")),
-        nCells, BROADCAST_MAX_ROWS), Seq("x"))
+        nCells, ADJ_CELL_GATE), Seq("x"))
       .join(maybeBroadcast(adj.select(col("a").as("y"), col("nbrs").as("ny")),
-        nCells, BROADCAST_MAX_ROWS), Seq("y"))
+        nCells, ADJ_CELL_GATE), Seq("y"))
       .select(col("x"), col("y"),
         size(array_intersect(col("nx"), col("ny"))).cast("long").as("cn"),
         size(col("nx")).cast("long").as("deg_x"),

@@ -355,31 +355,102 @@ object TextOps {
     * label table would be a materialized artifact instead. Deterministic:
     * the min-label fixpoint is unique regardless of execution order. */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val tmp = graft.Scratch.materializedOnce("shingles_cc", d)(pth =>
-      Tables.documents(s, d)
+    // RAREST-FIRST, df-capped shingle arrays — the candidate stage is a
+    // PREFIX-FILTERED join (PPJoin principle, see jaccardPrefix), not
+    // the full posting self-join this query shipped with through round
+    // 13. The sf10 scaling rung measured the posting join's bill: pair
+    // volume is Σ_tok C(df,2), and a corpus with many medium-df shared
+    // shingles (boilerplate — or SynthScale's unsalted half, df =
+    // replica count) pays quadratically in that df: shuffle grew 53.8×
+    // for 10× data sf1→sf10. Prefix filtering is LOSSLESS for the same
+    // J ≥ 0.5 criterion (two qualifying sets must share a token in
+    // each other's rarity-ordered prefix — pigeonhole, any global
+    // order), so the edge set, the clusters, and the oracle are
+    // byte-identical; only the candidate count changes. Rarity order
+    // matters here (unlike jaccardPrefix's flat-df corpus note): the
+    // prefix fills with LOW-df tokens, so boilerplate shingles — the
+    // exact tokens whose postings explode — never enter the index.
+    // Element encoding: zero-padded global df ++ '|' ++ token, so
+    // lexicographic array order IS (df, token) order, the prefix is a
+    // plain slice, and the verify step's two-pointer merge intersect
+    // (equality = same token: df is a global function of the token)
+    // works unchanged. df ≤ MAX_POSTING semantics carried over: the
+    // capped arrays contain exactly the tokens the old posting join
+    // counted, so `common` is the same number.
+    val tmp = graft.Scratch.materializedOnce("shingles_ccap", d) { pth =>
+      val sh0 = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), array_distinct(shinglesOf(col("t"))).as("sh"))
-        .write.mode("overwrite").parquet(pth))
-    val base = s.read.parquet(tmp)
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
-    val byTok = Window.partitionBy(col("tok"))
-    val docTok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .withColumn("df", count(lit(1)).over(byTok))
-      .filter(col("df") <= MAX_POSTING)
-      .drop("df")
-    val a = docTok.select(col("doc_id").as("ia"), col("tok"))
-    val b = docTok.select(col("doc_id").as("ib"), col("tok"))
-    val pairs = a.join(b, Seq("tok")).filter(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
+      val docTok = sh0
+        .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+      // df via groupBy + join, NOT a by-token window: the window plans
+      // as shuffle + per-token SORT over every (doc, token) row — 678 s
+      // of sort spill at sf10 — while the aggregate combines map-side
+      // to ~distinct-token rows and the join back stays sort-free
+      val dfTab = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MAX_POSTING)
+      docTok.join(dfTab, Seq("tok"))
+        .select(col("doc_id"), col("sz"),
+          concat(lpad(col("df").cast(StringType), 7, "0"), lit("|"), col("tok")).as("key"))
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(sort_array(collect_list(col("key"))).as("shc"))
+        .write.mode("overwrite").parquet(pth)
+    }
+    val basec = s.read.parquet(tmp)
+    val TAU = 0.5
+    // prefix length from the CAPPED size is a safe (longer) bound: a
+    // qualifying pair has common ≥ τ·sz_full ≥ τ·sz_capped
+    val k = (size(col("shc")) - ceil(size(col("shc")) * TAU) + lit(1)).cast(IntegerType)
+    // positions ride along for the POSITIONAL filter below (PPJoin):
+    // a shared prefix token admits a pair only if enough tokens remain
+    // AFTER its position in BOTH rarity-sorted arrays to reach the
+    // required overlap. Lossless: for a qualifying pair, the globally
+    // smallest shared token sits in both prefixes with every other
+    // shared token after it on both sides, so its row passes the bound.
+    // This is what kills the boundary-token pathology the plain prefix
+    // filter admits: documents sharing only the tail of their prefixes
+    // (sub-threshold boilerplate twins — the sf10 corpus has 99 per
+    // doc) fail the remaining-token bound and never reach verification.
+    val prefixes = basec.select(col("doc_id"), col("sz"), size(col("shc")).as("szc"),
+      posexplode(slice(col("shc"), lit(1), k)).as(Seq("pos", "tok")))
+    // required overlap c for J ≥ τ over FULL sizes: c(1+τ) ≥ τ(sa+sb);
+    // with τ = 1/2 exactly: 3c ≥ sa+sb. Max achievable c from a match
+    // at (posA, posB) (0-indexed): min(szcA − posA, szcB − posB).
+    val rawPairs = prefixes
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("ia"), col("sz").as("sa0"),
+        col("szc").as("szca"), col("pos").as("pa"), col("tok"))
+      .join(prefixes.select(col("doc_id").as("ib"), col("sz").as("sb0"),
+        col("szc").as("szcb"), col("pos").as("pb"), col("tok")),
+        Seq("tok"))
+      .filter(col("ia") < col("ib") &&
+        col("sb0") * TAU <= col("sa0") && col("sa0") * TAU <= col("sb0") &&
+        least(col("szca") - col("pa"), col("szcb") - col("pb")) * 3 >=
+          col("sa0") + col("sb0"))
+      .select(col("ia"), col("ib"))
+    val common = graft.functions.SortedIntersectSizeF
+      .sortedIntersectSize(col("shca"), col("shcb"))
+    val pairs = rawPairs
+      .join(basec.select(col("doc_id").as("ia"), col("shc").as("shca"),
+        col("sz").as("sa")), Seq("ia"))
+      .join(basec.select(col("doc_id").as("ib"), col("shc").as("shcb"),
+        col("sz").as("sb")), Seq("ib"))
+      .select(col("ia"), col("ib"), common.as("common"), col("sa"), col("sb"))
+      // raw candidates repeat once per shared prefix token — the
+      // aggregate dedups them (jaccardPrefix's shape); min = the values
+      // are identical across duplicates
+      .groupBy(col("ia"), col("ib"))
+      .agg(min(col("common")).as("common"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
       .filter(col("common").cast(DoubleType) /
-        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= 0.5)
+        (col("sa") + col("sb") - col("common")).cast(DoubleType) >= TAU)
       .select(col("ia"), col("ib"))
     // undirected edge list, reused every pass — checkpoint once up front
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = base.select(col("doc_id"), col("doc_id").as("cl"))
+    // vertex set = EVERY document (docs whose shingles were all df-capped
+    // out still form singleton clusters), not just basec's rows
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cl"))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
@@ -424,8 +495,16 @@ object TextOps {
     * unchanged — each pass shuffles label-sized rows only.
     *
     * `vertices` = one doc_id per row; `edges` = directed (src, dst)
-    * rows, both directions present for undirected graphs. */
-  private[graft] def ccPointerDoubling(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    * rows, both directions present for undirected graphs.
+    *
+    * COST MODEL (pinned by PlanSpec "cc cost model"): passes ≤
+    * O(log diameter) + 1 convergence-detect pass; per pass exactly
+    * 2 joins + 1 aggregate + 2 materializations, shuffling ≤ ~2E + 6V
+    * records — so a structural drift (a lost pointer jump, a
+    * recomputed aggregate, an accidental cartesian) shows up as a
+    * pass-count or shuffle-record blowout, not as a silent slow round. */
+  private[graft] def ccPointerDoubling(vertices: DataFrame, edges: DataFrame,
+      passCount: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     // edges are re-joined every pass: checkpoint once so no pass re-runs
     // the upstream scan/derivation. (Pre-hashing on dst was tried and
     // measured slower here — the upfront shuffle outweighs any exchange
@@ -446,11 +525,17 @@ object TextOps {
     var iters = 0
     while (!converged && iters < 32) {
       // min over self + incoming neighbor labels in ONE union+groupBy
-      // (replaces the nbrMin groupBy THEN left-join-propagate pair)
+      // (replaces the nbrMin groupBy THEN left-join-propagate pair).
+      // CHECKPOINTED before the self-join below: `propagated` feeds BOTH
+      // sides of the pointer jump, and exchange reuse is not guaranteed
+      // across the two differently-keyed downstream shuffles — without
+      // the materialization the E-dominated union+aggregate can run
+      // TWICE per pass (measured ~2× pass cpu at sf0.1).
       val nbr = e.join(labels.select(col("doc_id").as("dst"), col("cl")), Seq("dst"))
         .select(col("src").as("doc_id"), col("cl"))
       val propagated = labels.unionAll(nbr)
         .groupBy(col("doc_id")).agg(min(col("cl")).as("cl"))
+        .localCheckpoint()
       // pointer jump: labels are doc_ids, so the label table IS the
       // pointer map — one self-join resolves cl(cl(v)). (A second jump
       // per pass was tried and did NOT reduce the pass count: min-label
@@ -468,6 +553,7 @@ object TextOps {
       prevSum = s
       labels = jumped
       iters += 1
+      if (passCount != null) passCount.incrementAndGet()
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc-debug] ccPointerDoubling passes=$iters")

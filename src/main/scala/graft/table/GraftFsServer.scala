@@ -55,6 +55,7 @@ final class GraftFsServer(root: Path, port0: Int = 0,
     (r: Runnable) => { val t = new Thread(r, "graftsvc-worker"); t.setDaemon(true); t })
   @volatile private var started = false
   private val renameLock = new Object
+  private lazy val rest = new GraftRestCatalog(root)
 
   def port: Int = server.getAddress.getPort
 
@@ -230,6 +231,13 @@ final class GraftFsServer(root: Path, port0: Int = 0,
             catch { case _: java.nio.file.DirectoryNotEmptyException => respond(x, 409) }
           }
         }
+      case (m, p) if p.startsWith("/v1/") =>
+        // Iceberg REST-catalog protocol surface (GraftRestCatalog doc) —
+        // the same process is FS authority AND catalog endpoint, the
+        // reference's rest-catalog+MinIO collapsed into one
+        val segs = p.stripPrefix("/v1/").split('/')
+          .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")).toList
+        rest.handle(x, m, segs)
       case ("POST", p) if p.startsWith("/mkdirs/") =>
         Files.createDirectories(local(pathAfter("/mkdirs/")))
         respond(x, 200)

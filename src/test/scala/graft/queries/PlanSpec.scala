@@ -446,4 +446,51 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band probe must stay an equi-join:\n$p")
   }
+
+  test("cc cost model: passes stay O(log diameter) and per-pass shuffle stays O(V+E)") {
+    // Planted graph with a KNOWN diameter: two 16-cliques bridged by a
+    // 64-chain — diameter ≈ 66, so plain min-label diffusion would need
+    // ~66 passes while pointer doubling needs ~log2(66)+slack. The pin
+    // makes the cost model drift-detectable: a lost pointer jump blows
+    // the pass bound; a recomputed aggregate or an accidental cartesian
+    // blows the shuffle-record bound (TextOps.ccPointerDoubling doc).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cliqueA = for (i <- 0 until 16; j <- 0 until 16 if i != j)
+      yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 0 until 16; j <- 0 until 16 if i != j)
+      yield (100L + i, 100L + j)
+    val chain = (0 until 64).flatMap(i =>
+      Seq((1000L + i, 1000L + i + 1), (1000L + i + 1, 1000L + i)))
+    val bridges = Seq((0L, 1000L), (1000L, 0L), (100L, 1064L), (1064L, 100L))
+    val edges = (cliqueA ++ cliqueB ++ chain ++ bridges).toDF("src", "dst")
+    val vertices = edges.select(col("src").as("doc_id")).distinct()
+    val vCount = vertices.count(); val eCount = edges.count()
+
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val passes = new java.util.concurrent.atomic.AtomicInteger
+      shuffleRecords.set(0L)
+      val labels = TextOps.ccPointerDoubling(vertices, edges, passes)
+      val comps = labels.select("cluster_id").distinct().count()
+      assert(comps == 1L, s"bridged graph must be ONE component, got $comps")
+      assert(passes.get() <= 12,
+        s"pass count ${passes.get()} exceeds the O(log diameter) pin (diameter ~66)")
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext, 10000L)
+      // per pass: edge-join ≤ E+V, union+aggregate ≤ E+2V, pointer jump
+      // ≤ 2V, convergence agg ≤ V → bound 2E+6V with setup slack 4(E+V)
+      val bound = passes.get().toLong * (2 * eCount + 6 * vCount) + 4 * (eCount + vCount)
+      assert(shuffleRecords.get() <= bound,
+        s"shuffle ${shuffleRecords.get()} records > cost-model bound $bound — " +
+          "a pass is recomputing or shuffling something corpus-shaped")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
