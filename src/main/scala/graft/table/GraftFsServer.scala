@@ -48,10 +48,17 @@ final class GraftFsServer(root: Path, port0: Int = 0,
   // embedded default binds loopback (tests, fixtures); the standalone
   // service binds 0.0.0.0 so drivers on OTHER hosts can mount it — the
   // multi-host topology is the point of the service
-  private val server = HttpServer.create(new InetSocketAddress(bindHost, port0), 0)
+  // explicit accept backlog: the default (system-chosen) queue can
+  // refuse connection bursts when N driver JVMs' executors all open
+  // sockets at once — and local-mode Spark runs with task retries = 1,
+  // so one refused connect fails a whole query (soak-reproduced)
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port0), 256)
   // daemon workers: the SERVICE must never pin a client/test JVM open —
-  // a standalone service process pins itself via main's join instead
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+  // a standalone service process pins itself via main's join instead.
+  // 32 workers: ranged parquet reads are short, but a full driver
+  // session issues dozens concurrently and 8 workers queued enough
+  // under soak load to trip client read timeouts
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(32,
     (r: Runnable) => { val t = new Thread(r, "graftsvc-worker"); t.setDaemon(true); t })
   @volatile private var started = false
   private val renameLock = new Object

@@ -69,9 +69,30 @@ class GraftHttpFileSystem extends FileSystem {
   private def qualifyChild(parent: Path, name: String): Path =
     new Path(parent, name)
 
+  /** Transient-failure retry for idempotent requests (reads, stats):
+    * a connection reset / refused-accept burst under concurrent load
+    * must not surface as a task failure — local-mode Spark runs with
+    * task retries = 1, so one blip fails the whole query. The same
+    * role S3A's built-in retry policy plays; writes are NOT wrapped
+    * (the exclusive-PUT CAS must never silently double-send). */
+  private def retrying[A](what: String)(op: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: IOException if attempt < 3 &&
+            !e.isInstanceOf[FileNotFoundException] =>
+          attempt += 1
+          try Thread.sleep(50L * attempt)
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+
   private case class Stat(isDir: Boolean, len: Long, mtime: Long)
 
-  private def statOf(f: Path): Option[Stat] = {
+  private def statOf(f: Path): Option[Stat] = retrying(s"stat $f") {
     val c = conn("HEAD", s"$base/fs/${rel(f)}")
     try c.getResponseCode match {
       case 200 => Some(Stat(
@@ -89,7 +110,7 @@ class GraftHttpFileSystem extends FileSystem {
       case None => throw new FileNotFoundException(f.toString)
     }
 
-  override def listStatus(f: Path): Array[FileStatus] = {
+  override def listStatus(f: Path): Array[FileStatus] = retrying(s"ls $f") {
     val c = conn("GET", s"$base/ls/${rel(f)}")
     try c.getResponseCode match {
       case 200 =>
@@ -130,6 +151,10 @@ class GraftHttpFileSystem extends FileSystem {
     private def fetch(lo: Long, len: Int): Array[Byte] = {
       if (len <= 0 || lo >= size) return Array.empty
       val hi = math.min(lo + len - 1, size - 1)
+      retrying(s"read $url [$lo-$hi]") { fetchOnce(lo, hi) }
+    }
+
+    private def fetchOnce(lo: Long, hi: Long): Array[Byte] = {
       val c = conn("GET", url)
       c.setRequestProperty("Range", s"bytes=$lo-$hi")
       try c.getResponseCode match {
@@ -141,8 +166,7 @@ class GraftHttpFileSystem extends FileSystem {
           // (a partial body with a 200) is a protocol error.
           val whole = c.getInputStream.readAllBytes()
           if (whole.length.toLong == size)
-            java.util.Arrays.copyOfRange(whole, lo.toInt,
-              math.min(lo + len, size).toInt)
+            java.util.Arrays.copyOfRange(whole, lo.toInt, (hi + 1).toInt)
           else throw new IOException(
             s"GET $url [$lo-$hi]: HTTP 200 with ${whole.length} bytes (file is $size)")
         case 416 => Array.empty

@@ -448,6 +448,16 @@ object TableMeta {
       catch {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
+          // jittered exponential backoff (Iceberg's commit.retry shape):
+          // without it N contending committers reload and republish in
+          // lockstep and can re-collide every round — the 5-process
+          // soak reproduced a 10-loss streak. Full jitter (0..cap)
+          // decorrelates the herd; cap 1.6 s keeps worst-case total
+          // wait bounded while the winning path stays sleep-free.
+          val cap = math.min(1600L, 25L << math.min(attempt, 6))
+          try Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
           attempt += 1
       }
     }

@@ -55,7 +55,12 @@ object GraftSoakChild {
             }
           }
           for (i <- 1 to n) {
-            t.append((0L until 20L).map(k => (s"$prefix-$i", k)).toDF("batch", "k"))
+            // append retries internally (commitRetry + jittered backoff),
+            // but a 10-loss streak is still contract-legal under this
+            // contention — the caller-level retry re-runs the whole
+            // append (the first attempt's uncommitted files become
+            // remove_orphan_files fodder; no invariant sees them)
+            retried(t.append((0L until 20L).map(k => (s"$prefix-$i", k)).toDF("batch", "k")))
             if (i % 7 == 0) retried(t.deleteMoR(spark, col("batch") === s"$prefix-${i - 3}"))
             if (i % 10 == 0) retried(t.rewriteDataFiles(spark, targetFiles = 2))
             if (i % 13 == 0) retried(t.rewritePositionDeletes(spark))
