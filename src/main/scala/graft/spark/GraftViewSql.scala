@@ -33,8 +33,13 @@ import graft.table.{GraftCatalog, GraftViewDef}
   *    fails the read with the analyzer's missing-column error. */
 object GraftViewSql {
 
+  // Quoted literals use SQL '' doubling for embedded quotes; the
+  // TBLPROPERTIES group is quote-aware (a ')' INSIDE a quoted value
+  // must not close the list — ADVICE r14: 'a)b' round-tripped to a
+  // parse failure under the old ([^)]*) capture).
+  private val Quoted = """'(?:[^']|'')*'"""
   private val CreateRe =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+(?:COMMENT\s+'([^']*)'\s+)?(?:TBLPROPERTIES\s*\(([^)]*)\)\s+)?AS\s+(.+?)\s*;?\s*$""".r
+    s"""(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s+(?:COMMENT\\s+'((?:[^']|'')*)'\\s+)?(?:TBLPROPERTIES\\s*\\(((?:$Quoted|[^')])*)\\)\\s+)?AS\\s+(.+?)\\s*;?\\s*$$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val RenameRe =
@@ -51,19 +56,24 @@ object GraftViewSql {
     """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
 
   // TBLPROPERTIES lists: quoted 'k'='v' pairs / quoted 'k' keys (the
-  // spelling every engine emits; unquoted identifier keys also accepted)
-  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'|([\w.\-]+)\s*=\s*'([^']*)'""".r
-  private val PropKeyRe = """'([^']*)'|([\w.\-]+)""".r
+  // spelling every engine emits; unquoted identifier keys also accepted).
+  // Embedded quotes arrive '' -doubled and are unescaped here.
+  private val PropPairRe =
+    """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'|([\w.\-]+)\s*=\s*'((?:[^']|'')*)'""".r
+  private val PropKeyRe = """'((?:[^']|'')*)'|([\w.\-]+)""".r
+
+  private[spark] def unescapeSq(s: String): String = s.replace("''", "'")
+  private[spark] def escapeSq(s: String): String = s.replace("'", "''")
 
   private def parseProps(s: String): Map[String, String] =
     PropPairRe.findAllMatchIn(s).map { m =>
-      (if (m.group(1) != null) m.group(1) else m.group(3)) ->
-        (if (m.group(2) != null) m.group(2) else m.group(4))
+      (if (m.group(1) != null) unescapeSq(m.group(1)) else m.group(3)) ->
+        unescapeSq(if (m.group(2) != null) m.group(2) else m.group(4))
     }.toMap
 
   private def parseKeys(s: String): Seq[String] =
     PropKeyRe.findAllMatchIn(s)
-      .map(m => if (m.group(1) != null) m.group(1) else m.group(2)).toSeq
+      .map(m => if (m.group(1) != null) unescapeSq(m.group(1)) else m.group(2)).toSeq
 
   private def parts(ident: String): Seq[String] =
     ident.replace("`", "").split('.').toSeq
@@ -98,7 +108,8 @@ object GraftViewSql {
     sqlText match {
       case CreateRe(replace, ifNot, ident, comment, props, query) =>
         graftParts(ident, 3).map(p => GraftCreateViewCommand(
-          p, query, replace != null, ifNot != null, Option(comment),
+          p, query, replace != null, ifNot != null,
+          Option(comment).map(unescapeSq),
           Option(props).map(parseProps).getOrElse(Map.empty)))
       case DropRe(ifExists, ident) =>
         graftParts(ident, 3).map(p => GraftDropViewCommand(p, ifExists != null))
@@ -234,11 +245,16 @@ case class GraftShowCreateViewCommand(viewParts: Seq[String]) extends LeafRunnab
     val cat = GraftViewSql.pluginOf(spark, viewParts.head).graftCatalog
     val d = cat.loadView(viewParts.tail.mkString(".")).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(viewParts))
+    // '' -double embedded quotes so the emitted statement re-parses
+    // (CreateRe/PropPairRe unescape) — ADVICE r14: a comment or value
+    // containing a single quote used to emit a non-re-parseable stmt
+    import GraftViewSql.escapeSq
     val sb = new StringBuilder(s"CREATE VIEW ${viewParts.mkString(".")}")
-    d.comment.foreach(c => sb.append(s"\nCOMMENT '$c'"))
+    d.comment.foreach(c => sb.append(s"\nCOMMENT '${escapeSq(c)}'"))
     if (d.allProperties.nonEmpty)
       sb.append("\nTBLPROPERTIES (").append(d.allProperties.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")).append(")")
+        .map { case (k, v) => s"'${escapeSq(k)}' = '${escapeSq(v)}'" }
+        .mkString(", ")).append(")")
     sb.append(s"\nAS ${d.sql}")
     Seq(Row(sb.toString))
   }

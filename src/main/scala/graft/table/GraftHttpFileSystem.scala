@@ -83,8 +83,20 @@ class GraftHttpFileSystem extends FileSystem {
         case e: IOException if attempt < 3 &&
             !e.isInstanceOf[FileNotFoundException] =>
           attempt += 1
+          // An interrupt (killed/cancelled Spark task) ABORTS the retry
+          // loop: with the flag restored-but-swallowed every later sleep
+          // would throw immediately, burning the retries with no backoff
+          // while the task can't die promptly (ADVICE r14).
           try Thread.sleep(50L * attempt)
-          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              val iioe = new java.io.InterruptedIOException(
+                s"interrupted while retrying $what")
+              iioe.initCause(e)
+              iioe.addSuppressed(ie)
+              throw iioe
+          }
       }
     }
     throw new IllegalStateException(s"unreachable: $what")

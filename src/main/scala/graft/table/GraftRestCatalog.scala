@@ -53,6 +53,16 @@ final class GraftRestCatalog(root: Path) {
   private val MultiLevelSep = '\u001F'
 
   def handle(x: HttpExchange, method: String, segs: List[String]): Unit = try {
+    // Every decoded path segment resolves under the warehouse root, so
+    // traversal tokens must die HERE, before any wh.resolve — the same
+    // guard GraftFsServer.local() applies to /fs paths (ADVICE r14: a
+    // DELETE /v1/namespaces/..%2Fx used to escape the warehouse scope,
+    // and GET/HEAD on such a path was a directory-existence oracle).
+    if (!segs.forall(safeSeg)) {
+      error(x, 400, "BadRequestException",
+        s"illegal path segment in /v1/${segs.mkString("/")}")
+      return
+    }
     (method, segs) match {
       case ("GET", List("config")) =>
         json(x, 200, JObject("defaults" -> JObject(), "overrides" -> JObject()))
@@ -102,7 +112,8 @@ final class GraftRestCatalog(root: Path) {
         withNs(x, ns0) { ns =>
           val b = body(x)
           val name = (b \ "name").extractOpt[String].getOrElse("")
-          if (name.isEmpty) error(x, 400, "BadRequestException", "missing table name")
+          if (!safeSeg(name))
+            error(x, 400, "BadRequestException", "missing or illegal table name")
           else if ((b \ "stage-create").extractOpt[Boolean].contains(true))
             error(x, 400, "BadRequestException", "staged create is not supported")
           else if ((b \ "partition-spec" \ "fields") match {
@@ -236,6 +247,14 @@ final class GraftRestCatalog(root: Path) {
 
   // ------------------------------------------------------------ helpers
 
+  /** True iff `s` is safe to resolve as ONE child name under the
+    * warehouse root: no separators (decoded %2F included), no '.'/'..'
+    * traversal tokens. Applied to every decoded path segment AND every
+    * body-supplied table name before any resolve. */
+  private def safeSeg(s: String): Boolean =
+    s.nonEmpty && s != "." && s != ".." &&
+      !s.contains('/') && !s.contains('\\')
+
   private def withNs(x: HttpExchange, ns0: String)(f: String => Unit): Unit =
     if (ns0.indexOf(MultiLevelSep) >= 0)
       error(x, 400, "BadRequestException",
@@ -245,16 +264,16 @@ final class GraftRestCatalog(root: Path) {
     else f(ns0)
 
   private def nsOf(j: JValue): Either[String, String] = j match {
-    case JArray(List(JString(ns))) if !ns.contains('/') && !ns.contains('.') => Right(ns)
+    case JArray(List(JString(ns))) if safeSeg(ns) && !ns.contains('.') => Right(ns)
     case JArray(l) if l.length > 1 => Left("multi-level namespaces are not supported")
     case _ => Left("namespace must be a one-element string array")
   }
 
   private def identOf(j: JValue): Either[String, (String, String)] =
     (nsOf(j \ "namespace"), (j \ "name").extractOpt[String]) match {
-      case (Right(ns), Some(n)) if n.nonEmpty => Right((ns, n))
+      case (Right(ns), Some(n)) if safeSeg(n) => Right((ns, n))
       case (Left(e), _) => Left(e)
-      case _ => Left("identifier needs namespace + name")
+      case _ => Left("identifier needs namespace + a legal name")
     }
 
   /** Primitive Iceberg schema JSON → Spark StructType; anything nested

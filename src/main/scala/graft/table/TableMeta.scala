@@ -455,9 +455,18 @@ object TableMeta {
           // decorrelates the herd; cap 1.6 s keeps worst-case total
           // wait bounded while the winning path stays sleep-free.
           val cap = math.min(1600L, 25L << math.min(attempt, 6))
+          // an interrupted committer stops retrying NOW (flag restored,
+          // conflict surfaced) — continuing with the flag set would make
+          // every later backoff throw instantly and the loop spin through
+          // its attempts with no backoff at all (ADVICE r14)
           try Thread.sleep(
             java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
-          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              e.addSuppressed(ie)
+              throw e
+          }
           attempt += 1
       }
     }

@@ -841,6 +841,33 @@ class Dsv2Spec extends SparkTestBase {
     assert(again === stmt, "SHOW CREATE VIEW is not a fixed point")
   }
 
+  test("SHOW CREATE VIEW escapes quotes and parenthesized values (ADVICE r14)") {
+    val (_, _, c) = viewFixture()
+    // comment with an embedded quote; property value with ')' AND a quote
+    spark.sql(s"""CREATE VIEW $c.db.v_esc
+      COMMENT 'don''t break'
+      TBLPROPERTIES ('note' = 'a)b', 'q' = 'it''s (fine)')
+      AS SELECT count(*) AS n FROM $c.db.events""")
+    val cat = graft.spark.GraftViewSql.pluginOf(spark, c).graftCatalog
+    assert(cat.loadView("db.v_esc").get.comment.contains("don't break"))
+    assert(cat.loadView("db.v_esc").get.allProperties ===
+      Map("note" -> "a)b", "q" -> "it's (fine)"))
+    // ALTER SET with a quoted ')' value must survive the quote-aware list
+    spark.sql(s"ALTER VIEW $c.db.v_esc SET TBLPROPERTIES ('r' = 'x)y''z')")
+    assert(cat.loadView("db.v_esc").get.allProperties("r") === "x)y'z")
+    val stmt = spark.sql(s"SHOW CREATE VIEW $c.db.v_esc").collect()(0).getString(0)
+    assert(stmt.contains("COMMENT 'don''t break'"), stmt)
+    assert(stmt.contains("'q' = 'it''s (fine)'"), stmt)
+    // and the emitted statement round-trips to the SAME stored state
+    spark.sql(s"DROP VIEW $c.db.v_esc")
+    spark.sql(stmt)
+    assert(cat.loadView("db.v_esc").get.comment.contains("don't break"))
+    assert(cat.loadView("db.v_esc").get.allProperties ===
+      Map("note" -> "a)b", "q" -> "it's (fine)", "r" -> "x)y'z"))
+    val again = spark.sql(s"SHOW CREATE VIEW $c.db.v_esc").collect()(0).getString(0)
+    assert(again === stmt, "SHOW CREATE VIEW is not a fixed point")
+  }
+
   test("ALTER VIEW SET/UNSET TBLPROPERTIES: metadata-only, body untouched") {
     val (_, _, c) = viewFixture()
     spark.sql(s"CREATE VIEW $c.db.v_props AS SELECT count(*) AS n FROM $c.db.events")

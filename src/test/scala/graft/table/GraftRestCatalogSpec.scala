@@ -170,4 +170,61 @@ class GraftRestCatalogSpec extends SparkTestBase {
       assert(t.meta.allProperties.get("x").contains("1"))
     } finally srv.stop()
   }
+
+  test("error bodies follow the spec's error model on every failure class") {
+    val (srv, base) = mkService()
+    try {
+      // {"error":{"message","type","code"}} — the documented ErrorModel
+      // an external client's error handling dispatches on
+      def assertError(code: Int, tpe: String, rc: Int, b: JValue): Unit = {
+        assert(rc == code, s"expected $code, got $rc: $b")
+        assert((b \ "error" \ "type").extract[String] == tpe, s"bad type in $b")
+        assert((b \ "error" \ "code").extract[Int] == code, s"bad code in $b")
+        assert((b \ "error" \ "message").extract[String].nonEmpty, s"empty message in $b")
+      }
+      val (c1, b1) = http("GET", s"$base/v1/namespaces/nope")
+      assertError(404, "NoSuchNamespaceException", c1, b1)
+      http("POST", s"$base/v1/namespaces", """{"namespace":["db"]}""")
+      val (c2, b2) = http("GET", s"$base/v1/namespaces/db/tables/nope")
+      assertError(404, "NoSuchTableException", c2, b2)
+      val (c3, b3) = http("DELETE", s"$base/v1/namespaces/db/tables/nope")
+      assertError(404, "NoSuchTableException", c3, b3)
+      val (c4, b4) = http("POST", s"$base/v1/namespaces", """{"namespace":["db"]}""")
+      assertError(409, "AlreadyExistsException", c4, b4)
+      val (c5, b5) = http("GET", s"$base/v1/bogus/route")
+      assertError(400, "BadRequestException", c5, b5)
+      val (c6, b6) = http("POST", s"$base/v1/tables/rename",
+        """{"source":{"namespace":["db"],"name":"a"},"destination":{"namespace":["db"],"name":"b"}}""")
+      assertError(404, "NoSuchTableException", c6, b6)
+    } finally srv.stop()
+  }
+
+  test("decoded traversal segments are rejected before any resolve") {
+    val (srv, base) = mkService()
+    try {
+      val outside = java.nio.file.Files.createTempDirectory("graft_outside")
+      val marker = outside.resolve("marker.txt")
+      java.nio.file.Files.writeString(marker, "do not delete")
+      // %2E%2E = '..' — decoded server-side; every route must 400 it
+      // (GET/HEAD used to be a directory-existence oracle, DELETE could
+      // remove a directory OUTSIDE the warehouse root)
+      val (gc, gb) = http("GET", s"$base/v1/namespaces/%2E%2E")
+      assert(gc == 400, s"traversal GET not rejected: $gc $gb")
+      assert((gb \ "error" \ "type").extract[String] == "BadRequestException")
+      assert(http("HEAD", s"$base/v1/namespaces/%2E%2E")._1 == 400)
+      assert(http("DELETE", s"$base/v1/namespaces/%2E%2E")._1 == 400)
+      // '..%2Fx' decodes to one segment containing a separator
+      assert(http("GET", s"$base/v1/namespaces/..%2Fx")._1 == 400)
+      assert(http("DELETE", s"$base/v1/namespaces/..%2F${outside.getFileName}")._1 == 400)
+      // body-supplied names get the same guard
+      http("POST", s"$base/v1/namespaces", """{"namespace":["db"]}""")
+      val (tc, tb) = http("POST", s"$base/v1/namespaces/db/tables",
+        s"""{"name":"../esc","schema":$pedidosSchema}""")
+      assert(tc == 400, s"traversal table name not rejected: $tc $tb")
+      val (rc2, _) = http("POST", s"$base/v1/tables/rename",
+        """{"source":{"namespace":["db"],"name":".."},"destination":{"namespace":["db"],"name":"b"}}""")
+      assert(rc2 == 400)
+      assert(java.nio.file.Files.exists(marker), "traversal escaped the warehouse root")
+    } finally srv.stop()
+  }
 }
