@@ -69,9 +69,12 @@ object Graphs {
     * cells ≈ 4 GB of longs, a documented executor-memory envelope;
     * co-purchase-style projections have catalog-bounded V, so the
     * adjacency grows with average degree, not corpus row count. Graphs
-    * whose adjacency genuinely exceeds the envelope fall back to the
-    * shuffle shape, whose disk bill is Σ deg² — GraphShape prints both
-    * terms for a corpus before you pay either. */
+    * whose adjacency genuinely exceeds the envelope switch ALGORITHMS
+    * (VERDICT r14 #1): degree-split wedge counting
+    * (edgeCommonNeighborCounts) shuffles only bounded-width rows — the
+    * array-carry SMJ shape that died at sf10 (227 GB spill) is never
+    * planned at any scale. GraphShape prints a corpus's cost terms
+    * before you pay either path. */
   private[graft] val ADJ_CELL_GATE = 512000000L
 
   private[graft] def maybeBroadcast(df: DataFrame, rows: Long, gate: Long): DataFrame =
@@ -205,28 +208,54 @@ object Graphs {
     * true super-hub (10⁷-degree) needs the orientation/degree-split
     * variant; bounded-basket projections like this one cannot produce
     * such a hub by construction. */
+  /** Per-edge |N(x) ∩ N(y)| WITHOUT carrying adjacency arrays through
+    * any join — the ABOVE-GATE shape of the adjacency-intersect family
+    * (VERDICT r14 #1: the former above-gate fallback was the Σ deg²-cell
+    * array-carry SMJ that died at sf10 with 227 GB of spill, and the
+    * broadcast path hits Spark's 8 GB hard cap in the same decade, so
+    * sf100 had NO live path). Wedges centered at each common neighbor a
+    * are enumerated with butterfly's DEGREE-SPLIT chunking (per-join-key
+    * fan-out ≤ ~chunk² rows regardless of a whale node's degree), the
+    * (p1, p2) pair counts aggregate map-side-combined through one packed
+    * 64-bit key, and the edge table joins the counts on bounded-width
+    * (x, y, cn) rows — every shuffled row is 3 longs, never an array.
+    * Total work is the same Σ deg² wedge touches the intersect pays as
+    * CPU, but as NARROW shuffle records (Σ deg² · 24 B, map-combined),
+    * linear per decade on bounded-degree projections. Edges with no
+    * common neighbor keep cn = 0 (left join) so both paths agree row
+    * for row. */
+  private[graft] def edgeCommonNeighborCounts(und: DataFrame): DataFrame = {
+    val cn = butterflyWedgeCounts(
+      und.select(col("x").as("c"), col("y").as("p"))
+        .unionAll(und.select(col("y").as("c"), col("x").as("p"))))
+    und.join(cn, und("x") === cn("p1") && und("y") === cn("p2"), "left_outer")
+      .select(col("x"), col("y"), coalesce(col("n_common"), lit(0L)).as("c"))
+  }
+
   private[graft] def trianglesOnUndirected(und: DataFrame,
       broadcastGate: Long = ADJ_CELL_GATE): DataFrame = {
-    val both = und.select(col("x").as("a"), col("y").as("b"))
-      .unionAll(und.select(col("y").as("a"), col("x").as("b")))
     // adjacency is node-count rows but each row is avg-deg array cells
     // wide, so the gate counts CELLS (= 2·|edges|, one per directed
     // adjacency entry), not rows — a row-count gate would let a 5M-node
     // × 100-deg table (4 GB of longs) through the hint
     val nCells = 2L * und.count()
-    val adj = both.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
-    // under the gate, broadcast both probes so the edge table never
-    // shuffles; past it the hint is omitted (explicit hints don't
-    // degrade — VERDICT r8 #1) and the joins take the shuffle shape
-    // pinned in GraphsSpec.
-    val withC = und
-      .join(maybeBroadcast(adj.select(col("a").as("x"), col("nbrs").as("nx")),
-        nCells, broadcastGate), Seq("x"))
-      .join(maybeBroadcast(adj.select(col("a").as("y"), col("nbrs").as("ny")),
-        nCells, broadcastGate), Seq("y"))
-      .select(col("x"), col("y"),
-        size(array_intersect(col("nx"), col("ny"))).cast("long").as("c"))
+    // under the gate, broadcast the adjacency both ways so the edge
+    // table never shuffles and the intersect runs in codegen; past it,
+    // switch ALGORITHMS (degree-split wedge counting) instead of
+    // degrading to an array-carry shuffle join — both paths are exact
+    // and row-identical (GraphsSpec pins the equality and the shapes)
+    val withC =
+      if (nCells <= broadcastGate) {
+        val both = und.select(col("x").as("a"), col("y").as("b"))
+          .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+        val adj = both.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+        und
+          .join(broadcast(adj.select(col("a").as("x"), col("nbrs").as("nx"))), Seq("x"))
+          .join(broadcast(adj.select(col("a").as("y"), col("nbrs").as("ny"))), Seq("y"))
+          .select(col("x"), col("y"),
+            size(array_intersect(col("nx"), col("ny"))).cast("long").as("c"))
+      } else edgeCommonNeighborCounts(und)
     withC.select(explode(array(
         struct(col("x").as("node"), col("c")),
         struct(col("y").as("node"), col("c")))).as("e"))
@@ -659,29 +688,42 @@ object Graphs {
       copurchaseEdges(s, d).filter(col("src") < col("dst"))
         .select(col("src").as("x"), col("dst").as("y")))
 
-  private[graft] def jaccardOnUndirected(und: DataFrame): DataFrame = {
-    val both = und.select(col("x").as("a"), col("y").as("b"))
-      .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+  private[graft] def jaccardOnUndirected(und: DataFrame,
+      broadcastGate: Long = ADJ_CELL_GATE): DataFrame = {
     // gate counts CELLS like trianglesOnUndirected (adjacency rows are
     // degree-wide arrays; a row-count gate would under-price them)
     val nCells = 2L * und.count()
-    val adj = both.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
-    und
-      .join(maybeBroadcast(adj.select(col("a").as("x"), col("nbrs").as("nx")),
-        nCells, ADJ_CELL_GATE), Seq("x"))
-      .join(maybeBroadcast(adj.select(col("a").as("y"), col("nbrs").as("ny")),
-        nCells, ADJ_CELL_GATE), Seq("y"))
-      .select(col("x"), col("y"),
-        size(array_intersect(col("nx"), col("ny"))).cast("long").as("cn"),
-        size(col("nx")).cast("long").as("deg_x"),
-        size(col("ny")).cast("long").as("deg_y"))
+    val both = und.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+    val scored =
+      if (nCells <= broadcastGate) {
+        val adj = both.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+        und
+          .join(broadcast(adj.select(col("a").as("x"), col("nbrs").as("nx"))), Seq("x"))
+          .join(broadcast(adj.select(col("a").as("y"), col("nbrs").as("ny"))), Seq("y"))
+          .select(col("x"), col("y"),
+            size(array_intersect(col("nx"), col("ny"))).cast("long").as("cn"),
+            size(col("nx")).cast("long").as("deg_x"),
+            size(col("ny")).cast("long").as("deg_y"))
+      } else {
+        // above the gate: the same degree-split wedge shape as
+        // trianglesOnUndirected — bounded-width rows only; degrees come
+        // from a node-sized aggregate joined UNHINTED (AQE picks
+        // broadcast while the node table is small, shuffle when not)
+        val deg = both.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        edgeCommonNeighborCounts(und)
+          .withColumnRenamed("c", "cn")
+          .join(deg.select(col("a").as("x"), col("deg").as("deg_x")), Seq("x"))
+          .join(deg.select(col("a").as("y"), col("deg").as("deg_y")), Seq("y"))
+          .select(col("x"), col("y"), col("cn"), col("deg_x"), col("deg_y"))
+      }
+    scored
       .select(col("x"), col("y"), col("cn"), col("deg_x"), col("deg_y"),
         (col("cn").cast(DoubleType) /
           (col("deg_x") + col("deg_y") - col("cn")).cast(DoubleType)).as("jaccard"))
       .orderBy(col("jaccard").desc, col("x"), col("y"))
       .limit(30)
-
   }
 
   /** Degree distribution of the co-purchase graph in power-of-two
@@ -819,12 +861,28 @@ object Graphs {
     val left = withCh.select(col("c"), col("p").as("p1"), col("ch").as("ci"),
         explode(sequence(col("ch"), col("nch") - 1L)).as("j"))
     val right = withCh.select(col("c"), col("p").as("p2"), col("ch").as("j"))
+    // The pair aggregate hash-groups the FULL wedge stream (Σ C(deg,2)
+    // records — 1.5e9 at sf10), so record width is the cost driver
+    // (VERDICT r14 #2): pack the unordered pair into ONE 64-bit key
+    // (lo << 32 | hi) so the hash aggregate carries half the grouping
+    // bytes, and unpack after. Exact iff both ids fit 31 bits — guarded
+    // LOUDLY per row (ids here are catalog part keys, ~2M at sf100;
+    // the guard is one codegen'd comparison, same policy as hits()).
+    val lo = least(col("p1"), col("p2"))
+    val hi = greatest(col("p1"), col("p2"))
+    val packed = when(col("p1") >= 0L && col("p1") < lit(1L << 31) &&
+        col("p2") >= 0L && col("p2") < lit(1L << 31),
+      shiftleft(lo, 32) + hi)
+      .otherwise(raise_error(lit(
+        "butterflyWedgeCounts: id exceeds 2^31 — widen the packed wedge key")))
     left.join(right,
         Seq("c", "j").map(k => left(k) === right(k)).reduce(_ && _) &&
           (col("ci") < left("j") || col("p1") < col("p2")))
-      .groupBy(least(col("p1"), col("p2")).as("p1"),
-        greatest(col("p1"), col("p2")).as("p2"))
+      .groupBy(packed.as("pk"))
       .agg(count(lit(1)).as("n_common"))
+      .select(shiftright(col("pk"), 32).as("p1"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("p2"),
+        col("n_common"))
   }
 
   def butterfly(s: SparkSession, d: String): DataFrame =

@@ -378,6 +378,41 @@ class GraphsSpec extends SparkTestBase {
       === sorted(Graphs.labelPropOnEdges(edges, 3)))
   }
 
+  test("above-gate adjacency intersect: wedge algorithm, row-identical, no arrays") {
+    // VERDICT r14 #1: past ADJ_CELL_GATE the family must not fall back
+    // to the array-carry SMJ (dead at sf10) — it switches to degree-split
+    // wedge counting. Pin BOTH properties: (1) results are row-identical
+    // to the broadcast-intersect path on a graph with triangles, hubs,
+    // AND zero-common-neighbor edges; (2) the above-gate plan builds NO
+    // adjacency arrays at all (no collect_list/sort_array/array_intersect
+    // anywhere — every shuffled row is bounded width by construction).
+    // triangle 0-1-2 + tail 2-3-4 + a 20-spoke hub at 9 (chunk=8 splits
+    // it) + an isolated edge 100-101 (zero common neighbors)
+    val hub = (10L to 29L).map(s => (9L, s))
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (100L, 101L), (10L, 11L)) ++ hub
+    val und = pairs.toDF("x", "y").localCheckpoint()
+    def triRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val below = Graphs.trianglesOnUndirected(und)
+    val above = Graphs.trianglesOnUndirected(und, broadcastGate = 0L)
+    assert(triRows(above) === triRows(below))
+    val abovePlan = above.queryExecution.executedPlan.toString
+    Seq("collect_list", "sort_array", "array_intersect").foreach(op =>
+      assert(!abovePlan.contains(op), s"above-gate plan still builds arrays ($op)"))
+    assert(below.queryExecution.executedPlan.toString.contains("array_intersect"),
+      "below-gate path should keep the codegen'd intersect")
+    // jaccard: full-row equality including the cn=0 edges the left join
+    // must preserve (the intersect path scores them 0 natively)
+    def jacRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val jBelow = jacRows(Graphs.jaccardOnUndirected(und))
+    val jAbove = jacRows(Graphs.jaccardOnUndirected(und, broadcastGate = 0L))
+    assert(jAbove === jBelow)
+    assert(jBelow.exists(_._3 == 0L), "fixture must exercise cn=0 edges")
+  }
+
   test("labelPropOnEdges: two cliques with a bridge settle to two communities") {
     // K4 on 0-3, K4 on 10-13, one bridge 3—10: majority voting keeps
     // each clique on its own minimum label despite the bridge
