@@ -92,6 +92,17 @@ object GraftSoakChild {
   *    (table/MaintainedIndex.scala:57 — the expectLastBatch CAS). */
 class ServiceSoakSpec extends SparkTestBase {
 
+  // LONG-SOAK knob (VERDICT r14 #7): the suite-time run (50/25/30 ops,
+  // 5-minute budgets) proves the invariants; the reference topology's
+  // daily life is HOURS. Out-of-suite, scale it up:
+  //   GRAFT_SOAK_N=500 GRAFT_SOAK_MIN=30 sbt "testOnly *ServiceSoakSpec"
+  // N = meta-hammer commits per child (spark children and the feeder
+  // run N/2 ops each); MIN = per-phase wait budget in minutes. The
+  // invariants asserted are IDENTICAL at every scale.
+  private val soakN = sys.env.get("GRAFT_SOAK_N").flatMap(_.toIntOption)
+  private val waitMs: Long =
+    sys.env.get("GRAFT_SOAK_MIN").flatMap(_.toIntOption).getOrElse(5) * 60000L
+
   test("5 processes × mixed commits through one service: no lost/torn/duplicate anything") {
     val root = java.nio.file.Files.createTempDirectory("graftfs_soak")
     val srv = GraftFsServer.serve(root)
@@ -117,7 +128,7 @@ class ServiceSoakSpec extends SparkTestBase {
         pb.redirectOutput(ProcessBuilder.Redirect.to(log.toFile))
         (pb.start(), log)
       }
-      val metaN = 50; val sparkN = 25
+      val metaN = soakN.getOrElse(50); val sparkN = soakN.map(_ / 2).getOrElse(25)
       val children = Seq(
         launch("meta", metaN, "m1"), launch("meta", metaN, "m2"),
         launch("spark", sparkN, "s1"), launch("spark", sparkN, "s2"))
@@ -148,7 +159,7 @@ class ServiceSoakSpec extends SparkTestBase {
 
       // ---- parent workload 2: append-only feeder + two RACING index
       // refreshers (MaintainedIndex CAS under live watermark movement)
-      val feedBatches = 30
+      val feedBatches = soakN.map(_ / 2).getOrElse(30)
       val feeder = new Thread(() => try {
         import spark.implicits._
         for (i <- 1 to feedBatches)
@@ -162,16 +173,16 @@ class ServiceSoakSpec extends SparkTestBase {
       } catch { case e: Throwable => failure.compareAndSet(null, e) }, name)
       val r1 = refresher("soak-refresh-1"); val r2 = refresher("soak-refresh-2")
       feeder.start(); r1.start(); r2.start()
-      feeder.join(300000); feederDone = true
-      r1.join(300000); r2.join(300000)
+      feeder.join(waitMs); feederDone = true
+      r1.join(waitMs); r2.join(waitMs)
 
       children.foreach { case (p, log) =>
-        assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        assert(p.waitFor(waitMs / 1000, java.util.concurrent.TimeUnit.SECONDS),
           s"child did not finish; log tail: ${tail(log)}")
         assert(p.exitValue() == 0, s"child failed; log tail: ${tail(log)}")
       }
       childrenDone = true
-      reader.join(300000)
+      reader.join(waitMs)
       if (failure.get() != null) throw failure.get()
       assert(polls > 3, s"reader barely ran ($polls polls) — soak proved nothing")
 
