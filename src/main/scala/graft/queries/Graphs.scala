@@ -74,8 +74,12 @@ object Graphs {
     * (edgeCommonNeighborCounts) shuffles only bounded-width rows — the
     * array-carry SMJ shape that died at sf10 (227 GB spill) is never
     * planned at any scale. GraphShape prints a corpus's cost terms
-    * before you pay either path. */
-  private[graft] val ADJ_CELL_GATE = 512000000L
+    * before you pay either path. GRAFT_ADJ_CELL_GATE overrides the
+    * gate for scaling-ladder runs (e.g. =0 forces the above-gate
+    * algorithm at a judged sf so its scaling can be MEASURED —
+    * SCALING.md §9). */
+  private[graft] val ADJ_CELL_GATE = sys.env.get("GRAFT_ADJ_CELL_GATE")
+    .flatMap(_.toLongOption).getOrElse(512000000L)
 
   private[graft] def maybeBroadcast(df: DataFrame, rows: Long, gate: Long): DataFrame =
     if (rows <= gate) broadcast(df) else df
@@ -213,23 +217,65 @@ object Graphs {
     * (VERDICT r14 #1: the former above-gate fallback was the Σ deg²-cell
     * array-carry SMJ that died at sf10 with 227 GB of spill, and the
     * broadcast path hits Spark's 8 GB hard cap in the same decade, so
-    * sf100 had NO live path). Wedges centered at each common neighbor a
-    * are enumerated with butterfly's DEGREE-SPLIT chunking (per-join-key
-    * fan-out ≤ ~chunk² rows regardless of a whale node's degree), the
-    * (p1, p2) pair counts aggregate map-side-combined through one packed
-    * 64-bit key, and the edge table joins the counts on bounded-width
-    * (x, y, cn) rows — every shuffled row is 3 longs, never an array.
-    * Total work is the same Σ deg² wedge touches the intersect pays as
-    * CPU, but as NARROW shuffle records (Σ deg² · 24 B, map-combined),
-    * linear per decade on bounded-degree projections. Edges with no
-    * common neighbor keep cn = 0 (left join) so both paths agree row
-    * for row. */
+    * sf100 had NO live path). Algorithm — the MapReduce triangle shape
+    * of Suri & Vassilvitskii (WWW 2011) with degree orientation, plus
+    * butterfly's degree-split chunking and a Bloom pre-filter:
+    *
+    *  1. ORIENT each edge toward its higher-(degree, id) endpoint; a
+    *     node's out-degree is then degeneracy-bounded (≤ O(√E) — a 10⁷-
+    *     degree hub keeps outdeg ~0 because its neighbors outrank it).
+    *  2. Enumerate wedges from each node's OUT-adjacency with the
+    *     degree-split chunked self-join (chunkedWedges — per-join-key
+    *     fan-out ≤ ~chunk² regardless of residual whales): Σ C(outdeg,2)
+    *     narrow rows, each candidate triangle exactly once.
+    *  3. Keep wedges whose endpoint pair IS an edge: a broadcast BLOOM
+    *     filter over the packed edge keys (~1.2 bytes/edge at 1% fp —
+    *     144 MB at sf10's 120M edges, the q_bloom_join pattern) drops
+    *     ~99% of non-closing wedges MAP-SIDE, then an exact left-semi
+    *     join removes the false positives. Only true triangles (+1% fp)
+    *     ever shuffle.
+    *  4. Explode each triangle (c, p1, p2) to its three edges and count
+    *     per packed edge key: cn(x,y) = triangles riding edge (x,y) =
+    *     |N(x) ∩ N(y)| for adjacent x,y. Left-join back so cn = 0 edges
+    *     survive (the intersect path scores them 0 natively).
+    *
+    * Every shuffled row is a handful of longs; the streams are
+    * Σ C(outdeg,2) (wedges, pre-bloom — map-local), 3·T (triangle
+    * explode), and E (the final join) — linear per decade on
+    * bounded-degeneracy graphs, no array ever crosses the wire. */
   private[graft] def edgeCommonNeighborCounts(und: DataFrame): DataFrame = {
-    val cn = butterflyWedgeCounts(
-      und.select(col("x").as("c"), col("y").as("p"))
-        .unionAll(und.select(col("y").as("c"), col("x").as("p"))))
-    und.join(cn, und("x") === cn("p1") && und("y") === cn("p2"), "left_outer")
-      .select(col("x"), col("y"), coalesce(col("n_common"), lit(0L)).as("c"))
+    val s = und.sparkSession
+    val both = und.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+    val deg = both.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("a").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("a").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("c"), col("y").as("p")))
+        .otherwise(struct(col("y").as("c"), col("x").as("p"))).as("e"))
+      .select(col("e.c").as("c"), col("e.p").as("p"))
+    // the edge set is read three times (bloom build, semi join, final
+    // left join) — materialize the packed form once
+    val undP = und
+      .select(col("x"), col("y"), packedPair(col("x"), col("y")).as("pk"))
+      .localCheckpoint()
+    val nE = undP.count()
+    val bf = undP.stat.bloomFilter("pk", math.max(nE, 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    val tri = chunkedWedges(oriented)
+      .withColumn("pk", packedPair(col("p1"), col("p2")))
+      .filter(mightContain(col("pk")))
+      .join(undP.select(col("pk")), Seq("pk"), "left_semi")
+    val perEdge = tri.select(explode(array(col("pk"),
+        packedPair(col("c"), col("p1")),
+        packedPair(col("c"), col("p2")))).as("ek"))
+      .groupBy(col("ek")).agg(count(lit(1)).as("cn0"))
+    undP.join(perEdge, undP("pk") === perEdge("ek"), "left_outer")
+      .select(col("x"), col("y"), coalesce(col("cn0"), lit(0L)).as("c"))
   }
 
   private[graft] def trianglesOnUndirected(und: DataFrame,
@@ -852,7 +898,31 @@ object Graphs {
     * wedge self-join. Overflow: c ≤ |customers| < 2³¹ keeps c·(c−1)
     * under 2⁶². */
   private[graft] val BUTTERFLY_CHUNK = 256L
-  private[graft] def butterflyWedgeCounts(e: DataFrame, chunk: Long = BUTTERFLY_CHUNK): DataFrame = {
+
+  /** Canonical unordered-pair key (lo << 32 | hi) — ONE long where two
+    * rode before, so pair-keyed aggregates and joins carry half the
+    * grouping bytes (VERDICT r14 #2). Exact iff both ids fit 31 bits —
+    * guarded LOUDLY per row (ids here are catalog part/customer keys,
+    * ~2M at sf100; the guard is one codegen'd comparison, the hits()
+    * overflow-guard policy). */
+  private[graft] def packedPair(a: Column, b: Column): Column =
+    when(a >= 0L && a < lit(1L << 31) && b >= 0L && b < lit(1L << 31),
+      shiftleft(least(a, b), 32) + greatest(a, b))
+      .otherwise(raise_error(lit(
+        "packedPair: id exceeds 2^31 — widen the packed pair key")))
+
+  /** Degree-split wedge STREAM over (c, p) adjacency: one (c, p1, p2)
+    * row per unordered pair of c's neighbors, each pair exactly once.
+    * Each c's adjacency is hash-chunked into ⌈deg/B⌉ chunks of ~B; the
+    * left side replicates each row to every chunk pair (ci, j ≥ ci) and
+    * equi-joins the right on (c, chunk) — per-join-key fan-out ≤ ~B²
+    * rows regardless of a whale's degree, and its wedges spread over
+    * C(⌈deg/B⌉+1, 2) independent keys. Chunks partition the adjacency,
+    * so each pair lands in exactly one chunk pair (cross-chunk once via
+    * the lower chunk, same-chunk halved by p1 < p2); replication cost
+    * deg·⌈deg/B⌉/2 ≤ the wedge count it feeds. Shared by the butterfly
+    * counter and the oriented triangle path. */
+  private[graft] def chunkedWedges(e: DataFrame, chunk: Long = BUTTERFLY_CHUNK): DataFrame = {
     val deg = e.groupBy(col("c")).agg(count(lit(1)).as("deg"))
     val withCh = e.join(deg, Seq("c"))
       .select(col("c"), col("p"),
@@ -861,29 +931,22 @@ object Graphs {
     val left = withCh.select(col("c"), col("p").as("p1"), col("ch").as("ci"),
         explode(sequence(col("ch"), col("nch") - 1L)).as("j"))
     val right = withCh.select(col("c"), col("p").as("p2"), col("ch").as("j"))
-    // The pair aggregate hash-groups the FULL wedge stream (Σ C(deg,2)
-    // records — 1.5e9 at sf10), so record width is the cost driver
-    // (VERDICT r14 #2): pack the unordered pair into ONE 64-bit key
-    // (lo << 32 | hi) so the hash aggregate carries half the grouping
-    // bytes, and unpack after. Exact iff both ids fit 31 bits — guarded
-    // LOUDLY per row (ids here are catalog part keys, ~2M at sf100;
-    // the guard is one codegen'd comparison, same policy as hits()).
-    val lo = least(col("p1"), col("p2"))
-    val hi = greatest(col("p1"), col("p2"))
-    val packed = when(col("p1") >= 0L && col("p1") < lit(1L << 31) &&
-        col("p2") >= 0L && col("p2") < lit(1L << 31),
-      shiftleft(lo, 32) + hi)
-      .otherwise(raise_error(lit(
-        "butterflyWedgeCounts: id exceeds 2^31 — widen the packed wedge key")))
     left.join(right,
         Seq("c", "j").map(k => left(k) === right(k)).reduce(_ && _) &&
           (col("ci") < left("j") || col("p1") < col("p2")))
-      .groupBy(packed.as("pk"))
+      .select(left("c").as("c"), col("p1"), col("p2"))
+  }
+
+  private[graft] def butterflyWedgeCounts(e: DataFrame, chunk: Long = BUTTERFLY_CHUNK): DataFrame =
+    // the pair aggregate hash-groups the FULL wedge stream (Σ C(deg,2)
+    // records — 1.5e9 at sf10), so record width is the cost driver:
+    // aggregate on the packed key, unpack after
+    chunkedWedges(e, chunk)
+      .groupBy(packedPair(col("p1"), col("p2")).as("pk"))
       .agg(count(lit(1)).as("n_common"))
       .select(shiftright(col("pk"), 32).as("p1"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("p2"),
         col("n_common"))
-  }
 
   def butterfly(s: SparkSession, d: String): DataFrame =
     butterflyWedgeCounts(custPartEdges(s, d))
