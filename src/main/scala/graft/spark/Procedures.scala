@@ -301,6 +301,26 @@ object GraftProcedures {
         }
       }
 
+    // FORMAT half of Iceberg interop (VERDICT r14 #3): write the
+    // table's snapshot history as spec-compliant Iceberg v2 metadata
+    // (TableMetadata JSON + Avro manifest lists/manifests) under
+    // <table>/metadata/ — see table/IcebergExport.scala for the exact
+    // coverage and the LOUD caveats (MoR state must be compacted away
+    // first; stats not exported).
+    case "export_iceberg" =>
+      new GraftProc("export_iceberg", Array(
+        p("table", StringType))) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val t = cat.load(input.getUTF8String(0).toString)
+          val (path, n) = graft.table.IcebergExport.export(t)
+          result(
+            StructType(Seq(
+              StructField("metadata_location", StringType),
+              StructField("exported_snapshots", LongType))),
+            utf8(path.toString), n.toLong)
+        }
+      }
+
     case other =>
       throw new IllegalArgumentException(
         s"no such procedure: system.$other (have: ${names.mkString(", ")})")
@@ -311,7 +331,7 @@ object GraftProcedures {
     "rewrite_manifests", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "drop_ref", "fast_forward",
     "remove_orphan_files", "add_partition_field", "drop_partition_field",
-    "add_files")
+    "add_files", "export_iceberg")
 
   /** String results must be UTF8String inside InternalRow — helper for
     * future procedures that return text columns. */

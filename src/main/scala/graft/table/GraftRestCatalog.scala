@@ -15,15 +15,15 @@ import graft.table.GraftIO.RichHPath
   * the reference's `rest-catalog` container speaks exactly this
   * JSON-over-HTTP surface (README.md:69–83, `tabulario/iceberg-rest`),
   * and the endpoint shapes are public (the Iceberg REST OpenAPI spec);
-  * no Iceberg jar is needed server-side. This closes the protocol half
-  * of the one remaining interop gap: an external client can drive
+  * no Iceberg jar is needed server-side. An external client can drive
   * /v1/config, namespace CRUD, table CRUD, rename, and the
-  * requirement-gated commit against this server. The FORMAT half stays
-  * open by design — the `metadata` payload inside LoadTableResult is
-  * Graft's own table metadata document (TableMeta JSON), not an
-  * Iceberg TableMetadata: this sandbox has no Iceberg reader to
-  * consume the real thing (SURVEY.md:19–27), and serving two formats
-  * would mean maintaining a translator nothing can exercise.
+  * requirement-gated commit against this server, and — since r15 — the
+  * `metadata` payload inside LoadTableResult is REAL Iceberg v2
+  * TableMetadata JSON whose manifest lists/manifests are spec Avro on
+  * this warehouse (table/IcebergExport.scala). Remaining caveats are
+  * the export's, all loud there: merge-on-read snapshots must be
+  * compacted before they have an Iceberg image; per-file column stats
+  * are not exported.
   *
   * Deliberate subset, every omission loud (400 with a message):
   *  - single-level namespaces (Graft's catalog is `schema.table`);
@@ -316,18 +316,34 @@ final class GraftRestCatalog(root: Path) {
     case _ => None
   }
 
-  /** LoadTableResult: metadata-location resolvable by any client that
-    * mounts this server (the Host header names how THEY reached us),
-    * metadata = the Graft table metadata document itself. */
+  /** LoadTableResult: `metadata` is REAL Iceberg v2 TableMetadata JSON,
+    * produced (and per-version cached) by IcebergExport — the format
+    * half of interop, closed in r15; manifests referenced by it are
+    * spec Avro on the same warehouse, so a client can follow
+    * metadata-location (the Host header names how THEY reached us) and
+    * walk snapshots → manifest lists → data files. The ONE remaining
+    * fallback, loud in the scaladoc: a table whose current snapshot
+    * carries merge-on-read state has no data-only Iceberg image — for
+    * those the pre-export Graft metadata document is served (compact
+    * first to get the Iceberg view). */
   private def loadResult(x: HttpExchange, ns: String, t: String): Unit = {
     val dir = wh.resolve(ns).resolve(t)
     val (v, _) = TableMeta.load(dir)
-    val metaFile = dir.resolve("meta").resolve(s"v$v.json")
-    val metaJson = JsonMethods.parse(
-      new String(GraftIO.readAllBytes(metaFile), StandardCharsets.UTF_8))
     val host = Option(x.getRequestHeaders.getFirst("Host")).getOrElse("127.0.0.1")
+    val (metaJson, loc) =
+      try {
+        val (p, _) = IcebergExport.export(new GraftTable(dir))
+        (JsonMethods.parse(new String(GraftIO.readAllBytes(p), StandardCharsets.UTF_8)),
+          s"graftsvc://$host/$ns/$t/metadata/v$v.metadata.json")
+      } catch {
+        case _: IcebergExportUnsupported =>
+          (JsonMethods.parse(new String(
+            GraftIO.readAllBytes(dir.resolve("meta").resolve(s"v$v.json")),
+            StandardCharsets.UTF_8)),
+            s"graftsvc://$host/$ns/$t/meta/v$v.json")
+      }
     json(x, 200, JObject(
-      "metadata-location" -> JString(s"graftsvc://$host/$ns/$t/meta/v$v.json"),
+      "metadata-location" -> JString(loc),
       "metadata" -> metaJson,
       "config" -> JObject()))
   }

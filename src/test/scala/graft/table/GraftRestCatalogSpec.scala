@@ -78,8 +78,10 @@ class GraftRestCatalogSpec extends SparkTestBase {
         s"""{"name":"pedidos","schema":$pedidosSchema,"properties":{"owner":"rest"}}""")
       assert(cc == 200, s"create failed: $cb")
       val loc = (cb \ "metadata-location").extract[String]
-      assert(loc.startsWith("graftsvc://") && loc.endsWith("/db/pedidos/meta/v1.json"))
-      assert((cb \ "metadata" \ "name").extract[String] == "db.pedidos")
+      assert(loc.startsWith("graftsvc://") &&
+        loc.endsWith("/db/pedidos/metadata/v1.metadata.json"))
+      assert((cb \ "metadata" \ "format-version").extract[Int] == 2)
+      assert((cb \ "metadata" \ "properties" \ "owner") == JString("rest"))
       // the declared columns landed, with Graft's column-id discipline
       val cols = (cb \ "metadata" \ "schemas")
       assert(JsonMethods.compact(JsonMethods.render(cols)).contains("id_pedido"))
@@ -134,7 +136,7 @@ class GraftRestCatalogSpec extends SparkTestBase {
       assert(http("POST", s"$base/v1/namespaces/db/tables/t",
         """{"updates":[{"action":"remove-properties","removals":["k2"]}]}""")._1 == 200)
       val (_, lb) = http("GET", s"$base/v1/namespaces/db/tables/t")
-      val props = (lb \ "metadata" \ "tableProperties")
+      val props = (lb \ "metadata" \ "properties") // Iceberg TableMetadata
       assert((props \ "k1") == JString("v1") && (props \ "k2") == JNothing)
       // unsupported update action → loud 400
       val (c4, b4) = http("POST", s"$base/v1/namespaces/db/tables/t",
@@ -168,6 +170,40 @@ class GraftRestCatalogSpec extends SparkTestBase {
       assert(cc == 200, s"commit at the true snapshot failed: $cb")
       // and the driver sees the REST commit
       assert(t.meta.allProperties.get("x").contains("1"))
+    } finally srv.stop()
+  }
+
+  test("LoadTableResult serves real Iceberg v2 metadata (r15 format interop)") {
+    val (srv, base) = mkService()
+    try {
+      http("POST", s"$base/v1/namespaces", """{"namespace":["db"]}""")
+      http("POST", s"$base/v1/namespaces/db/tables",
+        s"""{"name":"pedidos","schema":$pedidosSchema}""")
+      // fresh table: Iceberg TableMetadata with no current snapshot
+      val (c0, b0) = http("GET", s"$base/v1/namespaces/db/tables/pedidos")
+      assert(c0 == 200)
+      assert((b0 \ "metadata" \ "format-version").extract[Int] == 2, b0)
+      assert((b0 \ "metadata" \ "current-snapshot-id").extract[Long] == -1L)
+      assert((b0 \ "metadata-location").extract[String].endsWith(".metadata.json"))
+      // column ids from the Iceberg create schema survive into the payload
+      val f = ((b0 \ "metadata" \ "schemas")(0) \ "fields").extract[List[JValue]]
+      assert(f.map(x => (x \ "name").extract[String]).contains("id_pedido"))
+      // after a driver-side append through graftsvc, the payload carries
+      // the snapshot + a manifest list that EXISTS on the warehouse
+      val wh = new HPath(s"graftsvc://127.0.0.1:${srv.port}")
+      val t = new GraftCatalog(wh).load("db.pedidos")
+      import spark.implicits._
+      t.append(Seq(("a", BigDecimal("1.00"), 1), ("b", BigDecimal("2.50"), 2))
+        .toDF("id_pedido", "valor", "quantidade")
+        .withColumn("data_criacao", org.apache.spark.sql.functions.current_timestamp()))
+      val (c1, b1) = http("GET", s"$base/v1/namespaces/db/tables/pedidos")
+      assert(c1 == 200)
+      val snaps = (b1 \ "metadata" \ "snapshots").extract[List[JValue]]
+      assert(snaps.size == 1, b1 \ "metadata" \ "snapshots")
+      assert((b1 \ "metadata" \ "current-snapshot-id").extract[Long] ==
+        (snaps.head \ "snapshot-id").extract[Long])
+      val ml = (snaps.head \ "manifest-list").extract[String]
+      assert(GraftIO.exists(new HPath(ml)), s"manifest list missing: $ml")
     } finally srv.stop()
   }
 
