@@ -151,8 +151,18 @@ object Bench {
     // cause unrecoverable from the artifact (the judge's top finding)
     case class QMetrics(wall: Double, cpu: Double, gcSec: Double,
       shufMb: Double, shufRec: Long, peakMb: Double)
+    // LADDER KNOB (off for driver runs — a full GC per run would tax
+    // 304 small queries for nothing): big-sf subsets write tens of GB
+    // of shuffle per run, and files are only deleted when the
+    // ContextCleaner sees the query's RDDs garbage-collected — with a
+    // large heap that never happens between min-of-2 runs, so run 2
+    // lands on a disk still holding run 1's files (the sf10 rung died
+    // ENOSPC exactly this way). A forced GC BEFORE each run (outside
+    // the timed window) lets the cleaner free the previous run's files.
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("true")
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, QMetrics] = {
+      if (gcBetween) { System.gc(); Thread.sleep(500) }
       val (sb0, sr0) = shuffleNow(); val g0 = gcMsNow(); resetPeaks()
       val c0 = cpuNow(); val t0 = System.nanoTime()
       try {
