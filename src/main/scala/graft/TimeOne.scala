@@ -51,6 +51,37 @@ object TimeOne {
       try java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
       catch { case _: Throwable => -1L }
+    // STAGE PROFILE (GRAFT_TIMEONE_STAGES=true): per-stage wall /
+    // task-time / shuffle volumes via a listener — the no-UI substitute
+    // for the Spark UI's stage page (optimization guide §7.1). Job
+    // count per query prints too: iterative queries pay a fixed
+    // scheduling+planning cost per job, so "jobs 18 → 9" is itself a
+    // finding at small SF.
+    val stagesOn = sys.env.get("GRAFT_TIMEONE_STAGES").contains("true")
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    case class StageRow(id: Int, name: String, wallMs: Long, taskMs: Long,
+      records: Long, shufReadMb: Double, shufWriteMb: Double, tasks: Int)
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    if (stagesOn) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val m = si.taskMetrics
+          if (m != null) {
+            val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+              yield a - b).getOrElse(-1L)
+            stageRows.add(StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(80),
+              wall, m.executorRunTime, m.inputMetrics.recordsRead,
+              m.shuffleReadMetrics.remoteBytesRead / 1048576.0 +
+                m.shuffleReadMetrics.localBytesRead / 1048576.0,
+              m.shuffleWriteMetrics.bytesWritten / 1048576.0, si.numTasks))
+          }
+        }
+      })
+    }
     // the EXACT probe Bench interleaves (fixed plan, input-independent)
     // so a TimeOne bracket is directly comparable to BENCH noise floors
     def probeOnce(): Double =
@@ -63,13 +94,35 @@ object TimeOne {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val pBefore = probeOnce()
-      val runs = (1 to nRuns).map { _ =>
+      var lastJobs = 0
+      val runs = (1 to nRuns).map { i =>
+        if (stagesOn && i == nRuns) { // profile only the warmest run
+          org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(
+            spark.sparkContext, 10000L)
+          stageRows.clear(); jobCount.set(0)
+        }
         val c0 = cpuNow(); val g0 = gcMsNow(); val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        if (stagesOn && i == nRuns) {
+          org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(
+            spark.sparkContext, 10000L)
+          lastJobs = jobCount.get()
+        }
         (wall, (cpuNow() - c0) / 1e9, (gcMsNow() - g0) / 1e3)
       }
       val pAfter = probeOnce()
+      if (stagesOn) {
+        import scala.jdk.CollectionConverters._
+        val rows = stageRows.asScala.toSeq.sortBy(-_.wallMs)
+        println(f"[stages] $n jobs=$lastJobs stages=${rows.size} " +
+          f"(top by stage wall; taskMs=Σ executor run time)")
+        rows.take(14).foreach { r =>
+          println(f"[stages]   #${r.id}%-4d wall=${r.wallMs}%5dms task=${r.taskMs}%6dms " +
+            f"tasks=${r.tasks}%4d in=${r.records}%9d sr=${r.shufReadMb}%7.1fMB " +
+            f"sw=${r.shufWriteMb}%7.1fMB ${r.name}")
+        }
+      }
       val best = runs.minBy(_._1)
       println(f"[time-one] $n min=${best._1}%.2f cpu=${best._2}%.2f gc=${best._3}%.2f " +
         f"probes=[${pBefore}%.3f,${pAfter}%.3f] " +

@@ -148,17 +148,28 @@ object Graphs {
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     // one count on the checkpointed node table gates every pass's hint:
-    // ranks is exactly node-count rows on every iteration
+    // ranks is exactly node-count rows on every iteration. The count is
+    // also how the per-node constants enter each pass: SCALE div N and
+    // the teleport term are LITERALS computed from this driver-side
+    // count (Long division, positive operands — identical to the SQL
+    // `div` they replace), not a 1-row aggregate crossJoined in — the
+    // r14 shape rebuilt+rebroadcast that 1-row table EVERY pass (one
+    // BroadcastExchange job per pass, measured in the 60-job profile
+    // that motivated this rewrite; r15 optimization, guide §2.4).
     val nNodes = nodes.count()
-    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr(s"${SCALE}L div n_nodes").as("r"))
+    require(nNodes > 0, "pageRankOnEdges: empty graph")
+    var ranks = nodes.select(col("node"), lit(SCALE / nNodes).as("r"))
       .localCheckpoint()
+    val teleport = (15L * SCALE) / (100L * nNodes)
     // EARLY EXIT at the exact fixpoint: the pass is a deterministic
     // function of the rank vector, so rank_k == rank_{k-1} makes every
     // remaining pass the identity — skipping them is byte-identical to
-    // the fixed-pass semantics (the check is an exact node-sized
-    // anti-equality probe, edge-scan passes dwarf it at any scale)
+    // the fixed-pass semantics. r15: the check rides INSIDE the pass —
+    // the previous rank is carried as a column (the pass's left side IS
+    // the previous rank table, same node set as `nodes`), so stability
+    // is a cached-scan filter over the just-checkpointed pass output,
+    // not the r14 shape's separate SMJ of two checkpointed node tables
+    // (one full probe join + its exchanges per pass, guide §2.4).
     var stable = false
     for (_ <- 1 to iters if !stable) {
       // ranks is node-sized — under the gate, broadcast so each pass is
@@ -172,17 +183,19 @@ object Graphs {
           broadcastGate), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      val next = nodes
+      // left side = the previous rank table (node-identical to `nodes`:
+      // ranks is exactly one row per node on every pass), carrying its
+      // r as r_prev through the checkpoint for the in-pass stability read
+      val next = ranks.withColumnRenamed("r", "r_prev")
         .join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(nn))
         .select(col("node"),
-          (expr(s"(15 * ${SCALE}L) div (100 * n_nodes)") +
-            expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+          (lit(teleport) +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"),
+          col("r_prev"))
         .localCheckpoint()
       if (passCount != null) passCount.incrementAndGet()
-      stable = next.join(ranks.withColumnRenamed("r", "r_prev"), Seq("node"))
-        .filter(col("r") =!= col("r_prev")).isEmpty
-      ranks = next
+      stable = next.filter(col("r") =!= col("r_prev")).isEmpty
+      ranks = next.select(col("node"), col("r"))
     }
     ranks
   }
@@ -928,8 +941,23 @@ object Graphs {
       .select(col("c"), col("p"),
         expr(s"(deg + ${chunk - 1}L) div ${chunk}L").as("nch"))
       .withColumn("ch", pmod(xxhash64(col("p")), col("nch")))
+    // PARALLELISM FLOOR for the wedge explosion (r15, guide §2.5/§6):
+    // the join's probe side streams out of the adjacency SCAN, so its
+    // task count is the parquet split count — 6 splits at sf0.1 — while
+    // the map-side work is Σ C(deg,2) wedge rows + the pair hash-agg,
+    // which size-based split planning cannot see (measured: ONE 6-task
+    // stage carried 14.4 of q_butterfly's 25 cpu-sec; 3.1 s of 4.9 s
+    // wall). Hash-repartition the probe side on the join key before the
+    // join: per-key work is chunk-bounded (≤ ~B² per (c, j)), so the key
+    // hash spreads evenly. Width scales with DATA (input splits grow
+    // with bytes), floored at 2× cores for small inputs — never a
+    // constant tuned to either scale.
+    val nParts = math.max(
+      2 * e.sparkSession.sparkContext.defaultParallelism,
+      e.rdd.getNumPartitions * 8)
     val left = withCh.select(col("c"), col("p").as("p1"), col("ch").as("ci"),
         explode(sequence(col("ch"), col("nch") - 1L)).as("j"))
+      .repartition(nParts, col("c"), col("j"))
     val right = withCh.select(col("c"), col("p").as("p2"), col("ch").as("j"))
     left.join(right,
         Seq("c", "j").map(k => left(k) === right(k)).reduce(_ && _) &&
