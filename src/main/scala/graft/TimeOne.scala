@@ -94,9 +94,11 @@ object TimeOne {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val pBefore = probeOnce()
-      var lastJobs = 0
-      val runs = (1 to nRuns).map { i =>
-        if (stagesOn && i == nRuns) { // profile only the warmest run
+      var bestJobs = 0
+      var bestStages: Seq[StageRow] = Nil
+      var bestWall = Double.MaxValue
+      val runs = (1 to nRuns).map { _ =>
+        if (stagesOn) { // profile every run; keep the min-wall run's rows
           org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(
             spark.sparkContext, 10000L)
           stageRows.clear(); jobCount.set(0)
@@ -104,19 +106,20 @@ object TimeOne {
         val c0 = cpuNow(); val g0 = gcMsNow(); val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        if (stagesOn && i == nRuns) {
+        if (stagesOn && wall < bestWall) {
           org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(
             spark.sparkContext, 10000L)
-          lastJobs = jobCount.get()
+          bestWall = wall; bestJobs = jobCount.get()
+          import scala.jdk.CollectionConverters._
+          bestStages = stageRows.asScala.toSeq
         }
         (wall, (cpuNow() - c0) / 1e9, (gcMsNow() - g0) / 1e3)
       }
       val pAfter = probeOnce()
       if (stagesOn) {
-        import scala.jdk.CollectionConverters._
-        val rows = stageRows.asScala.toSeq.sortBy(-_.wallMs)
-        println(f"[stages] $n jobs=$lastJobs stages=${rows.size} " +
-          f"(top by stage wall; taskMs=Σ executor run time)")
+        val rows = bestStages.sortBy(-_.wallMs)
+        println(f"[stages] $n jobs=$bestJobs stages=${rows.size} " +
+          f"(min-wall run; taskMs=Σ executor run time)")
         rows.take(14).foreach { r =>
           println(f"[stages]   #${r.id}%-4d wall=${r.wallMs}%5dms task=${r.taskMs}%6dms " +
             f"tasks=${r.tasks}%4d in=${r.records}%9d sr=${r.shufReadMb}%7.1fMB " +

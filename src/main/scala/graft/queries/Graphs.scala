@@ -1001,29 +1001,49 @@ object Graphs {
     * chosen fixed (8) so reached-set rows stay ≤ 8·|V|. */
   private[graft] val HARMONIC_HOPS = 4
   private[graft] val HARMONIC_SEEDS = 8
+
+  /** Ordered (hi, lo) packed key — the packedPair idea WITHOUT the
+    * canonicalization (the two halves are different roles, e.g.
+    * (seed, node)). Exact iff both ids fit 31 bits — guarded LOUDLY. */
+  private[graft] def packedKey(hi: Column, lo: Column): Column =
+    when(hi >= 0L && hi < lit(1L << 31) && lo >= 0L && lo < lit(1L << 31),
+      shiftleft(hi, 32) + lo)
+      .otherwise(raise_error(lit(
+        "packedKey: id exceeds 2^31 — widen the packed key")))
+
   def harmonic(s: SparkSession, d: String): DataFrame = {
     val edges = copurchaseEdges(s, d).select(col("src"), col("dst"))
     val seeds = edges.select(col("src").as("seed")).distinct()
       .orderBy(col("seed")).limit(HARMONIC_SEEDS)
-    var dist = seeds.select(col("seed"), col("seed").as("node"),
+    // state rows carry ONE packed (seed<<32 | node) long instead of two
+    // id columns (r15, guide §2.3 narrower types): the per-pass
+    // contribution stream into the min-aggregate is the dominant
+    // shuffle of this query (measured 84 MB / 8.4 M records at sf0.1,
+    // the two widest stages of the profile) — packing drops record
+    // width by a third and the group-by key to one long. Bijective
+    // within the loudly-guarded 31-bit id envelope, so min-per-(seed,
+    // node) is exactly min-per-key; the readout unpacks.
+    var dist = seeds.select(packedKey(col("seed"), col("seed")).as("sn"),
       lit(0L).as("dist")).localCheckpoint()
     var nReached = dist.count()
     // same first-reach early exit as bfsOnEdges, per (seed, node) key
     var prevReached = -1L
     for (_ <- 1 to HARMONIC_HOPS if nReached != prevReached) {
       prevReached = nReached
+      val frontier = dist.select(shiftright(col("sn"), 32).as("seed"),
+        col("sn").bitwiseAND(lit(0xFFFFFFFFL)).as("src"), col("dist"))
       dist = dist
         .unionAll(edges
-          .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
-            nReached, BROADCAST_MAX_ROWS), Seq("src"))
-          .select(col("seed"), col("dst").as("node"),
+          .join(maybeBroadcast(frontier, nReached, BROADCAST_MAX_ROWS),
+            Seq("src"))
+          .select(packedKey(col("seed"), col("dst")).as("sn"),
             (col("dist") + lit(1L)).as("dist")))
-        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .groupBy(col("sn")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       nReached = dist.count()
     }
     dist.filter(col("dist") > 0L)
-      .groupBy(col("seed").as("part_id"))
+      .groupBy(shiftright(col("sn"), 32).as("part_id"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000L div dist")).as("harmonic_q"))
       .orderBy(col("harmonic_q").desc, col("part_id"))

@@ -462,7 +462,9 @@ object TextOps {
         .select(col("doc_id"),
           least(col("cl"), coalesce(col("nbr"), col("cl"))).as("cl"),
           (coalesce(col("nbr"), col("cl")) < col("cl")).cast(IntegerType).as("chg"))
-        .localCheckpoint() // truncate lineage; one materialization per pass
+        // LAZY checkpoint (r15): the changed-count agg right below is
+        // the materializing action — eager paid a second job per pass
+        .localCheckpoint(false)
       changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       labels = updated.select(col("doc_id"), col("cl"))
       iters += 1
@@ -512,6 +514,12 @@ object TextOps {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cl"))
       .localCheckpoint()
+    // label-table row count is invariant (one row per vertex, every
+    // pass) — ONE count gates the pointer-jump broadcast below for the
+    // whole run (the Graphs.maybeBroadcast discipline: an explicit hint
+    // is honored unconditionally, so it must be size-gated or a 10⁸-
+    // vertex run hard-fails on driver memory instead of degrading)
+    val nV = labels.count()
     // Convergence via the LABEL-SUM: every step takes a min, so each
     // vertex's label is monotone non-increasing — the sum strictly
     // decreases iff ANY label changed. One agg over the checkpointed
@@ -540,13 +548,23 @@ object TextOps {
       // pointer map — one self-join resolves cl(cl(v)). (A second jump
       // per pass was tried and did NOT reduce the pass count: min-label
       // diffusion along the graph, not pointer-chain depth, binds the
-      // iteration count on this graph shape.)
-      val ptr = propagated.toDF("k", "v")
+      // iteration count on this graph shape.) r15: the map side is
+      // BROADCAST under the size gate — the r14 shape planned this
+      // V×V self-join as an SMJ of two cached tables, paying two
+      // exchanges + a sort per pass for node-sized rows (guide §2.4 /
+      // §3.1); above the gate it degrades to the shuffle join exactly
+      // like the Graphs loops.
+      val ptr0 = propagated.toDF("k", "v")
+      val ptr = if (nV <= Graphs.BROADCAST_MAX_ROWS) broadcast(ptr0) else ptr0
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // materializing action (eager would run one job to cache and a
+      // second for the agg — measured pure job-count overhead at small
+      // SF; the per-pass job profile motivated this, r15)
       val jumped = propagated
         .join(ptr, propagated("cl") === ptr("k"), "left_outer")
         .select(propagated("doc_id"),
           least(propagated("cl"), coalesce(ptr("v"), propagated("cl"))).as("cl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = Option(jumped
         .agg(sum(col("cl")).cast(DecimalType(38, 0))).head().getDecimal(0))
       converged = s == prevSum
