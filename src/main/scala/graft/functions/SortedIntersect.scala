@@ -27,14 +27,26 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  /** Element type the merge compares — STRING (binary UTF8 compare) or
+    * BIGINT (primitive compare). Widened from string-only in r15 so the
+    * graph adjacency intersects (triangle/jaccard under-gate paths)
+    * could drop `size(array_intersect(...))`'s per-row hash-set build
+    * for the same zero-allocation merge the dedup family already ran. */
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => true
       case _ => false
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (ok(left.dataType) && left.dataType == right.dataType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect_size requires two ARRAY<STRING> arguments, got " +
+      s"graft_sorted_intersect_size requires two ARRAY<STRING> or two " +
+        s"ARRAY<BIGINT> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -42,9 +54,10 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     if (SortedIntersectSizeF.contractCheck) {
-      SortedIntersectSizeF.assertSortedDistinct(xs, "left")
-      SortedIntersectSizeF.assertSortedDistinct(ys, "right")
+      SortedIntersectSizeF.assertSortedDistinct(xs, "left", elemType)
+      SortedIntersectSizeF.assertSortedDistinct(ys, "right", elemType)
     }
+    val longs = elemType == LongType
     val n = xs.numElements()
     val m = ys.numElements()
     var i = 0
@@ -54,7 +67,9 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
       if (xs.isNullAt(i)) i += 1
       else if (ys.isNullAt(j)) j += 1
       else {
-        val cmp = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+        val cmp =
+          if (longs) java.lang.Long.compare(xs.getLong(i), ys.getLong(j))
+          else xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1
         else j += 1
@@ -71,6 +86,10 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (elemType == LongType)
+          s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
@@ -79,7 +98,7 @@ case class SortedIntersectSizeF(left: Expression, right: Expression)
          |  if ($a.isNullAt($i)) { $i++; }
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
-         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    int $cmp = $cmpExpr;
          |    if ($cmp == 0) { $c++; $i++; $j++; }
          |    else if ($cmp < 0) { $i++; } else { $j++; }
          |  }
@@ -113,11 +132,14 @@ object SortedIntersectSizeF {
   private[functions] def contractCheck: Boolean =
     java.lang.Boolean.getBoolean("graft.sortedIntersect.checkContract")
 
-  private[functions] def assertSortedDistinct(xs: ArrayData, side: String): Unit = {
+  private[functions] def assertSortedDistinct(xs: ArrayData, side: String,
+      et: DataType = StringType): Unit = {
+    def cmp(i: Int): Int =
+      if (et == LongType) java.lang.Long.compare(xs.getLong(i - 1), xs.getLong(i))
+      else xs.getUTF8String(i - 1).compareTo(xs.getUTF8String(i))
     var i = 1
     while (i < xs.numElements()) {
-      if (!xs.isNullAt(i - 1) && !xs.isNullAt(i) &&
-          xs.getUTF8String(i - 1).compareTo(xs.getUTF8String(i)) >= 0)
+      if (!xs.isNullAt(i - 1) && !xs.isNullAt(i) && cmp(i) >= 0)
         throw new IllegalArgumentException(
           s"graft_sorted_intersect_size: $side array violates the " +
             s"sorted-distinct contract at index $i — results would undercount")

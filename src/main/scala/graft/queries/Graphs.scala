@@ -312,8 +312,15 @@ object Graphs {
         und
           .join(broadcast(adj.select(col("a").as("x"), col("nbrs").as("nx"))), Seq("x"))
           .join(broadcast(adj.select(col("a").as("y"), col("nbrs").as("ny"))), Seq("y"))
+          // merge-count over the sorted adjacencies (r15): size ∘
+          // array_intersect built a per-row hash set AND materialized
+          // the intersection array just to count it — the graft
+          // expression does |nx|+|ny| primitive compares, zero
+          // allocation (guide: codegen-friendly expressions; measured
+          // below as the dominant cpu of this query)
           .select(col("x"), col("y"),
-            size(array_intersect(col("nx"), col("ny"))).cast("long").as("c"))
+            graft.functions.SortedIntersectSizeF
+              .sortedIntersectSize(col("nx"), col("ny")).cast("long").as("c"))
       } else edgeCommonNeighborCounts(und)
     withC.select(explode(array(
         struct(col("x").as("node"), col("c")),
@@ -761,8 +768,11 @@ object Graphs {
         und
           .join(broadcast(adj.select(col("a").as("x"), col("nbrs").as("nx"))), Seq("x"))
           .join(broadcast(adj.select(col("a").as("y"), col("nbrs").as("ny"))), Seq("y"))
+          // merge-count instead of size∘array_intersect (r15) — see
+          // trianglesOnUndirected
           .select(col("x"), col("y"),
-            size(array_intersect(col("nx"), col("ny"))).cast("long").as("cn"),
+            graft.functions.SortedIntersectSizeF
+              .sortedIntersectSize(col("nx"), col("ny")).cast("long").as("cn"),
             size(col("nx")).cast("long").as("deg_x"),
             size(col("ny")).cast("long").as("deg_y"))
       } else {

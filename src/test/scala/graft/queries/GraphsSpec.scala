@@ -400,8 +400,8 @@ class GraphsSpec extends SparkTestBase {
     val abovePlan = above.queryExecution.executedPlan.toString
     Seq("collect_list", "sort_array", "array_intersect").foreach(op =>
       assert(!abovePlan.contains(op), s"above-gate plan still builds arrays ($op)"))
-    assert(below.queryExecution.executedPlan.toString.contains("array_intersect"),
-      "below-gate path should keep the codegen'd intersect")
+    assert(below.queryExecution.executedPlan.toString.contains("sortedintersectsizef"),
+      "below-gate path should keep the codegen'd merge-count intersect")
     // jaccard: full-row equality including the cn=0 edges the left join
     // must preserve (the intersect path scores them 0 natively)
     def jacRows(df: org.apache.spark.sql.DataFrame) =
