@@ -31,12 +31,24 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       // reducers scale with bytes via AQE (see Bench.scala: the sf10
       // ladder rung killed fixed-32-reducer wedge joins with spill OOM)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // corpus-size-derived pre-coalesce width — same session as Bench
+      // (GRAFT_INIT_PARTS overrides for experiments)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("GRAFT_INIT_PARTS",
+          SessionTuning.initialParts(sfDir, cpus.toInt).toString))
+      // sort-based writer for small-R shuffles — see Bench.scala (r15)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_TIMEONE_DEBUGCONF"))
+      println("[conf] bypass=" + spark.sparkContext.getConf
+        .get("spark.shuffle.sort.bypassMergeThreshold", "default") +
+        " initParts=" + spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
     // same three-way read as Bench (wall/cpu/gc) so a solo re-time
     // carries its own attribution — see BASELINE.md "fourth read"
     val osBean: Option[com.sun.management.OperatingSystemMXBean] =

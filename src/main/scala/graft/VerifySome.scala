@@ -20,7 +20,21 @@ object VerifySome {
       .config("spark.sql.shuffle.partitions", cpus)
       // reducers scale with bytes via AQE (see Bench.scala: the sf10
       // ladder rung killed fixed-32-reducer wedge joins with spill OOM)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // corpus-size-derived pre-coalesce width — same session as Bench
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        SessionTuning.initialParts(sfDir, cpus.toInt).toString)
+      // Shuffle WRITER selection (r15, measured): with reduce counts at
+      // or under spark.shuffle.sort.bypassMergeThreshold (default 200),
+      // Spark picks BypassMergeSortShuffleWriter, which opens one file +
+      // compression stream PER REDUCE PARTITION per map task — measured
+      // here at ~8x the map-stage cpu of the sort-based writer on the
+      // many small per-pass shuffles of the iterative graph loops
+      // (q_label_prop map stages 1.3 s -> 10.2 s of task time when the
+      // derived reducer width dropped under the threshold). Keep the
+      // sort-based (Unsafe) writer for everything but trivially narrow
+      // shuffles; at cluster scale reduce counts exceed 200 anyway, so
+      // this only governs the small-R regime it was measured in.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", "false")
