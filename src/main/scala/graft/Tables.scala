@@ -50,4 +50,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Parallelism floor for COMPUTE-BOUND first stages (r15, guide §2.5):
+    * the test corpora ship as single-row-group parquet, so a scan runs
+    * ONE effective reader no matter the split count — any heavy row-side
+    * work fused into that stage (tokenize, hash, quantize, per-row
+    * aggregate prep) is single-threaded (measured: q_countmin's
+    * tokenize+count stage = 1.39 s in 1 task of a 1.96 s query).
+    * Deterministic hash-repartition to session parallelism, GATED on the
+    * scan actually being narrower than the session: corpora whose
+    * layout already provides parallel readers (many files / row groups —
+    * any production 100 TB table) skip the exchange entirely, so this
+    * never adds a corpus-wide shuffle at scale.
+    *
+    * Use AFTER filters/projections (the exchange would block pushdown)
+    * and only where the downstream work is row-local-heavy and
+    * unfiltered; key choice must be deterministic (task-retry safety,
+    * guide §2.5 — never round-robin). */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n, keys: _*) else df
+  }
 }

@@ -442,7 +442,10 @@ object Graphs {
     * integer products (lift = n·sup(ab) / (sup(a)·sup(b))), so rows are
     * bit-identical cross-engine. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
-    val items = basketItems(s, d)
+    // Tables.spread on the basket self-join input: the pair-support
+    // stage ran at the artifact's file parallelism (r15; gated no-op
+    // on parallel layouts)
+    val items = graft.Tables.spread(basketItems(s, d), col("o"))
     val nOrders = items.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemSup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
@@ -531,10 +534,22 @@ object Graphs {
       hops: Int, broadcastGate: Long = BROADCAST_MAX_ROWS,
       passCount: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    // FRONTIER-ONLY relaxation (r15, guide §2.3 — shuffle fewer bytes):
+    // with unit weights a node's dist is its FIRST-reach pass and never
+    // improves, so a node settled at pass j already offered dist j+1 to
+    // every neighbor at pass j+1 — re-relaxing it at pass k > j+1
+    // re-offers the same value. Relax only the nodes first reached LAST
+    // pass (dist == k−1, a cached-scan filter over the checkpoint);
+    // byte-identical output, and the per-pass contribution stream
+    // shrinks from |reached|-incident edges to |new frontier|-incident
+    // edges — near-zero once the closure saturates (which the early
+    // exit then detects one pass later, as before).
+    var frontier = dist
     // the reached set grows per pass, so re-gate each pass on the
     // checkpointed table's count (a cached-partition scan) — the hint
     // must drop out mid-run the moment the frontier closure outgrows
-    // the broadcast budget (explicit hints don't degrade on their own)
+    // the broadcast budget (explicit hints don't degrade on their own;
+    // gating on |reached| ≥ |frontier| is conservative-safe)
     var nReached = dist.count()
     // EARLY EXIT once the reached set stops growing: a reached node's
     // hop distance is its FIRST-reach pass (later passes only offer
@@ -543,15 +558,17 @@ object Graphs {
     // capped-hop output is byte-identical (the count is the same
     // action the broadcast re-gate already pays)
     var prevReached = -1L
-    for (_ <- 1 to hops if nReached != prevReached) {
+    for (k <- 1 to hops if nReached != prevReached) {
       dist = dist
         .unionAll(edges
-          .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
+          .join(maybeBroadcast(frontier.withColumnRenamed("node", "src"),
             nReached, broadcastGate), Seq("src"))
           .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       if (passCount != null) passCount.incrementAndGet()
+      // nodes first reached THIS pass carry dist == k by construction
+      frontier = dist.filter(col("dist") === lit(k.toLong))
       prevReached = nReached
       nReached = dist.count()
     }
@@ -601,17 +618,31 @@ object Graphs {
       val r = dist.agg(count(lit(1)), sum(col("dist"))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // CHANGED-ONLY relaxation (r15 — the SPFA/Bellman-Ford queue
+    // invariant): a node whose dist did not change at pass k−1 already
+    // offered dist+w to every neighbor the last time it changed, so
+    // re-relaxing it re-offers the same values. Track "changed last
+    // pass" with a tag column through the min: old rows tag 0, relaxed
+    // offers tag 1 — min(struct(dist, tag)) picks tag 0 on an exact tie
+    // (an equal offer carries no new information), so the frontier is
+    // exactly the improved-or-new keys. Byte-identical output.
+    var frontier = dist
     var (nReached, sumDist) = stats()
     var prev = (-1L, -1L)
     for (_ <- 1 to passes if (nReached, sumDist) != prev) {
-      dist = dist
+      val next = dist
+        .select(col("node"), col("dist"), lit(0).as("t"))
         .unionAll(edges
-          .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
+          .join(maybeBroadcast(frontier.withColumnRenamed("node", "src"),
             nReached, broadcastGate), Seq("src"))
-          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+            lit(1).as("t")))
+        .groupBy(col("node")).agg(min(struct(col("dist"), col("t"))).as("m"))
+        .select(col("node"), col("m.dist").as("dist"), col("m.t").as("t"))
         .localCheckpoint()
       if (passCount != null) passCount.incrementAndGet()
+      frontier = next.filter(col("t") === 1).select(col("node"), col("dist"))
+      dist = next.select(col("node"), col("dist"))
       prev = (nReached, sumDist)
       val s = stats(); nReached = s._1; sumDist = s._2
     }
@@ -1035,21 +1066,26 @@ object Graphs {
     // node) is exactly min-per-key; the readout unpacks.
     var dist = seeds.select(packedKey(col("seed"), col("seed")).as("sn"),
       lit(0L).as("dist")).localCheckpoint()
+    // frontier-only relaxation per (seed, node) key — the bfsOnEdges
+    // r15 argument verbatim (unit weights: first-reach is final, so
+    // only keys first reached last pass need to propagate)
+    var frontier = dist
     var nReached = dist.count()
     // same first-reach early exit as bfsOnEdges, per (seed, node) key
     var prevReached = -1L
-    for (_ <- 1 to HARMONIC_HOPS if nReached != prevReached) {
+    for (k <- 1 to HARMONIC_HOPS if nReached != prevReached) {
       prevReached = nReached
-      val frontier = dist.select(shiftright(col("sn"), 32).as("seed"),
+      val fr = frontier.select(shiftright(col("sn"), 32).as("seed"),
         col("sn").bitwiseAND(lit(0xFFFFFFFFL)).as("src"), col("dist"))
       dist = dist
         .unionAll(edges
-          .join(maybeBroadcast(frontier, nReached, BROADCAST_MAX_ROWS),
+          .join(maybeBroadcast(fr, nReached, BROADCAST_MAX_ROWS),
             Seq("src"))
           .select(packedKey(col("seed"), col("dst")).as("sn"),
             (col("dist") + lit(1L)).as("dist")))
         .groupBy(col("sn")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      frontier = dist.filter(col("dist") === lit(k.toLong))
       nReached = dist.count()
     }
     dist.filter(col("dist") > 0L)
@@ -1083,7 +1119,13 @@ object Graphs {
     * aggregation up front. */
   private[graft] val BT_ITERS = 3
   def bradleyTerry(s: SparkSession, d: String): DataFrame = {
-    val bq = Tables.lineitem(s, d)
+    // Tables.spread: the duel aggregate's scan+join+partial-agg stage
+    // ran 0.82 s single-reader on the single-row-group fixture (r15;
+    // gated no-op on parallel layouts)
+    val bq = graft.Tables.spread(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        col("l_orderkey"))
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey").as("o"), col("p_brand").as("b"))
       .agg(sum(col("l_quantity").cast("long")).as("q"))

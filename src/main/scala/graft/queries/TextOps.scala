@@ -2753,7 +2753,10 @@ object TextOps {
 
   def countMin(s: SparkSession, d: String): DataFrame = {
     val D = 4
-    val toks = Tables.documents(s, d)
+    // Tables.spread: the tokenize+count stage was 1.39 s in ONE task on
+    // the single-row-group fixture (r15; no-op on parallel layouts)
+    val toks = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
